@@ -1,0 +1,88 @@
+"""Table catalog over the driver-provided parquet layout (TESTDATA.md).
+
+One place that knows the physical layout (``{sf_dir}/{table}.parquet``) and
+pins the session settings every query needs for oracle parity:
+
+* ``spark.sql.session.timeZone=UTC`` — Spark timestamps are session-TZ,
+  DuckDB's are UTC-naive; without this, every timestamp value-hash differs.
+* AQE on (runtime re-plan, built-in skew-join available).
+
+At 100 TB this module is where partition discovery / bucketing metadata
+would live; parquet scans already give column pruning + predicate pushdown
+for free through the DataSource V2 path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.01"
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Pin runtime confs required for deterministic, oracle-comparable runs.
+
+    Safe on a shared session: only runtime-settable keys."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # events.parquet carries timestamp[ns]; Spark rejects TIMESTAMP(NANOS)
+    # unless told to surface it as bigint (we convert in load_table)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    configure(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ts arrives as bigint nanos (nanosAsLong); expose a proper
+        # microsecond timestamp plus the raw nanos for exact oracle compares
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    configure(spark)
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def get_spark(app_name: str = "spark_skew_join_spark", cpus: int | None = None) -> SparkSession:
+    """Local session tuned per the build contract (local[N], shuffle
+    partitions ≈ cores, AQE on, Arrow on, UTC)."""
+    n = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    spark = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    return configure(spark)
