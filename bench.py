@@ -1,0 +1,83 @@
+"""Benchmark harness (driver contract): headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is forced to full materialization through the noop sink (all rows
+computed + serialized, nothing written — same methodology as the reference's
+timedSaveToDisk, Utils.scala:57-74, minus the parquet write cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spark_skew_join_spark import queries as q
+from spark_skew_join_spark.sources.tables import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "skew_join_orders_customer",
+    "skew_join_lineitem_supplier",
+    "skew_join_multicol",
+    "skew_join_left_outer",
+    "window_top_orders",
+    "agg_rollup",
+    "dedup_exact_docs",
+    "dedup_ngram_jaccard",
+    "text_stats",
+    "text_lang_id",
+    "knn_bruteforce",
+    "tumbling_window_events",
+    "session_windows_events",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("bench", cpus=cpus)
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = q.QUERIES[name]
+        df = fn(spark, sf_dir)  # plan construction (includes any pre-jobs)
+        start = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+    # skew-join pre-pass (hot-key job) runs at plan-construction time; fold
+    # it in by re-timing construction+execution for the skew queries
+    for name in ("skew_join_lineitem_supplier", "skew_join_multicol"):
+        start = time.perf_counter()
+        q.QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""Text-analysis column functions (LLM-data-pipeline extension surface).
+
+All functions return JVM-side ``Column`` expressions (whole-stage codegen,
+no Python in the hot path) and are designed for *oracle parity*: each is a
+composition of functions with identical semantics in Spark SQL and DuckDB
+(``length``/``replace``/``regexp_replace``/``md5``), so every operator here
+can be hash-checked against an ANSI-SQL oracle. Token/stopword counts use
+the ``length - length(replace(...))`` idiom instead of ``split`` because
+split's empty-string edge cases differ across engines.
+
+At 100 TB these run as a single projection over the scan — column-pruned,
+no shuffle, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# languages scored by the stopword heuristic: language → distinctive tokens
+# (space-padded to approximate word boundaries; identical logic in the SQL
+# oracle, see queries.py)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "fr": [" le ", " la ", " et "],
+    "de": [" der ", " und ", " die "],
+    "es": [" el ", " los ", " y "],
+}
+
+PUNCT_CLASS = r"[.,!?;:]"
+
+
+def occurrences(colname: str, needle: str) -> Column:
+    """count of ``needle`` in ``colname`` — (len(s) - len(replace(s, n, ''))) / len(n)."""
+    c = F.col(colname)
+    return (
+        (F.length(c) - F.length(F.replace(c, F.lit(needle), F.lit("")))) / len(needle)
+    ).cast("int")
+
+
+def token_count(colname: str) -> Column:
+    """Whitespace token count for single-space-separated text:
+    len - len(without spaces) + 1, 0 for empty."""
+    c = F.col(colname)
+    n = F.length(c) - F.length(F.replace(c, F.lit(" "), F.lit(""))) + F.lit(1)
+    return F.when(F.length(c) == 0, F.lit(0)).otherwise(n).cast("int")
+
+
+def punct_count(colname: str) -> Column:
+    c = F.col(colname)
+    return (F.length(c) - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))).cast("int")
+
+
+def punct_ratio(colname: str) -> Column:
+    c = F.col(colname)
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
+        punct_count(colname).cast("double") / F.length(c)
+    )
+
+
+def stopword_count(colname: str, lang: str = "en") -> Column:
+    padded = F.concat(F.lit(" "), F.col(colname), F.lit(" "))
+    total = F.lit(0)
+    for marker in LANG_MARKERS[lang]:
+        occ = (
+            (F.length(padded) - F.length(F.replace(padded, F.lit(marker), F.lit(""))))
+            / len(marker)
+        ).cast("int")
+        total = total + occ
+    return total.cast("int")
+
+
+def stopword_ratio(colname: str, lang: str = "en") -> Column:
+    return F.when(token_count(colname) == 0, F.lit(0.0)).otherwise(
+        stopword_count(colname, lang).cast("double") / token_count(colname)
+    )
+
+
+def lang_score(colname: str, lang: str) -> Column:
+    return stopword_count(colname, lang)
+
+
+def lang_id(colname: str) -> Column:
+    """First-match CASE over per-language stopword scores: a language wins if
+    its score is positive and >= every later language's score (fixed order
+    en > fr > de > es — mirrored token-for-token in the SQL oracle)."""
+    order = list(LANG_MARKERS)
+    scores = {lang: stopword_count(colname, lang) for lang in order}
+    expr = None
+    for i, lang in enumerate(order):
+        cond = scores[lang] > 0
+        for other in order[i + 1 :]:
+            cond = cond & (scores[lang] >= scores[other])
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def quality_score(colname: str) -> Column:
+    """Heuristic [0,1] doc quality: rewards mid-length docs and stopword
+    presence, penalizes punctuation soup. Pure per-row double arithmetic —
+    bit-identical across engines."""
+    c = F.col(colname)
+    length_term = F.least(F.length(c).cast("double") / F.lit(500.0), F.lit(1.0))
+    stop_term = F.least(stopword_ratio(colname) * 5.0, F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(colname) * 10.0, F.lit(1.0))
+    return (length_term * 0.4 + stop_term * 0.4 + punct_term * 0.2).alias("quality")
+
+
+def fingerprint(colname: str) -> Column:
+    """Deterministic 128-bit document fingerprint (md5 hex) — the exact-dedup
+    key. md5(string) matches DuckDB's md5()."""
+    return F.md5(F.col(colname).cast("binary"))

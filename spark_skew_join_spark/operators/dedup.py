@@ -1,0 +1,234 @@
+"""Deduplication operators over document tables (LLM-pipeline extension).
+
+Exact dedup is a hash-groupBy (md5 fingerprint → min-id representative),
+oracle-checkable in ANSI SQL. Near-dup comes in three flavors:
+
+* ``ngram_jaccard_pairs`` — *exact* n-gram Jaccard over character shingles,
+  as explode → equi-join on shingle → |intersection| / |union|. Fully
+  SQL-expressible, so it serves as the hash-checked oracle for the fuzzy
+  family. Scale: the shingle join is the classic hot-token skew case —
+  document frequency of a shingle bounds its join fan-out; very frequent
+  shingles can be dropped like stopwords (``max_shingle_df``).
+* ``minhash_pairs`` — MinHash+LSH banding: per-doc signature via codegen
+  hash functions (xxhash64 with seed = permutation index), band → bucket →
+  candidate pairs → exact Jaccard verify. No Python in the signature path.
+* ``simhash_pairs`` — 64-bit SimHash over shingle hashes; near-dups share
+  band-chunks of the fingerprint.
+* ``embedding_near_dup`` — cosine >= threshold pairs over an embedding
+  column (delegates to the similarity module's machinery).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import fingerprint
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One representative (min id) per distinct text; dup_count for audit.
+
+    Output: (rep_id, fp, dup_count). groupBy on the 128-bit md5 fingerprint,
+    not the raw text — at 100 TB the shuffle moves 16-byte keys, not
+    documents."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .select("rep_id", "fp", "dup_count")
+    )
+
+
+def dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The rows of ``df`` that survive exact dedup (min-id representative)."""
+    reps = exact_dedup(df, text_col, id_col).select(
+        F.col("rep_id").alias(id_col)
+    )
+    return df.join(reps, on=id_col, how="left_semi")
+
+
+def shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5
+) -> DataFrame:
+    """Distinct character n-gram shingles per doc: (id, shingle).
+
+    Built with sequence+transform+explode — pure codegen, no UDF. Matches
+    the SQL oracle's generate_series formulation.
+    """
+    c = F.col(text_col)
+    pos = F.explode(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - n + 1, F.lit(1)))
+    ).alias("pos")
+    out = (
+        df.select(F.col(id_col), c.alias("__t"), pos)
+        .where(F.length("__t") >= n)
+        .select(
+            id_col, F.substring(F.col("__t"), F.col("pos").cast("int"), n).alias("shingle")
+        )
+        .distinct()
+    )
+    return out
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs (a < b): |S_a ∩ S_b| / |S_a ∪ S_b| >= t.
+
+    Output: (id_a, id_b, inter, size_a, size_b) + jaccard. The shingle
+    equi-join shuffles on the shingle value — set ``max_shingle_df`` to drop
+    stop-shingles (bounded fan-out at scale)."""
+    sh = shingles(df, text_col, id_col, n)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .count()
+            .where(F.col("count") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(hot, on="shingle", how="left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("size"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("size").alias("size_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("size").alias("size_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    num_perm: int = 32,
+) -> DataFrame:
+    """(id, sig array<bigint>) — sig[i] = min over shingles of
+    xxhash64(shingle, seed=i). Signature build is groupBy(min) over the
+    shingle explode — fully JVM-side."""
+    sh = shingles(df, text_col, id_col, n)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    wide = sh.groupBy(id_col).agg(*aggs)
+    return wide.select(
+        id_col, F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig")
+    )
+
+
+def minhash_pairs(
+    df: DataFrame,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    num_perm: int = 32,
+    n_bands: int = 8,
+) -> DataFrame:
+    """LSH-banded candidate pairs verified by exact Jaccard.
+
+    Bands of r = num_perm/n_bands hashes; docs colliding in >= 1 band are
+    candidates (P[collide] = 1-(1-s^r)^b); candidates are verified with the
+    exact n-gram Jaccard. Output: (id_a, id_b, jaccard)."""
+    r = num_perm // n_bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_perm)
+    bands = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * r + i] for i in range(r)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), on=["band", "bucket"])
+        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(df, 0.0, text_col, id_col, n).select(
+        "id_a", "id_b", "jaccard"
+    )
+    return cand.join(exact, on=["id_a", "id_b"]).where(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5
+) -> DataFrame:
+    """(id, simhash bigint): sign-sum over the 64 bits of xxhash64(shingle)."""
+    sh = shingles(df, text_col, id_col, n).withColumn(
+        "h", F.xxhash64(F.col("shingle"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    wide = sh.groupBy(id_col).agg(*bit_sums)
+    code = F.lit(0).cast("long")
+    for i in range(64):
+        code = code.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            * F.lit(2 ** i if i < 63 else -(2 ** 63)).cast("long")
+        )
+    return wide.select(id_col, code.alias("simhash"))
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairs (a < b) with cosine >= threshold. Brute-force all-pairs for
+    correctness baseline; at scale use lsh_topk candidates instead."""
+    from ..functions.vectors import cosine, to_double_array
+
+    a = df.select(F.col(id_col).alias("id_a"), to_double_array(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), to_double_array(vec_col).alias("__vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the build contract:
+
+* ``cosine_topk`` — brute-force exact k-NN: broadcast the (small) query set,
+  one codegen pass over the corpus, window top-k. At 100 TB the corpus scan
+  is embarrassingly parallel, the only shuffle is the per-query top-k
+  (k × |queries| rows), and no Python runs anywhere.
+* ``lsh_topk`` — scale path: random-hyperplane (SimHash) bucketing; queries
+  only compare against corpus vectors sharing a bucket in at least one band.
+  Recall < 1 by construction; the oracle for it is rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.vectors import cosine, to_double_array
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector.
+
+    Output: (query_id, neighbor_id, rank) with rank 1..k ordered by
+    similarity desc, neighbor_id asc (deterministic tiebreak).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        to_double_array(vec_col).alias("__qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        to_double_array(vec_col).alias("__cv"),
+    )
+    pairs = c.crossJoin(F.broadcast(q))
+    if not include_self:
+        pairs = pairs.where(F.col("neighbor_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("__qv"), F.col("__cv")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def _simhash_bands(
+    df: DataFrame, id_out: str, vec_col: str, planes, n_bands: int, band_bits: int
+) -> DataFrame:
+    """Sign-of-projection bit codes grouped into bands → (id, band, code)."""
+    v = to_double_array(vec_col)
+    bits = []
+    for p in planes:  # planes: list[list[float]] broadcast as literals
+        proj = F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(x) for x in p]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)))
+    rows = []
+    for b in range(n_bands):
+        code = F.lit(0)
+        for i in range(band_bits):
+            code = code * 2 + bits[b * band_bits + i]
+        rows.append(F.struct(F.lit(b).alias("band"), code.alias("code")))
+    return df.select(
+        F.col(id_out), F.explode(F.array(*rows)).alias("bc")
+    ).select(id_out, F.col("bc.band").alias("band"), F.col("bc.code").alias("code"))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bands: int = 8,
+    band_bits: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share >=1 SimHash band bucket.
+
+    The band join is an equi-join on (band, code) — hash-partitionable,
+    skew-safe for roughly-uniform random hyperplanes; at 100 TB this replaces
+    the O(|corpus| x |queries|) cross join with O(candidates).
+    """
+    import random
+
+    rng = random.Random(seed)
+    planes = [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bands * band_bits)
+    ]
+    qb = _simhash_bands(
+        queries.select(F.col(id_col).alias("query_id"), vec_col),
+        "query_id", vec_col, planes, n_bands, band_bits,
+    )
+    cb = _simhash_bands(
+        corpus.select(F.col(id_col).alias("neighbor_id"), vec_col),
+        "neighbor_id", vec_col, planes, n_bands, band_bits,
+    )
+    cand = (
+        qb.join(cb, on=["band", "code"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("__cv")
+    )
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )

@@ -1,0 +1,781 @@
+"""Query registry: every implemented operator as a (Spark impl, DuckDB oracle)
+pair for the driver's correctness gate (SURVEY §5.2).
+
+Conventions that make cross-engine value-hashing deterministic:
+
+* money/quantity aggregates go through ``CAST(SUM(CAST(x AS DECIMAL)) AS
+  DOUBLE)`` — decimal arithmetic is exact, so the double result is
+  bit-identical regardless of accumulation order/engine;
+* raw timestamps never appear in outputs — dates are CAST AS DATE, event
+  times compared as epoch integers (``ts_ns``/``epoch_ns``);
+* every computed column is aliased identically on both sides;
+* LIMIT queries carry a total-order ORDER BY (deterministic tiebreak);
+* window ranks are cast to INT on both sides (DuckDB row_number is BIGINT).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .conf import SkewJoinConf
+from .functions.text import (
+    LANG_MARKERS,
+    PUNCT_CLASS,
+    lang_id,
+    punct_count,
+    punct_ratio,
+    quality_score,
+    stopword_count,
+    stopword_ratio,
+    token_count,
+)
+from .operators.dedup import exact_dedup, minhash_pairs, ngram_jaccard_pairs
+from .operators.similarity import cosine_topk, lsh_topk
+from .operators.skew_join import skew_join
+from .sources.tables import load_tables
+
+# conf that engages salting on the driver tables (hottest key ≈660 rows at
+# sf0.01): a key with >=200 rows fragments, R = clamp(freq/100, 1, P)
+SKEW_CONF = SkewJoinConf(replication_factor=0.01, hot_threshold=200)
+
+_DEC_MONEY = "decimal(18,2)"
+_DEC_PROD = "decimal(24,6)"
+
+
+def _dsum(col_expr, dec: str = _DEC_MONEY):
+    """CAST(SUM(CAST(x AS DECIMAL)) AS DOUBLE) — deterministic double sum."""
+    return F.sum(col_expr.cast(dec)).cast("double")
+
+
+# --------------------------------------------------------------------------
+# TPC-H-style analytics
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    l = t["lineitem"].where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax"))
+    g = l.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum(F.col("l_quantity")).alias("sum_qty"),
+        _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+        _dsum(disc_price, _DEC_PROD).alias("sum_disc_price"),
+        _dsum(charge, _DEC_PROD).alias("sum_charge"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        (F.col("sum_qty") / F.col("count_order")).alias("avg_qty"),
+        (F.col("sum_base_price") / F.col("count_order")).alias("avg_price"),
+        "count_order",
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].where(F.col("c_mktsegment") == "BUILDING")
+    o = t["orders"].where(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    l = t["lineitem"].where(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    j = l.join(
+        F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    g = (
+        j.groupBy("l_orderkey", F.to_date("o_orderdate").alias("o_orderdate"), "o_orderpriority")
+        .agg(_dsum(disc_price, _DEC_PROD).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+    return g.select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+
+
+Q3_SQL = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+       CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    j = (
+        t["lineitem"]
+        .join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "ASIA")
+    )
+    return j.groupBy("n_name").agg(_dsum(disc_price, _DEC_PROD).alias("revenue"))
+
+
+Q5_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# skew_join family (the reference surface)
+# --------------------------------------------------------------------------
+
+def skew_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    j = skew_join(
+        t["orders"], t["customer"], [("o_custkey", "c_custkey")], "inner", SKEW_CONF
+    )
+    return j.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.to_date("o_orderdate").alias("o_orderdate"), "o_orderpriority",
+        "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+    )
+
+
+SJ_ORDERS_CUSTOMER_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+       c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def skew_join_lineitem_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    j = skew_join(
+        t["lineitem"], t["supplier"], [("l_suppkey", "s_suppkey")], "inner", SKEW_CONF
+    )
+    return j.select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_returnflag",
+        F.to_date("l_shipdate").alias("l_shipdate"),
+        "s_name", "s_nationkey", "s_acctbal",
+    )
+
+
+SJ_LINEITEM_SUPPLIER_SQL = """
+SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+       l_extendedprice, l_discount, l_returnflag,
+       CAST(l_shipdate AS DATE) AS l_shipdate,
+       s_name, s_nationkey, s_acctbal
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+"""
+
+
+def skew_join_multicol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ps = (
+        t["lineitem"]
+        .groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    j = skew_join(
+        t["lineitem"], ps, [("l_partkey", "pk"), ("l_suppkey", "sk")], "inner", SKEW_CONF
+    )
+    return j.select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "cnt")
+
+
+SJ_MULTICOL_SQL = """
+SELECT l_orderkey, l_partkey, l_suppkey, l_quantity, cnt
+FROM lineitem
+JOIN (SELECT l_partkey AS pk, l_suppkey AS sk, COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_partkey, l_suppkey) ps
+  ON l_partkey = pk AND l_suppkey = sk
+"""
+
+
+def skew_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    j = skew_join(
+        t["customer"], t["orders"], [("c_custkey", "o_custkey")], "left", SKEW_CONF
+    )
+    return j.select(
+        "c_custkey", "c_name", "c_acctbal", "o_orderkey", "o_totalprice",
+        F.to_date("o_orderdate").alias("o_orderdate"),
+    )
+
+
+SJ_LEFT_OUTER_SQL = """
+SELECT c_custkey, c_name, c_acctbal, o_orderkey, o_totalprice,
+       CAST(o_orderdate AS DATE) AS o_orderdate
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+"""
+
+
+def skew_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return skew_join(
+        t["customer"], t["orders"], [("c_custkey", "o_custkey")], "left_semi", SKEW_CONF
+    )
+
+
+SJ_SEMI_SQL = """
+SELECT * FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def skew_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return skew_join(
+        t["customer"], t["orders"], [("c_custkey", "o_custkey")], "left_anti", SKEW_CONF
+    )
+
+
+SJ_ANTI_SQL = """
+SELECT * FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# aggregation / window / sort / set-op coverage
+# --------------------------------------------------------------------------
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+        )
+    )
+
+
+AGG_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(F.col("o_totalprice")).alias("sum_price"),
+        )
+    )
+
+
+AGG_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+def window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        t["orders"]
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+WINDOW_TOP_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+  FROM orders) x
+WHERE rn <= 3
+"""
+
+
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+TOPK_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def setops_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].select(F.col("o_custkey").alias("custkey"))
+    c = t["customer"].select(F.col("c_custkey").alias("custkey"))
+    return o.intersect(c)
+
+
+SETOPS_INTERSECT_SQL = """
+SELECT o_custkey AS custkey FROM orders
+INTERSECT
+SELECT c_custkey AS custkey FROM customer
+"""
+
+
+def setops_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].select(F.col("c_custkey").alias("custkey"))
+    o = t["orders"].select(F.col("o_custkey").alias("custkey"))
+    return c.exceptAll(o).distinct()
+
+
+SETOPS_EXCEPT_SQL = """
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey AS custkey FROM orders
+"""
+
+
+def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["orders"].select(
+        "o_orderkey",
+        F.upper("o_orderstatus").alias("status_u"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.length("o_orderpriority").cast("int").alias("prio_len"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        F.month("o_orderdate").cast("int").alias("o_month"),
+        F.dayofmonth("o_orderdate").cast("int").alias("o_day"),
+        (F.col("o_totalprice") / 10).alias("fee"),
+        F.concat(F.col("o_orderstatus"), F.lit("-"), F.col("o_orderpriority")).alias("tag"),
+    )
+
+
+SCALAR_SQL = """
+SELECT o_orderkey,
+       UPPER(o_orderstatus) AS status_u,
+       SUBSTRING(o_orderpriority, 1, 1) AS prio_code,
+       CAST(LENGTH(o_orderpriority) AS INT) AS prio_len,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+       CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS o_month,
+       CAST(EXTRACT(DAY FROM o_orderdate) AS INT) AS o_day,
+       o_totalprice / 10 AS fee,
+       CONCAT(o_orderstatus, '-', o_orderpriority) AS tag
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# LLM-pipeline extensions: dedup / text analysis / similarity / multimodal
+# --------------------------------------------------------------------------
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return exact_dedup(t["documents"])
+
+
+DEDUP_EXACT_SQL = """
+SELECT MIN(doc_id) AS rep_id, MD5(text) AS fp, COUNT(*) AS dup_count
+FROM documents GROUP BY MD5(text)
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_shingle_df drops stop-shingles (df > 50): the synthetic corpus has
+    # a tiny vocabulary, so common 8-grams appear in most docs and the
+    # all-pairs shingle join fans out quadratically without the cap — the
+    # hot-token skew case the module documents. The oracle applies the
+    # identical cap.
+    return ngram_jaccard_pairs(
+        load_tables(spark, sf_dir)["documents"], threshold=0.5, n=8,
+        max_shingle_df=50,
+    )
+
+
+DEDUP_JACCARD_SQL = """
+WITH sh0 AS (
+  SELECT DISTINCT doc_id, SUBSTRING(text, CAST(pos AS INT), 8) AS shingle
+  FROM documents, UNNEST(range(1, GREATEST(LENGTH(text) - 8 + 1, 1) + 1)) AS t(pos)
+  WHERE LENGTH(text) >= 8
+),
+sh AS (
+  SELECT doc_id, shingle FROM sh0
+  WHERE shingle IN (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 50)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS size FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, inter, sa.size AS size_a, sb.size AS size_b,
+       CAST(inter AS DOUBLE) / (sa.size + sb.size - inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(inter AS DOUBLE) / (sa.size + sb.size - inter) >= 0.5
+"""
+
+
+def _stop_sql(lang: str) -> str:
+    """SQL mirror of functions.text.stopword_count — same markers, same
+    length/replace/cast-int arithmetic."""
+    padded = "(' ' || text || ' ')"
+    parts = [
+        f"CAST((LENGTH({padded}) - LENGTH(REPLACE({padded}, '{m}', ''))) / {len(m)} AS INT)"
+        for m in LANG_MARKERS[lang]
+    ]
+    return "CAST(" + " + ".join(parts) + " AS INT)"
+
+
+_NTOK_SQL = (
+    "CAST(CASE WHEN LENGTH(text) = 0 THEN 0 "
+    "ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 END AS INT)"
+)
+_NPUNCT_SQL = (
+    "CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS INT)"
+)
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        F.length("text").cast("int").alias("n_chars_m"),
+        token_count("text").alias("n_tokens"),
+        punct_count("text").alias("n_punct"),
+        stopword_count("text", "en").alias("n_stop_en"),
+        quality_score("text").alias("quality"),
+    )
+
+
+TEXT_STATS_SQL = f"""
+SELECT doc_id,
+       CAST(LENGTH(text) AS INT) AS n_chars_m,
+       {_NTOK_SQL} AS n_tokens,
+       {_NPUNCT_SQL} AS n_punct,
+       {_stop_sql('en')} AS n_stop_en,
+       (LEAST(LENGTH(text) / 500.0, 1.0) * 0.4
+        + LEAST((CASE WHEN {_NTOK_SQL} = 0 THEN 0.0
+                 ELSE CAST({_stop_sql('en')} AS DOUBLE) / {_NTOK_SQL} END) * 5.0, 1.0) * 0.4
+        + (1.0 - LEAST((CASE WHEN LENGTH(text) = 0 THEN 0.0
+                        ELSE CAST({_NPUNCT_SQL} AS DOUBLE) / LENGTH(text) END) * 10.0, 1.0)) * 0.2
+       ) AS quality
+FROM documents
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select("doc_id", "lang", lang_id("text").alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _lang_case_sql() -> str:
+    order = list(LANG_MARKERS)
+    whens = []
+    for i, lang in enumerate(order):
+        conds = [f"{_stop_sql(lang)} > 0"] + [
+            f"{_stop_sql(lang)} >= {_stop_sql(o)}" for o in order[i + 1 :]
+        ]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(whens) + " ELSE 'und' END"
+
+
+TEXT_LANG_SQL = f"""
+SELECT lang, pred_lang, COUNT(*) AS n_docs
+FROM (SELECT doc_id, lang, {_lang_case_sql()} AS pred_lang FROM documents) x
+GROUP BY lang, pred_lang
+"""
+
+
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    return cosine_topk(e, e.where(F.col("vec_id") < 5), k=10)
+
+
+KNN_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         CASE WHEN sqrt(list_sum(list_transform(q.qe, x -> x * x))) = 0
+                OR sqrt(list_sum(list_transform(v.e, x -> x * x))) = 0 THEN 0.0
+              ELSE list_sum(list_transform(list_zip(q.qe, v.e), s -> s[1] * s[2]))
+                   / (sqrt(list_sum(list_transform(q.qe, x -> x * x)))
+                      * sqrt(list_sum(list_transform(v.e, x -> x * x))))
+         END AS sim
+  FROM v CROSS JOIN q
+  WHERE v.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+  FROM scored) x
+WHERE rank <= 10
+"""
+
+
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: text → utf8 blob + typed metadata (the decode
+    step for real image/audio bytes is stubbed in operators/multimodal.py)."""
+    t = load_tables(spark, sf_dir)
+    blob = F.encode(F.col("text"), "UTF-8")
+    return t["documents"].select(
+        "doc_id",
+        F.length(blob).cast("int").alias("byte_len"),
+        F.md5(blob).alias("content_md5"),
+        F.substring("source", 4, 10).alias("source_id"),
+    )
+
+
+MM_BINARY_SQL = """
+SELECT doc_id,
+       CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS byte_len,
+       MD5(text) AS content_md5,
+       SUBSTRING(source, 4, 10) AS source_id
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# events: windowed aggregation + sessionization (batch counterparts of the
+# streaming module; exact epoch-integer comparisons for oracle parity)
+# --------------------------------------------------------------------------
+
+def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    e = t["events"]
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value"), 3).cast("decimal(18,3)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+TUMBLING_SQL = """
+SELECT CAST(EPOCH(DATE_TRUNC('hour', ts)) AS BIGINT) AS hour_start,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value, 3) AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def session_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) on exact microsecond integers
+    (micros, not nanos: DuckDB's parquet reader truncates TIMESTAMP(NANOS)
+    to micros, so the oracle can only see epoch_us)."""
+    t = load_tables(spark, sf_dir)
+    e = t["events"].withColumn("ts_us", F.expr("ts_ns div 1000"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    marked = e.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | ((F.col("ts_us") - F.lag("ts_us").over(w)) > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int")
+    )
+    return sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+    )
+
+
+SESSION_SQL = """
+WITH e AS (SELECT user_id, event_id, EPOCH_US(ts) AS ts_us FROM events),
+marked AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN LAG(ts_us) OVER w IS NULL
+                OR ts_us - LAG(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+  SELECT user_id, ts_us,
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS INT) AS sid
+  FROM marked
+)
+SELECT user_id, sid, COUNT(*) AS n_events,
+       MIN(ts_us) AS session_start_us,
+       MAX(ts_us) - MIN(ts_us) AS duration_us
+FROM sess GROUP BY user_id, sid
+"""
+
+
+# --------------------------------------------------------------------------
+# rows-only queries (no SQL-expressible oracle; driver records weaker check)
+# --------------------------------------------------------------------------
+
+def dedup_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return minhash_pairs(t["documents"], threshold=0.5, n=8)
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    return lsh_topk(e, e.where(F.col("vec_id") < 5), k=10)
+
+
+def skew_join_cms_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """skew_join with the CMS estimator — same oracle as the exact path."""
+    t = load_tables(spark, sf_dir)
+    conf = SkewJoinConf(
+        replication_factor=0.01, hot_threshold=200, estimator="cms",
+        sample_fraction=0.05,
+    )
+    j = skew_join(t["lineitem"], t["supplier"], [("l_suppkey", "s_suppkey")], "inner", conf)
+    return j.select("l_orderkey", "l_suppkey", "l_quantity", "s_name")
+
+
+SJ_CMS_SQL = """
+SELECT l_orderkey, l_suppkey, l_quantity, s_name
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "skew_join_orders_customer": skew_join_orders_customer,
+    "skew_join_lineitem_supplier": skew_join_lineitem_supplier,
+    "skew_join_multicol": skew_join_multicol,
+    "skew_join_left_outer": skew_join_left_outer,
+    "skew_join_semi": skew_join_semi,
+    "skew_join_anti": skew_join_anti,
+    "skew_join_cms_estimator": skew_join_cms_estimator,
+    "agg_rollup": agg_rollup,
+    "agg_cube": agg_cube,
+    "window_top_orders": window_top_orders,
+    "topk_orders": topk_orders,
+    "setops_intersect": setops_intersect,
+    "setops_except": setops_except,
+    "scalar_funcs": scalar_funcs,
+    "dedup_exact_docs": dedup_exact_docs,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_docs": dedup_minhash_docs,
+    "text_stats": text_stats,
+    "text_lang_id": text_lang_id,
+    "knn_bruteforce": knn_bruteforce,
+    "ann_lsh_topk": ann_lsh_topk,
+    "multimodal_binary_meta": multimodal_binary_meta,
+    "tumbling_window_events": tumbling_window_events,
+    "session_windows_events": session_windows_events,
+}
+
+ORACLES: dict[str, str] = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "q5_local_supplier_volume": Q5_SQL,
+    "skew_join_orders_customer": SJ_ORDERS_CUSTOMER_SQL,
+    "skew_join_lineitem_supplier": SJ_LINEITEM_SUPPLIER_SQL,
+    "skew_join_multicol": SJ_MULTICOL_SQL,
+    "skew_join_left_outer": SJ_LEFT_OUTER_SQL,
+    "skew_join_semi": SJ_SEMI_SQL,
+    "skew_join_anti": SJ_ANTI_SQL,
+    "skew_join_cms_estimator": SJ_CMS_SQL,
+    "agg_rollup": AGG_ROLLUP_SQL,
+    "agg_cube": AGG_CUBE_SQL,
+    "window_top_orders": WINDOW_TOP_SQL,
+    "topk_orders": TOPK_SQL,
+    "setops_intersect": SETOPS_INTERSECT_SQL,
+    "setops_except": SETOPS_EXCEPT_SQL,
+    "scalar_funcs": SCALAR_SQL,
+    "dedup_exact_docs": DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
+    "text_stats": TEXT_STATS_SQL,
+    "text_lang_id": TEXT_LANG_SQL,
+    "knn_bruteforce": KNN_SQL,
+    "multimodal_binary_meta": MM_BINARY_SQL,
+    "tumbling_window_events": TUMBLING_SQL,
+    "session_windows_events": SESSION_SQL,
+    # rows-only (intentionally no oracle): dedup_minhash_docs, ann_lsh_topk
+}
+
+
+def flagship(spark: SparkSession) -> DataFrame:
+    """entry() target: skew join + aggregation over sf0.001."""
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    j = skew_join(
+        t["orders"], t["customer"], [("o_custkey", "c_custkey")], "inner", SKEW_CONF
+    )
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -57,8 +57,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # microsecond timestamp plus the raw nanos for exact oracle compares
         from pyspark.sql import functions as F
 
+        # integer `div`, NOT floor(x/1000): epoch nanos exceed 2^53, double
+        # division silently loses the low microsecond digit
         df = df.withColumn("ts_ns", F.col("ts")).withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     return df
 
