@@ -18,6 +18,15 @@ from .operators.diagnostics import (
     show_partition_stats,
     timed_save,
 )
+from .operators.asof import asof_join, range_join
+from .operators.dedup import (
+    dedup,
+    exact_dedup,
+    minhash_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from .operators.similarity import cosine_topk, lsh_topk
 from .sketch.cms import CountMinSketch, cms_from_dataframe
 from .testing import assert_df_equal
 
@@ -34,6 +43,15 @@ __all__ = [
     "CountMinSketch",
     "cms_from_dataframe",
     "assert_df_equal",
+    "asof_join",
+    "range_join",
+    "dedup",
+    "exact_dedup",
+    "minhash_pairs",
+    "ngram_jaccard_pairs",
+    "simhash64",
+    "cosine_topk",
+    "lsh_topk",
 ]
 
 __version__ = "0.1.0"

@@ -589,6 +589,16 @@ FROM documents
 """
 
 
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode over a binary column (stub decoder);
+    rows-only check — the sha-derived fake features are not SQL-expressible."""
+    from .operators.multimodal import attach_binary, extract_features
+
+    t = load_tables(spark, sf_dir)
+    binary = attach_binary(t["documents"], "text", media_type="image")
+    return extract_features(binary)
+
+
 # --------------------------------------------------------------------------
 # events: windowed aggregation + sessionization (batch counterparts of the
 # streaming module; exact epoch-integer comparisons for oracle parity)
@@ -670,6 +680,120 @@ FROM sess GROUP BY user_id, sid
 
 
 # --------------------------------------------------------------------------
+# as-of / range joins (operators Spark lacks natively; DuckDB ASOF JOIN and
+# a theta join are the oracles) + pivot/unpivot
+# --------------------------------------------------------------------------
+
+def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click, the user's latest prior purchase value (backward
+    as-of join on exact microsecond integers)."""
+    from .operators.asof import asof_join
+
+    t = load_tables(spark, sf_dir)
+    e = t["events"].withColumn("ts_us", F.expr("ts_ns div 1000"))
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return asof_join(
+        clicks, purchases, on="user_id", left_ts="ts_us", right_ts="ts_us",
+        right_vals=["purchase_value"],
+    )
+
+
+ASOF_SQL = """
+WITH e AS (SELECT event_id, user_id, event_type, value, EPOCH_US(ts) AS ts_us FROM events),
+clicks AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'click'),
+purch AS (SELECT user_id, ts_us, MAX(value) AS purchase_value
+          FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT c.event_id, c.user_id, c.ts_us, p.purchase_value
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
+"""
+
+
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineitems whose price falls in the supplier's account-balance band —
+    bucketed band join (equi-join on (key, bucket), no theta cross)."""
+    from .operators.asof import range_join
+
+    t = load_tables(spark, sf_dir)
+    bands = t["supplier"].select(
+        F.col("s_suppkey").alias("l_suppkey"),
+        (F.col("s_acctbal") - 1000.0).alias("lo"),
+        (F.col("s_acctbal") + 1000.0).alias("hi"),
+    )
+    li = t["lineitem"].select("l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice")
+    j = range_join(
+        li, bands, on="l_suppkey", left_val="l_extendedprice",
+        right_lo="lo", right_hi="hi", bucket_width=500.0,
+    )
+    return j.select("l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice", "lo", "hi")
+
+
+RANGE_SQL = """
+SELECT l_orderkey, l_linenumber, l_suppkey, l_extendedprice,
+       s_acctbal - 1000.0 AS lo, s_acctbal + 1000.0 AS hi
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+WHERE l_extendedprice >= s_acctbal - 1000.0 AND l_extendedprice <= s_acctbal + 1000.0
+"""
+
+
+def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "l_returnflag",
+            F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+            F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        )
+    )
+
+
+PIVOT_SQL = """
+SELECT l_returnflag,
+       COUNT(*) FILTER (WHERE l_linestatus = 'O') AS n_o,
+       COUNT(*) FILTER (WHERE l_linestatus = 'F') AS n_f
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    wide = t["lineitem"].groupBy("l_returnflag").agg(
+        _dsum(F.col("l_quantity")).alias("sum_qty"),
+        _dsum(F.col("l_extendedprice")).alias("sum_price"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM wide
+"""
+
+
+# --------------------------------------------------------------------------
 # rows-only queries (no SQL-expressible oracle; driver records weaker check)
 # --------------------------------------------------------------------------
 
@@ -731,8 +855,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_bruteforce": knn_bruteforce,
     "ann_lsh_topk": ann_lsh_topk,
     "multimodal_binary_meta": multimodal_binary_meta,
+    "multimodal_features": multimodal_features,
     "tumbling_window_events": tumbling_window_events,
     "session_windows_events": session_windows_events,
+    "asof_purchase_attribution": asof_purchase_attribution,
+    "range_join_price_bands": range_join_price_bands,
+    "pivot_linestatus": pivot_linestatus,
+    "unpivot_metrics": unpivot_metrics,
 }
 
 ORACLES: dict[str, str] = {
@@ -761,7 +890,12 @@ ORACLES: dict[str, str] = {
     "multimodal_binary_meta": MM_BINARY_SQL,
     "tumbling_window_events": TUMBLING_SQL,
     "session_windows_events": SESSION_SQL,
-    # rows-only (intentionally no oracle): dedup_minhash_docs, ann_lsh_topk
+    "asof_purchase_attribution": ASOF_SQL,
+    "range_join_price_bands": RANGE_SQL,
+    "pivot_linestatus": PIVOT_SQL,
+    "unpivot_metrics": UNPIVOT_SQL,
+    # rows-only (intentionally no oracle): dedup_minhash_docs, ann_lsh_topk,
+    # multimodal_features (stub decoder, not SQL-expressible)
 }
 
 

@@ -1,0 +1,162 @@
+"""Structured Streaming operators over the events table (extension surface).
+
+The reference is batch-only (SURVEY §2b "streaming: absent entirely"); this
+module supplies the mandated streaming counterparts using stock Structured
+Streaming: tumbling/sliding windows with watermarks, session windows, and a
+stateful running-counter via applyInPandasWithState.
+
+Batch equivalents (hash-checked against DuckDB) live in queries.py
+(tumbling_window_events / session_windows_events); these streaming versions
+are smoke-tested by replaying the events parquet through a file stream and
+comparing against the batch result — the standard parity test for a
+streaming operator.
+
+Scale notes: all aggregations here are keyed by (window, event_type) or
+(user_id) — state is bounded by watermark eviction; at 100 TB/day the
+shuffle partitions follow spark.sql.shuffle.partitions and hot users can be
+pre-salted with the same machinery as skew_join (conf.skew_type).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # raw nanos (nanosAsLong)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (one-file replay), with the
+    same nanos→micros ts normalization as the batch catalog.
+
+    The file source wants a *directory*; stage a symlink to events.parquet
+    in a temp dir (no copy) — in production this is the landing directory
+    new files arrive into."""
+    import os
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="sj_events_stream_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(stage, "events.parquet"),
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENT_SCHEMA).format("parquet").load(stage)
+    return raw.withColumn("ts_ns", F.col("ts")).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts/sums with late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based session windows (built-in session_window, Spark >= 3.2)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            F.unix_timestamp(F.col("w.end")).alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+    """Drive a streaming query to completion over the available input
+    (complete mode → memory sink) and return the result as a batch DF."""
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def running_user_totals(events: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+    """Custom stateful operator: per-user running event count + value sum via
+    applyInPandasWithState (the applyInPandasWithState surface the contract
+    asks for; emits one row per user per micro-batch)."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, n_events bigint, sum_value double"
+    state_schema = "n bigint, s double"
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

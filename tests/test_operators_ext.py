@@ -1,0 +1,176 @@
+"""Extension-operator tests: as-of join, range join, multimodal plumbing,
+dedup family, similarity recall, diagnostics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_skew_join_spark.operators.asof import asof_join, range_join
+from spark_skew_join_spark.operators.dedup import (
+    dedup,
+    exact_dedup,
+    minhash_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from spark_skew_join_spark.operators.diagnostics import (
+    partition_stats,
+    timed_save,
+)
+from spark_skew_join_spark.operators.multimodal import (
+    attach_binary,
+    extract_features,
+)
+from spark_skew_join_spark.operators.similarity import cosine_topk, lsh_topk
+
+
+def test_asof_join_basic(spark):
+    trades = spark.createDataFrame(
+        [("A", 10, 1), ("A", 25, 2), ("B", 5, 3), ("A", 3, 4)],
+        "sym string, ts bigint, trade_id bigint",
+    )
+    quotes = spark.createDataFrame(
+        [("A", 5, 100.0), ("A", 20, 101.0), ("B", 9, 50.0)],
+        "sym string, ts bigint, px double",
+    )
+    out = asof_join(trades, quotes, "sym", "ts", "ts", ["px"]).collect()
+    got = {r["trade_id"]: r["px"] for r in out}
+    # trade A@10 → quote A@5; A@25 → A@20; B@5 → none; A@3 → none
+    assert got == {1: 100.0, 2: 101.0, 3: None, 4: None}
+
+
+def test_asof_join_equal_ts_inclusive(spark):
+    left = spark.createDataFrame([("A", 20, 1)], "k string, ts bigint, id bigint")
+    right = spark.createDataFrame([("A", 20, 7.0)], "k string, ts bigint, v double")
+    out = asof_join(left, right, "k", "ts", "ts", ["v"]).collect()
+    assert out[0]["v"] == 7.0  # ASOF uses <=, right row at equal ts matches
+
+
+def test_asof_tolerance(spark):
+    left = spark.createDataFrame([("A", 100, 1)], "k string, ts bigint, id bigint")
+    right = spark.createDataFrame([("A", 10, 7.0)], "k string, ts bigint, v double")
+    out = asof_join(left, right, "k", "ts", "ts", ["v"], tolerance=50).collect()
+    assert out[0]["v"] is None  # 90 > 50 gap → outside tolerance
+
+
+def test_range_join_matches_theta(spark):
+    left = spark.createDataFrame(
+        [(k % 5, float(k)) for k in range(1000)], "k bigint, v double"
+    )
+    right = spark.createDataFrame(
+        [(i, i * 100.0, i * 100.0 + 250.0) for i in range(5)],
+        "k bigint, lo double, hi double",
+    )
+    fast = range_join(left, right, "k", "v", "lo", "hi", bucket_width=100.0)
+    slow = left.join(right, on="k").where(
+        (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi"))
+    )
+    assert fast.count() == slow.count()
+    assert fast.exceptAll(slow.select(*fast.columns)).count() == 0
+
+
+def test_multimodal_stub_pipeline(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "different")],
+        "doc_id bigint, text string",
+    )
+    feats = extract_features(attach_binary(docs, "text")).collect()
+    by_id = {r["doc_id"]: r for r in feats}
+    assert by_id[1]["content_sha"] == by_id[2]["content_sha"]
+    assert by_id[1]["content_sha"] != by_id[3]["content_sha"]
+    assert by_id[1]["byte_len"] == len(b"hello world")
+    assert len(by_id[1]["features"]) == 16
+    assert by_id[1]["features"] == by_id[2]["features"]  # deterministic
+
+
+def test_multimodal_real_decoder_stubbed(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    with pytest.raises(NotImplementedError):
+        extract_features(attach_binary(docs, "text"), decoder="pil")
+    with pytest.raises(ValueError):
+        extract_features(attach_binary(docs, "text"), decoder="nope")
+
+
+def test_exact_dedup_multiplicity(spark):
+    docs = spark.createDataFrame(
+        [(1, "aaa"), (2, "aaa"), (3, "bbb"), (4, "aaa")],
+        "doc_id bigint, text string",
+    )
+    res = {r["rep_id"]: r["dup_count"] for r in exact_dedup(docs).collect()}
+    assert res == {1: 3, 3: 1}
+    kept = {r["doc_id"] for r in dedup(docs).collect()}
+    assert kept == {1, 3}
+
+
+def test_jaccard_finds_near_dups_not_distinct(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base.replace("lazy", "hazy")
+    other = "completely unrelated text about spark dataframes and shuffles"
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id bigint, text string"
+    )
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, n=5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_minhash_agrees_with_exact_jaccard(spark):
+    base = "one two three four five six seven eight nine ten eleven twelve"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("seven", "7even")),
+            (3, "nothing in common with anything here at all whatsoever"),
+        ],
+        "doc_id bigint, text string",
+    )
+    mh = {(r["id_a"], r["id_b"]) for r in minhash_pairs(docs, threshold=0.5, n=5).collect()}
+    assert (1, 2) in mh and all(3 not in p for p in mh)
+
+
+def test_simhash_near_dup_close_distance(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base.replace("kappa", "kappb")), (3, "zzz yyy xxx www vvv")],
+        "doc_id bigint, text string",
+    )
+    h = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(h[1], h[2]) < ham(h[1], h[3])
+
+
+def test_lsh_recall_against_bruteforce(spark):
+    import random
+
+    rng = random.Random(3)
+    base = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(20)]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        rows.append((i + 100, [float(x + rng.gauss(0, 0.01)) for x in v]))  # near-dup
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    q = df.where(F.col("vec_id") < 5)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(df, q, k=1).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk(df, q, k=1, dim=16, n_bands=8, band_bits=2).collect()
+    }
+    # rank-1 neighbor of each query is its jittered twin; LSH should find most
+    assert len(brute & approx) >= 3
+
+
+def test_timed_save_noop(spark):
+    df = spark.range(1000)
+    secs = timed_save(df, "range_noop")
+    assert secs > 0
+
+
+def test_partition_stats_shape(spark):
+    df = spark.range(0, 10_000, 1, 8)
+    s = partition_stats(df)
+    assert s.num_partitions == 8
+    assert s.total_records == 10_000
+    assert s.min <= s.p25 <= s.p50 <= s.p75 <= s.max

@@ -1,0 +1,58 @@
+"""Plan-shape tests: pushdown, pruning, broadcast, UDF-free hot paths.
+
+These encode the 100 TB design requirements as assertions — a regression
+that drops a pushed filter or sneaks a Python UDF into skew_join fails CI,
+not a production run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_skew_join_spark import SkewJoinConf, skew_join
+from spark_skew_join_spark.plans.explain import (
+    has_broadcast_join,
+    has_python_udf,
+    num_shuffles,
+    pushed_filters,
+    scan_schemas,
+)
+from spark_skew_join_spark.sources.tables import load_tables
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    li = load_tables(spark, SF)["lineitem"]
+    q = li.select("l_orderkey", "l_quantity").where(F.col("l_quantity") > 30)
+    pf = pushed_filters(q)
+    assert any("l_quantity" in f for f in pf), f"no pushdown: {pf}"
+
+
+def test_column_pruning(spark):
+    li = load_tables(spark, SF)["lineitem"]
+    q = li.select("l_orderkey", "l_quantity")
+    schemas = scan_schemas(q)
+    assert schemas and all(
+        "l_extendedprice" not in s for s in schemas
+    ), f"scan reads unneeded columns: {schemas}"
+
+
+def test_skew_join_plan_is_udf_free_and_broadcasts(spark):
+    t = load_tables(spark, SF)
+    conf = SkewJoinConf(replication_factor=0.01, hot_threshold=100)
+    j = skew_join(t["lineitem"], t["supplier"], [("l_suppkey", "s_suppkey")], "inner", conf)
+    assert not has_python_udf(j), "skew_join hot path must stay JVM-side"
+    assert has_broadcast_join(j), "hot-key map attach should be a broadcast join"
+
+
+def test_small_dim_join_goes_broadcast(spark):
+    t = load_tables(spark, SF)
+    j = t["orders"].join(t["customer"], t["orders"].o_custkey == t["customer"].c_custkey)
+    assert has_broadcast_join(j)
+
+
+def test_groupby_single_shuffle(spark):
+    li = load_tables(spark, SF)["lineitem"]
+    q = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    assert num_shuffles(q) <= 1, "partial aggregation should leave one exchange"

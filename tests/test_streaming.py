@@ -1,0 +1,81 @@
+"""Streaming parity tests: replay the events parquet through a file-source
+stream and compare the windowed results against the batch equivalents
+(the standard streaming-correctness oracle)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_skew_join_spark.sources.tables import load_tables
+from spark_skew_join_spark.streaming.windows import (
+    read_events_stream,
+    run_to_memory,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    return load_tables(spark, SF)["events"]
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumbling_stream_matches_batch(spark, batch_events):
+    stream = read_events_stream(spark, SF)
+    got = run_to_memory(tumbling_counts(stream), "tumb")
+    exp = tumbling_counts(batch_events)  # same fn works on batch DFs
+    cols = ["hour_start", "event_type", "n_events"]
+    assert _rows(got.select(*cols), cols) == _rows(exp.select(*cols), cols)
+
+
+def test_sliding_stream_matches_batch(spark, batch_events):
+    stream = read_events_stream(spark, SF)
+    got = run_to_memory(sliding_counts(stream), "slide")
+    exp = sliding_counts(batch_events)
+    cols = ["win_start", "event_type", "n_events"]
+    assert _rows(got.select(*cols), cols) == _rows(exp.select(*cols), cols)
+
+
+def test_session_stream_counts(spark, batch_events):
+    stream = read_events_stream(spark, SF)
+    got = run_to_memory(session_counts(stream), "sess")
+    # session_window isn't available on plain batch groupBy in the same
+    # shape; assert conservation instead: every event lands in one session
+    assert got.agg(F.sum("n_events")).collect()[0][0] == batch_events.count()
+    # and sessions respect the gap: end-start <= n_events * gap
+    bad = got.where(
+        (F.col("session_end") - F.col("session_start"))
+        > (F.col("n_events")) * 1800
+    ).count()
+    assert bad == 0
+
+
+def test_stateful_running_totals(spark, batch_events):
+    from spark_skew_join_spark.streaming.windows import running_user_totals
+
+    stream = read_events_stream(spark, SF)
+    q = (
+        running_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("totals")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql(
+        "SELECT user_id, max(n_events) AS n FROM totals GROUP BY user_id"
+    )
+    exp = batch_events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    cols = ["user_id", "n"]
+    assert _rows(got.select(*cols), cols) == _rows(exp.select(*cols), cols)
