@@ -679,6 +679,88 @@ FROM sess GROUP BY user_id, sid
 """
 
 
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["orders"].groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+AGG_DISTINCT_SQL = """
+SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def grouping_sets_li(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-API entry point (spark.sql), GROUPING SETS coverage."""
+    t = load_tables(spark, sf_dir)
+    t["lineitem"].createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+def json_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return t["events"].groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+JSON_PROPS_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)) AS sum_k,
+       MIN(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)) AS min_k,
+       MAX(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.vectors import norm, to_double_array
+
+    t = load_tables(spark, sf_dir)
+    v = to_double_array("embedding")
+    return t["embeddings"].select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        norm(v).alias("l2_norm"),
+        F.array_max(v).alias("v_max"),
+        F.array_min(v).alias("v_min"),
+        "label",
+    )
+
+
+VECTOR_STATS_SQL = """
+SELECT vec_id,
+       CAST(LEN(embedding) AS INT) AS dim,
+       SQRT(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2_norm,
+       list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v_max,
+       list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v_min,
+       label
+FROM embeddings
+"""
+
+
 # --------------------------------------------------------------------------
 # as-of / range joins (operators Spark lacks natively; DuckDB ASOF JOIN and
 # a theta join are the oracles) + pivot/unpivot
@@ -842,6 +924,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_join_cms_estimator": skew_join_cms_estimator,
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,
+    "agg_distinct": agg_distinct,
+    "grouping_sets_li": grouping_sets_li,
+    "json_props_events": json_props_events,
+    "vector_stats": vector_stats,
     "window_top_orders": window_top_orders,
     "topk_orders": topk_orders,
     "setops_intersect": setops_intersect,
@@ -877,6 +963,10 @@ ORACLES: dict[str, str] = {
     "skew_join_cms_estimator": SJ_CMS_SQL,
     "agg_rollup": AGG_ROLLUP_SQL,
     "agg_cube": AGG_CUBE_SQL,
+    "agg_distinct": AGG_DISTINCT_SQL,
+    "grouping_sets_li": GROUPING_SETS_SQL,
+    "json_props_events": JSON_PROPS_SQL,
+    "vector_stats": VECTOR_STATS_SQL,
     "window_top_orders": WINDOW_TOP_SQL,
     "topk_orders": TOPK_SQL,
     "setops_intersect": SETOPS_INTERSECT_SQL,

@@ -1,35 +1,66 @@
-"""Pure-Python Count-Min Sketch with a distributed Spark builder.
+"""Count-Min Sketch with a vectorized, JVM-hashed distributed builder.
 
 Plays the role of Algebird's ``CMS[String]`` in the reference
 (``/root/reference/src/main/scala/org/anish/spark/skew/Utils.scala:92-122``):
 a mergeable frequency summary built over a key column and broadcast to
 executors. Differences by design (SURVEY §2 O3):
 
-* partition-local sketches merged with ``treeReduce`` instead of the
-  reference's one-sketch-per-record ``map(create).reduce(plus)``
-  (``Utils.scala:119-120``) — O(partitions) merges, not O(rows);
-* Kirsch–Mitzenmacher double hashing (h1 + i*h2 mod width) from one
-  128-bit blake2b per key — pairwise-independent enough for the CMS
-  guarantee, one hash call per update;
-* numpy int64 table, vectorized adds for batches.
+* the reference builds one sketch **per record** and reduces pairwise
+  (``Utils.scala:119-120``); we hash keys **in the JVM** (``F.xxhash64`` —
+  codegen, no Python per-row work), scatter-add them into per-partition
+  tables with numpy ``bincount`` inside Arrow-batched ``mapInPandas``, and
+  merge partition sketches through one combine stage + driver fold;
+* row hashing: XXH64(utf8(key), seed 42) exactly as Spark computes it, then
+  Kirsch–Mitzenmacher double hashing ``idx_d = (h1 + d*h2) mod width`` with
+  ``h1/h2`` derived from the 64-bit hash by splitmix64 — so driver-side
+  ``estimate(key)`` (pure Python XXH64, pinned to Spark by test) and
+  executor-side builds agree bit-for-bit;
+* composite keys join with a NUL separator (no concat collisions, SURVEY §4
+  Q1); rows with any null key column are skipped (null keys never
+  equi-match).
 
 At the reference defaults (eps=0.005, delta=1e-8) the table is
-19 × 544 int64 ≈ 83 KB — trivially broadcastable to 1000 executors.
+19 × 544 int64 ≈ 83 KB — trivially broadcastable to 1000 executors; the
+two-level merge keeps driver traffic at ``min(P, combine) + combine``
+sketches. Caveat: keys are compared through their Spark ``CAST(x AS
+STRING)`` form — don't sketch double-typed join keys.
 """
 
 from __future__ import annotations
 
-import hashlib
 import math
-from collections.abc import Iterable, Iterator
+import pickle
+from collections.abc import Iterable
 
 import numpy as np
 
-_MASK64 = (1 << 64) - 1
+from .xxh64 import xxh64
+
+_M = (1 << 64) - 1
+_SM1 = 0x9E3779B97F4A7C15
+_SM2 = 0xBF58476D1CE4E5B9
+_SM3 = 0x94D049BB133111EB
+
+KEY_SEP = "\x00"
+
+
+def _splitmix(x: int) -> int:
+    z = (x + _SM1) & _M
+    z = ((z ^ (z >> 30)) * _SM2) & _M
+    z = ((z ^ (z >> 27)) * _SM3) & _M
+    return z ^ (z >> 31)
+
+
+def _splitmix_np(x: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        z = x + np.uint64(_SM1)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(_SM2)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(_SM3)
+        return z ^ (z >> np.uint64(31))
 
 
 class CountMinSketch:
-    """Count-Min Sketch over (byte-encodable) keys.
+    """Count-Min Sketch over keys (strings or anything with a stable str()).
 
     estimate(k) >= true_freq(k) always, and
     estimate(k) <= true_freq(k) + eps * N with probability >= 1 - delta.
@@ -49,23 +80,21 @@ class CountMinSketch:
         self.total = 0
 
     # -- hashing -----------------------------------------------------------
-    def _rows_cols(self, key: object) -> np.ndarray:
-        """Column index per row via double hashing; one blake2b per key."""
+    def _h12(self, key: object) -> tuple[int, int]:
         data = key if isinstance(key, bytes) else str(key).encode("utf-8")
-        digest = hashlib.blake2b(
-            data, digest_size=16, key=self.seed.to_bytes(8, "little")
-        ).digest()
-        h1 = int.from_bytes(digest[:8], "little")
-        h2 = int.from_bytes(digest[8:], "little") | 1  # odd → full cycle
-        idx = (h1 + np.arange(self.depth, dtype=np.uint64) * np.uint64(h2)) & np.uint64(
-            _MASK64
-        )
+        h = xxh64(data)  # seed 42, identical to Spark's F.xxhash64
+        h1 = _splitmix(h ^ (self.seed & _M))
+        h2 = _splitmix(h1) | 1  # odd → full cycle mod width
+        return h1, h2
+
+    def _cols(self, key: object) -> np.ndarray:
+        h1, h2 = self._h12(key)
+        idx = (h1 + np.arange(self.depth, dtype=np.uint64) * np.uint64(h2)) & np.uint64(_M)
         return (idx % np.uint64(self.width)).astype(np.int64)
 
     # -- updates -----------------------------------------------------------
     def add(self, key: object, count: int = 1) -> None:
-        cols = self._rows_cols(key)
-        self.table[np.arange(self.depth), cols] += count
+        self.table[np.arange(self.depth), self._cols(key)] += count
         self.total += count
 
     def add_all(self, keys: Iterable[object]) -> "CountMinSketch":
@@ -73,9 +102,24 @@ class CountMinSketch:
             self.add(k)
         return self
 
+    def add_hashed(self, hashes: np.ndarray) -> None:
+        """Vectorized bulk add from Spark ``xxhash64`` values (signed int64
+        array straight out of Arrow)."""
+        if len(hashes) == 0:
+            return
+        h = hashes.astype(np.int64).view(np.uint64)
+        h1 = _splitmix_np(h ^ np.uint64(self.seed & _M))
+        h2 = _splitmix_np(h1) | np.uint64(1)
+        with np.errstate(over="ignore"):
+            for d in range(self.depth):
+                idx = (h1 + np.uint64(d) * h2) % np.uint64(self.width)
+                self.table[d] += np.bincount(
+                    idx.astype(np.int64), minlength=self.width
+                )
+        self.total += len(hashes)
+
     def estimate(self, key: object) -> int:
-        cols = self._rows_cols(key)
-        return int(self.table[np.arange(self.depth), cols].min())
+        return int(self.table[np.arange(self.depth), self._cols(key)].min())
 
     # -- monoid ------------------------------------------------------------
     def merge(self, other: "CountMinSketch") -> "CountMinSketch":
@@ -90,7 +134,7 @@ class CountMinSketch:
         out.total = self.total + other.total
         return out
 
-    def __reduce__(self):  # compact pickling for treeReduce/broadcast
+    def __reduce__(self):  # compact pickling for shuffle/broadcast
         return (_rebuild_cms, (self.eps, self.delta, self.seed, self.table, self.total))
 
 
@@ -101,38 +145,59 @@ def _rebuild_cms(eps, delta, seed, table, total):
     return cms
 
 
+def spark_key_expr(key_cols: list[str]):
+    """The canonical composite-key Column: NUL-joined string casts.
+    Shared by the builder and by hot-key candidate estimation so hashes
+    always agree."""
+    from pyspark.sql import functions as F
+
+    return F.concat_ws(KEY_SEP, *[F.col(c).cast("string") for c in key_cols])
+
+
 def cms_from_dataframe(
     df,
     key_cols: list[str],
     eps: float = 0.005,
     delta: float = 1e-8,
     seed: int = 1,
-    depth_of_tree: int = 2,
+    combine_partitions: int = 8,
 ) -> CountMinSketch:
     """Distributed CMS over the tuple of ``key_cols``.
 
-    Replaces ``Dataset.getCMS`` (``Utils.scala:108-122``): one local sketch
-    per partition (vs. per record), merged with ``treeReduce`` so the driver
-    receives log(P) partial merges, not P. Composite keys are joined with a
-    NUL separator to avoid concat collisions (SURVEY §4 Q1).
-
-    Scale note (100 TB): the scan is one pass over just the key columns
-    (column-pruned parquet read); shipped data is only ~83 KB per partition.
+    Plan: column-pruned scan → JVM xxhash64 (codegen) → Arrow batches →
+    numpy bincount per partition → one combine stage (``combine_partitions``
+    groups) → driver fold. Python never touches individual keys; the only
+    data crossing the Python boundary is 8-byte hashes and 83 KB sketches.
     """
     from pyspark.sql import functions as F
 
-    sep = "\x00"
-    key = F.concat_ws(sep, *[F.col(c).cast("string") for c in key_cols])
-    rdd = df.select(key.alias("__k")).rdd
+    filtered = df
+    for c in key_cols:
+        filtered = filtered.where(F.col(c).isNotNull())
+    hashed = filtered.select(F.xxhash64(spark_key_expr(key_cols)).alias("h"))
 
-    def build(rows: Iterator) -> Iterator[CountMinSketch]:
+    def build(batches):
+        import pandas as pd
+
         local = CountMinSketch(eps, delta, seed)
-        for row in rows:
-            if row[0] is not None:
-                local.add(row[0])
-        yield local
+        for pdf in batches:
+            local.add_hashed(pdf["h"].to_numpy())
+        yield pd.DataFrame({"sketch": [pickle.dumps(local)]})
 
-    sketches = rdd.mapPartitions(build)
-    if sketches.isEmpty():  # empty input: Utils.scala:120 would throw — we don't
-        return CountMinSketch(eps, delta, seed)
-    return sketches.treeReduce(lambda a, b: a.merge(b), depth=depth_of_tree)
+    def combine(batches):
+        import pandas as pd
+
+        acc = CountMinSketch(eps, delta, seed)
+        for pdf in batches:
+            for blob in pdf["sketch"]:
+                acc = acc.merge(pickle.loads(blob))
+        yield pd.DataFrame({"sketch": [pickle.dumps(acc)]})
+
+    level1 = hashed.mapInPandas(build, "sketch binary")
+    level2 = level1.repartition(combine_partitions).mapInPandas(
+        combine, "sketch binary"
+    )
+    out = CountMinSketch(eps, delta, seed)
+    for row in level2.collect():
+        out = out.merge(pickle.loads(row["sketch"]))
+    return out

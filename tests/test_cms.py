@@ -65,3 +65,29 @@ def test_composite_key_no_concat_collision(spark):
     cms = cms_from_dataframe(df, ["k1", "k2"])
     assert cms.estimate("ab\x00c") >= 100
     assert cms.estimate("a\x00bc") < 100  # would be >=105 if collided
+
+
+def test_python_xxh64_matches_spark(spark):
+    from pyspark.sql import functions as F
+
+    from spark_skew_join_spark.sketch.xxh64 import to_signed64, xxh64
+
+    samples = ["", "a", "hello", "12345678", "x" * 31, "y" * 32, "z" * 100, "7"]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = {r["s"]: r["h"] for r in df.select("s", F.xxhash64("s").alias("h")).collect()}
+    for s in samples:
+        assert got[s] == to_signed64(xxh64(s.encode())), s
+
+
+def test_add_hashed_matches_scalar_path():
+    import numpy as np
+
+    from spark_skew_join_spark.sketch.xxh64 import to_signed64, xxh64
+
+    keys = [str(i % 37) for i in range(2000)]
+    scalar = CountMinSketch(seed=5).add_all(keys)
+    vec = CountMinSketch(seed=5)
+    hashes = np.array([to_signed64(xxh64(k.encode())) for k in keys], dtype=np.int64)
+    vec.add_hashed(hashes)
+    assert (scalar.table == vec.table).all()
+    assert scalar.total == vec.total
