@@ -1,0 +1,66 @@
+"""DataFrame-method ergonomics — the Python stand-in for the reference's
+Scala implicits (``import dfimplicits._`` wraps DataFrames so ``left
+.skewJoin(right, "k")`` works, ``dfimplicits.scala:23-28``; diagnostics
+methods come from ``Utils.scala:16-54``).
+
+Python has no implicit classes; ``register_dataframe_api()`` attaches the
+same surface as methods on ``pyspark.sql.DataFrame`` (idempotent, opt-in):
+
+    from spark_skew_join_spark.dfapi import register_dataframe_api
+    register_dataframe_api()
+    out = left.skew_join(right, "k")            # O1/O2
+    left.show_partition_stats(extended=True)     # O7
+    left.timed_save("materialize")              # O8
+    left.ensure_dataframe_equals(expected)      # O9
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from .conf import SkewJoinConf
+from .operators.diagnostics import (
+    count_per_partition,
+    partition_stats,
+    show_count_per_partition,
+    show_partition_stats,
+    timed_save,
+)
+from .operators.skew_join import skew_join
+from .sketch.cms import cms_from_dataframe
+from .testing import assert_df_equal
+
+_METHODS = {}
+
+
+def _skew_join(self: DataFrame, right: DataFrame, on, how: str = "inner",
+               conf: SkewJoinConf | None = None) -> DataFrame:
+    return skew_join(self, right, on, how, conf)
+
+
+def _get_cms(self: DataFrame, key_cols, eps: float = 0.005,
+             delta: float = 1e-8, seed: int = 1):
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    return cms_from_dataframe(self, key_cols, eps, delta, seed)
+
+
+def register_dataframe_api() -> None:
+    """Attach the reference-parity method surface to DataFrame (idempotent)."""
+    _METHODS.update(
+        skew_join=_skew_join,
+        get_cms=_get_cms,
+        count_per_partition=count_per_partition,
+        show_count_per_partition=show_count_per_partition,
+        partition_stats=partition_stats,
+        show_partition_stats=show_partition_stats,
+        timed_save=timed_save,
+        ensure_dataframe_equals=assert_df_equal,
+    )
+    for name, fn in _METHODS.items():
+        setattr(DataFrame, name, fn)
+
+
+def unregister_dataframe_api() -> None:
+    for name in _METHODS:
+        if hasattr(DataFrame, name):
+            delattr(DataFrame, name)

@@ -679,6 +679,45 @@ FROM sess GROUP BY user_id, sid
 """
 
 
+def skew_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level exact COUNT(DISTINCT) that survives hot keys."""
+    from .operators.skew_agg import count_distinct_skewed
+
+    t = load_tables(spark, sf_dir)
+    return count_distinct_skewed(t["lineitem"], "l_suppkey", "l_orderkey", "n_orders")
+
+
+SKEW_AGG_DISTINCT_SQL = """
+SELECT l_suppkey, COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem GROUP BY l_suppkey
+"""
+
+
+def skew_agg_salted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase (salted) decomposable aggregate: exact mean via partial
+    decimal sums + counts per salt bucket, merged per key."""
+    from .operators.skew_agg import salted_aggregate
+
+    t = load_tables(spark, sf_dir)
+    partial = [
+        F.sum(F.col("l_quantity").cast(_DEC_MONEY)).alias("s"),
+        F.count(F.lit(1)).alias("c"),
+    ]
+    merge = [
+        (F.sum("s").cast("double") / F.sum("c")).alias("avg_qty"),
+        F.sum("c").alias("n_rows"),
+    ]
+    return salted_aggregate(t["lineitem"], "l_returnflag", partial, merge)
+
+
+SKEW_AGG_MEAN_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return t["orders"].groupBy("o_orderpriority").agg(
@@ -925,6 +964,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,
     "agg_distinct": agg_distinct,
+    "skew_agg_distinct": skew_agg_distinct,
+    "skew_agg_salted_mean": skew_agg_salted_mean,
     "grouping_sets_li": grouping_sets_li,
     "json_props_events": json_props_events,
     "vector_stats": vector_stats,
@@ -964,6 +1005,8 @@ ORACLES: dict[str, str] = {
     "agg_rollup": AGG_ROLLUP_SQL,
     "agg_cube": AGG_CUBE_SQL,
     "agg_distinct": AGG_DISTINCT_SQL,
+    "skew_agg_distinct": SKEW_AGG_DISTINCT_SQL,
+    "skew_agg_salted_mean": SKEW_AGG_MEAN_SQL,
     "grouping_sets_li": GROUPING_SETS_SQL,
     "json_props_events": JSON_PROPS_SQL,
     "vector_stats": VECTOR_STATS_SQL,

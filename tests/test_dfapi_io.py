@@ -1,0 +1,84 @@
+"""Tests: implicit-style DataFrame API registration, format round-trips,
+skew-aware aggregation."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_skew_join_spark import SkewJoinConf
+from spark_skew_join_spark.dfapi import register_dataframe_api, unregister_dataframe_api
+from spark_skew_join_spark.operators.skew_agg import (
+    count_distinct_skewed,
+    salted_aggregate,
+)
+from spark_skew_join_spark.sources.io import read_table, write_table
+
+
+def test_dataframe_api_parity(spark, zipf_left, uniform_right):
+    register_dataframe_api()
+    try:
+        out = zipf_left.skew_join(
+            uniform_right, "k",
+            conf=SkewJoinConf(replication_factor=0.1, hot_threshold=20),
+        )
+        assert out.count() == zipf_left.join(uniform_right, "k").count()
+        stats = zipf_left.partition_stats()
+        assert stats.total_records == zipf_left.count()
+        cms = zipf_left.get_cms("k")
+        assert cms.total == zipf_left.count()
+        out.ensure_dataframe_equals(out)
+    finally:
+        unregister_dataframe_api()
+    assert not hasattr(zipf_left, "skew_join")
+
+
+def test_csv_json_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id bigint, s string, v double"
+    )
+    for fmt in ("csv", "json", "orc"):
+        path = tempfile.mkdtemp(prefix=f"sj_io_{fmt}_")
+        try:
+            write_table(df, path, format=fmt)
+            back = read_table(
+                spark, path, format=fmt,
+                schema="id bigint, s string, v double" if fmt != "orc" else None,
+            )
+            assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
+
+
+def test_csv_requires_schema(spark):
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_table(spark, "/tmp/nope", format="csv")
+
+
+def test_delta_raises_cleanly(spark):
+    df = spark.range(3)
+    with pytest.raises(NotImplementedError, match="delta"):
+        write_table(df, "/tmp/nope", format="delta")
+
+
+def test_count_distinct_skewed_equals_plain(spark, zipf_left):
+    two_level = count_distinct_skewed(zipf_left, "k", "payload_l", "n")
+    plain = zipf_left.groupBy("k").agg(F.countDistinct("payload_l").alias("n"))
+    assert sorted(map(tuple, two_level.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_aggregate_exact(spark, zipf_left):
+    partial = [F.sum(F.col("k")).alias("s"), F.count(F.lit(1)).alias("c")]
+    merge = [F.sum("s").alias("sum_k"), F.sum("c").alias("n")]
+    got = salted_aggregate(
+        zipf_left.withColumn("g", F.col("k") % 3), "g", partial, merge
+    )
+    exp = (
+        zipf_left.withColumn("g", F.col("k") % 3)
+        .groupBy("g")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
