@@ -679,6 +679,75 @@ FROM sess GROUP BY user_id, sid
 """
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight filters + single aggregate (pushdown showcase)."""
+    t = load_tables(spark, sf_dir)
+    l = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        _dsum(F.col("l_extendedprice") * F.col("l_discount"), _DEC_PROD).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery pattern (orders above their customer's mean),
+    decorrelated to a window — exact decimal window sums for determinism."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey")
+    o = t["orders"].withColumn(
+        "cust_sum", F.sum(F.col("o_totalprice").cast(_DEC_MONEY)).over(w)
+    ).withColumn("cust_n", F.count(F.lit(1)).over(w))
+    return (
+        o.where(
+            F.col("o_totalprice").cast(_DEC_MONEY) * F.col("cust_n") > F.col("cust_sum")
+        )
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+SUBQUERY_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS cust_sum,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS cust_n
+  FROM orders) x
+WHERE CAST(o_totalprice AS DECIMAL(18,2)) * cust_n > cust_sum
+"""
+
+
+def exists_high_value_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-subquery shape: orders having any lineitem over 50k."""
+    t = load_tables(spark, sf_dir)
+    big = t["lineitem"].where(F.col("l_extendedprice") > 50_000).select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return t["orders"].join(big.distinct(), on="o_orderkey", how="left_semi").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+EXISTS_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_extendedprice > 50000)
+"""
+
+
 def skew_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level exact COUNT(DISTINCT) that survives hot keys."""
     from .operators.skew_agg import count_distinct_skewed
@@ -954,6 +1023,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "subquery_above_avg": subquery_above_avg,
+    "exists_high_value_lineitem": exists_high_value_lineitem,
     "skew_join_orders_customer": skew_join_orders_customer,
     "skew_join_lineitem_supplier": skew_join_lineitem_supplier,
     "skew_join_multicol": skew_join_multicol,
@@ -995,6 +1067,9 @@ ORACLES: dict[str, str] = {
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_local_supplier_volume": Q5_SQL,
+    "q6_forecast_revenue": Q6_SQL,
+    "subquery_above_avg": SUBQUERY_SQL,
+    "exists_high_value_lineitem": EXISTS_SQL,
     "skew_join_orders_customer": SJ_ORDERS_CUSTOMER_SQL,
     "skew_join_lineitem_supplier": SJ_LINEITEM_SUPPLIER_SQL,
     "skew_join_multicol": SJ_MULTICOL_SQL,
