@@ -27,12 +27,17 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
     "skew_join_orders_customer",
     "skew_join_lineitem_supplier",
     "skew_join_multicol",
     "skew_join_left_outer",
     "window_top_orders",
     "agg_rollup",
+    "skew_agg_distinct",
+    "subquery_above_avg",
+    "asof_purchase_attribution",
+    "range_join_price_bands",
     "dedup_exact_docs",
     "dedup_ngram_jaccard",
     "text_stats",

