@@ -40,6 +40,7 @@ HEADLINE = [
     "range_join_price_bands",
     "dedup_exact_docs",
     "dedup_ngram_jaccard",
+    "pipeline_clean_corpus",
     "text_stats",
     "text_lang_id",
     "knn_bruteforce",

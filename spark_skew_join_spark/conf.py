@@ -86,6 +86,12 @@ class SkewJoinConf:
     # Override the replication cap (reference: defaultPartitioner(...)
     # .numPartitions, dfimplicits.scala:68). None → shuffle partitions.
     num_partitions: int | None = None
+    # Join-strategy hint ("shuffle_hash", "merge", "shuffle_replicate_nl")
+    # applied to the salted join's right side. User hints on the inputs get
+    # buried under the hot-map attach joins and stop resolving — pass the
+    # strategy here instead. A 3-key ShuffledHashJoin skips the 2x sort a
+    # SortMergeJoin would pay on the salted stream.
+    join_hint: str | None = None
 
     def __post_init__(self) -> None:
         if self.estimator not in ESTIMATORS:

@@ -249,11 +249,17 @@ def _salted_join(
 ) -> DataFrame:
     spark = left.sparkSession
     cap = _num_partitions(left, conf)
-    hot = _hot_key_rows(left, right, keys, conf, cap)
 
     left_cols = list(left.columns)
     right_rest = [c for c in right.columns if c not in keys]
+    dup = set(left_cols) & set(right_rest)
+    if dup:
+        raise ValueError(
+            f"non-key column(s) {sorted(dup)} exist on both sides; rename or "
+            "drop them before skew_join (output columns must be unambiguous)"
+        )
     out_cols = left_cols + right_rest
+    hot = _hot_key_rows(left, right, keys, conf, cap)
 
     # fragment counts per hot key, gated by skew side (SkewType.scala:14-28)
     rows = []
@@ -321,6 +327,8 @@ def _salted_join(
         .drop(_RL, _RR)
     )
 
+    if conf.join_hint:
+        r2 = r2.hint(conf.join_hint)
     joined = l2.join(r2, on=list(keys) + [_S1, _S2], how=how)
 
     # Outer-join phantom removal: a replicated/exploded copy that landed in a

@@ -468,6 +468,36 @@ WHERE CAST(inter AS DOUBLE) / (sa.size + sb.size - inter) >= 0.5
 """
 
 
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end LLM-data cleaning pipeline, one DataFrame program:
+    exact-dedup (md5 min-id representative) → language filter (en) →
+    quality gate → per-source doc/token accounting. Every stage is a
+    codegen column expression; the whole pipeline is one shuffle for the
+    dedup plus one for the final rollup."""
+    from .operators.dedup import exact_dedup
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    reps = exact_dedup(docs).select(F.col("rep_id").alias("doc_id"))
+    kept = (
+        docs.join(reps, on="doc_id", how="left_semi")
+        .withColumn("pred_lang", lang_id("text"))
+        .withColumn("quality", quality_score("text"))
+        .withColumn("n_tokens", token_count("text"))
+        .where(
+            (F.col("pred_lang") == "en")
+            & (F.col("quality") >= 0.3)
+            & (F.col("n_tokens") >= 10)
+            & (F.col("n_tokens") <= 1000)
+        )
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
 def _stop_sql(lang: str) -> str:
     """SQL mirror of functions.text.stopword_count — same markers, same
     length/replace/cast-int arithmetic."""
@@ -542,6 +572,75 @@ SELECT lang, pred_lang, COUNT(*) AS n_docs
 FROM (SELECT doc_id, lang, {_lang_case_sql()} AS pred_lang FROM documents) x
 GROUP BY lang, pred_lang
 """
+
+
+PIPELINE_SQL = f"""
+WITH reps AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY MD5(text)
+),
+kept AS (
+  SELECT d.doc_id, d.source,
+         {_lang_case_sql()} AS pred_lang,
+         (LEAST(LENGTH(text) / 500.0, 1.0) * 0.4
+          + LEAST((CASE WHEN {_NTOK_SQL} = 0 THEN 0.0
+                   ELSE CAST({_stop_sql('en')} AS DOUBLE) / {_NTOK_SQL} END) * 5.0, 1.0) * 0.4
+          + (1.0 - LEAST((CASE WHEN LENGTH(text) = 0 THEN 0.0
+                          ELSE CAST({_NPUNCT_SQL} AS DOUBLE) / LENGTH(text) END) * 10.0, 1.0)) * 0.2
+         ) AS quality,
+         {_NTOK_SQL} AS n_tokens
+  FROM documents d JOIN reps USING (doc_id)
+)
+SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+       MIN(doc_id) AS first_doc
+FROM kept
+WHERE pred_lang = 'en' AND quality >= 0.3 AND n_tokens BETWEEN 10 AND 1000
+GROUP BY source
+"""
+
+
+def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: 64-bit fingerprints, pairs within
+    Hamming distance 8 via 16-bit band blocking (a pair within distance 3
+    must share at least one of 4 bands). Rows-only check (bit-level hash
+    fingerprints are not reasonably SQL-expressible)."""
+    from .operators.dedup import simhash64
+
+    t = load_tables(spark, sf_dir)
+    sh = simhash64(t["documents"], n=8)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bc"),
+    ).select("doc_id", "simhash", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), on=["band", "chunk"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("id_a"),
+            F.col("y.doc_id").alias("id_b"),
+            F.col("x.simhash").alias("ha"),
+            F.col("y.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .where(F.col("hamming") <= 8)
+        .select("id_a", "id_b", "hamming")
+    )
 
 
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1058,6 +1157,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_docs": dedup_minhash_docs,
+    "dedup_simhash_docs": dedup_simhash_docs,
+    "pipeline_clean_corpus": pipeline_clean_corpus,
     "text_stats": text_stats,
     "text_lang_id": text_lang_id,
     "knn_bruteforce": knn_bruteforce,
@@ -1101,6 +1202,7 @@ ORACLES: dict[str, str] = {
     "scalar_funcs": SCALAR_SQL,
     "dedup_exact_docs": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
+    "pipeline_clean_corpus": PIPELINE_SQL,
     "text_stats": TEXT_STATS_SQL,
     "text_lang_id": TEXT_LANG_SQL,
     "knn_bruteforce": KNN_SQL,

@@ -166,3 +166,10 @@ def test_salting_actually_fragments(spark, zipf_left, uniform_right):
     conf = TEST_CONF
     r_l = conf.replication(cl, 8)
     assert r_l > 1, "hottest key must fragment"
+
+
+def test_ambiguous_non_key_columns_rejected(spark):
+    left = spark.createDataFrame([(1, "x")], "k bigint, v string")
+    right = spark.createDataFrame([(1, "y")], "k bigint, v string")
+    with pytest.raises(ValueError, match="non-key column"):
+        skew_join(left, right, "k", "inner", TEST_CONF)

@@ -34,7 +34,8 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("skewbench", cpus=cpus)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    n_left, n_keys = 2_000_000, 5_000
+    n_left = int(os.environ.get("SKEWBENCH_N_LEFT", "2000000"))
+    n_keys = int(os.environ.get("SKEWBENCH_N_KEYS", "5000"))
 
     left = spark.range(n_left).select(
         (F.floor(F.pow(F.rand(1), F.lit(12.0)) * n_keys) + 1).alias("k"),
@@ -44,6 +45,11 @@ def main() -> None:
         F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("payload")
     )
     results: dict[str, dict] = {}
+
+    # warm the JVM (codegen, shuffle paths) so run order doesn't skew timings
+    left.join(right.hint("shuffle_hash"), "k").write.mode("overwrite").format(
+        "noop"
+    ).save()
 
     def record(name, df):
         t = timed(df)
@@ -62,15 +68,17 @@ def main() -> None:
     record("plain_join", left.join(right.hint("shuffle_hash"), "k"))
 
     # 2) skew_join exact hot-key map (AQE still off → isolate our effect)
-    conf = SkewJoinConf(replication_factor=0.001, hot_threshold=1000)
-    record("skew_join_exact", skew_join(left, right.hint("shuffle_hash"), "k", "inner", conf))
+    conf = SkewJoinConf(
+        replication_factor=0.001, hot_threshold=1000, join_hint="shuffle_hash"
+    )
+    record("skew_join_exact", skew_join(left, right, "k", "inner", conf))
 
     # 3) skew_join CMS estimator
     conf_cms = SkewJoinConf(
         replication_factor=0.001, hot_threshold=1000, estimator="cms",
-        sample_fraction=0.02,
+        sample_fraction=0.02, join_hint="shuffle_hash",
     )
-    record("skew_join_cms", skew_join(left, right.hint("shuffle_hash"), "k", "inner", conf_cms))
+    record("skew_join_cms", skew_join(left, right, "k", "inner", conf_cms))
 
     # 4) AQE skew join (the built-in alternative)
     spark.conf.set("spark.sql.adaptive.enabled", "true")
