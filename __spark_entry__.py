@@ -8,11 +8,18 @@ Implementations live in spark_skew_join_spark.queries.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from spark_skew_join_spark import queries as _q
+# importable regardless of the caller's cwd
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from spark_skew_join_spark import queries as _q  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

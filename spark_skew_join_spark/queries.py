@@ -675,6 +675,59 @@ WHERE rank <= 10
 """
 
 
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute-force baseline)."""
+    from .operators.dedup import embedding_near_dup
+
+    t = load_tables(spark, sf_dir)
+    return embedding_near_dup(t["embeddings"], threshold=0.4)
+
+
+EMB_NEAR_DUP_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CASE WHEN sqrt(list_sum(list_transform(a.e, x -> x * x))) = 0
+              OR sqrt(list_sum(list_transform(b.e, x -> x * x))) = 0 THEN 0.0
+            ELSE list_sum(list_transform(list_zip(a.e, b.e), s -> s[1] * s[2]))
+                 / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+                    * sqrt(list_sum(list_transform(b.e, x -> x * x))))
+       END AS cos
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE CASE WHEN sqrt(list_sum(list_transform(a.e, x -> x * x))) = 0
+             OR sqrt(list_sum(list_transform(b.e, x -> x * x))) = 0 THEN 0.0
+           ELSE list_sum(list_transform(list_zip(a.e, b.e), s -> s[1] * s[2]))
+                / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+                   * sqrt(list_sum(list_transform(b.e, x -> x * x))))
+      END >= 0.4
+"""
+
+
+def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-frequency table (explode + group — the UDTF-shaped
+    pattern on the codegen path), top 50 by count."""
+    t = load_tables(spark, sf_dir)
+    tok = t["documents"].select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).where(F.length("token") > 0)
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(50)
+    )
+
+
+TOKEN_FREQ_SQL = """
+SELECT token, COUNT(*) AS n
+FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents) x
+WHERE LENGTH(token) > 0
+GROUP BY token ORDER BY n DESC, token LIMIT 50
+"""
+
+
 def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: text → utf8 blob + typed metadata (the decode
     step for real image/audio bytes is stubbed in operators/multimodal.py)."""
@@ -1163,6 +1216,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_id": text_lang_id,
     "knn_bruteforce": knn_bruteforce,
     "ann_lsh_topk": ann_lsh_topk,
+    "embedding_near_dup_pairs": embedding_near_dup_pairs,
+    "token_frequencies": token_frequencies,
     "multimodal_binary_meta": multimodal_binary_meta,
     "multimodal_features": multimodal_features,
     "tumbling_window_events": tumbling_window_events,
@@ -1206,6 +1261,8 @@ ORACLES: dict[str, str] = {
     "text_stats": TEXT_STATS_SQL,
     "text_lang_id": TEXT_LANG_SQL,
     "knn_bruteforce": KNN_SQL,
+    "embedding_near_dup_pairs": EMB_NEAR_DUP_SQL,
+    "token_frequencies": TOKEN_FREQ_SQL,
     "multimodal_binary_meta": MM_BINARY_SQL,
     "tumbling_window_events": TUMBLING_SQL,
     "session_windows_events": SESSION_SQL,
