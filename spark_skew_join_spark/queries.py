@@ -793,6 +793,32 @@ FROM events GROUP BY 1, 2
 """
 
 
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h windows sliding by 15min — every event lands in exactly 4 windows.
+    Oracle reconstructs membership arithmetically (integer-second window
+    boundaries make second-floored timestamps membership-safe)."""
+    t = load_tables(spark, sf_dir)
+    e = t["events"]
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+SLIDING_SQL = """
+WITH e AS (SELECT event_type, EPOCH_US(ts) // 1000000 AS ts_s FROM events),
+w AS (SELECT event_type, (ts_s // 900) * 900 - 900 * k AS win_start
+      FROM e, UNNEST([0, 1, 2, 3]) AS t(k))
+SELECT win_start, event_type, COUNT(*) AS n_events
+FROM w GROUP BY win_start, event_type
+"""
+
+
 def session_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30 min) on exact microsecond integers
     (micros, not nanos: DuckDB's parquet reader truncates TIMESTAMP(NANOS)
@@ -1221,6 +1247,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_binary_meta": multimodal_binary_meta,
     "multimodal_features": multimodal_features,
     "tumbling_window_events": tumbling_window_events,
+    "sliding_window_events": sliding_window_events,
     "session_windows_events": session_windows_events,
     "asof_purchase_attribution": asof_purchase_attribution,
     "range_join_price_bands": range_join_price_bands,
@@ -1265,6 +1292,7 @@ ORACLES: dict[str, str] = {
     "token_frequencies": TOKEN_FREQ_SQL,
     "multimodal_binary_meta": MM_BINARY_SQL,
     "tumbling_window_events": TUMBLING_SQL,
+    "sliding_window_events": SLIDING_SQL,
     "session_windows_events": SESSION_SQL,
     "asof_purchase_attribution": ASOF_SQL,
     "range_join_price_bands": RANGE_SQL,

@@ -79,3 +79,26 @@ def test_stateful_running_totals(spark, batch_events):
     exp = batch_events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
     cols = ["user_id", "n"]
     assert _rows(got.select(*cols), cols) == _rows(exp.select(*cols), cols)
+
+
+def test_foreachbatch_idempotent_sink(spark, batch_events, tmp_path):
+    from spark_skew_join_spark.streaming.sinks import write_stream_idempotent
+
+    out = str(tmp_path / "sink")
+    stream = read_events_stream(spark, SF)
+    q = write_stream_idempotent(stream.select("event_id", "user_id"), out, "fb_sink")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    written = spark.read.parquet(out)
+    assert written.count() == batch_events.count()
+    # redelivery of the same epoch must not duplicate: materialize epoch 0,
+    # rewrite it in place (can't lazily read+overwrite the same dir), recount
+    rows = spark.read.parquet(out + "/epoch=0").collect()
+    schema = spark.read.parquet(out + "/epoch=0").schema
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        out + "/epoch=0"
+    )
+    spark.catalog.refreshByPath(out)
+    assert spark.read.parquet(out).count() == batch_events.count()

@@ -1,0 +1,98 @@
+"""Regenerate PLANS.md: physical-plan evidence for the flagship operators.
+
+Usage: python tools/dump_plans.py   (writes PLANS.md at repo root)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from spark_skew_join_spark import SkewJoinConf, skew_join
+from spark_skew_join_spark import queries as q
+from spark_skew_join_spark.plans.explain import plan_string
+from spark_skew_join_spark.sources.tables import get_spark, load_tables
+
+SF = "/root/testdata/sf0.01"
+
+
+def section(title: str, body: str, note: str) -> str:
+    return f"## {title}\n\n{note}\n\n```\n{body.strip()}\n```\n"
+
+
+def main() -> None:
+    spark = get_spark("plans", cpus=8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    t = load_tables(spark, SF)
+    out = [
+        "# PLANS — physical-plan evidence (regenerate: `python tools/dump_plans.py`)\n",
+        "What to look for: `PushedFilters`/`ReadSchema` (scan-level pruning),\n"
+        "`BroadcastHashJoin` (hot-key map attach / small dims), `Exchange` count\n"
+        "(shuffles), absence of `BatchEvalPython` (no Python in hot paths).\n",
+    ]
+
+    conf = SkewJoinConf(replication_factor=0.01, hot_threshold=200, join_hint="shuffle_hash")
+    sj = skew_join(t["lineitem"], t["supplier"], [("l_suppkey", "s_suppkey")], "inner", conf)
+    out.append(
+        section(
+            "skew_join (fragment-replicate, exact hot-key map, shuffle_hash hint)",
+            plan_string(sj, "simple"),
+            "Two `BroadcastExchange`s attach the hot-key table to each side; two\n"
+            "`Generate explode` nodes replicate across salt buckets; the data\n"
+            "shuffle is a 3-key `ShuffledHashJoin` — hot keys hash across\n"
+            "R_L x R_R partitions. No Python anywhere.",
+        )
+    )
+
+    q1 = q.QUERIES["q1_pricing_summary"](spark, SF)
+    plan = plan_string(q1, "formatted")
+    scan = "\n".join(
+        line for line in plan.splitlines()
+        if re.search(r"PushedFilters|ReadSchema|Scan parquet", line)
+    )
+    out.append(
+        section(
+            "q1_pricing_summary — scan pruning",
+            scan,
+            "The shipdate filter reaches the parquet scan; ReadSchema carries\n"
+            "only the 7 referenced columns of 11.",
+        )
+    )
+
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    q5 = q.QUERIES["q5_local_supplier_volume"](spark, SF)
+    simple5 = plan_string(q5, "simple")
+    out.append(
+        section(
+            "q5_local_supplier_volume — star join",
+            "\n".join(l for l in simple5.splitlines() if "Join" in l or "Exchange" in l),
+            "All five dimension joins are BroadcastHashJoin (no shuffle per\n"
+            "join); the single Exchange is the final groupBy.",
+        )
+    )
+
+    knn = q.QUERIES["knn_bruteforce"](spark, SF)
+    simplek = plan_string(knn, "simple")
+    out.append(
+        section(
+            "knn_bruteforce — vector math in codegen",
+            "\n".join(simplek.splitlines()[:12]),
+            "Dot products run as `aggregate(zip_with(...))` inside\n"
+            "WholeStageCodegen; the query-set is broadcast; the only shuffle is\n"
+            "the per-query top-k window.",
+        )
+    )
+
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print("PLANS.md written")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
