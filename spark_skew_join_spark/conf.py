@@ -86,6 +86,13 @@ class SkewJoinConf:
     # Override the replication cap (reference: defaultPartitioner(...)
     # .numPartitions, dfimplicits.scala:68). None → shuffle partitions.
     num_partitions: int | None = None
+    # Faithful-mode escape hatch (SURVEY §7 hard part c): join on the
+    # reference's separator-less concatenated string key
+    # (dfimplicits.scala:46-47,116) instead of the original columns —
+    # reproduces reference behavior bit-for-bit INCLUDING the concat
+    # collision ("ab","c") == ("a","bc") (quirk Q1). For equivalence
+    # testing against the reference only; leave False in production.
+    compat_concat_key: bool = False
     # Join-strategy hint ("shuffle_hash", "merge", "shuffle_replicate_nl")
     # applied to the salted join's right side. User hints on the inputs get
     # buried under the hot-map attach joins and stop resolving — pass the

@@ -231,13 +231,30 @@ def skew_join(
                 )
             right = right.withColumnRenamed(rc, lc)
 
+    drop_compat = False
+    if conf.compat_concat_key:
+        # Reference-faithful mode (SURVEY §7 hard part c): equi-join on the
+        # separator-less concat key (dfimplicits.scala:46-47,116), dropping
+        # the right side's original key columns like the reference's
+        # USING-style cleanup (dfimplicits.scala:117-124). Reproduces concat
+        # collisions and null-swallowing exactly (quirks Q1/Q2).
+        ckey = F.concat(*[F.col(k).cast("string") for k in lnames])
+        left = left.withColumn(_COMPAT_KEY, ckey)
+        right = right.withColumn(_COMPAT_KEY, ckey).drop(*lnames)
+        lnames = [_COMPAT_KEY]
+        drop_compat = True
+
     if how_n in _SEMI or how_n in _ANTI:
         rk = right.select(*lnames).distinct().withColumn(_MARK, F.lit(1))
         joined = _salted_join(left, rk, lnames, "left", conf)
         pred = F.col(_MARK).isNotNull() if how_n in _SEMI else F.col(_MARK).isNull()
-        return joined.where(pred).select(*left.columns)
+        out = joined.where(pred).select(*left.columns)
+    else:
+        out = _salted_join(left, right, lnames, how, conf)
+    return out.drop(_COMPAT_KEY) if drop_compat else out
 
-    return _salted_join(left, right, lnames, how, conf)
+
+_COMPAT_KEY = "_join_key_nbRcsSD1FW"  # the reference's literal helper name
 
 
 def _salted_join(

@@ -173,3 +173,36 @@ def test_ambiguous_non_key_columns_rejected(spark):
     right = spark.createDataFrame([(1, "y")], "k bigint, v string")
     with pytest.raises(ValueError, match="non-key column"):
         skew_join(left, right, "k", "inner", TEST_CONF)
+
+
+def test_compat_concat_mode_reproduces_reference_collision(spark):
+    """Faithful mode: ("ab","c") and ("a","bc") concatenate to "abc" and DO
+    join — the reference's quirk Q1, reproduced on demand."""
+    left = spark.createDataFrame(
+        [("ab", "c", 1.0), ("x", "y", 2.0)], "k1 string, k2 string, v double"
+    )
+    right = spark.createDataFrame(
+        [("a", "bc", "m3"), ("x", "y", "m2")], "k1 string, k2 string, tag string"
+    )
+    conf = SkewJoinConf(compat_concat_key=True)
+    out = skew_join(left, right, ["k1", "k2"], "inner", conf)
+    rows = {(r["k1"], r["k2"], r["tag"]) for r in out.collect()}
+    # collision pair joins in compat mode (default mode: test above proves it doesn't)
+    assert ("ab", "c", "m3") in rows and ("x", "y", "m2") in rows
+    # default mode on identical inputs: no cross-match
+    strict = skew_join(left, right, ["k1", "k2"], "inner", SkewJoinConf())
+    assert strict.count() == 1
+
+
+def test_compat_mode_semi_anti(spark):
+    left = spark.createDataFrame(
+        [("ab", "c", 1.0), ("q", "z", 2.0)], "k1 string, k2 string, v double"
+    )
+    right = spark.createDataFrame(
+        [("a", "bc", "m")], "k1 string, k2 string, tag string"
+    )
+    conf = SkewJoinConf(compat_concat_key=True)
+    semi = skew_join(left, right, ["k1", "k2"], "left_semi", conf)
+    assert {(r["k1"], r["k2"]) for r in semi.collect()} == {("ab", "c")}
+    anti = skew_join(left, right, ["k1", "k2"], "left_anti", conf)
+    assert {(r["k1"], r["k2"]) for r in anti.collect()} == {("q", "z")}
