@@ -174,3 +174,36 @@ def test_partition_stats_shape(spark):
     assert s.num_partitions == 8
     assert s.total_records == 10_000
     assert s.min <= s.p25 <= s.p50 <= s.p75 <= s.max
+
+
+def test_asof_join_randomized_vs_pandas(spark):
+    """Property check: asof_join ≡ pandas.merge_asof on random data."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(11)
+    lrows = sorted(
+        {(rng.choice("ABC"), rng.randint(0, 1000)) for _ in range(300)}
+    )
+    rrows = sorted({(rng.choice("ABC"), rng.randint(0, 1000)) for _ in range(80)})
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lrows)], "k string, ts bigint, lid bigint"
+    )
+    right = spark.createDataFrame(
+        [(k, t, float(t)) for k, t in rrows], "k string, ts bigint, px double"
+    )
+    got = {
+        r["lid"]: r["px"]
+        for r in asof_join(left, right, "k", "ts", "ts", ["px"]).collect()
+    }
+    lp = pd.DataFrame(lrows, columns=["k", "ts"]).assign(lid=range(len(lrows)))
+    rp = pd.DataFrame(rrows, columns=["k", "ts"]).assign(px=lambda d: d.ts.astype(float))
+    exp_df = pd.merge_asof(
+        lp.sort_values("ts"), rp.sort_values("ts"), on="ts", by="k"
+    )
+    exp = {
+        int(r.lid): (None if pd.isna(r.px) else float(r.px))
+        for r in exp_df.itertuples()
+    }
+    assert got == exp
