@@ -974,6 +974,40 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def median_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles — Spark `percentile` and DuckDB
+    `quantile_cont` share the linear-interpolation definition and agree
+    bit-for-bit on the same doubles."""
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("med_price"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+MEDIAN_SQL = """
+SELECT l_returnflag,
+       QUANTILE_CONT(l_extendedprice, 0.5) AS med_price,
+       QUANTILE_CONT(l_extendedprice, 0.9) AS p90_price,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL distinct, quantile sketch) — rows-only
+    check by nature: sketch internals differ across engines."""
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_med"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return t["orders"].groupBy("o_orderpriority").agg(
@@ -1223,6 +1257,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,
     "agg_distinct": agg_distinct,
+    "median_stats": median_stats,
+    "approx_stats": approx_stats,
     "skew_agg_distinct": skew_agg_distinct,
     "skew_agg_salted_mean": skew_agg_salted_mean,
     "grouping_sets_li": grouping_sets_li,
@@ -1272,6 +1308,7 @@ ORACLES: dict[str, str] = {
     "agg_rollup": AGG_ROLLUP_SQL,
     "agg_cube": AGG_CUBE_SQL,
     "agg_distinct": AGG_DISTINCT_SQL,
+    "median_stats": MEDIAN_SQL,
     "skew_agg_distinct": SKEW_AGG_DISTINCT_SQL,
     "skew_agg_salted_mean": SKEW_AGG_MEAN_SQL,
     "grouping_sets_li": GROUPING_SETS_SQL,
