@@ -102,3 +102,37 @@ def test_foreachbatch_idempotent_sink(spark, batch_events, tmp_path):
     )
     spark.catalog.refreshByPath(out)
     assert spark.read.parquet(out).count() == batch_events.count()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, batch_events):
+    from pyspark.sql import functions as F
+
+    from spark_skew_join_spark.streaming.joins import clicks_to_purchases
+
+    def split(df):
+        return (
+            df.where(F.col("event_type") == "click"),
+            df.where(F.col("event_type") == "purchase"),
+        )
+
+    # streaming: two file-stream replays of the same parquet
+    s_clicks = read_events_stream(spark, SF).where(F.col("event_type") == "click")
+    s_purch = read_events_stream(spark, SF).where(F.col("event_type") == "purchase")
+    joined = clicks_to_purchases(s_clicks, s_purch)
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT purchase_id, click_id FROM ssj")
+    # batch equivalent on the same data
+    b_clicks, b_purch = split(batch_events)
+    exp = clicks_to_purchases(b_clicks, b_purch).select("purchase_id", "click_id")
+    g = sorted(map(tuple, got.collect()))
+    x = sorted(map(tuple, exp.collect()))
+    assert g == x and len(g) > 0
