@@ -219,6 +219,11 @@ def skew_join(
     conf = conf or SkewJoinConf()
     pairs = _normalize_on(on)
     how_n = how.replace("_", "").lower()
+    if how_n == "cross":
+        raise ValueError(
+            "skew_join is an equi-join; for cross joins use df.crossJoin "
+            "(salting cannot help an unkeyed product)"
+        )
 
     # normalize: right key columns take the left key names
     lnames = [p[0] for p in pairs]

@@ -22,13 +22,10 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from .conf import SkewJoinConf
 from .functions.text import (
     LANG_MARKERS,
-    PUNCT_CLASS,
     lang_id,
     punct_count,
-    punct_ratio,
     quality_score,
     stopword_count,
-    stopword_ratio,
     token_count,
 )
 from .operators.dedup import exact_dedup, minhash_pairs, ngram_jaccard_pairs

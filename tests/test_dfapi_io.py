@@ -82,3 +82,22 @@ def test_salted_aggregate_exact(spark, zipf_left):
         .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_register_views_sql(spark):
+    from spark_skew_join_spark.sources.views import register_views
+
+    names = register_views(spark, "/root/testdata/sf0.001")
+    assert "lineitem" in names
+    n = spark.sql("SELECT COUNT(*) AS n FROM lineitem").collect()[0]["n"]
+    assert n == 6000
+
+
+def test_cross_join_rejected(spark):
+    import pytest
+
+    from spark_skew_join_spark import skew_join
+
+    l = spark.createDataFrame([(1,)], "k bigint")
+    with pytest.raises(ValueError, match="equi-join"):
+        skew_join(l, l.withColumnRenamed("k", "k2"), [("k", "k2")], "cross")
