@@ -56,6 +56,12 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
 
     spark = get_spark("bench", cpus=cpus)
+    # warm the JVM (codegen paths, parquet footers) so the first timed query
+    # doesn't absorb session cold-start — same methodology as skewbench
+    from spark_skew_join_spark.sources.tables import load_tables
+
+    for df in load_tables(spark, sf_dir).values():
+        df.count()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = q.QUERIES[name]
