@@ -1,0 +1,53 @@
+"""Sampling and dataset-splitting operators for training-data pipelines.
+
+``hash_split`` assigns each row to a split deterministically from the md5 of
+its id — reproducible across runs, engines, and cluster layouts (unlike
+``df.sample``/``randomSplit``, whose assignment depends on partitioning).
+md5 hex compares identically in Spark and DuckDB (digits sort before
+letters in both), so splits are oracle-checkable.
+
+``stratified_sample`` wraps ``sampleBy`` (per-stratum fractions) for
+quota-balancing a corpus by language/source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _hex_prefix(id_col: str | Column) -> Column:
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.substring(F.md5(c.cast("string").cast("binary")), 1, 2)
+
+
+def split_bucket(id_col: str | Column) -> Column:
+    """Deterministic bucket in [0, 256): first md5 byte of the id."""
+    return F.conv(_hex_prefix(id_col), 16, 10).cast("int").alias("bucket")
+
+
+def hash_split(
+    df: DataFrame, id_col: str, train_pct: int = 80, label_col: str = "split"
+) -> DataFrame:
+    """Add a 'train'/'test' column: row is train iff its first md5 hex byte
+    is below ``(256*train_pct)//100`` (80% → 204/256 ≈ 79.7% expected).
+
+    Implemented as a lexicographic compare of the two lowercase hex chars
+    against the threshold byte's hex form — identical semantics in any
+    engine with md5 (the SQL oracle uses the same expression verbatim)."""
+    threshold = (256 * train_pct) // 100
+    if threshold >= 256:  # 2-char hex compare breaks beyond 'ff' — clamp
+        cond = F.lit(True)
+    elif threshold <= 0:
+        cond = F.lit(False)
+    else:
+        cond = _hex_prefix(id_col) < format(threshold, "02x")
+    return df.withColumn(
+        label_col, F.when(cond, F.lit("train")).otherwise(F.lit("test"))
+    )
+
+
+def stratified_sample(
+    df: DataFrame, stratum_col: str, fractions: dict, seed: int = 42
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (quota balancing by language/source)."""
+    return df.sampleBy(stratum_col, fractions=fractions, seed=seed)

@@ -725,6 +725,27 @@ GROUP BY token ORDER BY n DESC, token LIMIT 50
 """
 
 
+def train_test_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-hash 80/20 split of the corpus — reproducible
+    across engines, so the split itself is oracle-checked."""
+    from .operators.sampling import hash_split
+
+    t = load_tables(spark, sf_dir)
+    s = hash_split(t["documents"], "doc_id", train_pct=80)
+    return s.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+TRAIN_SPLIT_SQL = """
+SELECT CASE WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+            THEN 'train' ELSE 'test' END AS split,
+       lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+FROM documents GROUP BY 1, 2
+"""
+
+
 def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: text → utf8 blob + typed metadata (the decode
     step for real image/audio bytes is stubbed in operators/multimodal.py)."""
@@ -1279,6 +1300,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_frequencies": token_frequencies,
     "multimodal_binary_meta": multimodal_binary_meta,
     "multimodal_features": multimodal_features,
+    "train_test_split_stats": train_test_split_stats,
     "tumbling_window_events": tumbling_window_events,
     "sliding_window_events": sliding_window_events,
     "session_windows_events": session_windows_events,
@@ -1325,6 +1347,7 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup_pairs": EMB_NEAR_DUP_SQL,
     "token_frequencies": TOKEN_FREQ_SQL,
     "multimodal_binary_meta": MM_BINARY_SQL,
+    "train_test_split_stats": TRAIN_SPLIT_SQL,
     "tumbling_window_events": TUMBLING_SQL,
     "sliding_window_events": SLIDING_SQL,
     "session_windows_events": SESSION_SQL,

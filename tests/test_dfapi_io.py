@@ -101,3 +101,27 @@ def test_cross_join_rejected(spark):
     l = spark.createDataFrame([(1,)], "k bigint")
     with pytest.raises(ValueError, match="equi-join"):
         skew_join(l, l.withColumnRenamed("k", "k2"), [("k", "k2")], "cross")
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    from spark_skew_join_spark.operators.sampling import hash_split
+
+    df = spark.range(10_000).select(F.col("id").alias("doc_id"))
+    a = hash_split(df, "doc_id").groupBy("split").count().collect()
+    b = hash_split(df.repartition(17), "doc_id").groupBy("split").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # layout-independent
+    counts = dict((r["split"], r["count"]) for r in a)
+    frac = counts["train"] / 10_000
+    assert 0.77 < frac < 0.83  # expected 204/256 = 0.797
+
+
+def test_stratified_sample(spark):
+    from spark_skew_join_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [("en", i) for i in range(1000)] + [("fr", i) for i in range(1000)],
+        "lang string, i bigint",
+    )
+    s = stratified_sample(df, "lang", {"en": 0.1, "fr": 0.5}, seed=1)
+    by = dict((r["lang"], r["count"]) for r in s.groupBy("lang").count().collect())
+    assert 50 < by["en"] < 180 and 380 < by["fr"] < 620
