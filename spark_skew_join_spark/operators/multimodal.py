@@ -64,7 +64,7 @@ FEATURES_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType()),
         T.StructField("byte_len", T.IntegerType()),
         T.StructField("content_sha", T.StringType()),
-        T.StructField("features", T.ArrayType(T.FloatType())),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
     ]
 )
 

@@ -587,7 +587,7 @@ kept AS (
          {_NTOK_SQL} AS n_tokens
   FROM documents d JOIN reps USING (doc_id)
 )
-SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        MIN(doc_id) AS first_doc
 FROM kept
 WHERE pred_lang = 'en' AND quality >= 0.3 AND n_tokens BETWEEN 10 AND 1000
@@ -741,7 +741,7 @@ def train_test_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRAIN_SPLIT_SQL = """
 SELECT CASE WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
             THEN 'train' ELSE 'test' END AS split,
-       lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+       lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY 1, 2
 """
 
@@ -769,13 +769,36 @@ FROM documents
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas decode over a binary column (stub decoder);
-    rows-only check — the sha-derived fake features are not SQL-expressible."""
-    from .operators.multimodal import attach_binary, extract_features
+    """Arrow-batched mapInPandas decode over a binary column (stub decoder).
+
+    The stub features are sha256-byte/255.0 doubles, so the oracle can
+    reproduce them via DuckDB sha256() + hex extraction — the array column is
+    projected to one scalar per dimension (the driver canonicalizer can't
+    sort/hash raw array columns)."""
+    from .operators.multimodal import FEATURE_DIM, attach_binary, extract_features
 
     t = load_tables(spark, sf_dir)
     binary = attach_binary(t["documents"], "text", media_type="image")
-    return extract_features(binary)
+    feats = extract_features(binary)
+    dims = [
+        F.element_at("features", i + 1).alias(f"f{i:02d}") for i in range(FEATURE_DIM)
+    ]
+    return feats.select("doc_id", "byte_len", "content_sha", *dims)
+
+
+_MM_FEAT_COLS = ",\n       ".join(
+    f"CAST(CAST(('0x' || SUBSTRING(sha256(text), {2 * i + 1}, 2)) AS INT) AS DOUBLE)"
+    f" / 255.0 AS f{i:02d}"
+    for i in range(16)
+)
+
+MM_FEATURES_SQL = f"""
+SELECT doc_id,
+       CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS byte_len,
+       sha256(text) AS content_sha,
+       {_MM_FEAT_COLS}
+FROM documents
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1075,7 +1098,7 @@ def json_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JSON_PROPS_SQL = """
 SELECT event_type, COUNT(*) AS n_events,
-       SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)) AS sum_k,
+       CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
        MIN(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)) AS min_k,
        MAX(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)) AS max_k
 FROM events GROUP BY event_type
@@ -1347,6 +1370,7 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup_pairs": EMB_NEAR_DUP_SQL,
     "token_frequencies": TOKEN_FREQ_SQL,
     "multimodal_binary_meta": MM_BINARY_SQL,
+    "multimodal_features": MM_FEATURES_SQL,
     "train_test_split_stats": TRAIN_SPLIT_SQL,
     "tumbling_window_events": TUMBLING_SQL,
     "sliding_window_events": SLIDING_SQL,
@@ -1355,8 +1379,8 @@ ORACLES: dict[str, str] = {
     "range_join_price_bands": RANGE_SQL,
     "pivot_linestatus": PIVOT_SQL,
     "unpivot_metrics": UNPIVOT_SQL,
-    # rows-only (intentionally no oracle): dedup_minhash_docs, ann_lsh_topk,
-    # multimodal_features (stub decoder, not SQL-expressible)
+    # rows-only (intentionally no oracle): dedup_minhash_docs,
+    # dedup_simhash_docs, ann_lsh_topk, approx_stats
 }
 
 

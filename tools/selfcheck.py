@@ -5,6 +5,12 @@ Runs every queries() entry at sf0.01 in Spark AND its oracle_sql() in DuckDB
 Reports EXACT (bit-identical), CLOSE (equal after 9-sig-digit quantization —
 would likely fail a strict hash), or MISMATCH.
 
+Type-sensitivity (round-2 fix): the driver's value hash sees pandas dtypes,
+so DuckDB HUGEINT (uncast SUM(int) → float64 in pandas) vs Spark BIGINT
+(int64) hash-mismatches even when values are equal. We compare the numeric
+KIND (int vs float vs bool) per column and report DTYPE-MISMATCH — values
+being equal is not enough.
+
 Usage: python tools/selfcheck.py [sf_dir] [query ...]
 """
 
@@ -37,6 +43,31 @@ def _q(v, sig=9):
             return v
         return round(v, sig - 1 - math.floor(math.log10(abs(v))))
     return v
+
+
+def _kind_spark(t: str) -> str:
+    """Pandas-kind a Spark simpleString type lands as in the driver."""
+    if t in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if t in ("float", "double"):
+        return "float"
+    if t == "boolean":
+        return "bool"
+    if t.startswith("decimal"):
+        return "decimal"  # pandas object(Decimal) — flags vs DuckDB's float64
+    return "other"
+
+
+def _kind_duck(t: str) -> str:
+    """Pandas-kind a DuckDB type lands as (HUGEINT/DECIMAL become float64)."""
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("FLOAT", "REAL", "DOUBLE", "HUGEINT") or t.startswith("DECIMAL"):
+        return "float"
+    if t == "BOOLEAN":
+        return "bool"
+    return "other"
 
 
 def norm_rows(cols, rows, quant):
@@ -74,11 +105,25 @@ def main():
             cur = con.execute(oracles[name])
             dcols = [d[0] for d in cur.description]
             drows = cur.fetchall()
+            dtyped = dict(
+                (r[0], r[1])
+                for r in con.execute(f"DESCRIBE {oracles[name]}").fetchall()
+            )
         except Exception as e:
             results[name] = f"DUCK-ERROR {type(e).__name__}: {str(e).splitlines()[0][:140]}"
             continue
         if sorted(scols) != sorted(dcols):
             results[name] = f"COLS-MISMATCH spark={sorted(scols)} duck={sorted(dcols)}"
+            continue
+        styped = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+        badcols = [
+            (c, styped[c], dtyped[c])
+            for c in scols
+            if _kind_spark(styped[c]) != _kind_duck(dtyped[c])
+            and "other" not in (_kind_spark(styped[c]), _kind_duck(dtyped[c]))
+        ]
+        if badcols:
+            results[name] = f"DTYPE-MISMATCH {badcols} (driver hash is type-sensitive)"
             continue
         if len(srows) != len(drows):
             results[name] = f"COUNT-MISMATCH spark={len(srows)} duck={len(drows)}"
