@@ -127,17 +127,53 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
 
 
+def jaccard_for_pairs(
+    pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact n-gram Jaccard for a given pair list only.
+
+    ``pairs``: (id_a, id_b); ``sh``: (id, shingle) as built by ``shingles``.
+    Output: (id_a, id_b, inter, size_a, size_b, jaccard) — pairs with zero
+    shingle overlap are absent (their Jaccard is 0).
+
+    Scale: cost is O(Σ |shingles(a)| over candidate pairs), NOT O(n²) — the
+    pair list fans out through the shingle table on id_a, then an equi-join
+    on (id_b, shingle) counts the intersection. All joins are hash-
+    partitionable on ids; nothing touches non-candidate documents."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("size"))
+    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sa, on="id_a")
+        .join(sb, on=["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("size").alias("size_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("size").alias("size_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+        .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 5,
     num_perm: int = 32,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig array<bigint>) — sig[i] = min over shingles of
     xxhash64(shingle, seed=i). Signature build is groupBy(min) over the
-    shingle explode — fully JVM-side."""
-    sh = shingles(df, text_col, id_col, n)
+    shingle explode — fully JVM-side. Pass ``shingle_df`` to reuse an
+    already-built (persisted) shingle set."""
+    sh = shingle_df if shingle_df is not None else shingles(df, text_col, id_col, n)
     aggs = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
         for i in range(num_perm)
@@ -160,10 +196,16 @@ def minhash_pairs(
     """LSH-banded candidate pairs verified by exact Jaccard.
 
     Bands of r = num_perm/n_bands hashes; docs colliding in >= 1 band are
-    candidates (P[collide] = 1-(1-s^r)^b); candidates are verified with the
-    exact n-gram Jaccard. Output: (id_a, id_b, jaccard)."""
+    candidates (P[collide] = 1-(1-s^r)^b); ONLY those candidates are then
+    verified with exact n-gram Jaccard (``jaccard_for_pairs``) — the
+    verify stage never materializes the all-pairs Jaccard table, which is
+    the quadratic job LSH exists to avoid. Output: (id_a, id_b, jaccard).
+
+    One shingle set is built and persisted, feeding both the signature
+    build and the verify joins."""
     r = num_perm // n_bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_perm)
+    sh = shingles(df, text_col, id_col, n).persist()
+    sig = minhash_signatures(df, text_col, id_col, n, num_perm, shingle_df=sh)
     bands = sig.select(
         F.col(id_col),
         F.explode(
@@ -189,11 +231,9 @@ def minhash_pairs(
         )
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, 0.0, text_col, id_col, n).select(
+    verified = jaccard_for_pairs(cand, sh, id_col)
+    return verified.where(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "jaccard"
-    )
-    return cand.join(exact, on=["id_a", "id_b"]).where(
-        F.col("jaccard") >= threshold
     )
 
 
@@ -237,6 +277,56 @@ def embedding_near_dup(
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bands: int = 32,
+    band_bits: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path for cosine near-dup pairs: random-hyperplane LSH candidates
+    + exact cosine verify. Same output schema as ``embedding_near_dup``
+    (id_a, id_b, cos), recall < 1 by construction.
+
+    A pair at cosine s collides in one b-bit band with p = (1 - acos(s)/π)^b;
+    miss probability is (1 - p)^n_bands. Defaults (32 bands × 4 bits) give
+    >99.5% recall at s = 0.4 and ~100% at s ≥ 0.6 — tune n_bands up for
+    lower thresholds. At 100 TB the band self-join is a hash-partitioned
+    equi-join on (band, code) — O(candidates), never O(n²); the verify
+    only scores candidate pairs."""
+    import random
+
+    from ..functions.vectors import cosine, to_double_array
+    from .similarity import _simhash_bands
+
+    rng = random.Random(seed)
+    planes = [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bands * band_bits)
+    ]
+    bands = _simhash_bands(
+        df.select(F.col(id_col).alias("vid"), vec_col),
+        "vid", vec_col, planes, n_bands, band_bits,
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), on=["band", "code"])
+        .where(F.col("x.vid") < F.col("y.vid"))
+        .select(F.col("x.vid").alias("id_a"), F.col("y.vid").alias("id_b"))
+        .distinct()
+    )
+    a = df.select(F.col(id_col).alias("id_a"), to_double_array(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), to_double_array(vec_col).alias("__vb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
         .select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cos"))
         .where(F.col("cos") >= threshold)
     )

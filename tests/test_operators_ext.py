@@ -128,6 +128,62 @@ def test_minhash_agrees_with_exact_jaccard(spark):
     assert (1, 2) in mh and all(3 not in p for p in mh)
 
 
+def test_jaccard_for_pairs_matches_full_table(spark):
+    """Candidate-scoped Jaccard == the all-pairs computation restricted to
+    those pairs (the minhash verify correctness argument)."""
+    from spark_skew_join_spark.operators.dedup import jaccard_for_pairs, shingles
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again"),
+        (2, "the quick brown fox jumps over the hazy dog again"),
+        (3, "completely unrelated text about spark shuffles here"),
+        (4, "the quick brown fox jumps over the lazy dog again"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.0, n=5).collect()
+    }
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 4), (2, 3)], "id_a bigint, id_b bigint"
+    )
+    scoped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_for_pairs(cand, shingles(docs, n=5)).collect()
+    }
+    assert scoped == {k: v for k, v in full.items() if k in {(1, 2), (1, 4), (2, 3)}}
+
+
+def test_embedding_lsh_matches_bruteforce(spark):
+    import random
+
+    from spark_skew_join_spark.operators.dedup import (
+        embedding_near_dup,
+        embedding_near_dup_lsh,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(30):
+        v = [rng.gauss(0, 1) for _ in range(16)]
+        rows.append((i, [float(x) for x in v]))
+        if i < 10:  # jittered twin → cosine ~0.9999
+            rows.append((i + 100, [float(x + rng.gauss(0, 0.01)) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    brute = {
+        (r["id_a"], r["id_b"], round(r["cos"], 9))
+        for r in embedding_near_dup(df, threshold=0.9).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"], round(r["cos"], 9))
+        for r in embedding_near_dup_lsh(
+            df, threshold=0.9, dim=16, n_bands=16, band_bits=2
+        ).collect()
+    }
+    assert len(brute) == 10
+    assert lsh == brute  # verify → precision 1; banding params → full recall here
+
+
 def test_simhash_near_dup_close_distance(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     docs = spark.createDataFrame(

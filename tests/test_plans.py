@@ -56,3 +56,37 @@ def test_groupby_single_shuffle(spark):
     li = load_tables(spark, SF)["lineitem"]
     q = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
     assert num_shuffles(q) <= 1, "partial aggregation should leave one exchange"
+
+
+def test_minhash_verify_is_candidate_scoped(spark):
+    """The exact-Jaccard verify must run over the LSH candidate set, not all
+    pairs: the only join keyed on `shingle` alone would be the all-pairs
+    intersection build — in the candidate-scoped plan every shingle join
+    also carries a doc id key (id_b)."""
+    import re
+
+    from spark_skew_join_spark.operators.dedup import minhash_pairs
+
+    docs = load_tables(spark, SF)["documents"]
+    plan = (
+        minhash_pairs(docs, threshold=0.5, n=8)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    for cond in re.findall(r"Join \w+, \((.*)\)", plan):
+        if "shingle" in cond:
+            assert "id_b" in cond, f"all-pairs shingle join in verify: {cond}"
+
+
+def test_embedding_lsh_plan_has_no_cartesian(spark):
+    from spark_skew_join_spark.operators.dedup import embedding_near_dup_lsh
+
+    emb = load_tables(spark, SF)["embeddings"]
+    plan = (
+        embedding_near_dup_lsh(emb, threshold=0.4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
