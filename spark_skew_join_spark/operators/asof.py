@@ -36,49 +36,53 @@ def asof_join(
 
     Union both sides tagged, sort within key by (ts, side) so right rows
     precede left rows at equal ts (ASOF's ``<=``), then propagate the last
-    seen right values forward with last_value(ignorenulls) — one window pass.
+    seen right ROW forward as one struct with a single
+    last_value(ignorenulls) — all values and the tolerance ts come from the
+    same (latest) right row, so a NULL in a right value column wins over an
+    older non-null (pandas.merge_asof / DuckDB semantics). Ties among right
+    rows at equal (key, ts) resolve deterministically to the greatest
+    (ts, *values) struct.
     """
     right_vals = right_vals or [c for c in right.columns if c not in (on, right_ts)]
+    r_tag = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{c}:{left.schema[c].dataType.simpleString()}" for c in left.columns) + ">"
+        ).alias("__lrow"),
+        F.struct(
+            F.col(right_ts).cast("long").alias("__rts"),
+            *[F.col(v).alias(v) for v in right_vals],
+        ).alias("__r"),
+    )
     l_tag = left.select(
         F.col(on).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
         F.struct(*left.columns).alias("__lrow"),
-        *[F.lit(None).cast(right.schema[v].dataType).alias(f"__rv_{v}") for v in right_vals],
-        F.lit(None).cast("long").alias("__rts"),
-    )
-    r_tag = right.select(
-        F.col(on).alias("__k"),
-        F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__is_left"),
-        F.lit(None).cast(l_tag.schema["__lrow"].dataType).alias("__lrow"),
-        *[F.col(v).alias(f"__rv_{v}") for v in right_vals],
-        F.col(right_ts).cast("long").alias("__rts"),
+        F.lit(None).cast(r_tag.schema["__r"].dataType).alias("__r"),
     )
     w = (
         Window.partitionBy("__k")
-        .orderBy("__ts", "__is_left")
+        .orderBy("__ts", "__is_left", "__r")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     merged = l_tag.unionByName(r_tag)
     filled = merged.select(
         "__is_left",
         "__lrow",
-        *[
-            F.last(F.col(f"__rv_{v}"), ignorenulls=True).over(w).alias(f"__f_{v}")
-            for v in right_vals
-        ],
-        F.last(F.col("__rts"), ignorenulls=True).over(w).alias("__f_rts"),
+        F.last(F.col("__r"), ignorenulls=True).over(w).alias("__f"),
         F.col("__ts"),
     ).where(F.col("__is_left") == 1)
-    out_vals = []
-    for v in right_vals:
-        c = F.col(f"__f_{v}")
-        if tolerance is not None:
-            c = F.when(
-                (F.col("__ts").cast("long") - F.col("__f_rts")) <= tolerance, c
-            )
-        out_vals.append(c.alias(v))
+    in_tol = (
+        F.lit(True)
+        if tolerance is None
+        else (F.col("__ts").cast("long") - F.col("__f.__rts")) <= tolerance
+    )
+    out_vals = [
+        F.when(in_tol, F.col(f"__f.{v}")).alias(v) for v in right_vals
+    ]
     return filled.select(
         *[F.col(f"__lrow.{c}").alias(c) for c in left.columns], *out_vals
     )

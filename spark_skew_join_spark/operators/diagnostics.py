@@ -36,7 +36,12 @@ def count_per_partition(df: DataFrame) -> list[tuple[int, int]]:
         .collect()
     )
     observed = {r["pid"]: r["count"] for r in rows}
-    n_part = df.rdd.getNumPartitions() if not rows else max(observed) + 1
+    # trailing empty partitions never emit a pid — take the layout's true
+    # partition count (and keep max(observed)+1 in case the rdd conversion
+    # re-plans to a different count than the executed pids)
+    n_part = max(
+        df.rdd.getNumPartitions(), (max(observed) + 1) if observed else 0
+    )
     return [(i, observed.get(i, 0)) for i in range(n_part)]
 
 

@@ -301,6 +301,43 @@ def _salted_join(
     key_fields = left.select(*keys).schema
     from pyspark.sql import types as T
 
+    how_pre = how.replace("_", "").lower()
+    is_outer = how_pre in ("left", "leftouter", "right", "rightouter", "full", "fullouter", "outer")
+    if is_outer and conf.estimator != "exact":
+        # The outer-join phantom filter drops rows based on the _HL/_HR
+        # presence flags; sketch estimators can overestimate a key onto a
+        # side it doesn't exist on, which would silently delete legitimate
+        # unmatched rows. Re-verify membership EXACTLY for the (few) hot
+        # keys: one broadcast semi-join per side, scanning only hot-key rows.
+        import warnings
+
+        warnings.warn(
+            f"skew_join: estimator={conf.estimator!r} with outer join — "
+            "verifying hot-key side membership exactly (extra pass per side) "
+            "so sketch overestimates cannot drop unmatched rows",
+            stacklevel=3,
+        )
+        kdf = F.broadcast(
+            spark.createDataFrame(
+                [t[: len(keys)] for t in rows], schema=T.StructType(list(key_fields))
+            )
+        )
+        present_l = {
+            tuple(r)
+            for r in left.join(kdf, on=list(keys), how="left_semi")
+            .select(*keys).distinct().collect()
+        }
+        present_r = {
+            tuple(r)
+            for r in right.join(kdf, on=list(keys), how="left_semi")
+            .select(*keys).distinct().collect()
+        }
+        rows = [
+            t[: len(keys)]
+            + (t[-4], t[-3], t[: len(keys)] in present_l, t[: len(keys)] in present_r)
+            for t in rows
+        ]
+
     hot_schema = T.StructType(
         list(key_fields)
         + [
@@ -358,9 +395,9 @@ def _salted_join(
     # but the key demonstrably exists on the other side (hot-map flag), so the
     # true join matches it — the copy is a phantom, not a legitimate
     # unmatched row. (The reference forwards joinType verbatim and ships this
-    # bug, dfimplicits.scala:116; with estimator="exact" the flags are exact
-    # so the filter restores textbook outer-join semantics. With cms/sample
-    # the flags inherit the sketch's one-sided error — documented, quirk Q4.)
+    # bug, dfimplicits.scala:116; with estimator="exact" the flags are exact,
+    # and with cms/sample the flags were re-verified exactly above for outer
+    # joins — the filter always restores textbook outer-join semantics.)
     if outer_left:
         joined = joined.where(~(F.col(_RM).isNull() & F.col(_HR)))
     if outer_right:

@@ -371,10 +371,14 @@ SELECT c_custkey AS custkey FROM customer
 
 
 def setops_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL EXCEPT has set semantics: a row present on the right at all is
+    dropped, regardless of left multiplicity — subtract(), not
+    exceptAll().distinct() (which keeps rows whose left count merely
+    exceeds their right count)."""
     t = load_tables(spark, sf_dir)
     c = t["customer"].select(F.col("c_custkey").alias("custkey"))
     o = t["orders"].select(F.col("o_custkey").alias("custkey"))
-    return c.exceptAll(o).distinct()
+    return c.distinct().subtract(o)
 
 
 SETOPS_EXCEPT_SQL = """

@@ -54,6 +54,33 @@ def test_asof_tolerance(spark):
     assert out[0]["v"] is None  # 90 > 50 gap → outside tolerance
 
 
+def test_asof_null_in_right_value_latest_row_wins(spark):
+    """merge_asof semantics: the latest prior right ROW wins even when its
+    value column is NULL — values must not be stitched from older rows."""
+    left = spark.createDataFrame(
+        [("A", 25, 1), ("A", 100, 2)], "k string, ts bigint, id bigint"
+    )
+    right = spark.createDataFrame(
+        [("A", 5, 100.0, 1.0), ("A", 20, None, 2.0)],
+        "k string, ts bigint, px double, qty double",
+    )
+    out = {r["id"]: (r["px"], r["qty"]) for r in
+           asof_join(left, right, "k", "ts", "ts", ["px", "qty"]).collect()}
+    # latest right row at ts=20 has px NULL — both values come from that row
+    assert out == {1: (None, 2.0), 2: (None, 2.0)}
+
+
+def test_asof_tolerance_uses_latest_row(spark):
+    """Tolerance must compare against the ts of the row the values came
+    from: a recent NULL-px row inside tolerance wins over an old non-null."""
+    left = spark.createDataFrame([("A", 100, 1)], "k string, ts bigint, id bigint")
+    right = spark.createDataFrame(
+        [("A", 10, 7.0), ("A", 90, None)], "k string, ts bigint, px double"
+    )
+    out = asof_join(left, right, "k", "ts", "ts", ["px"], tolerance=50).collect()
+    assert out[0]["px"] is None  # latest row (ts=90, in tolerance) has NULL px
+
+
 def test_range_join_matches_theta(spark):
     left = spark.createDataFrame(
         [(k % 5, float(k)) for k in range(1000)], "k bigint, v double"
@@ -222,6 +249,16 @@ def test_timed_save_noop(spark):
     df = spark.range(1000)
     secs = timed_save(df, "range_noop")
     assert secs > 0
+
+
+def test_partition_stats_counts_trailing_empty_partitions(spark):
+    """Empty partitions (incl. trailing ones that emit no pid) must appear
+    in the stats — they're exactly what skew diagnostics need to see."""
+    df = spark.range(1).repartition(8)
+    s = partition_stats(df)
+    assert s.num_partitions == 8
+    assert s.total_records == 1
+    assert s.p50 == 0  # median over 8 partitions, 7 of them empty
 
 
 def test_partition_stats_shape(spark):

@@ -141,6 +141,33 @@ def test_estimator_cms(spark, zipf_left, uniform_right):
     assert_df_equal(actual, plain(zipf_left, uniform_right, ["k"], "inner"))
 
 
+@pytest.mark.parametrize("estimator", ["cms", "sample"])
+@pytest.mark.parametrize("how", ["left", "full"])
+def test_estimator_outer_join_exact(spark, estimator, how):
+    """Outer joins with sketch estimators must verify presence flags exactly
+    — an overestimated key on the empty side must not delete legitimate
+    unmatched rows (ADVICE round 1)."""
+    import warnings
+
+    # hot key 7 exists ONLY on the left → its left rows are unmatched and
+    # must all survive a left/full outer join
+    left = spark.createDataFrame(
+        [(7, f"l{i}") for i in range(200)] + [(k, f"l{k}") for k in range(100)],
+        "k bigint, pl string",
+    )
+    right = spark.createDataFrame(
+        [(k, f"r{k}") for k in range(100) for _ in range(3)], "k bigint, pr string"
+    )
+    conf = SkewJoinConf(
+        replication_factor=0.5, hot_threshold=10,
+        estimator=estimator, sample_fraction=0.9,
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        actual = skew_join(left, right, "k", how, conf)
+    assert_df_equal(actual, plain(left, right, ["k"], how))
+
+
 def test_estimator_sample(spark, zipf_left, uniform_right):
     conf = SkewJoinConf(
         replication_factor=0.1,
