@@ -23,30 +23,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from spark_skew_join_spark import queries as q
 from spark_skew_join_spark.sources.tables import get_spark
 
-HEADLINE = [
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "skew_join_orders_customer",
-    "skew_join_lineitem_supplier",
-    "skew_join_multicol",
-    "skew_join_left_outer",
-    "window_top_orders",
-    "agg_rollup",
-    "skew_agg_distinct",
-    "subquery_above_avg",
-    "asof_purchase_attribution",
-    "range_join_price_bands",
-    "dedup_exact_docs",
-    "dedup_ngram_jaccard",
-    "pipeline_clean_corpus",
-    "text_stats",
-    "text_lang_id",
-    "knn_bruteforce",
-    "tumbling_window_events",
-    "session_windows_events",
-]
+# every registered query is timed (VERDICT r1 #8: regressions in the
+# un-benched half must be visible); the skew-join queries are re-timed below
+# to fold in their plan-construction pre-pass jobs
+HEADLINE = "ALL"
 
 
 def main() -> None:
@@ -62,8 +42,9 @@ def main() -> None:
 
     for df in load_tables(spark, sf_dir).values():
         df.count()
+    names = list(q.QUERIES) if HEADLINE == "ALL" else HEADLINE
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         fn = q.QUERIES[name]
         df = fn(spark, sf_dir)  # plan construction (includes any pre-jobs)
         start = time.perf_counter()

@@ -35,3 +35,41 @@ def cosine(a: Column, b: Column) -> Column:
     d = dot(a, b)
     na, nb = norm(a), norm(b)
     return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(d / (na * nb))
+
+
+# -- fixed-dimension unrolled variants ------------------------------------
+# Spark's higher-order functions (transform/zip_with/aggregate) run
+# INTERPRETED, outside whole-stage codegen — on an O(pairs) similarity scan
+# they dominate wall-clock. When the dimension is known, unroll the dot
+# product into a left-associated add chain over getItem()s: identical
+# values in the identical sequential order (bit-parity with the DuckDB
+# list_sum oracle is preserved), but fully codegen-able. Inputs are the RAW
+# float-array columns (each element is cast individually — wrapping the
+# array in transform() first would re-evaluate the lambda per access).
+
+
+def _elem(c: Column, i: int) -> Column:
+    return c.getItem(i).cast("double")
+
+
+def dot_fixed(a: Column, b: Column, dim: int) -> Column:
+    e = _elem(a, 0) * _elem(b, 0)
+    for i in range(1, dim):
+        e = e + _elem(a, i) * _elem(b, i)
+    return e
+
+
+def cosine_fixed(a: Column, b: Column, dim: int) -> Column:
+    d = dot_fixed(a, b, dim)
+    na = F.sqrt(dot_fixed(a, a, dim))
+    nb = F.sqrt(dot_fixed(b, b, dim))
+    return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(d / (na * nb))
+
+
+def dot_literal(a: Column, weights: list[float]) -> Column:
+    """Unrolled sequential dot product against a Python-literal vector
+    (LSH hyperplane projections)."""
+    e = _elem(a, 0) * F.lit(weights[0])
+    for i in range(1, len(weights)):
+        e = e + _elem(a, i) * F.lit(weights[i])
+    return e

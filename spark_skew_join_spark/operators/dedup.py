@@ -267,17 +267,20 @@ def embedding_near_dup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Pairs (a < b) with cosine >= threshold. Brute-force all-pairs for
-    correctness baseline; at scale use lsh_topk candidates instead."""
-    from ..functions.vectors import cosine, to_double_array
+    correctness baseline; at scale use ``embedding_near_dup_lsh``. Pass
+    ``dim`` when known — the O(n²) scoring then runs in codegen instead of
+    interpreted higher-order functions (~10× on the fixtures)."""
+    from .similarity import _cos
 
-    a = df.select(F.col(id_col).alias("id_a"), to_double_array(vec_col).alias("__va"))
-    b = df.select(F.col(id_col).alias("id_b"), to_double_array(vec_col).alias("__vb"))
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cos"))
+        .select("id_a", "id_b", _cos(F.col("__va"), F.col("__vb"), dim).alias("cos"))
         .where(F.col("cos") >= threshold)
     )
 
@@ -301,11 +304,17 @@ def embedding_near_dup_lsh(
     >99.5% recall at s = 0.4 and ~100% at s ≥ 0.6 — tune n_bands up for
     lower thresholds. At 100 TB the band self-join is a hash-partitioned
     equi-join on (band, code) — O(candidates), never O(n²); the verify
-    only scores candidate pairs."""
+    only scores candidate pairs.
+
+    Candidate selectivity scales with the gap between the threshold and the
+    background cosine: near-orthogonal corpora with thresholds close to 0
+    (the synthetic fixture: qualifying pairs at 0.40–0.51 over a ~0
+    background) keep many candidates and the verify dominates; on real
+    embedding near-dup workloads (threshold ≥ 0.9) the same banding is
+    sharply selective — raise band_bits with the threshold."""
     import random
 
-    from ..functions.vectors import cosine, to_double_array
-    from .similarity import _simhash_bands
+    from .similarity import _cos, _simhash_bands
 
     rng = random.Random(seed)
     planes = [
@@ -322,11 +331,11 @@ def embedding_near_dup_lsh(
         .select(F.col("x.vid").alias("id_a"), F.col("y.vid").alias("id_b"))
         .distinct()
     )
-    a = df.select(F.col(id_col).alias("id_a"), to_double_array(vec_col).alias("__va"))
-    b = df.select(F.col(id_col).alias("id_b"), to_double_array(vec_col).alias("__vb"))
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
-        .select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cos"))
+        .select("id_a", "id_b", _cos(F.col("__va"), F.col("__vb"), dim).alias("cos"))
         .where(F.col("cos") >= threshold)
     )

@@ -15,7 +15,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.vectors import cosine, to_double_array
+from ..functions.vectors import cosine, cosine_fixed, to_double_array
+
+
+def _cos(a, b, dim: int | None):
+    """Unrolled codegen cosine when the dimension is known, interpreted
+    HOF cosine otherwise — identical values either way (same sequential
+    add order; see functions/vectors.py)."""
+    return cosine_fixed(a, b, dim) if dim else cosine(
+        F.transform(a, lambda x: x.cast("double")),
+        F.transform(b, lambda x: x.cast("double")),
+    )
 
 
 def cosine_topk(
@@ -25,19 +35,21 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     include_self: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for every query vector.
 
     Output: (query_id, neighbor_id, rank) with rank 1..k ordered by
-    similarity desc, neighbor_id asc (deterministic tiebreak).
+    similarity desc, neighbor_id asc (deterministic tiebreak). Pass ``dim``
+    when known — the scoring then runs inside whole-stage codegen.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        to_double_array(vec_col).alias("__qv"),
+        F.col(vec_col).alias("__qv"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        to_double_array(vec_col).alias("__cv"),
+        F.col(vec_col).alias("__cv"),
     )
     pairs = c.crossJoin(F.broadcast(q))
     if not include_self:
@@ -45,7 +57,7 @@ def cosine_topk(
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("__qv"), F.col("__cv")).alias("sim"),
+        _cos(F.col("__qv"), F.col("__cv"), dim).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
@@ -60,12 +72,21 @@ def cosine_topk(
 def _simhash_bands(
     df: DataFrame, id_out: str, vec_col: str, planes, n_bands: int, band_bits: int
 ) -> DataFrame:
-    """Sign-of-projection bit codes grouped into bands → (id, band, code)."""
-    v = to_double_array(vec_col)
+    """Sign-of-projection bit codes grouped into bands → (id, band, code).
+
+    The projections deliberately stay as interpreted zip_with/aggregate:
+    this stage is O(rows), and unrolling all n_bands*band_bits planes into
+    one projection makes the codegen tree explode (janino falls over at
+    ~8k terms). Only the O(pairs) cosine scoring is unrolled."""
+    v = F.col(vec_col)
     bits = []
     for p in planes:  # planes: list[list[float]] broadcast as literals
+        # cast inside the lambda: a hoisted transform() would be re-inlined
+        # by CollapseProject and re-evaluated once per plane
         proj = F.aggregate(
-            F.zip_with(v, F.array(*[F.lit(x) for x in p]), lambda a, b: a * b),
+            F.zip_with(
+                v, F.array(*[F.lit(x) for x in p]), lambda a, b: a.cast("double") * b
+            ),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -119,15 +140,19 @@ def lsh_topk(
         .distinct()
     )
     q = queries.select(
-        F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("__qv")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("__cv")
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
     )
     scored = (
         cand.join(F.broadcast(q), "query_id")
         .join(c, "neighbor_id")
-        .select("query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cos(F.col("__qv"), F.col("__cv"), dim).alias("sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (

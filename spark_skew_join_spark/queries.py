@@ -647,7 +647,7 @@ def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
-    return cosine_topk(e, e.where(F.col("vec_id") < 5), k=10)
+    return cosine_topk(e, e.where(F.col("vec_id") < 5), k=10, dim=64)
 
 
 KNN_SQL = """
@@ -681,7 +681,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import embedding_near_dup
 
     t = load_tables(spark, sf_dir)
-    return embedding_near_dup(t["embeddings"], threshold=0.4)
+    return embedding_near_dup(t["embeddings"], threshold=0.4, dim=64)
 
 
 def embedding_near_dup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
