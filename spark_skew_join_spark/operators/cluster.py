@@ -1,0 +1,95 @@
+"""Near-duplicate clustering: connected components over a pair list.
+
+The last step of a fuzzy-dedup pipeline (pairs → clusters → keep one doc
+per cluster): documents joined by any chain of near-dup pairs form one
+cluster, represented by the minimum id. This is the standard large-scale
+formulation (label propagation / min-id broadcast), implemented as an
+iterative DataFrame join — no GraphX/graphframes dependency, no Python in
+the loop body.
+
+Scale: each round is one equi-join + groupBy(min) shuffled on ids —
+hash-partitionable; rounds needed = cluster diameter (near-dup clusters
+are shallow — a handful of rounds). ``localCheckpoint`` truncates the
+lineage every round so plans don't grow unboundedly; the convergence
+check is a count() per round (bounded by max_iter). Hot vertices (a doc
+near-duplicated thousands of times) fan out through the edge join like
+any keyed join and can be pre-salted with the skew_join machinery.
+
+The DuckDB oracle is a recursive-CTE transitive closure — exponentially
+more expensive than the iterative plan, which is the point: the oracle
+verifies, the operator scales.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id_col, cluster_rep): min reachable id over the undirected pair graph.
+
+    Vertices absent from any pair are singleton clusters (rep = self).
+    Converges in O(max cluster diameter) rounds; raises if max_iter is hit
+    before convergence (pathological chain longer than max_iter).
+    """
+    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+
+    labels = vertices.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    edges.unpersist()
+    return labels.select(
+        F.col("id").alias(id_col), F.col("label").alias("cluster_rep")
+    )
+
+
+def dedup_fuzzy(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rows of ``df`` that survive fuzzy dedup: one representative (the
+    min-id member) per near-dup cluster."""
+    comp = connected_components(pairs, df.select(id_col), id_col)
+    reps = comp.where(F.col(id_col) == F.col("cluster_rep")).select(id_col)
+    return df.join(reps, on=id_col, how="left_semi")

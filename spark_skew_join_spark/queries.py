@@ -1299,6 +1299,55 @@ WHERE CAST(inter AS DOUBLE) / (sa.size + sb.size - inter) >= 0.5
 """
 
 
+def dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components (min-id representative)
+    over the MinHash-LSH pair list — the pairs→clusters→one-doc-per-cluster
+    step of a fuzzy-dedup pipeline. Iterative label-propagation joins in
+    Spark; the oracle is a DuckDB recursive-CTE transitive closure over the
+    exact-Jaccard pairs (identical to the LSH pairs on the fixtures)."""
+    from .operators.cluster import connected_components
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    pairs = minhash_pairs(docs, threshold=0.5, n=8).select("id_a", "id_b")
+    return connected_components(pairs, docs.select("doc_id"))
+
+
+DEDUP_CLUSTERS_SQL = """
+WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id, SUBSTRING(text, CAST(pos AS INT), 8) AS shingle
+  FROM documents, UNNEST(range(1, GREATEST(LENGTH(text) - 8 + 1, 1) + 1)) AS t(pos)
+  WHERE LENGTH(text) >= 8
+),
+sizes AS (SELECT doc_id, COUNT(*) AS size FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pr AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(inter AS DOUBLE) / (sa.size + sb.size - inter) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pr
+  UNION
+  SELECT id_b, id_a FROM pr
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT d.doc_id,
+       LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_rep
+FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+GROUP BY d.doc_id
+"""
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
@@ -1358,6 +1407,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_docs": dedup_minhash_docs,
+    "dedup_clusters_docs": dedup_clusters_docs,
     "dedup_simhash_docs": dedup_simhash_docs,
     "pipeline_clean_corpus": pipeline_clean_corpus,
     "text_stats": text_stats,
@@ -1410,6 +1460,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact_docs": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "dedup_minhash_docs": MINHASH_SQL,
+    "dedup_clusters_docs": DEDUP_CLUSTERS_SQL,
     "pipeline_clean_corpus": PIPELINE_SQL,
     "text_stats": TEXT_STATS_SQL,
     "text_lang_id": TEXT_LANG_SQL,

@@ -245,6 +245,49 @@ def test_lsh_recall_against_bruteforce(spark):
     assert len(brute & approx) >= 3
 
 
+def test_connected_components_chains_and_singletons(spark):
+    from spark_skew_join_spark.operators.cluster import connected_components
+
+    # chain 1-2-3, pair 10-11, singletons 20, 21
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    verts = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 20, 21)], "doc_id bigint"
+    )
+    got = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in connected_components(pairs, verts).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 21}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from spark_skew_join_spark.operators.cluster import connected_components
+
+    n = 12  # diameter 12 chain — needs multiple propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a bigint, id_b bigint"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(n + 1)], "doc_id bigint")
+    got = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in connected_components(pairs, verts).collect()
+    }
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_dedup_fuzzy_keeps_cluster_reps(spark):
+    from spark_skew_join_spark.operators.cluster import dedup_fuzzy
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (7, "d")], "doc_id bigint, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a bigint, id_b bigint")
+    kept = {r["doc_id"] for r in dedup_fuzzy(docs, pairs).collect()}
+    assert kept == {1, 7}
+
+
 def test_timed_save_noop(spark):
     df = spark.range(1000)
     secs = timed_save(df, "range_noop")
