@@ -104,6 +104,55 @@ def test_foreachbatch_idempotent_sink(spark, batch_events, tmp_path):
     assert spark.read.parquet(out).count() == batch_events.count()
 
 
+def test_stream_dedup_matches_batch(spark, batch_events):
+    """Replay the events twice (union of two file streams) → duplicates of
+    every event; dropDuplicatesWithinWatermark must restore exactly-once."""
+    from spark_skew_join_spark.streaming.dedup import dedup_stream
+
+    doubled = read_events_stream(spark, SF).unionByName(
+        read_events_stream(spark, SF)
+    )
+    got = (
+        dedup_stream(doubled)
+        .select("event_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sdedup")
+        .start()
+    )
+    try:
+        got.processAllAvailable()
+    finally:
+        got.stop()
+    res = spark.sql("SELECT event_id FROM sdedup")
+    assert res.count() == batch_events.count()  # each event exactly once
+    assert res.distinct().count() == res.count()
+
+
+def test_stream_static_enrichment_matches_batch(spark, batch_events):
+    from spark_skew_join_spark.streaming.dedup import enrich_stream
+
+    dim = batch_events.select("user_id").distinct().withColumn(
+        "segment", (F.col("user_id") % 5).cast("int")
+    )
+    stream = read_events_stream(spark, SF)
+    q = (
+        enrich_stream(stream, dim)
+        .select("event_id", "segment")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("senrich")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT event_id, segment FROM senrich")
+    exp = enrich_stream(batch_events, dim).select("event_id", "segment")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+
 def test_stream_stream_interval_join_matches_batch(spark, batch_events):
     from pyspark.sql import functions as F
 
