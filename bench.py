@@ -50,9 +50,13 @@ def main() -> None:
         start = time.perf_counter()
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - start, 3)
-    # skew-join pre-pass (hot-key job) runs at plan-construction time; fold
-    # it in by re-timing construction+execution for the skew queries
-    for name in ("skew_join_lineitem_supplier", "skew_join_multicol"):
+    # queries with eager plan-construction work (skew-join hot-key pre-pass,
+    # connected-components iteration loop) are re-timed construction+execution
+    for name in (
+        "skew_join_lineitem_supplier",
+        "skew_join_multicol",
+        "dedup_clusters_docs",
+    ):
         start = time.perf_counter()
         q.QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - start, 3)

@@ -39,10 +39,22 @@ def connected_components(
     Converges in O(max cluster diameter) rounds; raises if max_iter is hit
     before convergence (pathological chain longer than max_iter).
     """
-    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    edges = e.union(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().persist()
+    # both edge directions in ONE pass over the pair plan — a union of the
+    # pair list with its swap would evaluate the (possibly expensive)
+    # upstream pair computation twice
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(a_col).alias("src"), F.col(b_col).alias("dst")),
+                    F.struct(F.col(b_col).alias("src"), F.col(a_col).alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .distinct()
+        .persist()
+    )
 
     labels = vertices.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("label")
@@ -54,12 +66,27 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
+        stepped = labels.join(nbr_min, labels.id == nbr_min.src, "left").select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce("nlabel", F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jumping (path compression): label <- min(label, label(label))
+        # turns O(diameter) convergence into O(log diameter) rounds
         new_labels = (
-            labels.join(nbr_min, labels.id == nbr_min.src, "left")
+            stepped.alias("a")
+            .join(
+                stepped.select(
+                    F.col("id").alias("pid"), F.col("label").alias("plabel")
+                ),
+                F.col("a.label") == F.col("pid"),
+                "left",
+            )
             .select(
-                "id",
+                F.col("a.id").alias("id"),
                 F.least(
-                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                    F.col("a.label"), F.coalesce("plabel", F.col("a.label"))
                 ).alias("label"),
             )
             .localCheckpoint()

@@ -388,6 +388,33 @@ SELECT o_custkey AS custkey FROM orders
 """
 
 
+def date_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-dimension rollup: year/quarter extraction, interval min/max
+    formatted as ISO strings (dates as raw values don't canonicalize the
+    same across engines; strings do)."""
+    t = load_tables(spark, sf_dir)
+    return t["orders"].groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum(F.col("o_totalprice")).alias("revenue"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_day"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_day"),
+    )
+
+
+DATE_ROLLUP_SQL = """
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+       CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS qtr,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       STRFTIME(MIN(o_orderdate), '%Y-%m-%d') AS first_day,
+       STRFTIME(MAX(o_orderdate), '%Y-%m-%d') AS last_day
+FROM orders GROUP BY 1, 2
+"""
+
+
 def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return t["orders"].select(
@@ -1347,6 +1374,43 @@ FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
 GROUP BY d.doc_id
 """
 
+_CLOSURE_CTE = DEDUP_CLUSTERS_SQL[: DEDUP_CLUSTERS_SQL.rindex("SELECT")]
+
+
+def dedup_fuzzy_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source accounting of documents that survive FUZZY dedup (one
+    min-id representative per near-dup cluster) — the end-to-end
+    pairs→clusters→keep-reps pipeline as one query."""
+    from .operators.cluster import dedup_fuzzy
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    pairs = minhash_pairs(docs, threshold=0.5, n=8).select("id_a", "id_b")
+    kept = dedup_fuzzy(docs, pairs)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("first_kept"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+    )
+
+
+DEDUP_FUZZY_SQL = (
+    _CLOSURE_CTE
+    + """,
+reps AS (
+  SELECT d.doc_id,
+         LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_rep
+  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+  GROUP BY d.doc_id
+)
+SELECT d.source, COUNT(*) AS n_kept, MIN(d.doc_id) AS first_kept,
+       CAST(SUM(LENGTH(d.text)) AS BIGINT) AS total_chars
+FROM documents d JOIN reps ON reps.doc_id = d.doc_id
+WHERE reps.doc_id = reps.cluster_rep
+GROUP BY d.source
+"""
+)
+
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
@@ -1404,10 +1468,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "setops_intersect": setops_intersect,
     "setops_except": setops_except,
     "scalar_funcs": scalar_funcs,
+    "date_rollup_orders": date_rollup_orders,
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_docs": dedup_minhash_docs,
     "dedup_clusters_docs": dedup_clusters_docs,
+    "dedup_fuzzy_survivors": dedup_fuzzy_survivors,
     "dedup_simhash_docs": dedup_simhash_docs,
     "pipeline_clean_corpus": pipeline_clean_corpus,
     "text_stats": text_stats,
@@ -1457,10 +1523,12 @@ ORACLES: dict[str, str] = {
     "setops_intersect": SETOPS_INTERSECT_SQL,
     "setops_except": SETOPS_EXCEPT_SQL,
     "scalar_funcs": SCALAR_SQL,
+    "date_rollup_orders": DATE_ROLLUP_SQL,
     "dedup_exact_docs": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "dedup_minhash_docs": MINHASH_SQL,
     "dedup_clusters_docs": DEDUP_CLUSTERS_SQL,
+    "dedup_fuzzy_survivors": DEDUP_FUZZY_SQL,
     "pipeline_clean_corpus": PIPELINE_SQL,
     "text_stats": TEXT_STATS_SQL,
     "text_lang_id": TEXT_LANG_SQL,
