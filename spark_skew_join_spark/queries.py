@@ -388,6 +388,136 @@ SELECT o_custkey AS custkey FROM orders
 """
 
 
+def q4_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted to the fixture's columns): orders with at
+    least one lineitem shipped after the order date, counted by priority —
+    a decorrelated EXISTS → left-semi join."""
+    t = load_tables(spark, sf_dir)
+    o, li = t["orders"], t["lineitem"]
+    return (
+        o.alias("o")
+        .join(
+            li.alias("l"),
+            (F.col("l.l_orderkey") == F.col("o.o_orderkey"))
+            & (F.col("l.l_shipdate") > F.col("o.o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+)
+GROUP BY o_orderpriority
+"""
+
+
+def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional counts (CASE-in-aggregate) of
+    high/low-priority orders per lineitem return flag."""
+    t = load_tables(spark, sf_dir)
+    j = t["lineitem"].join(
+        t["orders"], F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy("l_returnflag").agg(
+        F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_returnflag
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share — conditional decimal-summed
+    revenue ratio over a one-year ship window."""
+    t = load_tables(spark, sf_dir)
+    j = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC_PROD)
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(_DEC_PROD))
+    return j.agg(
+        (
+            F.lit(100.0) * F.sum(promo).cast("double")
+            / F.sum(rev).cast("double")
+        ).alias("promo_pct"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+Q14_SQL = f"""
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                             THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))
+                             ELSE CAST(0 AS DECIMAL(24,6)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE)
+         AS promo_pct,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+"""
+
+
+def q19_disjunctive_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive multi-attribute predicates over a
+    part-lineitem join (brand x size x quantity bands OR-ed together) —
+    exercises predicate planning under disjunction."""
+    t = load_tables(spark, sf_dir)
+    j = t["lineitem"].join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+    b1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 35)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 50)
+    )
+    return j.where(b1 | b2 | b3).agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), _DEC_PROD).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+Q19_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
 def date_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-dimension rollup: year/quarter extraction, interval min/max
     formatted as ISO strings (dates as raw values don't canonicalize the
@@ -1469,6 +1599,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "setops_except": setops_except,
     "scalar_funcs": scalar_funcs,
     "date_rollup_orders": date_rollup_orders,
+    "q4_priority_late_ship": q4_priority_late_ship,
+    "q12_priority_by_returnflag": q12_priority_by_returnflag,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q19_disjunctive_brand": q19_disjunctive_brand,
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_docs": dedup_minhash_docs,
@@ -1524,6 +1658,10 @@ ORACLES: dict[str, str] = {
     "setops_except": SETOPS_EXCEPT_SQL,
     "scalar_funcs": SCALAR_SQL,
     "date_rollup_orders": DATE_ROLLUP_SQL,
+    "q4_priority_late_ship": Q4_SQL,
+    "q12_priority_by_returnflag": Q12_SQL,
+    "q14_promo_revenue": Q14_SQL,
+    "q19_disjunctive_brand": Q19_SQL,
     "dedup_exact_docs": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "dedup_minhash_docs": MINHASH_SQL,
