@@ -518,6 +518,61 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 
 """
 
 
+def udtf_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface: LATERAL table function splitting documents into
+    sentences; per-doc sentence count + longest sentence. The split regex
+    has no lookbehind so DuckDB's RE2 string_split_regex computes the
+    identical split."""
+    from .functions.udtf import register_split_sentences
+
+    t = load_tables(spark, sf_dir)
+    register_split_sentences(spark)
+    t["documents"].createOrReplaceTempView("docs_udtf_v")
+    return spark.sql(
+        """
+        SELECT doc_id, COUNT(*) AS n_sentences,
+               CAST(MAX(LENGTH(sentence)) AS INT) AS max_sent_len
+        FROM docs_udtf_v, LATERAL split_sentences(text)
+        GROUP BY doc_id
+        """
+    )
+
+
+UDTF_SENT_SQL = r"""
+SELECT doc_id, COUNT(*) AS n_sentences,
+       CAST(MAX(LENGTH(s)) AS INT) AS max_sent_len
+FROM (
+  SELECT doc_id, UNNEST(string_split_regex(text, '\.\s+')) AS s
+  FROM documents
+)
+WHERE s <> ''
+GROUP BY doc_id
+"""
+
+
+def udaf_weighted_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDAF surface: quantity-weighted mean price per
+    return flag, computed in exact int64 cents inside the UDF so the
+    result is order-independent and oracle-comparable."""
+    from .functions.udtf import weighted_avg_price_udf
+
+    t = load_tables(spark, sf_dir)
+    wap = weighted_avg_price_udf()
+    return t["lineitem"].groupBy("l_returnflag").agg(
+        wap(F.col("l_extendedprice"), F.col("l_quantity")).alias("w_avg_price")
+    )
+
+
+UDAF_WPRICE_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+       / (CAST(100.0 AS DOUBLE) * SUM(CAST(l_quantity AS BIGINT)))
+         AS w_avg_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def date_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-dimension rollup: year/quarter extraction, interval min/max
     formatted as ISO strings (dates as raw values don't canonicalize the
@@ -1603,6 +1658,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q12_priority_by_returnflag": q12_priority_by_returnflag,
     "q14_promo_revenue": q14_promo_revenue,
     "q19_disjunctive_brand": q19_disjunctive_brand,
+    "udtf_sentence_stats": udtf_sentence_stats,
+    "udaf_weighted_price": udaf_weighted_price,
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_docs": dedup_minhash_docs,
@@ -1662,6 +1719,8 @@ ORACLES: dict[str, str] = {
     "q12_priority_by_returnflag": Q12_SQL,
     "q14_promo_revenue": Q14_SQL,
     "q19_disjunctive_brand": Q19_SQL,
+    "udtf_sentence_stats": UDTF_SENT_SQL,
+    "udaf_weighted_price": UDAF_WPRICE_SQL,
     "dedup_exact_docs": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "dedup_minhash_docs": MINHASH_SQL,

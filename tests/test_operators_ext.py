@@ -288,6 +288,47 @@ def test_dedup_fuzzy_keeps_cluster_reps(spark):
     assert kept == {1, 7}
 
 
+def test_udtf_split_sentences(spark):
+    from spark_skew_join_spark.functions.udtf import (
+        SplitSentences,
+        register_split_sentences,
+    )
+
+    # pure-Python eval contract
+    assert list(SplitSentences().eval("One. Two.  Three")) == [
+        (0, "One"), (1, "Two"), (2, "Three")
+    ]
+    assert list(SplitSentences().eval("")) == []
+    # LATERAL join through Spark SQL
+    register_split_sentences(spark)
+    spark.createDataFrame(
+        [(1, "Hello there. Bye."), (2, "Solo")], "doc_id bigint, text string"
+    ).createOrReplaceTempView("udtf_t")
+    rows = spark.sql(
+        "SELECT doc_id, sent_idx, sentence FROM udtf_t, LATERAL split_sentences(text)"
+    ).collect()
+    got = {(r["doc_id"], r["sent_idx"]): r["sentence"] for r in rows}
+    assert got == {(1, 0): "Hello there", (1, 1): "Bye.", (2, 0): "Solo"}
+
+
+def test_udaf_weighted_avg_price(spark):
+    from pyspark.sql import functions as F
+
+    from spark_skew_join_spark.functions.udtf import weighted_avg_price_udf
+
+    df = spark.createDataFrame(
+        [("A", 10.00, 1.0), ("A", 20.00, 3.0), ("B", 5.50, 2.0)],
+        "k string, price double, qty double",
+    )
+    wap = weighted_avg_price_udf()
+    got = {
+        r["k"]: r["w"]
+        for r in df.groupBy("k").agg(wap("price", "qty").alias("w")).collect()
+    }
+    assert got["A"] == (1000 * 1 + 2000 * 3) / (100.0 * 4)  # 17.5
+    assert got["B"] == 5.50
+
+
 def test_timed_save_noop(spark):
     df = spark.range(1000)
     secs = timed_save(df, "range_noop")
