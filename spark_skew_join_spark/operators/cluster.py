@@ -25,6 +25,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _checkpoint_rdd(df: DataFrame):
+    """The java RDD a localCheckpoint'ed DataFrame wraps (LogicalRDD.rdd).
+
+    Lets us unpersist *superseded* checkpoints deterministically instead of
+    waiting for the async ContextCleaner — an iterative algorithm would
+    otherwise accumulate one persisted block-set per round for the session's
+    GC lifetime."""
+    try:
+        return df._jdf.queryExecution().analyzed().rdd()
+    except Exception:  # plan shape not LogicalRDD (future Spark) — cleaner owns it
+        return None
+
+
 def connected_components(
     pairs: DataFrame,
     vertices: DataFrame,
@@ -32,12 +45,24 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 50,
+    checkpoint_interval: int = 1,
 ) -> DataFrame:
     """(id_col, cluster_rep): min reachable id over the undirected pair graph.
 
     Vertices absent from any pair are singleton clusters (rep = self).
-    Converges in O(max cluster diameter) rounds; raises if max_iter is hit
-    before convergence (pathological chain longer than max_iter).
+    Labels are propagated over vertices ∪ pair-endpoint ids, so edges
+    through an id missing from ``vertices`` still merge their clusters
+    (the output is restricted back to ``vertices`` rows). Converges in
+    O(log max-diameter) rounds (pointer jumping); raises if max_iter is
+    hit first.
+
+    One action per round: the eager localCheckpoint that truncates lineage
+    also materializes a ``changed`` flag, so the convergence check is a
+    cheap filter-count over the just-checkpointed blocks — no extra join.
+    ``checkpoint_interval`` > 1 checkpoints every k rounds (cheaper rounds,
+    k-times deeper plans between truncations — useful when rounds are
+    many and labels are wide); superseded checkpoints are unpersisted as
+    soon as their successor is materialized.
     """
     # both edge directions in ONE pass over the pair plan — a union of the
     # pair list with its swap would evaluate the (possibly expensive)
@@ -56,58 +81,81 @@ def connected_components(
         .persist()
     )
 
-    labels = vertices.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("label")
-    ).localCheckpoint()
+    labels = (
+        vertices.select(F.col(id_col).alias("id"))
+        .union(edges.select(F.col("src").alias("id")))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint()
+    )
+    prev_ckpt = _checkpoint_rdd(labels)
 
-    for _ in range(max_iter):
-        nbr_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("label").alias("nlabel"))
-        )
-        stepped = labels.join(nbr_min, labels.id == nbr_min.src, "left").select(
-            "id",
-            F.least(
-                F.col("label"), F.coalesce("nlabel", F.col("label"))
-            ).alias("label"),
-        )
-        # pointer jumping (path compression): label <- min(label, label(label))
-        # turns O(diameter) convergence into O(log diameter) rounds
-        new_labels = (
-            stepped.alias("a")
-            .join(
-                stepped.select(
-                    F.col("id").alias("pid"), F.col("label").alias("plabel")
-                ),
-                F.col("a.label") == F.col("pid"),
-                "left",
+    try:
+        for it in range(max_iter):
+            nbr_min = (
+                edges.join(labels, edges.dst == labels.id)
+                .groupBy("src")
+                .agg(F.min("label").alias("nlabel"))
             )
-            .select(
-                F.col("a.id").alias("id"),
+            stepped = labels.join(nbr_min, labels.id == nbr_min.src, "left").select(
+                "id",
+                F.col("label").alias("old_label"),
                 F.least(
-                    F.col("a.label"), F.coalesce("plabel", F.col("a.label"))
+                    F.col("label"), F.coalesce("nlabel", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds"
-        )
-    edges.unpersist()
-    return labels.select(
-        F.col("id").alias(id_col), F.col("label").alias("cluster_rep")
+            # pointer jumping (path compression): label <- min(label, label(label))
+            # turns O(diameter) convergence into O(log diameter) rounds
+            new_labels = (
+                stepped.alias("a")
+                .join(
+                    stepped.select(
+                        F.col("id").alias("pid"), F.col("label").alias("plabel")
+                    ),
+                    F.col("a.label") == F.col("pid"),
+                    "left",
+                )
+                .select(
+                    F.col("a.id").alias("id"),
+                    F.least(
+                        F.col("a.label"), F.coalesce("plabel", F.col("a.label"))
+                    ).alias("label"),
+                    (
+                        F.least(
+                            F.col("a.label"), F.coalesce("plabel", F.col("a.label"))
+                        )
+                        != F.col("a.old_label")
+                    ).alias("changed"),
+                )
+            )
+            # convergence is only checked on checkpoint rounds: the eager
+            # localCheckpoint is the round's ONE action, and the changed-flag
+            # probe is then a cheap scan over the checkpointed blocks. On
+            # skipped rounds (interval > 1) the plan just deepens lazily.
+            if (it + 1) % checkpoint_interval == 0 or it == max_iter - 1:
+                new_labels = new_labels.localCheckpoint()  # eager: THE round action
+                ckpt = _checkpoint_rdd(new_labels)
+                if prev_ckpt is not None:
+                    prev_ckpt.unpersist(False)
+                prev_ckpt = ckpt
+                changed = new_labels.where(F.col("changed")).limit(1).count()
+                labels = new_labels.select("id", "label")
+                if changed == 0:
+                    break
+            else:
+                labels = new_labels.select("id", "label")
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds"
+            )
+    finally:
+        edges.unpersist()
+    result = vertices.select(F.col(id_col)).join(
+        labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_rep")),
+        on=id_col,
+        how="inner",
     )
+    return result
 
 
 def dedup_fuzzy(

@@ -83,6 +83,7 @@ def ngram_jaccard_pairs(
     n: int = 5,
     max_shingle_df: int | None = None,
     cache_shingles: bool = True,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs (a < b): |S_a ∩ S_b| / |S_a ∪ S_b| >= t.
 
@@ -92,11 +93,16 @@ def ngram_jaccard_pairs(
 
     ``cache_shingles`` persists the exploded shingle set, which this plan
     reads three times (df-filter, both join sides) — 2.3x faster at sf0.1.
-    At 100 TB prefer cache_shingles=False and a pre-materialized shingle
-    table instead of executor memory."""
-    sh = shingles(df, text_col, id_col, n)
-    if cache_shingles:
-        sh = sh.persist()
+    Pass ``shingle_df`` (an already-persisted (id, shingle) set as built by
+    ``shingles``) to share one materialization across the dedup family; the
+    caller then owns the cache lifetime and ``cache_shingles`` is ignored.
+    At 100 TB prefer a pre-materialized shingle table over executor memory."""
+    if shingle_df is not None:
+        sh = shingle_df
+    else:
+        sh = shingles(df, text_col, id_col, n)
+        if cache_shingles:
+            sh = sh.persist()
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("shingle")
@@ -184,6 +190,38 @@ def minhash_signatures(
     )
 
 
+def band_bucket_cap(
+    bands: DataFrame, id_col: str, bucket_cols: list[str], cap: int
+) -> tuple[DataFrame, DataFrame]:
+    """Split LSH band buckets at ``cap`` members (hot-bucket skew guard).
+
+    A degenerate bucket (boilerplate/near-constant content hashing every
+    member to the same band value) makes the band self-join quadratic in
+    that bucket. Buckets at/below the cap keep all-pairs duty; over-cap
+    buckets contribute a linear *star* instead — (anchor=min id → member)
+    pairs — which bounds candidates at O(bucket) while preserving
+    connectivity for downstream clustering (every member still reaches the
+    anchor; transitive closure recovers the clique). Pairwise-enumeration
+    recall inside an over-cap bucket is reduced to the star unless another
+    band recovers the pair — the documented trade for bounded fan-out.
+
+    Returns (kept_bands, star_pairs[id_a, id_b]); the over-cap bucket list
+    is tiny by construction (≤ rows/cap entries) and broadcast."""
+    stats = bands.groupBy(*bucket_cols).agg(
+        F.count(F.lit(1)).alias("__bn"), F.min(id_col).alias("__anchor")
+    )
+    big = stats.where(F.col("__bn") > cap)
+    kept = bands.join(
+        F.broadcast(big.select(*bucket_cols)), on=bucket_cols, how="left_anti"
+    )
+    star = (
+        bands.join(F.broadcast(big), on=bucket_cols)
+        .where(F.col(id_col) != F.col("__anchor"))
+        .select(F.col("__anchor").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    return kept, star
+
+
 def minhash_pairs(
     df: DataFrame,
     threshold: float = 0.7,
@@ -192,6 +230,8 @@ def minhash_pairs(
     n: int = 5,
     num_perm: int = 32,
     n_bands: int = 8,
+    shingle_df: DataFrame | None = None,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """LSH-banded candidate pairs verified by exact Jaccard.
 
@@ -201,10 +241,21 @@ def minhash_pairs(
     verify stage never materializes the all-pairs Jaccard table, which is
     the quadratic job LSH exists to avoid. Output: (id_a, id_b, jaccard).
 
-    One shingle set is built and persisted, feeding both the signature
-    build and the verify joins."""
+    ``max_bucket_size`` caps band-bucket fan-out (see ``band_bucket_cap``):
+    over-cap buckets emit star pairs instead of a clique, keeping a
+    degenerate corpus (thousands of identical docs) O(n) instead of O(n²).
+
+    Shingle cache lifetime: pass ``shingle_df`` (an already-persisted set
+    from ``shingles``) to share one materialization across calls — the
+    caller owns unpersist. Without it, this builds and persists its own
+    set, which stays cached for the session (persist feeds both the
+    signature build and the verify joins; there is no safe point to
+    unpersist before the lazy result is materialized)."""
     r = num_perm // n_bands
-    sh = shingles(df, text_col, id_col, n).persist()
+    if shingle_df is not None:
+        sh = shingle_df
+    else:
+        sh = shingles(df, text_col, id_col, n).persist()
     sig = minhash_signatures(df, text_col, id_col, n, num_perm, shingle_df=sh)
     bands = sig.select(
         F.col(id_col),
@@ -222,6 +273,11 @@ def minhash_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+    star = None
+    if max_bucket_size is not None:
+        bands, star = band_bucket_cap(
+            bands, id_col, ["band", "bucket"], max_bucket_size
+        )
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), on=["band", "bucket"])
@@ -229,8 +285,10 @@ def minhash_pairs(
         .select(
             F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
         )
-        .distinct()
     )
+    if star is not None:
+        cand = cand.unionByName(star)
+    cand = cand.distinct()
     verified = jaccard_for_pairs(cand, sh, id_col)
     return verified.where(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "jaccard"
@@ -294,10 +352,13 @@ def embedding_near_dup_lsh(
     n_bands: int = 32,
     band_bits: int = 4,
     seed: int = 42,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Scale path for cosine near-dup pairs: random-hyperplane LSH candidates
     + exact cosine verify. Same output schema as ``embedding_near_dup``
-    (id_a, id_b, cos), recall < 1 by construction.
+    (id_a, id_b, cos), recall < 1 by construction. ``max_bucket_size`` caps
+    degenerate band buckets (near-constant embeddings all projecting to one
+    code) via ``band_bucket_cap`` star pairs — O(bucket), not O(bucket²).
 
     A pair at cosine s collides in one b-bit band with p = (1 - acos(s)/π)^b;
     miss probability is (1 - p)^n_bands. Defaults (32 bands × 4 bits) give
@@ -324,13 +385,18 @@ def embedding_near_dup_lsh(
         df.select(F.col(id_col).alias("vid"), vec_col),
         "vid", vec_col, planes, n_bands, band_bits,
     )
+    star = None
+    if max_bucket_size is not None:
+        bands, star = band_bucket_cap(bands, "vid", ["band", "code"], max_bucket_size)
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), on=["band", "code"])
         .where(F.col("x.vid") < F.col("y.vid"))
         .select(F.col("x.vid").alias("id_a"), F.col("y.vid").alias("id_b"))
-        .distinct()
     )
+    if star is not None:
+        cand = cand.unionByName(star)
+    cand = cand.distinct()
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     return (

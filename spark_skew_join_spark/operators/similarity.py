@@ -112,12 +112,20 @@ def lsh_topk(
     n_bands: int = 8,
     band_bits: int = 4,
     seed: int = 42,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Approximate top-k: candidates share >=1 SimHash band bucket.
 
     The band join is an equi-join on (band, code) — hash-partitionable,
     skew-safe for roughly-uniform random hyperplanes; at 100 TB this replaces
     the O(|corpus| x |queries|) cross join with O(candidates).
+
+    ``max_bucket_size`` drops corpus-side band buckets with more members
+    than the cap (degenerate codes from near-constant embeddings): such a
+    code carries almost no locality information, and keeping it would make
+    the band join fan out by |bucket| per matching query. Recall for
+    vectors only reachable through a dropped bucket is lost — raise the cap
+    (or band_bits) if the corpus is legitimately dense around a code.
     """
     import random
 
@@ -133,6 +141,14 @@ def lsh_topk(
         corpus.select(F.col(id_col).alias("neighbor_id"), vec_col),
         "neighbor_id", vec_col, planes, n_bands, band_bits,
     )
+    if max_bucket_size is not None:
+        hot = (
+            cb.groupBy("band", "code")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .where(F.col("__bn") > max_bucket_size)
+            .select("band", "code")
+        )
+        cb = cb.join(F.broadcast(hot), on=["band", "code"], how="left_anti")
     cand = (
         qb.join(cb, on=["band", "code"])
         .where(F.col("query_id") != F.col("neighbor_id"))
