@@ -59,8 +59,14 @@ def weighted_avg_price_udf():
     # annotations`, which stringifies type hints and defeats inference
     @pandas_udf("double", PandasUDFType.GROUPED_AGG)
     def weighted_avg_price(price, qty):
-        pc = np.floor(price.to_numpy() * 100 + 0.5).astype(np.int64)
-        q = qty.to_numpy().astype(np.int64)
+        # SQL null-skipping aggregate semantics: a null/NaN price or qty
+        # drops the ROW — .astype(int64) on NaN would otherwise inject
+        # INT64_MIN into the weighted sum silently
+        import pandas as pd
+
+        ok = pd.notna(price) & pd.notna(qty)
+        pc = np.floor(price[ok].to_numpy() * 100 + 0.5).astype(np.int64)
+        q = qty[ok].to_numpy().astype(np.int64)
         den = int(q.sum())
         if den == 0:
             return float("nan")

@@ -59,10 +59,14 @@ def connected_components(
     One action per round: the eager localCheckpoint that truncates lineage
     also materializes a ``changed`` flag, so the convergence check is a
     cheap filter-count over the just-checkpointed blocks — no extra join.
-    ``checkpoint_interval`` > 1 checkpoints every k rounds (cheaper rounds,
-    k-times deeper plans between truncations — useful when rounds are
-    many and labels are wide); superseded checkpoints are unpersisted as
-    soon as their successor is materialized.
+    ``checkpoint_interval`` > 1 checkpoints every k rounds; superseded
+    checkpoints are unpersisted as soon as their successor is materialized.
+    Measured guidance: keep the default 1 — on 2M-vertex diameter-15
+    chains, interval 1/2/3 ran 57/67/224 s: an un-checkpointed round's
+    plan re-executes lazily through the next round's pointer-jump
+    self-join, so skipping truncation multiplies work instead of saving
+    actions. The knob exists for shapes where rounds are I/O-bound on
+    checkpoint writes (very wide label payloads), not as a default.
     """
     # both edge directions in ONE pass over the pair plan — a union of the
     # pair list with its swap would evaluate the (possibly expensive)

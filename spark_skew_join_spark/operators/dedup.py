@@ -84,12 +84,18 @@ def ngram_jaccard_pairs(
     max_shingle_df: int | None = None,
     cache_shingles: bool = True,
     shingle_df: DataFrame | None = None,
+    skew_conf=None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs (a < b): |S_a ∩ S_b| / |S_a ∪ S_b| >= t.
 
     Output: (id_a, id_b, inter, size_a, size_b) + jaccard. The shingle
     equi-join shuffles on the shingle value — set ``max_shingle_df`` to drop
-    stop-shingles (bounded fan-out at scale).
+    stop-shingles (bounded fan-out at scale). A shingle that is frequent but
+    under the drop cap is exactly the hot-join-key case: pass ``skew_conf``
+    (a ``SkewJoinConf``) to run the intersection build through ``skew_join``,
+    fragmenting hot shingles across partitions instead of concentrating
+    them on one reducer (output is identical — skew_join is
+    equivalence-exact by construction).
 
     ``cache_shingles`` persists the exploded shingle set, which this plan
     reads three times (df-filter, both join sides) — 2.3x faster at sf0.1.
@@ -114,9 +120,14 @@ def ngram_jaccard_pairs(
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("size"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    if skew_conf is not None:
+        from .skew_join import skew_join
+
+        joined = skew_join(a, b, "shingle", "inner", skew_conf)
+    else:
+        joined = a.join(b, on="shingle")
     inter = (
-        a.join(b, on="shingle")
-        .where(F.col("id_a") < F.col("id_b"))
+        joined.where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )

@@ -2,9 +2,9 @@
 on its classpath, ``pom.xml:44-48``, though never used in code).
 
 Thin, explicit-schema wrappers: at 100 TB a schema inference pass over CSV
-is a full extra scan — always pass the schema. Delta/Iceberg/Hudi need jars
-absent from this image; their writers raise with a clear message instead of
-failing at the JVM layer.
+is a full extra scan — always pass the schema. Delta/Iceberg/Hudi jars are
+auto-detected at call time: present → the writer runs normally; absent →
+a clear NotImplementedError instead of an opaque JVM ClassNotFound.
 """
 
 from __future__ import annotations
@@ -12,13 +12,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
+_LAKEHOUSE_PROBE_CLASS = {
+    "delta": "org.apache.spark.sql.delta.sources.DeltaDataSource",
+    "iceberg": "org.apache.iceberg.spark.source.IcebergSource",
+    "hudi": "org.apache.hudi.DefaultSource",
+}
+
+
+def lakehouse_available(spark: SparkSession, format: str) -> bool:
+    """True when the connector's DataSource class is on the session's
+    classpath (jar shipped with the image or added via spark.jars)."""
+    cls = _LAKEHOUSE_PROBE_CLASS.get(format)
+    if cls is None:
+        return False
+    try:
+        spark._jvm.java.lang.Class.forName(cls)  # type: ignore[union-attr]
+        return True
+    except Exception:
+        return False
+
 
 def write_table(df: DataFrame, path: str, format: str = "parquet",
                 mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
-    if format in ("delta", "iceberg", "hudi"):
+    if format in _LAKEHOUSE_PROBE_CLASS and not lakehouse_available(
+        df.sparkSession, format
+    ):
         raise NotImplementedError(
-            f"{format} requires connector jars not present in this image; "
-            "use parquet/csv/json/orc"
+            f"{format} connector jars are not on this session's classpath; "
+            "add them via spark.jars.packages or use parquet/csv/json/orc"
         )
     w = df.write.mode(mode).format(format)
     if format == "csv":

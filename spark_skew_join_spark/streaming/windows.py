@@ -40,23 +40,41 @@ EVENT_SCHEMA = StructType(
 )
 
 
+_STAGE_DIRS: dict[str, str] = {}
+
+
+def _stage_dir(sf_dir: str) -> str:
+    """One staging dir per sf_dir, removed at interpreter exit (round 2
+    leaked a fresh mkdtemp per call, ADVICE/VERDICT r2 #7)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    stage = _STAGE_DIRS.get(sf_dir)
+    if stage is None or not os.path.isdir(stage):
+        stage = tempfile.mkdtemp(prefix="sj_events_stream_")
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(stage, "events.parquet"),
+        )
+        _STAGE_DIRS[sf_dir] = stage
+        atexit.register(shutil.rmtree, stage, ignore_errors=True)
+    return stage
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one-file replay), with the
     same nanos→micros ts normalization as the batch catalog.
 
     The file source wants a *directory*; stage a symlink to events.parquet
     in a temp dir (no copy) — in production this is the landing directory
-    new files arrive into."""
-    import os
-    import tempfile
+    new files arrive into. Session conf (nanosAsLong etc.) comes from the
+    shared ``configure`` helper rather than ad-hoc mutation here."""
+    from ..sources.tables import configure
 
-    stage = tempfile.mkdtemp(prefix="sj_events_stream_")
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"),
-        os.path.join(stage, "events.parquet"),
-    )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENT_SCHEMA).format("parquet").load(stage)
+    configure(spark)
+    raw = spark.readStream.schema(EVENT_SCHEMA).format("parquet").load(_stage_dir(sf_dir))
     return raw.withColumn("ts_ns", F.col("ts")).withColumn(
         "ts", F.timestamp_micros(F.expr("ts div 1000"))
     )

@@ -1,0 +1,167 @@
+"""Equivalence + skew-guard tests for the fuzzy-dedup scale paths.
+
+Pins the two assumptions the oracle gate rests on (VERDICT r2 #2, ADVICE
+r2 #5): (a) the LSH scale paths have 100% recall vs their brute-force
+baselines ON THE CURRENT FIXTURES with the pinned seeds/banding — if a
+fixture regeneration flips the driver's hash gate, these tests point at
+recall, not at a code bug; (b) degenerate corpora (identical docs,
+near-constant embeddings) stay LINEAR through the band-bucket cap while
+clustering output stays correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_skew_join_spark.operators.cluster import connected_components
+from spark_skew_join_spark.operators.dedup import (
+    embedding_near_dup,
+    embedding_near_dup_lsh,
+    minhash_pairs,
+    ngram_jaccard_pairs,
+)
+from spark_skew_join_spark.operators.diagnostics import partition_stats
+from spark_skew_join_spark.sources.tables import load_tables
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pairs(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+# ---------------------------------------------------------------- recall pins
+
+def test_embedding_lsh_full_recall_vs_brute(spark):
+    """Brute-force cosine pairs == LSH pairs on the fixtures (same threshold
+    as the registered queries). Both share EMB_NEAR_DUP_SQL as oracle; this
+    is the equivalence that lets the LSH path be the benched headline."""
+    emb = load_tables(spark, SF)["embeddings"]
+    brute = _pairs(
+        embedding_near_dup(emb, threshold=0.4, dim=64), "id_a", "id_b"
+    )
+    lsh = _pairs(embedding_near_dup_lsh(emb, threshold=0.4), "id_a", "id_b")
+    assert brute == lsh
+    assert len(brute) > 0, "fixture has no qualifying pairs — test is vacuous"
+
+
+def test_minhash_full_recall_vs_exact_jaccard(spark):
+    """MinHash-LSH candidates cover every >=0.5-Jaccard pair on the fixtures
+    (verify stage makes precision 1, so equality == full recall)."""
+    docs = load_tables(spark, SF)["documents"]
+    exact = ngram_jaccard_pairs(docs, threshold=0.5, n=8, cache_shingles=False)
+    mh = minhash_pairs(docs, threshold=0.5, n=8)
+    assert _pairs(mh, "id_a", "id_b") == _pairs(exact, "id_a", "id_b")
+
+
+def test_minhash_bucket_cap_is_noop_on_fixtures(spark):
+    """The default cap must not fire on real fixtures — capped and uncapped
+    outputs are identical (the cap only reshapes degenerate buckets)."""
+    docs = load_tables(spark, SF)["documents"]
+    capped = minhash_pairs(docs, threshold=0.5, n=8, max_bucket_size=1000)
+    uncapped = minhash_pairs(docs, threshold=0.5, n=8, max_bucket_size=None)
+    assert _pairs(capped, "id_a", "id_b") == _pairs(uncapped, "id_a", "id_b")
+
+
+# ------------------------------------------------------- degenerate corpora
+
+def test_identical_docs_stay_linear_and_cluster(spark):
+    """1200 byte-identical docs, cap=100: every band bucket is over-cap, so
+    candidates collapse to the 1199-pair star — O(n), not the ~720k-pair
+    clique — and the star still verifies at jaccard 1.0 and clusters into
+    ONE component (connectivity preserved through the anchor)."""
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    docs = spark.range(1200).select(
+        F.col("id").alias("doc_id"), F.lit(base).alias("text")
+    )
+    pairs = minhash_pairs(docs, threshold=0.5, n=8, max_bucket_size=100)
+    got = pairs.collect()
+    assert len(got) == 1199
+    assert all(r.id_a == 0 and r.jaccard == 1.0 for r in got)
+    comp = connected_components(pairs.select("id_a", "id_b"), docs.select("doc_id"))
+    assert comp.select("cluster_rep").distinct().count() == 1
+
+
+def test_near_constant_embeddings_stay_linear(spark):
+    """800 near-identical vectors, cap=50: every band bucket degenerates to
+    one code; the cap diverts them to the 799-pair star."""
+    emb = spark.range(800).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[F.lit(1.0) + F.col("id").cast("double") / 1e9 for _ in range(8)]
+        ).alias("embedding"),
+    )
+    pairs = embedding_near_dup_lsh(
+        emb, threshold=0.99, dim=8, n_bands=4, band_bits=2, max_bucket_size=50
+    )
+    got = pairs.collect()
+    assert len(got) == 799
+    assert all(r.id_a == 0 for r in got)
+
+
+# ------------------------------------------------- hot-shingle skew handling
+
+@pytest.fixture(scope="module")
+def hot_shingle_docs(spark):
+    """300 docs sharing one ubiquitous 8-gram ("COMMONXY") plus unique tails:
+    the shingle join's classic hot-key case — every doc meets every other
+    doc on that one shingle."""
+    return spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("COMMONXY "),
+            F.lit("unique-content-"),
+            F.col("id").cast("string"),
+            F.lit("-tail padding text for shingling"),
+        ).alias("text"),
+    )
+
+
+def test_skew_aware_shingle_join_equivalence(spark, hot_shingle_docs):
+    from spark_skew_join_spark.conf import SkewJoinConf
+
+    plain = ngram_jaccard_pairs(
+        hot_shingle_docs, threshold=0.1, n=8, cache_shingles=False
+    )
+    skewed = ngram_jaccard_pairs(
+        hot_shingle_docs, threshold=0.1, n=8, cache_shingles=False,
+        skew_conf=SkewJoinConf(replication_factor=0.05, hot_threshold=50),
+    )
+    cols = ("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+    assert _pairs(skewed, *cols) == _pairs(plain, *cols)
+
+
+def test_skew_aware_shingle_join_balances_partitions(spark, hot_shingle_docs):
+    """With AQE off (it would coalesce the comparison away), the fragment-
+    replicate shingle join must spread the hot shingle's fan-out across
+    partitions better than the plain equi-join concentrates it."""
+    from spark_skew_join_spark.conf import SkewJoinConf
+    from spark_skew_join_spark.operators.dedup import shingles
+    from spark_skew_join_spark.operators.skew_join import skew_join
+
+    sh = shingles(hot_shingle_docs, n=8)
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    old = {
+        "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.shuffle.partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        plain_ratio = partition_stats(a.join(b, on="shingle")).skew_ratio
+        skew_ratio = partition_stats(
+            skew_join(
+                a, b, "shingle", "inner",
+                SkewJoinConf(replication_factor=0.05, hot_threshold=50),
+            )
+        ).skew_ratio
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    assert skew_ratio < plain_ratio, (skew_ratio, plain_ratio)

@@ -58,10 +58,27 @@ def test_csv_requires_schema(spark):
         read_table(spark, "/tmp/nope", format="csv")
 
 
-def test_delta_raises_cleanly(spark):
+def test_delta_raises_cleanly_when_jar_absent(spark):
+    from spark_skew_join_spark.sources.io import lakehouse_available
+
     df = spark.range(3)
+    if lakehouse_available(spark, "delta"):
+        pytest.skip("delta jars present in this image — writer path enabled")
     with pytest.raises(NotImplementedError, match="delta"):
         write_table(df, "/tmp/nope", format="delta")
+
+
+def test_delta_roundtrip_when_jar_present(spark, tmp_path):
+    """Auto-enabled lakehouse write path (skipped in jar-less images)."""
+    from spark_skew_join_spark.sources.io import lakehouse_available
+
+    if not lakehouse_available(spark, "delta"):
+        pytest.skip("delta connector jars not on classpath in this image")
+    df = spark.range(5).withColumnRenamed("id", "k")
+    path = str(tmp_path / "delta_tbl")
+    write_table(df, path, format="delta")
+    back = read_table(spark, path, format="delta")
+    assert back.count() == 5
 
 
 def test_count_distinct_skewed_equals_plain(spark, zipf_left):

@@ -90,3 +90,30 @@ def test_embedding_lsh_plan_has_no_cartesian(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_no_benched_query_has_cartesian_product(spark):
+    """VERDICT r2 #2 done-criterion: after demoting the all-pairs oracle
+    baselines to BENCH_EXCLUDE, no TIMED query's physical plan may contain a
+    shuffled cartesian product. BroadcastNestedLoopJoin is tolerated only
+    for knn_bruteforce, whose designed exact-baseline scan broadcasts the
+    tiny query set over the corpus (embarrassingly parallel, no shuffle)."""
+    from spark_skew_join_spark import queries as q
+
+    bnl_ok = {"knn_bruteforce"}
+    offenders = []
+    for name in q.QUERIES:
+        if name in q.BENCH_EXCLUDE:
+            continue
+        plan = (
+            q.QUERIES[name](spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoop" in plan and name not in bnl_ok:
+            offenders.append((name, "BroadcastNestedLoop"))
+    q.clear_dedup_cache()
+    assert not offenders, offenders
