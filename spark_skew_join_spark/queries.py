@@ -1664,6 +1664,659 @@ FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
 
 
 # --------------------------------------------------------------------------
+# TPC-H-shape completion (round 3): the remaining 14 classic query shapes,
+# adapted to the driver's slim star schema (no partsupp/commit dates/phone:
+# q2/q9/q11/q20 derive supply facts from lineitem; q21 uses returnflag for
+# the "failed delivery" role; q22's country code is a nationkey bucket).
+# Decimal-sum casts keep every money aggregate engine-deterministic.
+# --------------------------------------------------------------------------
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q2 shape: correlated MIN subquery over a derived supply-cost fact +
+    4-way dim join. The per-(part,supplier) unit cost comes from lineitem
+    (no partsupp table in this schema); the region-scoped minimum is a
+    window min — Catalyst computes it in one pass where the SQL oracle
+    re-correlates."""
+    t = load_tables(spark, sf_dir)
+    cost = (
+        t["lineitem"]
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    eu_supp = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "EUROPE")
+    )
+    j = (
+        cost.join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(t["part"].where(F.col("p_size") == 15)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        j.withColumn("__min_cost", F.min("unit_cost").over(w))
+        .where(F.col("unit_cost") == F.col("__min_cost"))
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "unit_cost")
+    )
+
+
+Q2_SQL = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, unit_cost
+FROM part, cost, supplier, nation, region
+WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+  AND p_size = 15
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+  AND unit_cost = (
+    SELECT MIN(c2.unit_cost) FROM cost c2, supplier s2, nation n2, region r2
+    WHERE c2.l_partkey = p_partkey AND s2.s_suppkey = c2.l_suppkey
+      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+      AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q7: bidirectional nation-pair revenue by ship year (self-joined dim)."""
+    t = load_tables(spark, sf_dir)
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    l = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") <= F.lit("1997-12-31").cast("timestamp"))
+    )
+    j = (
+        l.join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    volume = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        j.withColumn("l_year", F.year("l_shipdate").cast("int"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(_dsum(volume, _DEC_PROD).alias("revenue"))
+    )
+
+
+Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(CAST(volume AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey AND c_custkey = o_custkey
+    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q8: conditional-aggregate ratio (one nation's share of regional
+    promo-part volume by order year). Both sums are decimal-exact before
+    the single double division."""
+    t = load_tables(spark, sf_dir)
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    o = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1997-12-31").cast("timestamp"))
+    )
+    j = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].where(F.col("p_type") == "PROMO")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(
+            F.broadcast(t["region"].where(F.col("r_name") == "AFRICA")),
+            F.col("n1_region") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+    )
+    volume = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    nation_volume = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(F.lit(0))
+    return (
+        j.withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .groupBy("o_year")
+        .agg(
+            (
+                _dsum(nation_volume, _DEC_PROD) / _dsum(volume, _DEC_PROD)
+            ).alias("mkt_share")
+        )
+    )
+
+
+Q8_SQL = """
+SELECT o_year,
+       CAST(SUM(CAST(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END AS DECIMAL(24,6))) AS DOUBLE)
+       / CAST(SUM(CAST(volume AS DECIMAL(24,6))) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey AND l_orderkey = o_orderkey
+    AND o_custkey = c_custkey AND c_nationkey = n1.n_nationkey
+    AND n1.n_regionkey = r_regionkey AND r_name = 'AFRICA'
+    AND s_nationkey = n2.n_nationkey
+    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    AND p_type = 'PROMO'
+) all_nations
+GROUP BY o_year
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q9: nation/year profit over a part-name LIKE filter. Supply cost is
+    derived as 0.6 × retail price × quantity (no partsupp.ps_supplycost in
+    this schema)."""
+    t = load_tables(spark, sf_dir)
+    j = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].where(F.col("p_name").like("%gear%"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    amount = (
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        j.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(_dsum(F.col("amount"), _DEC_PROD).alias("sum_profit"))
+    )
+
+
+Q9_SQL = """
+SELECT nation, o_year,
+       CAST(SUM(CAST(amount AS DECIMAL(24,6))) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+         l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity AS amount
+  FROM part, supplier, lineitem, orders, nation
+  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey AND o_orderkey = l_orderkey
+    AND s_nationkey = n_nationkey AND p_name LIKE '%gear%'
+) profit
+GROUP BY nation, o_year
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q10: top-20 customers by returned-item revenue in a quarter."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    j = (
+        t["lineitem"]
+        .where(F.col("l_returnflag") == "R")
+        .join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
+        .agg(_dsum(revenue, _DEC_PROD).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name", "c_mktsegment")
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+       c_acctbal, n_name, c_mktsegment
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q11 shape: HAVING against a scalar subquery (parts whose revenue
+    through one nation's suppliers exceeds 0.2% of that nation's total).
+    The scalar total is a 1-row broadcast cross join, not a driver round
+    trip."""
+    t = load_tables(spark, sf_dir)
+    base = (
+        t["lineitem"]
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(t["nation"].where(F.col("n_name") == "NATION_5")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    per_part = base.groupBy(F.col("l_partkey").alias("ps_partkey")).agg(
+        _dsum(revenue, _DEC_PROD).alias("part_value")
+    )
+    total = base.agg((_dsum(revenue, _DEC_PROD) * F.lit(0.002)).alias("__threshold"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("part_value") > F.col("__threshold"))
+        .orderBy(F.col("part_value").desc(), "ps_partkey")
+        .select("ps_partkey", "part_value")
+    )
+
+
+Q11_SQL = """
+SELECT l_partkey AS ps_partkey,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS part_value
+FROM lineitem, supplier, nation
+WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_5'
+GROUP BY l_partkey
+HAVING CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) > (
+  SELECT 0.002 * CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE)
+  FROM lineitem, supplier, nation
+  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_5')
+ORDER BY part_value DESC, ps_partkey
+"""
+
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q13: LEFT OUTER join with an extra join-condition predicate, then a
+    distribution over per-customer order counts."""
+    t = load_tables(spark, sf_dir)
+    c, o = t["customer"], t["orders"]
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q15: CTE + scalar MAX equality (the revenue view is computed once and
+    reused for both the ranking and the max — no second scan)."""
+    t = load_tables(spark, sf_dir)
+    revenue = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), _DEC_PROD
+            ).alias("total_revenue")
+        )
+    )
+    # scalar max as a 1-row broadcast, NOT an unpartitioned window (which
+    # would drag every supplier row to a single partition)
+    max_rev = revenue.agg(F.max("total_revenue").alias("__max_rev"))
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .where(F.col("total_revenue") == F.col("__max_rev"))
+        .join(F.broadcast(t["supplier"]), F.col("supplier_no") == F.col("s_suppkey"))
+        .orderBy("s_suppkey")
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier, revenue
+WHERE s_suppkey = supplier_no
+  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q16: NOT IN subquery (suppliers in bad standing excluded via
+    left_anti) + COUNT(DISTINCT) per part attribute triple."""
+    t = load_tables(spark, sf_dir)
+    bad = t["supplier"].where(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    p = t["part"].where(
+        (F.col("p_brand") != "Brand#11")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45)
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(bad), on="l_suppkey", how="left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand <> 'Brand#11' AND p_type <> 'PROMO'
+  AND p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q17: correlated per-part AVG threshold (rows under half the part's
+    mean quantity). The mean is decimal-sum / count — bit-identical across
+    engines — and attaches as a broadcast per-part map, not a rescan per
+    row."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    thresholds = li.groupBy(F.col("l_partkey").alias("__tp")).agg(
+        (
+            F.lit(0.5)
+            * (_dsum(F.col("l_quantity")) / F.count(F.lit(1)))
+        ).alias("__half_avg_qty")
+    )
+    j = (
+        li.join(
+            F.broadcast(t["part"].where(F.col("p_brand") == "Brand#13")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(thresholds), F.col("l_partkey") == F.col("__tp"))
+        .where(F.col("l_quantity") < F.col("__half_avg_qty"))
+    )
+    return j.agg((_dsum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"))
+
+
+Q17_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND p_brand = 'Brand#13'
+  AND l_quantity < (
+    SELECT 0.5 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q18: IN-subquery with HAVING (orders whose total quantity > 170)."""
+    t = load_tables(spark, sf_dir)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(_dsum(F.col("l_quantity")).alias("__sq"))
+        .where(F.col("__sq") > 170)
+        .select("l_orderkey")
+    )
+    j = (
+        t["orders"]
+        .join(big.withColumnRenamed("l_orderkey", "o_orderkey"), on="o_orderkey", how="left_semi")
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+    )
+    return (
+        j.groupBy(
+            "c_name", "c_custkey", "o_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"), "o_totalprice",
+        )
+        .agg(_dsum(F.col("l_quantity")).alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+    )
+
+
+Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 170)
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE), o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def q20_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q20 shape: IN-subquery whose HAVING correlates to a per-part scalar
+    (suppliers providing >8% of a SMALL part's total quantity). The
+    correlated total is a window sum over the per-(supplier, part)
+    aggregate's part partition — one shuffle, no per-group subquery."""
+    t = load_tables(spark, sf_dir)
+    small = t["part"].where(F.col("p_type") == "SMALL").select("p_partkey")
+    per_ps = (
+        t["lineitem"]
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(_dsum(F.col("l_quantity")).alias("__sq"))
+    )
+    w = Window.partitionBy("l_partkey")
+    qualifying = (
+        per_ps.withColumn("__part_total", F.sum("__sq").over(w))
+        .join(F.broadcast(small), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .where(F.col("__sq") > F.lit(0.08) * F.col("__part_total"))
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    return (
+        t["supplier"]
+        .join(qualifying, on="s_suppkey", how="left_semi")
+        .join(
+            F.broadcast(t["nation"].where(F.col("n_regionkey") == 2)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .orderBy("s_name")
+        .select("s_name", "s_acctbal", "n_name")
+    )
+
+
+Q20_SQL = """
+SELECT s_name, s_acctbal, n_name
+FROM supplier, nation
+WHERE s_nationkey = n_nationkey AND n_regionkey = 2
+  AND s_suppkey IN (
+    SELECT l1.l_suppkey FROM lineitem l1, part
+    WHERE p_partkey = l1.l_partkey AND p_type = 'SMALL'
+    GROUP BY l1.l_suppkey, l1.l_partkey
+    HAVING CAST(SUM(CAST(l1.l_quantity AS DECIMAL(18,2))) AS DOUBLE) > (
+      SELECT 0.08 * CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey))
+ORDER BY s_name
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q21 shape: correlated EXISTS + NOT EXISTS against sibling lineitems.
+    Adapted to this schema: on finished ('F') multi-supplier orders, count
+    per supplier the lines where THIS supplier is the only one whose line
+    was returned (returnflag 'R' plays the missed-commit-date role).
+    EXISTS → left_semi on (orderkey, other-supplier); NOT EXISTS →
+    left_anti on the same shape restricted to returned lines."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_returnflag")
+    l1 = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(
+            F.broadcast(t["orders"].where(F.col("o_orderstatus") == "F")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    ).distinct()
+    exists = l1.join(
+        others,
+        (F.col("l_orderkey") == F.col("o2_orderkey"))
+        & (F.col("l_suppkey") != F.col("o2_suppkey")),
+        "left_semi",
+    )
+    others_r = (
+        li.where(F.col("l_returnflag") == "R")
+        .select(
+            F.col("l_orderkey").alias("o3_orderkey"),
+            F.col("l_suppkey").alias("o3_suppkey"),
+        )
+        .distinct()
+    )
+    not_exists = exists.join(
+        others_r,
+        (F.col("l_orderkey") == F.col("o3_orderkey"))
+        & (F.col("l_suppkey") != F.col("o3_suppkey")),
+        "left_anti",
+    )
+    return (
+        not_exists.join(
+            F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(
+            F.broadcast(t["nation"].where(F.col("n_name") == "NATION_4")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+Q21_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier, lineitem l1, orders, nation
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+  AND s_nationkey = n_nationkey AND n_name = 'NATION_4'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q22 shape: scalar AVG subquery + NOT EXISTS. Country code is a
+    nationkey bucket (no phone column); "inactive" = no order above 300k
+    (every fixture customer has orders, so the classic no-orders predicate
+    is vacuous)."""
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].where((F.col("c_nationkey") % 10).isin(1, 3, 5, 7, 9))
+    avg_bal = t["customer"].where(F.col("c_acctbal") > 0.0).agg(
+        (_dsum(F.col("c_acctbal")) / F.count(F.lit(1))).alias("__avg_bal")
+    )
+    big_orders = t["orders"].where(F.col("o_totalprice") > 300000.0).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(big_orders, on="c_custkey", how="left_anti")
+        .groupBy((F.col("c_nationkey") % 10).cast("int").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+Q22_SQL = """
+SELECT cntrycode, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM (
+  SELECT CAST(c_nationkey % 10 AS INT) AS cntrycode, c_acctbal
+  FROM customer
+  WHERE c_nationkey % 10 IN (1, 3, 5, 7, 9)
+    AND c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                     FROM customer WHERE c_acctbal > 0.0)
+    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                    AND o_totalprice > 300000.0)
+) custsale
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1727,6 +2380,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join_price_bands": range_join_price_bands,
     "pivot_linestatus": pivot_linestatus,
     "unpivot_metrics": unpivot_metrics,
+    # round 3: TPC-H-shape completion (names appended; existing order kept
+    # stable so the driver re-samples prior queries — VERDICT r2 #4)
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
+    "q10_returned_items": q10_returned_items,
+    "q11_important_parts": q11_important_parts,
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q17_small_qty_revenue": q17_small_qty_revenue,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "q20_part_promotion_suppliers": q20_part_promotion_suppliers,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
+    "q22_inactive_customers": q22_inactive_customers,
 }
 
 ORACLES: dict[str, str] = {
@@ -1791,6 +2460,20 @@ ORACLES: dict[str, str] = {
     "range_join_price_bands": RANGE_SQL,
     "pivot_linestatus": PIVOT_SQL,
     "unpivot_metrics": UNPIVOT_SQL,
+    "q2_min_cost_supplier": Q2_SQL,
+    "q7_volume_shipping": Q7_SQL,
+    "q8_market_share": Q8_SQL,
+    "q9_product_profit": Q9_SQL,
+    "q10_returned_items": Q10_SQL,
+    "q11_important_parts": Q11_SQL,
+    "q13_order_count_distribution": Q13_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q16_supplier_part_counts": Q16_SQL,
+    "q17_small_qty_revenue": Q17_SQL,
+    "q18_large_volume_customers": Q18_SQL,
+    "q20_part_promotion_suppliers": Q20_SQL,
+    "q21_waiting_suppliers": Q21_SQL,
+    "q22_inactive_customers": Q22_SQL,
     # rows-only (intentionally no oracle): dedup_simhash_docs, ann_lsh_topk,
     # approx_stats
 }

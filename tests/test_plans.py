@@ -100,7 +100,14 @@ def test_no_benched_query_has_cartesian_product(spark):
     tiny query set over the corpus (embarrassingly parallel, no shuffle)."""
     from spark_skew_join_spark import queries as q
 
-    bnl_ok = {"knn_bruteforce"}
+    # 1-row scalar-subquery broadcasts (avg/total/max thresholds) are
+    # BroadcastNestedLoopJoins by construction — bounded and shuffle-free
+    bnl_ok = {
+        "knn_bruteforce",
+        "q11_important_parts",
+        "q15_top_supplier",
+        "q22_inactive_customers",
+    }
     offenders = []
     for name in q.QUERIES:
         if name in q.BENCH_EXCLUDE:
