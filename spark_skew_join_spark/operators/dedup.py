@@ -24,6 +24,28 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions.text import fingerprint
 
+# LSH band/signature DataFrames are consumed ~5× inside one plan (bucket
+# stats, cap anti-join, both self-join sides, star pairs); without a persist
+# each consumer re-runs the projection/signature shuffle — measured 3.5×
+# slower at sf0.1. The operators persist them here; ``clear_band_cache``
+# (also called by queries.clear_dedup_cache / bench.py) releases the blocks.
+# At 100 TB prefer writing signatures to a table (cache_bands=False) —
+# executor memory is the wrong home for a billion-row band list.
+_CACHED_BANDS: list[DataFrame] = []
+
+
+def _session_cache(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _CACHED_BANDS.append(df)
+    return df
+
+
+def clear_band_cache() -> None:
+    """Unpersist every operator-cached band/signature DataFrame (idempotent)."""
+    for df in _CACHED_BANDS:
+        df.unpersist()
+    _CACHED_BANDS.clear()
+
 
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -243,6 +265,7 @@ def minhash_pairs(
     n_bands: int = 8,
     shingle_df: DataFrame | None = None,
     max_bucket_size: int | None = 1000,
+    cache_bands: bool = True,
 ) -> DataFrame:
     """LSH-banded candidate pairs verified by exact Jaccard.
 
@@ -284,6 +307,8 @@ def minhash_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+    if cache_bands:
+        bands = _session_cache(bands)
     star = None
     if max_bucket_size is not None:
         bands, star = band_bucket_cap(
@@ -364,6 +389,7 @@ def embedding_near_dup_lsh(
     band_bits: int = 4,
     seed: int = 42,
     max_bucket_size: int | None = 1000,
+    cache_bands: bool = True,
 ) -> DataFrame:
     """Scale path for cosine near-dup pairs: random-hyperplane LSH candidates
     + exact cosine verify. Same output schema as ``embedding_near_dup``
@@ -396,6 +422,8 @@ def embedding_near_dup_lsh(
         df.select(F.col(id_col).alias("vid"), vec_col),
         "vid", vec_col, planes, n_bands, band_bits,
     )
+    if cache_bands:
+        bands = _session_cache(bands)
     star = None
     if max_bucket_size is not None:
         bands, star = band_bucket_cap(bands, "vid", ["band", "code"], max_bucket_size)

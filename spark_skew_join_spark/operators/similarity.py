@@ -113,6 +113,7 @@ def lsh_topk(
     band_bits: int = 4,
     seed: int = 42,
     max_bucket_size: int | None = 1000,
+    cache_bands: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates share >=1 SimHash band bucket.
 
@@ -141,6 +142,12 @@ def lsh_topk(
         corpus.select(F.col(id_col).alias("neighbor_id"), vec_col),
         "neighbor_id", vec_col, planes, n_bands, band_bits,
     )
+    if cache_bands:
+        # corpus bands feed both the hot-bucket stats and the probe join —
+        # persist via the shared registry (dedup.clear_band_cache releases)
+        from .dedup import _session_cache
+
+        cb = _session_cache(cb)
     if max_bucket_size is not None:
         hot = (
             cb.groupBy("band", "code")

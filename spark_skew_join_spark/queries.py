@@ -666,11 +666,15 @@ def _dedup_family(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
 
 
 def clear_dedup_cache() -> None:
-    """Unpersist the shared dedup-family DataFrames (idempotent)."""
+    """Unpersist the shared dedup-family DataFrames AND the operator-level
+    LSH band caches (idempotent)."""
+    from .operators.dedup import clear_band_cache
+
     for sh, pairs in _DEDUP_FAMILY_CACHE.values():
         pairs.unpersist()
         sh.unpersist()
     _DEDUP_FAMILY_CACHE.clear()
+    clear_band_cache()
 
 
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
