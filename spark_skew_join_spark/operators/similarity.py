@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths, per the build contract:
+Three paths, per the build contract:
 
 * ``cosine_topk`` — brute-force exact k-NN: broadcast the (small) query set,
   one codegen pass over the corpus, window top-k. At 100 TB the corpus scan
@@ -9,6 +9,12 @@ Two paths, per the build contract:
 * ``lsh_topk`` — scale path: random-hyperplane (SimHash) bucketing; queries
   only compare against corpus vectors sharing a bucket in at least one band.
   Recall < 1 by construction; the oracle for it is rows-only.
+* ``ivf_topk`` — scale path with a learned coarse quantizer (IVF-flat):
+  k-means centroids fit on a deterministic bounded sample, corpus assigned
+  to its nearest centroid (the inverted list), queries probe the n_probe
+  nearest lists. The centroid fit is the only driver-side step and is
+  bounded by ``sample_size`` rows; assignment and probing are column
+  expressions.
 """
 
 from __future__ import annotations
@@ -171,6 +177,120 @@ def lsh_topk(
     scored = (
         cand.join(F.broadcast(q), "query_id")
         .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cos(F.col("__qv"), F.col("__cv"), dim).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def _fit_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str,
+    n_centroids: int, sample_size: int, iters: int,
+):
+    """Deterministic k-means on a bounded sample (numpy, driver-side).
+
+    The sample is the first ``sample_size`` vectors by xxhash64(id) — stable
+    across runs/partitionings — so centroids, assignments, and therefore
+    results are reproducible. This is the ONLY driver-side data movement in
+    the IVF path and it is bounded: sample_size × dim floats, independent of
+    corpus size (the standard IVF training recipe — the quantizer is
+    learned on a sample, never the full data)."""
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
+        .orderBy("h")
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.asarray([r.v for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    cent = x[:n_centroids].copy()  # hash-ordered rows = pseudo-random init
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(n_centroids):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return [[float(v) for v in c] for c in cent]
+
+
+def _centroid_sims(vec_col, centroids):
+    """Array of cosine(v, centroid_i) — interpreted HOF dot products (same
+    rationale as ``_simhash_bands``: O(rows) stage, unrolling n_centroids ×
+    dim literals would blow the codegen tree)."""
+    v = F.col(vec_col)
+    norm = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    sims = []
+    for c in centroids:  # centroids are unit vectors
+        dot = F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(x) for x in c]), lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sims.append(dot / norm)
+    return sims
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    sample_size: int = 2048,
+    kmeans_iters: int = 5,
+    dim: int | None = 64,
+) -> DataFrame:
+    """IVF-flat approximate top-k: probe the n_probe nearest inverted lists.
+
+    Scale shape: corpus vectors shuffle ONCE on their centroid id (the
+    inverted list — at 100 TB this is the partition/bucket layout you would
+    persist); each query fans out to n_probe lists, so the probe join is an
+    equi-join on centroid_id touching n_probe/n_centroids of the corpus.
+    Recall misses only vectors whose list was not probed — raise n_probe to
+    trade cost for recall. Output: (query_id, neighbor_id, rank), rows-only
+    oracle (approximate by construction, like ``lsh_topk``)."""
+    centroids = _fit_centroids(
+        corpus, id_col, vec_col, n_centroids, sample_size, kmeans_iters
+    )
+    c_sims = F.array(*_centroid_sims(vec_col, centroids))
+    # corpus side: argmax centroid = position of the max similarity
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        (F.array_position(c_sims, F.array_max(c_sims)) - 1).cast("int").alias("centroid_id"),
+    )
+    # query side: top-n_probe centroids via sort of (sim, idx) structs
+    q_structs = F.array(
+        *[
+            F.struct(s.alias("s"), F.lit(i).alias("c"))
+            for i, s in enumerate(_centroid_sims(vec_col, centroids))
+        ]
+    )
+    probes = F.slice(F.reverse(F.array_sort(q_structs)), 1, n_probe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(probes).alias("__p"),
+    ).select("query_id", "__qv", F.col("__p.c").cast("int").alias("centroid_id"))
+    scored = (
+        c.join(F.broadcast(q), on="centroid_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",

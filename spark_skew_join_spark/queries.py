@@ -1650,6 +1650,20 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(e, e.where(F.col("vec_id") < 5), k=10)
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (rows-only oracle, approximate by construction).
+
+    n_probe=8 of 16 lists because the synthetic fixture vectors are
+    near-orthogonal (no cluster structure, so neighbors scatter across
+    lists — recall 0.88 pinned in tests/test_dedup_equivalence.py); real
+    clustered embeddings probe far fewer lists for the same recall."""
+    from .operators.similarity import ivf_topk
+
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    return ivf_topk(e, e.where(F.col("vec_id") < 5), k=10, n_centroids=16, n_probe=8)
+
+
 def skew_join_cms_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     """skew_join with the CMS estimator — same oracle as the exact path."""
     t = load_tables(spark, sf_dir)
@@ -2400,6 +2414,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q20_part_promotion_suppliers": q20_part_promotion_suppliers,
     "q21_waiting_suppliers": q21_waiting_suppliers,
     "q22_inactive_customers": q22_inactive_customers,
+    "ann_ivf_topk": ann_ivf_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -2479,7 +2494,7 @@ ORACLES: dict[str, str] = {
     "q21_waiting_suppliers": Q21_SQL,
     "q22_inactive_customers": Q22_SQL,
     # rows-only (intentionally no oracle): dedup_simhash_docs, ann_lsh_topk,
-    # approx_stats
+    # ann_ivf_topk, approx_stats
 }
 
 # Queries whose plan CONSTRUCTION runs eager Spark jobs (skew-join hot-key

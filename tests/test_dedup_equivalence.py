@@ -100,6 +100,32 @@ def test_near_constant_embeddings_stay_linear(spark):
     assert all(r.id_a == 0 for r in got)
 
 
+def test_ivf_topk_recall_pin(spark):
+    """IVF-flat ANN recall vs exact top-k at the registered query's params.
+    The fixture corpus is near-orthogonal (worst case for IVF — neighbors
+    scatter across lists), so the pin is 0.8 at n_probe=8/16; a fixture
+    regeneration that drops below this points at recall, not a code bug."""
+    from spark_skew_join_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = load_tables(spark, SF)["embeddings"]
+    qs = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, qs, k=10, dim=64).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, qs, k=10, n_centroids=16, n_probe=8).collect()
+    }
+    assert len(ivf & exact) / len(exact) >= 0.8
+    # determinism: same seed/sample -> identical result set
+    ivf2 = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, qs, k=10, n_centroids=16, n_probe=8).collect()
+    }
+    assert ivf == ivf2
+
+
 # ------------------------------------------------- hot-shingle skew handling
 
 @pytest.fixture(scope="module")
