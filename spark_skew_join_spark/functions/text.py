@@ -45,6 +45,21 @@ def token_count(colname: str) -> Column:
     return F.when(F.length(c) == 0, F.lit(0)).otherwise(n).cast("int")
 
 
+# BPE-style pre-tokenizer classes (simplified GPT-2 pattern, restricted to
+# constructs Java regex (Spark) and RE2 (DuckDB) evaluate identically — no
+# lookarounds, no \p classes): letter runs, single digits (number splitting
+# like modern tokenizers), non-alphanumeric-non-space runs.
+BPE_TOKEN_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]+"
+
+
+def bpe_token_count(colname: str) -> Column:
+    """Pre-tokenizer token count under BPE_TOKEN_PATTERN — the
+    "BPE-ish regex" counter of the pipeline contract (an upper bound on
+    merged-BPE token count; exact merges need the vocab, which is a model
+    artifact, not an engine function). Pure codegen ``regexp_count``."""
+    return F.regexp_count(F.col(colname), F.lit(BPE_TOKEN_PATTERN)).cast("int")
+
+
 def punct_count(colname: str) -> Column:
     c = F.col(colname)
     return (F.length(c) - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))).cast("int")

@@ -999,6 +999,46 @@ GROUP BY token ORDER BY n DESC, token LIMIT 50
 """
 
 
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish-regex token counts per doc + corpus rollup
+    input: the pre-tokenizer pattern (letter runs / single digits /
+    punctuation runs) is evaluated identically by Spark's Java regex and
+    DuckDB's RE2 — restricted on purpose (no lookarounds, no \\p)."""
+    from .functions.text import bpe_token_count
+
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            token_count("text").alias("n_ws_tokens"),
+            bpe_token_count("text").alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "bpe_per_ws",
+            F.when(
+                F.col("n_ws_tokens") > 0,
+                F.col("n_bpe_tokens").cast("double") / F.col("n_ws_tokens"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+BPE_TOKEN_SQL = """
+SELECT doc_id,
+       CAST(CASE WHEN LENGTH(text) = 0 THEN 0
+            ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 END AS INT) AS n_ws_tokens,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]+')) AS INT) AS n_bpe_tokens,
+       CASE WHEN (CASE WHEN LENGTH(text) = 0 THEN 0
+                  ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 END) > 0
+            THEN CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]+')) AS DOUBLE)
+                 / (CASE WHEN LENGTH(text) = 0 THEN 0
+                    ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 END)
+            ELSE 0.0 END AS bpe_per_ws
+FROM documents
+"""
+
+
 def train_test_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic md5-hash 80/20 split of the corpus — reproducible
     across engines, so the split itself is oracle-checked."""
@@ -2415,6 +2455,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q21_waiting_suppliers": q21_waiting_suppliers,
     "q22_inactive_customers": q22_inactive_customers,
     "ann_ivf_topk": ann_ivf_topk,
+    "bpe_token_stats": bpe_token_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -2493,6 +2534,7 @@ ORACLES: dict[str, str] = {
     "q20_part_promotion_suppliers": Q20_SQL,
     "q21_waiting_suppliers": Q21_SQL,
     "q22_inactive_customers": Q22_SQL,
+    "bpe_token_stats": BPE_TOKEN_SQL,
     # rows-only (intentionally no oracle): dedup_simhash_docs, ann_lsh_topk,
     # ann_ivf_topk, approx_stats
 }
