@@ -112,3 +112,115 @@ def extract_features(
             )
 
     return df.select(id_col, content_col).mapInPandas(batches, FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    decoder: str = "stub",
+) -> DataFrame:
+    """Arrow-batched image resize over a binary column (1 row in → 1 row
+    out, new payload + target dimensions).
+
+    decoder="stub" emits a deterministic 16-byte md5 payload of
+    ``r{w}x{h}:`` + content (a real decoder would decode→resample→encode in
+    the same batch loop); "pil" raises until the library ships. The
+    Spark-side shape — late blob selection, Arrow batch streaming, binary
+    output column — is the production plumbing."""
+    if decoder != "stub":
+        raise NotImplementedError(
+            f"decoder={decoder!r} requires media libraries not present in "
+            "this container; the Spark plumbing is identical to decoder='stub'"
+        )
+
+    prefix = f"r{width}x{height}:".encode()
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": width,
+                    "height": height,
+                    "resized": pdf[content_col].map(
+                        lambda b: hashlib.md5(prefix + bytes(b)).digest()
+                    ),
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(batches, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_ms: int = 100,
+    max_frames: int = 8,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    decoder: str = "stub",
+) -> DataFrame:
+    """Video frame sampling: 1 row in → up to ``max_frames`` rows out, one
+    per sampled timestamp (the explode-shaped mapInPandas stage).
+
+    decoder="stub": duration_ms := byte_len (1 byte ≈ 1 ms) and each frame
+    is the 16-byte md5 of ``f{idx}:`` + content — deterministic, so the
+    whole fan-out is oracle-checkable; a real decoder would seek+decode at
+    ts_ms inside the same loop. Frame count = min(max_frames,
+    ceil(duration/every_ms)), at least 1 for non-empty payloads."""
+    if decoder != "stub":
+        raise NotImplementedError(
+            f"decoder={decoder!r} requires media libraries not present in "
+            "this container; the Spark plumbing is identical to decoder='stub'"
+        )
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            out_id, out_idx, out_ts, out_frame = [], [], [], []
+            for did, b in zip(pdf[id_col], pdf[content_col]):
+                content = bytes(b)
+                dur = len(content)
+                n = min(max_frames, max(1, -(-dur // every_ms))) if dur else 0
+                for i in range(n):
+                    out_id.append(did)
+                    out_idx.append(i)
+                    out_ts.append(i * every_ms)
+                    out_frame.append(
+                        hashlib.md5(f"f{i}:".encode() + content).digest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_id, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int32"),
+                    "ts_ms": pd.Series(out_ts, dtype="int64"),
+                    "frame": out_frame,
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(batches, FRAMES_SCHEMA)

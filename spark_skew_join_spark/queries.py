@@ -999,6 +999,36 @@ GROUP BY token ORDER BY n DESC, token LIMIT 50
 """
 
 
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out (1 media row → N frame rows) through the
+    Arrow-batched stub decoder: duration := byte_len, frame := md5 of
+    'f{idx}:'+content — fully deterministic, so even the exploded frame
+    payloads hash-match the SQL oracle (frames surfaced as lowercase md5
+    hex; the driver canonicalizer can't hash raw binary)."""
+    from .operators.multimodal import attach_binary, sample_frames
+
+    t = load_tables(spark, sf_dir)
+    binary = attach_binary(t["documents"], "text", media_type="video")
+    frames = sample_frames(binary, every_ms=100, max_frames=4)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "ts_ms",
+        F.lower(F.hex(F.col("frame"))).alias("frame_md5"),
+    )
+
+
+MM_FRAMES_SQL = """
+SELECT doc_id,
+       CAST(idx AS INT) AS frame_idx,
+       CAST(idx * 100 AS BIGINT) AS ts_ms,
+       MD5('f' || CAST(idx AS VARCHAR) || ':' || text) AS frame_md5
+FROM documents,
+     UNNEST(range(0, LEAST(4, GREATEST(1, CAST(CEIL(OCTET_LENGTH(ENCODE(text)) / 100.0) AS BIGINT))))) AS t(idx)
+WHERE OCTET_LENGTH(ENCODE(text)) > 0
+"""
+
+
 def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace vs BPE-ish-regex token counts per doc + corpus rollup
     input: the pre-tokenizer pattern (letter runs / single digits /
@@ -2456,6 +2486,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q22_inactive_customers": q22_inactive_customers,
     "ann_ivf_topk": ann_ivf_topk,
     "bpe_token_stats": bpe_token_stats,
+    "multimodal_frame_sample": multimodal_frame_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -2535,6 +2566,7 @@ ORACLES: dict[str, str] = {
     "q21_waiting_suppliers": Q21_SQL,
     "q22_inactive_customers": Q22_SQL,
     "bpe_token_stats": BPE_TOKEN_SQL,
+    "multimodal_frame_sample": MM_FRAMES_SQL,
     # rows-only (intentionally no oracle): dedup_simhash_docs, ann_lsh_topk,
     # ann_ivf_topk, approx_stats
 }

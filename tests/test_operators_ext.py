@@ -119,6 +119,46 @@ def test_multimodal_real_decoder_stubbed(spark):
         extract_features(attach_binary(docs, "text"), decoder="nope")
 
 
+def test_multimodal_resize(spark):
+    import hashlib
+
+    from spark_skew_join_spark.operators.multimodal import resize_images
+
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, "hello"), (3, "other")], "doc_id bigint, text string"
+    )
+    out = {r.doc_id: r for r in resize_images(
+        attach_binary(docs, "text"), 64, 48).collect()}
+    assert out[1].width == 64 and out[1].height == 48
+    assert bytes(out[1].resized) == bytes(out[2].resized) != bytes(out[3].resized)
+    assert bytes(out[1].resized) == hashlib.md5(b"r64x48:hello").digest()
+    with pytest.raises(NotImplementedError):
+        resize_images(attach_binary(docs, "text"), 64, 48, decoder="pil")
+
+
+def test_multimodal_frame_sampling(spark):
+    import hashlib
+
+    from spark_skew_join_spark.operators.multimodal import sample_frames
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 250), (2, "y" * 50), (3, "z" * 10_000), (4, "")],
+        "doc_id bigint, text string",
+    )
+    rows = sample_frames(
+        attach_binary(docs, "text"), every_ms=100, max_frames=4
+    ).collect()
+    by_id: dict[int, list] = {}
+    for r in rows:
+        by_id.setdefault(r.doc_id, []).append(r)
+    # 250 bytes -> ceil(250/100)=3 frames; 50 -> 1; 10k -> capped at 4; empty -> 0
+    assert sorted(len(v) for k, v in by_id.items()) == [1, 3, 4]
+    assert 4 not in by_id
+    f = sorted(by_id[1], key=lambda r: r.frame_idx)
+    assert [r.ts_ms for r in f] == [0, 100, 200]
+    assert bytes(f[1].frame) == hashlib.md5(b"f1:" + b"x" * 250).digest()
+
+
 def test_exact_dedup_multiplicity(spark):
     docs = spark.createDataFrame(
         [(1, "aaa"), (2, "aaa"), (3, "bbb"), (4, "aaa")],
