@@ -27,6 +27,16 @@ from spark_skew_join_spark.sources.tables import load_tables
 SF = "/root/testdata/sf0.001"
 
 
+@pytest.fixture(autouse=True)
+def _release_band_caches():
+    """Operator-level LSH band persists are session-scoped by design; in a
+    shared test session, release them after each test."""
+    yield
+    from spark_skew_join_spark.operators.dedup import clear_band_cache
+
+    clear_band_cache()
+
+
 def _pairs(df, *cols):
     return sorted(tuple(r[c] for c in cols) for r in df.collect())
 
@@ -81,6 +91,33 @@ def test_identical_docs_stay_linear_and_cluster(spark):
     assert all(r.id_a == 0 and r.jaccard == 1.0 for r in got)
     comp = connected_components(pairs.select("id_a", "id_b"), docs.select("doc_id"))
     assert comp.select("cluster_rep").distinct().count() == 1
+
+
+def test_bucket_cap_preserves_clustering(spark):
+    """Property: whatever the cap does to the pair LIST, the cluster
+    assignment must be invariant — star pairs keep every over-cap bucket
+    connected, so capped and uncapped MinHash pipelines produce identical
+    connected components. Randomized corpus of duplicated/mutated docs."""
+    import random
+
+    rng = random.Random(7)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "theta"]
+    rows, did = [], 0
+    for base in range(12):
+        text = " ".join(rng.choices(words, k=30)) + f" base{base}"
+        for _ in range(rng.randint(1, 25)):  # clusters of identical docs
+            rows.append((did, text))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def reps(max_bucket_size):
+        pairs = minhash_pairs(
+            docs, threshold=0.9, n=8, max_bucket_size=max_bucket_size
+        ).select("id_a", "id_b")
+        comp = connected_components(pairs, docs.select("doc_id"))
+        return sorted((r.doc_id, r.cluster_rep) for r in comp.collect())
+
+    assert reps(max_bucket_size=5) == reps(max_bucket_size=None)
 
 
 def test_near_constant_embeddings_stay_linear(spark):
