@@ -43,7 +43,10 @@ def _session_cache(df: DataFrame) -> DataFrame:
 def clear_band_cache() -> None:
     """Unpersist every operator-cached band/signature DataFrame (idempotent)."""
     for df in _CACHED_BANDS:
-        df.unpersist()
+        try:
+            df.unpersist()
+        except Exception:  # session already stopped — nothing to release
+            pass
     _CACHED_BANDS.clear()
 
 

@@ -671,8 +671,11 @@ def clear_dedup_cache() -> None:
     from .operators.dedup import clear_band_cache
 
     for sh, pairs in _DEDUP_FAMILY_CACHE.values():
-        pairs.unpersist()
-        sh.unpersist()
+        for df in (pairs, sh):
+            try:
+                df.unpersist()
+            except Exception:  # session already stopped — nothing to release
+                pass
     _DEDUP_FAMILY_CACHE.clear()
     clear_band_cache()
 

@@ -58,6 +58,51 @@ def test_session_stream_counts(spark, batch_events):
     assert bad == 0
 
 
+def test_salted_window_agg_matches_batch_and_plain(spark, batch_events):
+    """Skew-safe two-phase (chained) streaming aggregation. Chained aggs
+    require APPEND mode, which emits only watermark-closed windows — so the
+    stream result must equal the UNSALTED direct batch aggregation
+    restricted to windows whose end precedes the final watermark
+    (max event time − delay). Decimal partials make the sums exact, so
+    equality is bitwise, not approximate."""
+    from spark_skew_join_spark.streaming.skew_agg import salted_window_agg
+
+    stream = read_events_stream(spark, SF)
+    q = (
+        salted_window_agg(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sskew")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM sskew")
+    cols = ["hour_start", "event_type", "n_events", "sum_value"]
+
+    wm_cutoff = batch_events.agg(
+        (F.unix_timestamp(F.max("ts")) - 2 * 3600).alias("wm")
+    ).collect()[0].wm
+    plain = (
+        batch_events.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(24,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_start"),
+            "event_type", "n_events", "sum_value",
+        )
+        .where(F.col("hour_start") + 3600 <= wm_cutoff)
+    )
+    g, x = _rows(got.select(*cols), cols), _rows(plain.select(*cols), cols)
+    assert len(g) > 0 and g == x
+
+
 def test_stateful_running_totals(spark, batch_events):
     from spark_skew_join_spark.streaming.windows import running_user_totals
 
