@@ -1002,6 +1002,19 @@ GROUP BY token ORDER BY n DESC, token LIMIT 50
 """
 
 
+def salted_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch evaluation of the streaming salted two-phase windowed agg
+    (streaming/skew_agg.py): the oracle is the PLAIN windowed aggregation —
+    the driver hash check is the salted ≡ unsalted proof. value is
+    pre-rounded to 3 decimals like tumbling_window_events so the decimal
+    partial sums match DuckDB's bit-for-bit."""
+    from .streaming.skew_agg import salted_window_agg
+
+    t = load_tables(spark, sf_dir)
+    e = t["events"].withColumn("value", F.round("value", 3))
+    return salted_window_agg(e)
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling fan-out (1 media row → N frame rows) through the
     Arrow-batched stub decoder: duration := byte_len, frame := md5 of
@@ -2490,6 +2503,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": ann_ivf_topk,
     "bpe_token_stats": bpe_token_stats,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "salted_window_events": salted_window_events,
 }
 
 ORACLES: dict[str, str] = {
@@ -2570,6 +2584,7 @@ ORACLES: dict[str, str] = {
     "q22_inactive_customers": Q22_SQL,
     "bpe_token_stats": BPE_TOKEN_SQL,
     "multimodal_frame_sample": MM_FRAMES_SQL,
+    "salted_window_events": TUMBLING_SQL,
     # rows-only (intentionally no oracle): dedup_simhash_docs, ann_lsh_topk,
     # ann_ivf_topk, approx_stats
 }

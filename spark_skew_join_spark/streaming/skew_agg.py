@@ -42,10 +42,14 @@ def salted_window_agg(
     absorbs more than ~1/n_salts of a hot key's updates.
     """
     salt = F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts)).alias("__salt")
+    # same plan runs on batch DataFrames (the parity oracle); watermarks
+    # only apply to streams
+    if events.isStreaming:
+        events = events.withWatermark(ts_col, watermark)
     # decimal partials: float sums depend on accumulation order, which the
     # salting changes — decimal sums make salted ≡ unsalted ≡ batch exact
     partial = (
-        events.withWatermark(ts_col, watermark)
+        events
         .groupBy(F.window(ts_col, window).alias("w"), F.col(key_col), salt)
         .agg(
             F.count(F.lit(1)).alias("__n"),
