@@ -1,0 +1,95 @@
+"""Gopher-style document quality / repetition signals.
+
+The reference library has no text operators; this is part of the
+driver-mandated LLM-data-pipeline extension surface (SURVEY §2b ★).
+Signal set follows the published Gopher rules (Rae et al. 2021, §A1.1:
+word-count bounds, mean-word-length bounds, symbol-to-word ratio, fraction
+of characters in the most frequent n-gram), adapted to the fixture corpus
+(single-line, single-space-separated text, so the line-based rules don't
+apply and repetition is measured on word n-grams).
+
+Scale design (100 TB): per-doc scalar signals are one codegen projection
+over the scan.  The top-n-gram fraction needs a per-(doc, ngram) count →
+per-doc max; that is an explode + two-level aggregation keyed by
+``(doc_id, ngram)`` then ``doc_id`` — both hash-partitioned with map-side
+partial aggregation, no driver participation and no skew (doc_id is unique,
+so the reduce keys are near-uniform).  No Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import punct_count, token_count
+
+
+def _ngram_col(tokens, n: int):
+    """array<string> of word n-grams of ``tokens`` (codegen transform/slice)."""
+    size = F.size(tokens)
+    idx = F.when(size >= n, F.sequence(F.lit(0), size - n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.array_join(F.slice(tokens, i + 1, n), " "))
+
+
+def top_ngram_fraction(docs: DataFrame, id_col: str, text_col: str, n: int,
+                       out_col: str) -> DataFrame:
+    """(id_col, out_col): occurrences of the doc's most frequent word
+    n-gram divided by its n-gram count; 0.0 for docs with < n words.
+
+    Count-based, so n-gram ties don't affect the result (deterministic
+    across engines and partitionings)."""
+    tokens = F.split(F.col(text_col), " ")
+    grams = docs.select(
+        F.col(id_col),
+        F.explode_outer(_ngram_col(tokens, n)).alias("_ng"),
+    )
+    per_gram = grams.groupBy(id_col, "_ng").agg(F.count(F.lit(1)).alias("_cnt"))
+    return per_gram.groupBy(id_col).agg(
+        F.when(
+            F.max(F.when(F.col("_ng").isNotNull(), F.col("_cnt"))).isNull(), F.lit(0.0)
+        )
+        .otherwise(
+            F.max(F.when(F.col("_ng").isNotNull(), F.col("_cnt")))
+            / F.sum(F.when(F.col("_ng").isNotNull(), F.col("_cnt")).otherwise(F.lit(0)))
+        )
+        .alias(out_col)
+    )
+
+
+def gopher_quality_signals(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Per-document quality/repetition signals + pass/fail verdict.
+
+    Columns: n_tokens, mean_word_len, symbol_word_ratio, top_unigram_frac,
+    top_bigram_frac, passes_quality.  All ratios are int/int divisions in
+    double — bit-identical across engines, so the whole output hash-checks
+    against a SQL oracle.
+
+    Thresholds are the Gopher shapes scaled to the fixture corpus:
+    10 ≤ words ≤ 1000, 2 ≤ mean word length ≤ 12, symbol:word ≤ 0.3,
+    top-unigram fraction ≤ 0.25, top-bigram fraction ≤ 0.18.
+    """
+    ntok = token_count(text_col)
+    base = docs.select(
+        F.col(id_col),
+        ntok.alias("n_tokens"),
+        # single-space text: non-space chars = length - (n_tokens - 1)
+        F.when(ntok == 0, F.lit(0.0))
+        .otherwise((F.length(text_col) - (ntok - F.lit(1))) / ntok)
+        .alias("mean_word_len"),
+        F.when(ntok == 0, F.lit(0.0))
+        .otherwise(punct_count(text_col) / ntok)
+        .alias("symbol_word_ratio"),
+    )
+    uni = top_ngram_fraction(docs, id_col, text_col, 1, "top_unigram_frac")
+    bi = top_ngram_fraction(docs, id_col, text_col, 2, "top_bigram_frac")
+    out = base.join(uni, id_col).join(bi, id_col)
+    return out.withColumn(
+        "passes_quality",
+        (F.col("n_tokens").between(10, 1000))
+        & (F.col("mean_word_len").between(2.0, 12.0))
+        & (F.col("symbol_word_ratio") <= 0.3)
+        & (F.col("top_unigram_frac") <= 0.25)
+        & (F.col("top_bigram_frac") <= 0.18),
+    )
