@@ -47,21 +47,41 @@ def configure(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def events_ts_is_long(sf_dir: str) -> bool:
+    """True when events.parquet stores ts as raw int64 / nanosecond
+    timestamps (surfaced as bigint under nanosAsLong); False for
+    microsecond parquet timestamps. Fixture generators have shipped both."""
+    import pyarrow.parquet as pq
+
+    t = str(pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type)
+    return t == "int64" or t.startswith("timestamp[ns")
+
+
+def normalize_events_ts(df: DataFrame, raw_is_long: bool) -> DataFrame:
+    """Expose both a session-TZ microsecond ``ts`` timestamp and exact
+    integer epoch nanos ``ts_ns`` regardless of the fixture encoding."""
+    from pyspark.sql import functions as F
+
+    if raw_is_long:
+        # integer `div`, NOT floor(x/1000): epoch nanos exceed 2^53, double
+        # division silently loses the low microsecond digit
+        return df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    # timestamp[us] parquet loads as TIMESTAMP_NTZ; with the session pinned
+    # to UTC the cast preserves the instant DuckDB sees
+    return df.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+        "ts_ns", F.unix_micros(F.col("ts")) * 1000
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     configure(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts arrives as bigint nanos (nanosAsLong); expose a proper
-        # microsecond timestamp plus the raw nanos for exact oracle compares
-        from pyspark.sql import functions as F
-
-        # integer `div`, NOT floor(x/1000): epoch nanos exceed 2^53, double
-        # division silently loses the low microsecond digit
-        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        df = normalize_events_ts(df, raw_is_long=dict(df.dtypes)["ts"] == "bigint")
     return df
 
 

@@ -28,16 +28,21 @@ from pyspark.sql.types import (
     StructType,
 )
 
-EVENT_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # raw nanos (nanosAsLong)
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _event_schema(ts_is_long: bool) -> StructType:
+    from pyspark.sql.types import TimestampNTZType
+
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            # raw nanos (nanosAsLong) or microsecond parquet timestamps —
+            # fixture generators have shipped both encodings
+            StructField("ts", LongType() if ts_is_long else TimestampNTZType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 _STAGE_DIRS: dict[str, str] = {}
@@ -71,13 +76,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     in a temp dir (no copy) — in production this is the landing directory
     new files arrive into. Session conf (nanosAsLong etc.) comes from the
     shared ``configure`` helper rather than ad-hoc mutation here."""
-    from ..sources.tables import configure
+    from ..sources.tables import configure, events_ts_is_long, normalize_events_ts
 
     configure(spark)
-    raw = spark.readStream.schema(EVENT_SCHEMA).format("parquet").load(_stage_dir(sf_dir))
-    return raw.withColumn("ts_ns", F.col("ts")).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    is_long = events_ts_is_long(sf_dir)
+    raw = (
+        spark.readStream.schema(_event_schema(is_long))
+        .format("parquet")
+        .load(_stage_dir(sf_dir))
     )
+    return normalize_events_ts(raw, raw_is_long=is_long)
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
