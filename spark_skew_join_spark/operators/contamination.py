@@ -1,63 +1,74 @@
-"""Benchmark-contamination screening: word-n-gram overlap of a training
-corpus against an evaluation set.
+"""Benchmark-contamination detection: token n-gram overlap.
 
-Standard decontamination methodology (GPT-3 appx. C / PaLM §8: a training
-document is contaminated if it shares ≥ one word n-gram with any eval
-document; containment ratio = contaminated n-grams / doc n-grams).
+Training-data hygiene at scale: before training, every corpus document
+must be checked against the evaluation benchmarks — a document sharing
+long token n-grams with an eval set leaks test answers into training.
+The standard method (n-gram collision, as published for GPT-3/PaLM-style
+decontamination) is a set intersection between each document's token
+n-grams and the union of benchmark n-grams.
 
-Scale design (100 TB): the eval set is small by construction, so its
-distinct n-gram set is broadcast — the per-train-doc probe is a map-side
-hash-join against the broadcast set, no shuffle of the corpus.  N-grams are
-deduplicated per document *before* the join (set semantics).  At real scale
-the join key would be ``xxhash64(ngram)`` (8 bytes instead of the string);
-here the raw string is the key so the DuckDB oracle is engine-exact —
-semantics are identical, only key width differs.
+Spark shape: the benchmark side is small (eval suites are thousands of
+documents, not billions), so its distinct n-gram set BROADCASTS — the
+corpus side then takes one map-side hash-join probe per n-gram with NO
+shuffle of the corpus. Everything is codegen column expressions
+(`split`/`transform`/`slice`/`array_join`/`explode`); no Python touches
+the text. At 100 TB the corpus scan is embarrassingly parallel and the
+only shuffle is the final per-doc groupBy, keyed by doc_id (uniform).
+
+Output is exact and SQL-expressible, so the whole operator is oracle-
+checked against DuckDB (list_slice + strpos arithmetic mirror the
+expressions verbatim).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 
-def word_ngrams(text_col, n: int):
-    """array<string> of word n-grams (codegen transform/slice; empty for
-    docs with < n words)."""
-    tokens = F.split(text_col, " ")
-    size = F.size(tokens)
-    idx = F.when(size >= n, F.sequence(F.lit(0), size - n)).otherwise(
-        F.array().cast("array<int>")
+def token_ngrams(
+    df: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct whitespace-token n-grams per document: (id, gram).
+
+    Documents with fewer than ``n`` tokens contribute nothing (standard
+    decontamination semantics — too short to collide meaningfully).
+    """
+    toks = F.split(F.col(text_col), r"\s+")
+    grams: Column = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
     )
-    return F.transform(idx, lambda i: F.array_join(F.slice(tokens, i + 1, n), " "))
-
-
-def contamination_report(train: DataFrame, eval_docs: DataFrame, n: int = 5,
-                         id_col: str = "doc_id",
-                         text_col: str = "text") -> DataFrame:
-    """Per-train-doc contamination: (id_col, total_ngrams,
-    contaminated_ngrams, containment) with containment = contaminated /
-    total (0.0 when the doc has < n words)."""
-    t_grams = train.select(
-        F.col(id_col), F.explode_outer(word_ngrams(F.col(text_col), n)).alias("_ng")
-    ).distinct()
-    e_grams = (
-        eval_docs.select(F.explode(word_ngrams(F.col(text_col), n)).alias("_ng"))
+    return (
+        df.where(F.size(toks) >= n)
+        .select(F.col(id_col), F.explode(grams).alias("gram"))
         .distinct()
-        .withColumn("_hit", F.lit(1))
     )
-    probed = t_grams.join(F.broadcast(e_grams), "_ng", "left")
-    return probed.groupBy(id_col).agg(
-        F.sum(F.when(F.col("_ng").isNotNull(), 1).otherwise(0))
-        .cast("bigint")
-        .alias("total_ngrams"),
-        F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0))
-        .cast("bigint")
-        .alias("contaminated_ngrams"),
-        F.when(
-            F.sum(F.when(F.col("_ng").isNotNull(), 1).otherwise(0)) == 0, F.lit(0.0)
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per corpus document: how many of its distinct token n-grams appear
+    anywhere in the benchmark set. Only contaminated docs are returned.
+
+    Columns: id, n_grams (doc's distinct n-grams), n_hits (of those, how
+    many exist in the benchmark), contamination (n_hits / n_grams).
+    """
+    corpus_grams = token_ngrams(corpus, n, text_col, id_col)
+    bench_set = token_ngrams(benchmark, n, text_col, id_col).select("gram").distinct()
+    hits = corpus_grams.join(F.broadcast(bench_set), "gram", "left_semi")
+    per_doc = corpus_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    per_doc_hits = hits.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        per_doc.join(per_doc_hits, id_col, "inner")
+        .select(
+            id_col,
+            "n_grams",
+            "n_hits",
+            (F.col("n_hits") / F.col("n_grams")).alias("contamination"),
         )
-        .otherwise(
-            F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0))
-            / F.sum(F.when(F.col("_ng").isNotNull(), 1).otherwise(0))
-        )
-        .alias("containment"),
     )

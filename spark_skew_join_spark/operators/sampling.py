@@ -51,3 +51,29 @@ def stratified_sample(
 ) -> DataFrame:
     """Per-stratum Bernoulli sampling (quota balancing by language/source)."""
     return df.sampleBy(stratum_col, fractions=fractions, seed=seed)
+
+
+def shard_id(id_col: str | Column, n_shards: int = 16) -> Column:
+    """Deterministic export shard in [0, n_shards) from the id's first md5
+    byte — layout-independent (unlike spark_partition_id), so the same row
+    lands in the same shard on any cluster, any engine. n_shards ≤ 256;
+    powers of two divide the 256 byte values evenly."""
+    if not 1 <= n_shards <= 256:
+        raise ValueError("n_shards must be in [1, 256] (one md5 byte of entropy)")
+    return F.pmod(split_bucket(id_col), F.lit(n_shards)).cast("int")
+
+
+def write_sharded(
+    df: DataFrame, path: str, id_col: str, n_shards: int = 16
+) -> None:
+    """Training-data export: one directory per deterministic shard.
+
+    ``repartition(n_shards, shard)`` co-locates each shard into one task so
+    every shard directory holds one file — the layout training loaders want
+    (seekable, shard-parallel). At 100 TB raise n_shards until shard size
+    fits the loader; assignment stays stable because it derives from ids,
+    not from Spark partitioning."""
+    out = df.withColumn("shard", shard_id(id_col, n_shards))
+    out.repartition(n_shards, "shard").write.mode("overwrite").partitionBy(
+        "shard"
+    ).parquet(path)

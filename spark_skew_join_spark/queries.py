@@ -2421,6 +2421,121 @@ ORDER BY cntrycode
 
 
 # --------------------------------------------------------------------------
+# pipeline-scale operators (round 4): runtime-filter join, heavy hitters,
+# contamination check, shard export
+# --------------------------------------------------------------------------
+
+def prefilter_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-style hashed prefilter join: orders pruned map-side against the
+    selective customer subset before the exact join (operators/prefilter.py).
+    The prefilter can only prune, never change results — the oracle is the
+    plain join."""
+    from .operators.prefilter import prefiltered_join
+
+    t = load_tables(spark, sf_dir)
+    dim = t["customer"].where(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 1000.0)
+    )
+    j = prefiltered_join(t["orders"], dim, [("o_custkey", "c_custkey")])
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum(F.col("o_totalprice")).alias("revenue"),
+    )
+
+
+PREFILTER_JOIN_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000.0
+GROUP BY o_orderpriority
+"""
+
+
+def heavy_hitter_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """φ-frequent keys via per-partition Misra-Gries summaries + exact
+    verify pass (operators/heavy.py) — output is exact, so the oracle is
+    the plain GROUP BY/HAVING."""
+    from .operators.heavy import heavy_hitters
+
+    t = load_tables(spark, sf_dir)
+    return heavy_hitters(t["lineitem"], ["l_suppkey"], phi=0.009, k=512)
+
+
+HEAVY_HITTER_SQL = """
+SELECT l_suppkey, COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_suppkey
+HAVING COUNT(*) >= CEIL(0.009 * (SELECT COUNT(*) FROM lineitem))
+"""
+
+
+def contamination_check_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing token n-grams with
+    the held-out eval slice (doc_id % 97 = 0 stands in for the benchmark).
+    Benchmark n-gram set broadcasts; the corpus is never shuffled.
+
+    n=4 here because the synthetic word-soup corpus has almost no longer
+    shared spans (real deployments use 8-13); the operator takes n as a
+    parameter."""
+    from .operators.contamination import contamination_report
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return contamination_report(corpus, bench, n=4)
+
+
+CONTAMINATION_SQL = """
+WITH grams AS (
+  SELECT doc_id,
+         ARRAY_TO_STRING(LIST_SLICE(toks, CAST(pos AS INT), CAST(pos AS INT) + 3), ' ') AS gram
+  FROM (SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS toks FROM documents),
+       UNNEST(RANGE(1, GREATEST(LEN(toks) - 4 + 1, 0) + 1)) AS t(pos)
+),
+corpus AS (SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 97 <> 0),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+per_doc AS (SELECT doc_id, COUNT(*) AS n_grams FROM corpus GROUP BY doc_id),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_hits FROM corpus
+  WHERE gram IN (SELECT gram FROM bench) GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_grams, h.n_hits,
+       CAST(h.n_hits AS DOUBLE) / p.n_grams AS contamination
+FROM per_doc p JOIN hits h ON p.doc_id = h.doc_id
+"""
+
+
+def shard_export_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-byte shard assignment for training-data export
+    (operators/sampling.py::shard_id) — engine-independent, so the shard
+    membership itself is oracle-checked."""
+    from .operators.sampling import shard_id
+
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .withColumn("shard", shard_id("doc_id", 16))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+SHARD_STATS_SQL = """
+SELECT CAST((STRPOS('0123456789abcdef', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+          + STRPOS('0123456789abcdef', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS INT) % 16 AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       COUNT(DISTINCT source) AS n_sources
+FROM documents GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -2504,6 +2619,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_token_stats": bpe_token_stats,
     "multimodal_frame_sample": multimodal_frame_sample,
     "salted_window_events": salted_window_events,
+    "prefilter_join_orders": prefilter_join_orders,
+    "heavy_hitter_suppliers": heavy_hitter_suppliers,
+    "contamination_check_docs": contamination_check_docs,
+    "shard_export_stats": shard_export_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -2585,6 +2704,10 @@ ORACLES: dict[str, str] = {
     "bpe_token_stats": BPE_TOKEN_SQL,
     "multimodal_frame_sample": MM_FRAMES_SQL,
     "salted_window_events": TUMBLING_SQL,
+    "prefilter_join_orders": PREFILTER_JOIN_SQL,
+    "heavy_hitter_suppliers": HEAVY_HITTER_SQL,
+    "contamination_check_docs": CONTAMINATION_SQL,
+    "shard_export_stats": SHARD_STATS_SQL,
     # rows-only (intentionally no oracle): dedup_simhash_docs, ann_lsh_topk,
     # ann_ivf_topk, approx_stats
 }
