@@ -107,6 +107,9 @@ def test_no_benched_query_has_cartesian_product(spark):
         "q11_important_parts",
         "q15_top_supplier",
         "q22_inactive_customers",
+        # 1-row total/threshold aggregates cross-joined into the plan
+        # (operators/heavy.py keeps N and the phi threshold lazy)
+        "heavy_hitter_suppliers",
     }
     offenders = []
     for name in q.QUERIES:
