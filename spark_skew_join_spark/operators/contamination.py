@@ -26,23 +26,34 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 
 def token_ngrams(
-    df: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hashed: bool = False,
 ) -> DataFrame:
     """Distinct whitespace-token n-grams per document: (id, gram).
 
     Documents with fewer than ``n`` tokens contribute nothing (standard
     decontamination semantics — too short to collide meaningfully).
+
+    ``hashed=True`` replaces each gram with its xxhash64 before the
+    distinct — the shuffle and every downstream join then move 8-byte
+    ints instead of n-token strings (the counts are identical up to a
+    ~2⁻⁶⁴-per-pair collision probability, which decontamination
+    tolerates; keep strings when the grams themselves are the output).
     """
     toks = F.split(F.col(text_col), r"\s+")
     grams: Column = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.array_join(F.slice(toks, i, n), " "),
     )
-    return (
-        df.where(F.size(toks) >= n)
-        .select(F.col(id_col), F.explode(grams).alias("gram"))
-        .distinct()
+    exploded = df.where(F.size(toks) >= n).select(
+        F.col(id_col), F.explode(grams).alias("gram")
     )
+    if hashed:
+        exploded = exploded.select(id_col, F.xxhash64("gram").alias("gram"))
+    return exploded.distinct()
 
 
 def contamination_report(
@@ -58,8 +69,12 @@ def contamination_report(
     Columns: id, n_grams (doc's distinct n-grams), n_hits (of those, how
     many exist in the benchmark), contamination (n_hits / n_grams).
     """
-    corpus_grams = token_ngrams(corpus, n, text_col, id_col)
-    bench_set = token_ngrams(benchmark, n, text_col, id_col).select("gram").distinct()
+    corpus_grams = token_ngrams(corpus, n, text_col, id_col, hashed=True)
+    bench_set = (
+        token_ngrams(benchmark, n, text_col, id_col, hashed=True)
+        .select("gram")
+        .distinct()
+    )
     hits = corpus_grams.join(F.broadcast(bench_set), "gram", "left_semi")
     per_doc = corpus_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
     per_doc_hits = hits.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hits"))

@@ -335,10 +335,17 @@ def minhash_pairs(
 
 
 def simhash64(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
-    """(id, simhash bigint): sign-sum over the 64 bits of xxhash64(shingle)."""
-    sh = shingles(df, text_col, id_col, n).withColumn(
+    """(id, simhash bigint): sign-sum over the 64 bits of xxhash64(shingle).
+
+    Pass ``shingle_df`` (columns: id, shingle) to reuse an already
+    materialized shingle set — the dedup query family shares one."""
+    sh = (shingle_df if shingle_df is not None else shingles(df, text_col, id_col, n)).withColumn(
         "h", F.xxhash64(F.col("shingle"))
     )
     bit_sums = [

@@ -864,10 +864,13 @@ def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming distance 8 via 16-bit band blocking (a pair within distance 3
     must share at least one of 4 bands). Rows-only check (bit-level hash
     fingerprints are not reasonably SQL-expressible)."""
-    from .operators.dedup import simhash64
+    from .operators.dedup import _session_cache, simhash64
 
     t = load_tables(spark, sf_dir)
-    sh = simhash64(t["documents"], n=8)
+    # reuse the family's materialized shingle set (same n=8) and persist the
+    # 64-bit agg result — both self-join sides consume it
+    fam_sh, _ = _dedup_family(spark, sf_dir)
+    sh = _session_cache(simhash64(t["documents"], n=8, shingle_df=fam_sh))
     bands = sh.select(
         "doc_id",
         "simhash",
