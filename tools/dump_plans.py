@@ -88,6 +88,51 @@ def main() -> None:
         )
     )
 
+    pf = q.QUERIES["prefilter_join_orders"](spark, SF)
+    simplep = plan_string(pf, "simple")
+    out.append(
+        section(
+            "prefilter_join_orders — bloom-style runtime filter",
+            "\n".join(
+                l for l in simplep.splitlines() if "Join" in l or "Exchange" in l
+            ),
+            "Two BroadcastHashJoin LeftSemi passes (one per hash seed) prune\n"
+            "the orders side map-side BEFORE any exchange — the fact shuffle\n"
+            "only carries surviving rows; the final equi-join is exact.",
+        )
+    )
+
+    hh = q.QUERIES["heavy_hitter_suppliers"](spark, SF)
+    simpleh = plan_string(hh, "simple")
+    out.append(
+        section(
+            "heavy_hitter_suppliers — MG summaries + exact verify",
+            "\n".join(
+                l
+                for l in simpleh.splitlines()
+                if "MapInPandas" in l or "Join" in l or "Exchange" in l
+            ),
+            "One MapInPandas per partition emits <= k counter rows (bounded\n"
+            "shuffle regardless of key cardinality); candidates broadcast into\n"
+            "a LeftSemi; the 1-row N/threshold aggregates attach as\n"
+            "BroadcastNestedLoopJoins by construction.",
+        )
+    )
+
+    cont = q.QUERIES["contamination_check_docs"](spark, SF)
+    simplec = plan_string(cont, "simple")
+    out.append(
+        section(
+            "contamination_check_docs — broadcast benchmark n-grams",
+            "\n".join(
+                l for l in simplec.splitlines() if "Join" in l or "Exchange" in l
+            ),
+            "The benchmark gram set (hashed to int64) broadcasts into a\n"
+            "LeftSemi probe of the corpus grams — the corpus text is never\n"
+            "shuffled; the only exchanges are the per-doc count groupBys.",
+        )
+    )
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print("PLANS.md written")
