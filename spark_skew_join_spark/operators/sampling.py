@@ -53,6 +53,33 @@ def stratified_sample(
     return df.sampleBy(stratum_col, fractions=fractions, seed=seed)
 
 
+def quota_sample(
+    df: DataFrame, group_col: str, id_col: str, cap: int
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen deterministically by
+    md5-hash rank (ties broken by id) — the crawl-pipeline "cap documents
+    per domain/source" step. Hash-ranking makes the kept set stable across
+    runs, engines, and partitionings (a LIMIT or row_number over an
+    unordered window would not be), and is an unbiased uniform draw within
+    each group.
+
+    Scale: one shuffle keyed by the group column. A pathologically hot
+    group concentrates its window on one task — for those, pre-filter with
+    an (approximate) per-group hash-quantile threshold first so the window
+    only ranks ~cap survivors; the skew machinery in ``skew_agg`` shows
+    the same two-phase pattern."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string").cast("binary")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= cap)
+        .drop("__rk")
+    )
+
+
 def shard_id(id_col: str | Column, n_shards: int = 16) -> Column:
     """Deterministic export shard in [0, n_shards) from the id's first md5
     byte — layout-independent (unlike spark_partition_id), so the same row

@@ -2528,6 +2528,29 @@ def shard_export_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quota_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap documents per source by deterministic md5-hash rank
+    (operators/sampling.py::quota_sample) — the kept set is engine-
+    independent, so membership itself is oracle-checked."""
+    from .operators.sampling import quota_sample
+
+    t = load_tables(spark, sf_dir)
+    kept = quota_sample(t["documents"], "source", "doc_id", cap=10)
+    return kept.select("doc_id", "source", "lang")
+
+
+QUOTA_SAMPLE_SQL = """
+SELECT doc_id, source, lang FROM (
+  SELECT doc_id, source, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+) WHERE rk <= 10
+"""
+
+
 SHARD_STATS_SQL = """
 SELECT CAST((STRPOS('0123456789abcdef', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
           + STRPOS('0123456789abcdef', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS INT) % 16 AS shard,
@@ -2626,6 +2649,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitter_suppliers": heavy_hitter_suppliers,
     "contamination_check_docs": contamination_check_docs,
     "shard_export_stats": shard_export_stats,
+    "quota_sample_sources": quota_sample_sources,
 }
 
 ORACLES: dict[str, str] = {
@@ -2711,6 +2735,7 @@ ORACLES: dict[str, str] = {
     "heavy_hitter_suppliers": HEAVY_HITTER_SQL,
     "contamination_check_docs": CONTAMINATION_SQL,
     "shard_export_stats": SHARD_STATS_SQL,
+    "quota_sample_sources": QUOTA_SAMPLE_SQL,
     # rows-only (intentionally no oracle): dedup_simhash_docs, ann_lsh_topk,
     # ann_ivf_topk, approx_stats
 }

@@ -113,6 +113,24 @@ def test_contamination_report_counts(spark):
     assert abs(got[1]["contamination"] - 2 / 6) < 1e-12
 
 
+def test_quota_sample_caps_and_is_deterministic(spark):
+    from spark_skew_join_spark.operators.sampling import quota_sample
+
+    df = spark.createDataFrame(
+        [Row(g="big", i=i) for i in range(100)] + [Row(g="small", i=i) for i in range(3)]
+    )
+    kept = quota_sample(df, "g", "i", cap=5)
+    by_g = {r["g"]: r["count"] for r in kept.groupBy("g").count().collect()}
+    assert by_g == {"big": 5, "small": 3}
+    # deterministic: same members on a differently-partitioned input
+    a = sorted((r["g"], r["i"]) for r in kept.collect())
+    b = sorted(
+        (r["g"], r["i"])
+        for r in quota_sample(df.repartition(7), "g", "i", cap=5).collect()
+    )
+    assert a == b
+
+
 def test_shard_id_deterministic_and_bounded(spark):
     df = spark.createDataFrame([Row(doc_id=i) for i in range(1000)])
     shards = df.select(shard_id("doc_id", 16).alias("s")).groupBy("s").count()
