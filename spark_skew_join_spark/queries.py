@@ -2528,6 +2528,101 @@ def shard_export_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms: explode → per-doc term counts →
+    corpus document frequency → score → windowed top-k. Two shuffles
+    (doc+term counts, then the per-doc window); the document-frequency
+    table joins by term (broadcastable when the vocabulary is bounded).
+    Ranking uses the raw score with a token tiebreak; the reported score
+    is rounded to 6 decimals so Java's and libm's ln() ulp differences
+    can't flip the value hash."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).where(F.length("token") > 0)
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfc"))
+    n = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
+    score = F.col("tf").cast("double") * F.log(
+        (F.col("n_docs") + F.lit(1.0)) / (F.col("dfc") + F.lit(1.0))
+    )
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("token"))
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(n)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(score, 6).alias("tfidf"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+TFIDF_SQL = """
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok
+  WHERE LENGTH(token) > 0 GROUP BY doc_id, token
+),
+dfq AS (SELECT token, COUNT(*) AS dfc FROM tf GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, token, tf,
+       ROUND(CAST(tf AS DOUBLE) * LN((n_docs + 1.0) / (dfc + 1.0)), 6) AS tfidf,
+       CAST(rk AS INT) AS rk
+FROM (
+  SELECT t.doc_id, t.token, t.tf, d.dfc, n.n_docs,
+         ROW_NUMBER() OVER (
+           PARTITION BY t.doc_id
+           ORDER BY CAST(t.tf AS DOUBLE) * LN((n.n_docs + 1.0) / (d.dfc + 1.0)) DESC,
+                    t.token
+         ) AS rk
+  FROM tf t JOIN dfq d USING (token) CROSS JOIN n
+) WHERE rk <= 3
+"""
+
+
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label dimension-wise centroid stats over the embedding column —
+    the 'what does each class look like' scan of embedding analytics.
+    posexplode keys the shuffle by (label, dim): 64·n_labels groups, no
+    skew. Cross-row float sums are order-dependent, so each value is
+    rounded to 6 decimals and summed as DECIMAL (exact, order-independent)
+    before the final double division — bit-stable across engines."""
+    t = load_tables(spark, sf_dir)
+    pos = t["embeddings"].select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    )
+    dec = F.round(F.col("v").cast("double"), 6).cast("decimal(18,6)")
+    return (
+        pos.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("mean_v"),
+            F.min(F.col("v").cast("double")).alias("min_v"),
+            F.max(F.col("v").cast("double")).alias("max_v"),
+        )
+        .select("label", F.col("dim").cast("int").alias("dim"), "n_vecs", "mean_v", "min_v", "max_v")
+    )
+
+
+EMBEDDING_CENTROIDS_SQL = """
+SELECT label, CAST(pos - 1 AS INT) AS dim, COUNT(*) AS n_vecs,
+       CAST(SUM(CAST(ROUND(CAST(embedding[CAST(pos AS INT)] AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE)
+         / COUNT(*) AS mean_v,
+       MIN(CAST(embedding[CAST(pos AS INT)] AS DOUBLE)) AS min_v,
+       MAX(CAST(embedding[CAST(pos AS INT)] AS DOUBLE)) AS max_v
+FROM embeddings, UNNEST(RANGE(1, LEN(embedding) + 1)) AS t(pos)
+GROUP BY label, pos
+"""
+
+
 def quota_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cap documents per source by deterministic md5-hash rank
     (operators/sampling.py::quota_sample) — the kept set is engine-
@@ -2650,6 +2745,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_check_docs": contamination_check_docs,
     "shard_export_stats": shard_export_stats,
     "quota_sample_sources": quota_sample_sources,
+    "tfidf_top_terms": tfidf_top_terms,
+    "embedding_centroids": embedding_centroids,
 }
 
 ORACLES: dict[str, str] = {
@@ -2736,6 +2833,8 @@ ORACLES: dict[str, str] = {
     "contamination_check_docs": CONTAMINATION_SQL,
     "shard_export_stats": SHARD_STATS_SQL,
     "quota_sample_sources": QUOTA_SAMPLE_SQL,
+    "tfidf_top_terms": TFIDF_SQL,
+    "embedding_centroids": EMBEDDING_CENTROIDS_SQL,
     # rows-only (intentionally no oracle): dedup_simhash_docs, ann_lsh_topk,
     # ann_ivf_topk, approx_stats
 }
