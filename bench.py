@@ -1,9 +1,13 @@
 """Benchmark harness (driver contract): headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1}
+Output contract (VERDICT r3 #1 — the driver tail-captures stdout, so the
+LAST line must be short enough to survive truncation):
+  line 1: the full detailed JSON (per-query timings) — for humans/tools;
+          also written to BENCH_DETAIL.json as a sidecar
+  line 2 (FINAL): a short JSON summary the driver parses:
+          {"metric": "...", "value": total_sec, "unit": "sec",
+           "sf": 0.1, "n_queries": N, "queries": {...top 5 slowest...}}
 
 Each query is forced to full materialization through the noop sink (all rows
 computed + serialized, nothing written — same methodology as the reference's
@@ -63,18 +67,33 @@ def main() -> None:
     q.clear_dedup_cache()  # no persisted blocks left behind (VERDICT r2 #7)
 
     total = round(sum(timings.values()), 3)
+    detail = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "excluded_allpairs_baselines": list(q.BENCH_EXCLUDE),
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps(detail))
+    # FINAL line — short, survives the driver's tail capture (VERDICT r3 #1):
+    # keep the contract keys but cap "queries" to the 5 slowest entries.
+    top5 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall_clock",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
-                "excluded_allpairs_baselines": list(q.BENCH_EXCLUDE),
+                "n_queries": len(timings),
+                "queries": top5,
             }
         )
     )
+    sys.stdout.flush()
     spark.stop()
 
 

@@ -50,22 +50,38 @@ def _mg_summaries(keyed: DataFrame, k: int) -> DataFrame:
 
         counts: dict[int, int] = {}
         n_rows = 0
+        err_total = 0
+
+        def compress() -> None:
+            # MG decrement step: subtract the (k+1)-th largest counter and
+            # drop non-positives — at most k strictly-greater entries
+            # survive, so memory snaps back to O(k). Each compression's
+            # subtraction accumulates into the partition's error bound
+            # (the emitted lower bounds underestimate by ≤ err_total).
+            nonlocal counts, err_total
+            sub = sorted(counts.values(), reverse=True)[k]
+            err_total += sub
+            counts = {key: c - sub for key, c in counts.items() if c > sub}
+
         for pdf in batches:
             n_rows += len(pdf)
             vc = pdf["__key"].value_counts()
             for key, c in zip(vc.index.to_numpy(), vc.to_numpy()):
                 ik = int(key)
                 counts[ik] = counts.get(ik, 0) + int(c)
-        err = 0
+            # ADVICE r3: compress per batch, not once at partition end —
+            # executor memory must be O(k), not O(distinct keys/partition),
+            # or the operator's own premise (billions of distinct keys at
+            # 100 TB) breaks. 4k slack amortizes the sort cost.
+            if len(counts) > 4 * k:
+                compress()
         if len(counts) > k:
-            ordered = sorted(counts.values(), reverse=True)
-            err = ordered[k]  # (k+1)-th largest
-            counts = {key: c - err for key, c in counts.items() if c > err}
+            compress()
         out = pd.DataFrame(
             {
                 "__key": pd.array(list(counts.keys()) + [None], dtype="Int64"),
                 "counter": list(counts.values()) + [n_rows],
-                "err": [0] * len(counts) + [err],
+                "err": [0] * len(counts) + [err_total],
             }
         )
         yield out

@@ -39,12 +39,18 @@ def _norm_on(on) -> list[tuple[str, str]]:
     return [(c, c) if isinstance(c, str) else (c[0], c[1]) for c in on]
 
 
+# internal bucket column: deliberately ugly so it can't collide with a
+# real fact column (ADVICE r3: a fact table already holding `__bucket`
+# made the semi-join condition ambiguous)
+_BUCKET_COL = "__sgpf_bucket__"
+
+
 def hashed_key_buckets(
     dim: DataFrame, keys: list[str], bits: int, seed: int
 ) -> DataFrame:
     """Distinct hashed buckets of the dim side's join keys (≤ ``bits`` rows)."""
     h = F.xxhash64(F.lit(seed), *[F.col(k) for k in keys])
-    return dim.select(F.pmod(h, F.lit(bits)).alias("__bucket")).distinct()
+    return dim.select(F.pmod(h, F.lit(bits)).alias(_BUCKET_COL)).distinct()
 
 
 def prefilter_fact(
@@ -60,6 +66,10 @@ def prefilter_fact(
     semi-joins (its hash lands in a populated bucket by construction).
     """
     pairs = _norm_on(on)
+    if _BUCKET_COL in fact.columns:
+        raise ValueError(
+            f"fact side already has internal column {_BUCKET_COL!r}; rename it"
+        )
     out = fact
     for seed in range(n_seeds):
         buckets = hashed_key_buckets(dim, [d for _, d in pairs], bits, seed)
@@ -67,7 +77,7 @@ def prefilter_fact(
             F.xxhash64(F.lit(seed), *[F.col(f) for f, _ in pairs]), F.lit(bits)
         )
         out = out.join(
-            F.broadcast(buckets), probe == F.col("__bucket"), "left_semi"
+            F.broadcast(buckets), probe == F.col(_BUCKET_COL), "left_semi"
         )
     return out
 
@@ -86,7 +96,10 @@ def prefiltered_join(
     of matching rows; the final join is exact). Restricted to join types
     where pruning the fact side is semantics-preserving.
     """
-    if how not in ("inner", "left_semi", "semi", "cross"):
+    # ADVICE r3: 'cross' removed — the equality condition built from `on`
+    # made it behave as inner, and genuine Cartesian semantics are broken
+    # by fact-side pruning anyway (non-matching rows must appear).
+    if how not in ("inner", "left_semi", "semi"):
         raise ValueError(
             f"prefiltered_join supports inner/semi joins only, got {how!r}: "
             "outer joins must preserve non-matching fact rows"

@@ -2533,9 +2533,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus document frequency → score → windowed top-k. Two shuffles
     (doc+term counts, then the per-doc window); the document-frequency
     table joins by term (broadcastable when the vocabulary is bounded).
-    Ranking uses the raw score with a token tiebreak; the reported score
-    is rounded to 6 decimals so Java's and libm's ln() ulp differences
-    can't flip the value hash."""
+    Ranking uses the ROUNDED score (same 6-decimal expression as the
+    reported column) with a token tiebreak — ADVICE r3: ranking by the
+    raw double let a cross-libm ln() ulp difference flip row_number for
+    near-equal scores of different tokens, changing rk<=3 membership."""
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
     tok = docs.select(
@@ -2547,7 +2548,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = F.col("tf").cast("double") * F.log(
         (F.col("n_docs") + F.lit(1.0)) / (F.col("dfc") + F.lit(1.0))
     )
-    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("token"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.round(score, 6).desc(), F.col("token")
+    )
     return (
         tf.join(dfreq, "token")
         .crossJoin(n)
@@ -2580,7 +2583,7 @@ FROM (
   SELECT t.doc_id, t.token, t.tf, d.dfc, n.n_docs,
          ROW_NUMBER() OVER (
            PARTITION BY t.doc_id
-           ORDER BY CAST(t.tf AS DOUBLE) * LN((n.n_docs + 1.0) / (d.dfc + 1.0)) DESC,
+           ORDER BY ROUND(CAST(t.tf AS DOUBLE) * LN((n.n_docs + 1.0) / (d.dfc + 1.0)), 6) DESC,
                     t.token
          ) AS rk
   FROM tf t JOIN dfq d USING (token) CROSS JOIN n
@@ -2661,6 +2664,45 @@ FROM documents GROUP BY 1
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # round 4: registry ROTATED (VERDICT r3 #3) — the driver correctness-
+    # checks the FIRST 50 entries only, and these 34 (old positions 51-84)
+    # had never received a driver row despite being selfcheck-EXACT. They
+    # now occupy the head; the previously-green 50 follow.
+    "multimodal_features": multimodal_features,
+    "train_test_split_stats": train_test_split_stats,
+    "tumbling_window_events": tumbling_window_events,
+    "sliding_window_events": sliding_window_events,
+    "session_windows_events": session_windows_events,
+    "asof_purchase_attribution": asof_purchase_attribution,
+    "range_join_price_bands": range_join_price_bands,
+    "pivot_linestatus": pivot_linestatus,
+    "unpivot_metrics": unpivot_metrics,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
+    "q10_returned_items": q10_returned_items,
+    "q11_important_parts": q11_important_parts,
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q17_small_qty_revenue": q17_small_qty_revenue,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "q20_part_promotion_suppliers": q20_part_promotion_suppliers,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
+    "q22_inactive_customers": q22_inactive_customers,
+    "ann_ivf_topk": ann_ivf_topk,
+    "bpe_token_stats": bpe_token_stats,
+    "multimodal_frame_sample": multimodal_frame_sample,
+    "salted_window_events": salted_window_events,
+    "prefilter_join_orders": prefilter_join_orders,
+    "heavy_hitter_suppliers": heavy_hitter_suppliers,
+    "contamination_check_docs": contamination_check_docs,
+    "shard_export_stats": shard_export_stats,
+    "quota_sample_sources": quota_sample_sources,
+    "tfidf_top_terms": tfidf_top_terms,
+    "embedding_centroids": embedding_centroids,
+    # --- previously driver-green (CORRECTNESS_r03 47 EXACT + 3 no-oracle) ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -2711,42 +2753,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup_lsh": embedding_near_dup_lsh_pairs,
     "token_frequencies": token_frequencies,
     "multimodal_binary_meta": multimodal_binary_meta,
-    "multimodal_features": multimodal_features,
-    "train_test_split_stats": train_test_split_stats,
-    "tumbling_window_events": tumbling_window_events,
-    "sliding_window_events": sliding_window_events,
-    "session_windows_events": session_windows_events,
-    "asof_purchase_attribution": asof_purchase_attribution,
-    "range_join_price_bands": range_join_price_bands,
-    "pivot_linestatus": pivot_linestatus,
-    "unpivot_metrics": unpivot_metrics,
-    # round 3: TPC-H-shape completion (names appended; existing order kept
-    # stable so the driver re-samples prior queries — VERDICT r2 #4)
-    "q2_min_cost_supplier": q2_min_cost_supplier,
-    "q7_volume_shipping": q7_volume_shipping,
-    "q8_market_share": q8_market_share,
-    "q9_product_profit": q9_product_profit,
-    "q10_returned_items": q10_returned_items,
-    "q11_important_parts": q11_important_parts,
-    "q13_order_count_distribution": q13_order_count_distribution,
-    "q15_top_supplier": q15_top_supplier,
-    "q16_supplier_part_counts": q16_supplier_part_counts,
-    "q17_small_qty_revenue": q17_small_qty_revenue,
-    "q18_large_volume_customers": q18_large_volume_customers,
-    "q20_part_promotion_suppliers": q20_part_promotion_suppliers,
-    "q21_waiting_suppliers": q21_waiting_suppliers,
-    "q22_inactive_customers": q22_inactive_customers,
-    "ann_ivf_topk": ann_ivf_topk,
-    "bpe_token_stats": bpe_token_stats,
-    "multimodal_frame_sample": multimodal_frame_sample,
-    "salted_window_events": salted_window_events,
-    "prefilter_join_orders": prefilter_join_orders,
-    "heavy_hitter_suppliers": heavy_hitter_suppliers,
-    "contamination_check_docs": contamination_check_docs,
-    "shard_export_stats": shard_export_stats,
-    "quota_sample_sources": quota_sample_sources,
-    "tfidf_top_terms": tfidf_top_terms,
-    "embedding_centroids": embedding_centroids,
 }
 
 ORACLES: dict[str, str] = {
@@ -2848,6 +2854,23 @@ EAGER_QUERIES = (
     "skew_join_multicol",
     "dedup_clusters_docs",
     "dedup_fuzzy_survivors",
+)
+
+# Queries whose physical plan legitimately contains a BroadcastNestedLoopJoin:
+# every entry is either a 1-row scalar-aggregate broadcast (avg/total/max
+# thresholds kept lazy instead of collected driver-side) or, for
+# knn_bruteforce, the designed exact-baseline broadcast of a tiny query set
+# over the corpus scan. All are bounded and shuffle-free — NOT cartesians.
+# tests/test_plans.py::test_no_benched_query_has_cartesian_product derives
+# its allowlist from this tuple (VERDICT r3 #2): any new scalar-broadcast
+# query MUST be added here or the plan gate fails.
+SCALAR_BNL_OK = (
+    "knn_bruteforce",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q22_inactive_customers",
+    "heavy_hitter_suppliers",
+    "tfidf_top_terms",  # 1-row n_docs count broadcast for the IDF term
 )
 
 # Correct-but-quadratic oracle formulations whose scale-path siblings are

@@ -103,6 +103,8 @@ def get_spark(app_name: str = "spark_skew_join_spark", cpus: int | None = None) 
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # keep stdout clean for the driver's JSON tail capture (VERDICT r3 #1)
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .getOrCreate()
     )
