@@ -70,7 +70,14 @@ def connected_components(
     """
     # both edge directions in ONE pass over the pair plan — a union of the
     # pair list with its swap would evaluate the (possibly expensive)
-    # upstream pair computation twice
+    # upstream pair computation twice. localCheckpoint, NOT persist: a
+    # persist caches the physical result but every round's action still
+    # re-analyzes the full upstream LOGICAL plan (cache substitution
+    # happens after analysis) — with an expensive pair producer (the
+    # LSH+verify tree) that driver-side Catalyst cost multiplied by
+    # O(log d) rounds dominated the loop (~12 s of a 12.3 s run at
+    # sf0.1). The checkpoint truncates lineage to a LogicalRDD so each
+    # round analyzes a constant-size plan.
     edges = (
         pairs.select(
             F.explode(
@@ -82,8 +89,9 @@ def connected_components(
         )
         .select("e.src", "e.dst")
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
+    edges_ckpt = _checkpoint_rdd(edges)
 
     labels = (
         vertices.select(F.col(id_col).alias("id"))
@@ -153,7 +161,8 @@ def connected_components(
                 f"connected_components did not converge in {max_iter} rounds"
             )
     finally:
-        edges.unpersist()
+        if edges_ckpt is not None:
+            edges_ckpt.unpersist(False)
     result = vertices.select(F.col(id_col)).join(
         labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_rep")),
         on=id_col,

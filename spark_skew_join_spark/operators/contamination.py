@@ -62,20 +62,37 @@ def contamination_report(
     n: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_broadcast_grams: int | None = 2_000_000,
 ) -> DataFrame:
     """Per corpus document: how many of its distinct token n-grams appear
     anywhere in the benchmark set. Only contaminated docs are returned.
 
     Columns: id, n_grams (doc's distinct n-grams), n_hits (of those, how
     many exist in the benchmark), contamination (n_hits / n_grams).
-    """
+
+    Broadcast guard (VERDICT r3 #7): the module premise is a small
+    benchmark side, but forcing the broadcast on faith OOMs the driver
+    when an "eval suite" turns out to be millions of grams. With
+    ``max_broadcast_grams`` set (default 2M ≈ 16 MB of hashed grams), the
+    distinct benchmark gram set is materialized (localCheckpoint — one
+    eager job over the benchmark side only, never the corpus) and counted;
+    at/below the cap it broadcasts as before, above it the semi-join runs
+    as an ordinary shuffle join (the corpus side shuffles 8-byte gram
+    ints, so even the fallback moves hashes, not text). ``None`` restores
+    the unconditional broadcast."""
     corpus_grams = token_ngrams(corpus, n, text_col, id_col, hashed=True)
     bench_set = (
         token_ngrams(benchmark, n, text_col, id_col, hashed=True)
         .select("gram")
         .distinct()
     )
-    hits = corpus_grams.join(F.broadcast(bench_set), "gram", "left_semi")
+    if max_broadcast_grams is None:
+        bench_set = F.broadcast(bench_set)
+    else:
+        bench_set = bench_set.localCheckpoint(eager=True)
+        if bench_set.count() <= max_broadcast_grams:
+            bench_set = F.broadcast(bench_set)
+    hits = corpus_grams.join(bench_set, "gram", "left_semi")
     per_doc = corpus_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
     per_doc_hits = hits.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hits"))
     return (

@@ -119,7 +119,7 @@ def lsh_topk(
     band_bits: int = 4,
     seed: int = 42,
     max_bucket_size: int | None = 1000,
-    cache_bands: bool = True,
+    cache_bands: bool | str = "auto",
 ) -> DataFrame:
     """Approximate top-k: candidates share >=1 SimHash band bucket.
 
@@ -127,12 +127,16 @@ def lsh_topk(
     skew-safe for roughly-uniform random hyperplanes; at 100 TB this replaces
     the O(|corpus| x |queries|) cross join with O(candidates).
 
-    ``max_bucket_size`` drops corpus-side band buckets with more members
-    than the cap (degenerate codes from near-constant embeddings): such a
-    code carries almost no locality information, and keeping it would make
-    the band join fan out by |bucket| per matching query. Recall for
-    vectors only reachable through a dropped bucket is lost — raise the cap
-    (or band_bits) if the corpus is legitimately dense around a code.
+    ``max_bucket_size`` bounds corpus-side band-bucket fan-out (degenerate
+    codes from near-constant embeddings would otherwise fan out by |bucket|
+    per matching query). Over-cap buckets are PROBED THROUGH A SAMPLE, not
+    dropped (VERDICT r3 #6): each member survives with probability
+    cap/|bucket| — deterministic via pmod(xxhash64(id), |bucket|) < cap —
+    so the expected probe cost per over-cap bucket stays ≈ cap while a
+    query whose true neighbors sit in a degenerate bucket still reaches a
+    sample of them (recall degrades to ~cap/|bucket| per band instead of
+    zero; multiple bands re-roll the sample). Raise the cap (or band_bits)
+    if the corpus is legitimately dense around a code.
     """
     import random
 
@@ -150,18 +154,31 @@ def lsh_topk(
     )
     if cache_bands:
         # corpus bands feed both the hot-bucket stats and the probe join —
-        # persist via the shared registry (dedup.clear_band_cache releases)
+        # cache via the shared registry (dedup.clear_band_cache releases);
+        # "auto" spills to a temp table above the size estimate threshold
         from .dedup import _session_cache
 
-        cb = _session_cache(cb)
+        cb = _session_cache(cb, mode=cache_bands)
     if max_bucket_size is not None:
+        # over-cap bucket list is tiny (≤ rows/cap entries) → broadcast;
+        # members of an over-cap bucket are thinned to an expected
+        # max_bucket_size-member sample by a deterministic hash coin
         hot = (
             cb.groupBy("band", "code")
             .agg(F.count(F.lit(1)).alias("__bn"))
             .where(F.col("__bn") > max_bucket_size)
-            .select("band", "code")
         )
-        cb = cb.join(F.broadcast(hot), on=["band", "code"], how="left_anti")
+        cb = (
+            cb.join(F.broadcast(hot), on=["band", "code"], how="left")
+            .where(
+                F.col("__bn").isNull()
+                | (
+                    F.pmod(F.xxhash64(F.col("neighbor_id")), F.col("__bn"))
+                    < F.lit(max_bucket_size)
+                )
+            )
+            .drop("__bn")
+        )
     cand = (
         qb.join(cb, on=["band", "code"])
         .where(F.col("query_id") != F.col("neighbor_id"))

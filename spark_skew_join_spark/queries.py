@@ -2854,6 +2854,9 @@ EAGER_QUERIES = (
     "skew_join_multicol",
     "dedup_clusters_docs",
     "dedup_fuzzy_survivors",
+    # broadcast-size guard materializes + counts the benchmark gram set
+    # at plan construction (operators/contamination.py)
+    "contamination_check_docs",
 )
 
 # Queries whose physical plan legitimately contains a BroadcastNestedLoopJoin:

@@ -285,6 +285,71 @@ def test_lsh_recall_against_bruteforce(spark):
     assert len(brute & approx) >= 3
 
 
+def test_lsh_topk_probes_overcap_buckets_via_sample(spark):
+    """VERDICT r3 #6: a degenerate corpus (one tight cluster → every member
+    in the same band buckets) must NOT lose all recall when the bucket
+    exceeds max_bucket_size — over-cap buckets are probed through a
+    deterministic ~cap-member sample instead of being dropped."""
+    import random
+
+    rng = random.Random(7)
+    center = [rng.gauss(0, 1) for _ in range(16)]
+    rows = [
+        (i, [float(x + rng.gauss(0, 0.01)) for x in center]) for i in range(200)
+    ]
+    # a few scattered background vectors (their own buckets, under cap)
+    rows += [
+        (1000 + i, [float(rng.gauss(0, 1)) for _ in range(16)]) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    q = df.where(F.col("vec_id") < 5)
+    got = lsh_topk(
+        df, q, k=3, dim=16, n_bands=8, band_bits=2, max_bucket_size=20
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    # every query sits in the 200-member cluster whose buckets are all
+    # over-cap (200 > 20); the old drop behavior returned only scattered
+    # background neighbors (or nothing). The sampled probe must surface
+    # cluster members: each query gets k rows and they are cluster ids.
+    assert len(by_q) == 5, by_q
+    for qid, ns in by_q.items():
+        assert len(ns) == 3, (qid, ns)
+        assert all(n < 1000 for n in ns), (qid, ns)
+
+
+def test_band_cache_table_mode_same_result_and_cleanup(spark):
+    """VERDICT r3 #5: cache_bands="table" spills band/signature DataFrames
+    to temp warehouse tables instead of executor memory — identical output,
+    and clear_band_cache drops the tables."""
+    from spark_skew_join_spark.operators.dedup import clear_band_cache, minhash_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again!"),
+            (3, "completely different text with no overlap whatsoever in it"),
+        ],
+        "doc_id bigint, text string",
+    )
+    mem = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in minhash_pairs(docs, threshold=0.5, cache_bands=True).collect()
+    }
+    clear_band_cache()
+    tbl = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in minhash_pairs(docs, threshold=0.5, cache_bands="table").collect()
+    }
+    assert tbl == mem and (1, 2) in {(a, b) for a, b, _ in tbl}
+    spilled = [t.name for t in spark.catalog.listTables() if "__sgsj_spill" in t.name]
+    assert spilled, "table mode should have created spill tables"
+    clear_band_cache()
+    left = [t.name for t in spark.catalog.listTables() if "__sgsj_spill" in t.name]
+    assert not left, f"spill tables not dropped: {left}"
+
+
 def test_connected_components_chains_and_singletons(spark):
     from spark_skew_join_spark.operators.cluster import connected_components
 

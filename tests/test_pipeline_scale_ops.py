@@ -76,6 +76,36 @@ def test_heavy_hitters_exact_under_mg_pruning(spark):
     assert got == want
 
 
+def test_heavy_hitters_exact_with_per_batch_compress(spark):
+    """ADVICE r3: the MG summary compresses whenever the counter dict
+    exceeds 4k (bounded memory), not just at partition end. Force many
+    small Arrow batches so several compressions fire per partition and
+    check the output is still exactly GROUP BY/HAVING."""
+    rows = (
+        [Row(k="hot1")] * 900
+        + [Row(k="hot2")] * 500
+        + [Row(k=f"t{i}") for i in range(3000)]  # 3000 singleton keys
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100")
+    try:
+        df = spark.createDataFrame(rows).repartition(4)
+        phi, k = 0.1, 16  # 4k = 64 < distinct/batch at 100-row batches
+        got = {
+            r["k"]: r["n_rows"]
+            for r in heavy_hitters(df, ["k"], phi=phi, k=k).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    thr = math.ceil(phi * len(rows))
+    want = {
+        r["k"]: r["count"]
+        for r in df.groupBy("k").count().where(F.col("count") >= thr).collect()
+    }
+    assert want == {"hot1": 900, "hot2": 500}
+    assert got == want
+
+
 def test_heavy_hitters_multi_col_and_guard(spark):
     df = spark.createDataFrame(
         [Row(a=1, b="x")] * 50 + [Row(a=i, b="y") for i in range(40)]
@@ -111,6 +141,40 @@ def test_contamination_report_counts(spark):
     assert got[1]["n_hits"] == 2  # "q w e", "w e r"
     assert got[1]["n_grams"] == 6
     assert abs(got[1]["contamination"] - 2 / 6) < 1e-12
+
+
+def test_contamination_broadcast_guard_falls_back_to_shuffle(spark):
+    """VERDICT r3 #7: an over-cap benchmark gram set must not be force-
+    broadcast — the semi-join falls back to a shuffle join, with identical
+    results."""
+    from pyspark.sql import functions as F
+
+    # 60 benchmark docs x ~13 grams each -> well over a cap of 100
+    bench = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(f"t{i}_{j}" for j in range(16))) for i in range(60)]
+    )
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=" ".join(f"t7_{j}" for j in range(16))),  # = bench doc 7
+            Row(doc_id=2, text="clean words only nothing shared here at all"),
+        ]
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        guarded = contamination_report(corpus, bench, n=3, max_broadcast_grams=100)
+        forced = contamination_report(corpus, bench, n=3, max_broadcast_grams=None)
+        plan = guarded._jdf.queryExecution().executedPlan().toString()
+        # with auto-broadcast off and no hint, the over-cap semi join must
+        # not be a broadcast join (the per-doc count joins don't broadcast
+        # either under this conf, so the whole plan is broadcast-free)
+        assert "BroadcastHashJoin" not in plan, plan
+        g = {r["doc_id"]: r for r in guarded.collect()}
+        f_ = {r["doc_id"]: r for r in forced.collect()}
+        assert list(g) == [1] and list(f_) == [1]
+        assert g[1]["n_hits"] == f_[1]["n_hits"] == 14
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_quota_sample_caps_and_is_deterministic(spark):
