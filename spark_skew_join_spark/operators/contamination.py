@@ -42,18 +42,34 @@ def token_ngrams(
     ints instead of n-token strings (the counts are identical up to a
     ~2⁻⁶⁴-per-pair collision probability, which decontamination
     tolerates; keep strings when the grams themselves are the output).
+
+    Shape: positions are exploded FIRST and the gram is built from a
+    token-array slice in an ordinary projection — a `transform()` HOF
+    materializing every gram inside one array-valued expression per row
+    ran 5× slower at sf0.1 (HOF lambdas stay outside whole-stage
+    codegen). The hashed path hashes the token-slice ARRAY directly
+    (no string materialization); tokens contain no whitespace, so
+    array equality ≡ joined-string equality and the distinct/join
+    semantics are unchanged.
     """
     toks = F.split(F.col(text_col), r"\s+")
-    grams: Column = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    base = (
+        df.where(F.size(toks) >= n)
+        .select(F.col(id_col), toks.alias("__tk"))
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.lit(1), F.size("__tk") - (n - 1))
+            ).alias("__i"),
+            "__tk",
+        )
     )
-    exploded = df.where(F.size(toks) >= n).select(
-        F.col(id_col), F.explode(grams).alias("gram")
-    )
+    gram: Column = F.slice(F.col("__tk"), F.col("__i"), n)
     if hashed:
-        exploded = exploded.select(id_col, F.xxhash64("gram").alias("gram"))
-    return exploded.distinct()
+        out = base.select(id_col, F.xxhash64(gram).alias("gram"))
+    else:
+        out = base.select(id_col, F.array_join(gram, " ").alias("gram"))
+    return out.distinct()
 
 
 def contamination_report(
@@ -85,6 +101,7 @@ def contamination_report(
         token_ngrams(benchmark, n, text_col, id_col, hashed=True)
         .select("gram")
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
     if max_broadcast_grams is None:
         bench_set = F.broadcast(bench_set)
@@ -92,11 +109,18 @@ def contamination_report(
         bench_set = bench_set.localCheckpoint(eager=True)
         if bench_set.count() <= max_broadcast_grams:
             bench_set = F.broadcast(bench_set)
-    hits = corpus_grams.join(bench_set, "gram", "left_semi")
-    per_doc = corpus_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
-    per_doc_hits = hits.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hits"))
+    # ONE pass over the corpus grams: a left join against the (distinct)
+    # benchmark set marks hits, and a single per-doc aggregate computes
+    # totals and hit counts together — the earlier semi-join + two
+    # aggregations evaluated the full corpus gram explode/distinct twice
     return (
-        per_doc.join(per_doc_hits, id_col, "inner")
+        corpus_grams.join(bench_set, "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hits"),
+        )
+        .where(F.col("n_hits") > 0)
         .select(
             id_col,
             "n_grams",
