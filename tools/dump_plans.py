@@ -127,9 +127,10 @@ def main() -> None:
             "\n".join(
                 l for l in simplec.splitlines() if "Join" in l or "Exchange" in l
             ),
-            "The benchmark gram set (hashed to int64) broadcasts into a\n"
-            "LeftSemi probe of the corpus grams — the corpus text is never\n"
-            "shuffled; the only exchanges are the per-doc count groupBys.",
+            "The benchmark gram set (hashed to int64, size-guarded) broadcasts\n"
+            "into a LeftOuter hit-marker probe of the corpus grams; ONE per-doc\n"
+            "aggregate computes totals and hits together — the corpus text is\n"
+            "never shuffled and the gram set is scanned once.",
         )
     )
 
