@@ -57,6 +57,38 @@ def top_ngram_fraction(docs: DataFrame, id_col: str, text_col: str, n: int,
     )
 
 
+def duplicate_ngram_fraction(docs: DataFrame, id_col: str, text_col: str,
+                             n: int, out_col: str) -> DataFrame:
+    """(id_col, out_col): fraction of the doc's word n-grams that are
+    repeats of an earlier occurrence — 1 - distinct/total. The Gopher
+    duplicate-n-gram family of repetition signals (top_ngram_fraction
+    covers the "most frequent n-gram" variant; this covers the
+    "duplicate n-grams" variant). Docs with < n words are excluded.
+
+    Same explode-positions + slice shape as the contamination gram
+    builder (HOF transform() lambdas fall out of codegen and ran 5×
+    slower there); two-level aggregation keyed (doc, gram) → doc."""
+    toks = F.split(F.col(text_col), " ")
+    base = (
+        docs.where(F.size(toks) >= n)
+        .select(F.col(id_col), toks.alias("__tk"))
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(1), F.size("__tk") - (n - 1))).alias("__i"),
+            "__tk",
+        )
+    )
+    gram = F.array_join(F.slice(F.col("__tk"), F.col("__i"), n), " ")
+    per_gram = (
+        base.select(F.col(id_col), gram.alias("_ng"))
+        .groupBy(id_col, "_ng")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return per_gram.groupBy(id_col).agg(
+        (F.lit(1.0) - F.count(F.lit(1)) / F.sum("_c")).alias(out_col)
+    )
+
+
 def gopher_quality_signals(docs: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text") -> DataFrame:
     """Per-document quality/repetition signals + pass/fail verdict.
