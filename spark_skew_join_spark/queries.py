@@ -2787,6 +2787,97 @@ FROM d2 JOIN d3 ON d2.doc_id = d3.doc_id
 """
 
 
+def redact_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/pattern scrubbing audit over events.props: per-rule replacement
+    counts + md5 of the fully redacted text — the redacted OUTPUT is
+    checksummed, so regexp_replace semantics are verified end-to-end, not
+    just counts. The fixture corpus carries no synthetic PII, so the
+    email/ip/ssn/phone rules legitimately count 0 here (their match
+    behavior is unit-tested on synthetic rows in tests/test_redact.py)
+    and the digit-run rule does the live replacements."""
+    from .operators.redact import DEFAULT_PII_RULES, NUMBER_RULE, redact
+
+    t = load_tables(spark, sf_dir)
+    r = redact(
+        t["events"], "props", rules=DEFAULT_PII_RULES + [NUMBER_RULE],
+        out_col="redacted",
+    )
+    return r.select(
+        "event_id", "n_email", "n_ipv4", "n_ssn", "n_phone", "n_number",
+        F.md5(F.col("redacted").cast("binary")).alias("redacted_md5"),
+    )
+
+
+REDACT_SQL = r"""
+WITH s0 AS (SELECT event_id, props AS t FROM events),
+s1 AS (SELECT event_id,
+              LEN(REGEXP_EXTRACT_ALL(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+              REGEXP_REPLACE(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+       FROM s0),
+s2 AS (SELECT event_id, n_email,
+              LEN(REGEXP_EXTRACT_ALL(t, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ipv4,
+              REGEXP_REPLACE(t, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS t
+       FROM s1),
+s3 AS (SELECT event_id, n_email, n_ipv4,
+              LEN(REGEXP_EXTRACT_ALL(t, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS n_ssn,
+              REGEXP_REPLACE(t, '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g') AS t
+       FROM s2),
+s4 AS (SELECT event_id, n_email, n_ipv4, n_ssn,
+              LEN(REGEXP_EXTRACT_ALL(t, '\+?[0-9][0-9()\-. ]{7,}[0-9]')) AS n_phone,
+              REGEXP_REPLACE(t, '\+?[0-9][0-9()\-. ]{7,}[0-9]', '<PHONE>', 'g') AS t
+       FROM s3),
+s5 AS (SELECT event_id, n_email, n_ipv4, n_ssn, n_phone,
+              LEN(REGEXP_EXTRACT_ALL(t, '[0-9]+')) AS n_number,
+              REGEXP_REPLACE(t, '[0-9]+', '<NUM>', 'g') AS t
+       FROM s4)
+SELECT event_id, CAST(n_email AS INT) AS n_email, CAST(n_ipv4 AS INT) AS n_ipv4,
+       CAST(n_ssn AS INT) AS n_ssn, CAST(n_phone AS INT) AS n_phone,
+       CAST(n_number AS INT) AS n_number, MD5(t) AS redacted_md5
+FROM s5
+"""
+
+
+def zorder_layout_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (o_custkey, o_totalprice) +
+    per-bucket min/max locality statistics — the file-level stats a
+    lakehouse reader prunes on after OPTIMIZE ZORDER BY. The interleave
+    is pure shift/mask/or codegen, oracle-checked bit-for-bit."""
+    from .operators.layout import zorder_bucket_stats
+
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].select("o_custkey", "o_totalprice")
+    return zorder_bucket_stats(
+        o, ["o_custkey", "o_totalprice"], bits=16, bucket_bits=5
+    )
+
+
+def _zorder_interleave_sql(qcols: list[str], bits: int) -> str:
+    ncols = len(qcols)
+    terms = [
+        f"((({q} >> {i}) & 1) << {i * ncols + j})"
+        for j, q in enumerate(qcols)
+        for i in range(bits)
+    ]
+    return " | ".join(terms)
+
+
+ZORDER_SQL = f"""
+WITH q AS (
+  SELECT o_custkey, o_totalprice,
+         CAST(LEAST(FLOOR(PERCENT_RANK() OVER (ORDER BY o_custkey) * 65536), 65535) AS BIGINT) AS q0,
+         CAST(LEAST(FLOOR(PERCENT_RANK() OVER (ORDER BY o_totalprice) * 65536), 65535) AS BIGINT) AS q1
+  FROM orders
+),
+z AS (SELECT o_custkey, o_totalprice,
+             {_zorder_interleave_sql(['q0', 'q1'], 16)} AS zval
+      FROM q)
+SELECT CAST(zval >> 27 AS INT) AS bucket, COUNT(*) AS n_rows,
+       MIN(o_custkey) AS min_o_custkey, MAX(o_custkey) AS max_o_custkey,
+       MIN(o_totalprice) AS min_o_totalprice, MAX(o_totalprice) AS max_o_totalprice
+FROM z GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2834,6 +2925,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint_winnow": doc_fingerprint_winnow,
     "winnow_overlap_pairs": winnow_overlap_pairs_docs,
     "repetition_signals": repetition_signals_docs,
+    "redact_events_props": redact_events_props,
+    "zorder_layout_orders": zorder_layout_orders,
     # --- previously driver-green (CORRECTNESS_r03 47 EXACT + 3 no-oracle) ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -2976,6 +3069,8 @@ ORACLES: dict[str, str] = {
     "doc_fingerprint_winnow": WINNOW_FP_SQL,
     "winnow_overlap_pairs": WINNOW_OVERLAP_SQL,
     "repetition_signals": REPETITION_SQL,
+    "redact_events_props": REDACT_SQL,
+    "zorder_layout_orders": ZORDER_SQL,
     # rows-only (intentionally no oracle): dedup_simhash_docs, ann_lsh_topk,
     # ann_ivf_topk, approx_stats
 }

@@ -1,0 +1,99 @@
+"""PII redaction rules on synthetic rows + z-order layout locality."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from spark_skew_join_spark.operators.layout import zorder_bucket_stats, zorder_key
+from spark_skew_join_spark.operators.redact import (
+    DEFAULT_PII_RULES,
+    NUMBER_RULE,
+    redact,
+)
+
+
+def test_redact_each_default_rule(spark):
+    rows = [
+        (1, "contact john.doe+spam@example.co.uk for details"),
+        (2, "server at 192.168.001.12 rebooted"),
+        (3, "ssn 123-45-6789 on file"),
+        (4, "call +1 (415) 555-0123 now"),
+        (5, "clean text with no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r.id: r for r in redact(df, "text").collect()}
+    assert out[1].n_email == 1 and "<EMAIL>" in out[1].redacted
+    assert "@" not in out[1].redacted
+    assert out[2].n_ipv4 == 1 and "<IP>" in out[2].redacted
+    assert out[3].n_ssn == 1 and "<SSN>" in out[3].redacted
+    assert out[4].n_phone == 1 and "<PHONE>" in out[4].redacted
+    r5 = out[5]
+    assert (r5.n_email, r5.n_ipv4, r5.n_ssn, r5.n_phone) == (0, 0, 0, 0)
+    assert r5.redacted == "clean text with no pii at all"
+
+
+def test_redact_rule_order_consumes_earlier(spark):
+    """The email rule consumes its digits before phone/number see them."""
+    df = spark.createDataFrame(
+        [(1, "mail 12345678901@example.com ok")], "id long, text string"
+    )
+    r = redact(df, "text", rules=DEFAULT_PII_RULES + [NUMBER_RULE]).collect()[0]
+    assert r.n_email == 1
+    assert r.n_phone == 0 and r.n_number == 0
+    assert r.redacted == "mail <EMAIL> ok"
+
+
+def test_redact_idempotent(spark):
+    df = spark.createDataFrame(
+        [(1, "a@b.com and 10.0.0.1")], "id long, text string"
+    )
+    once = redact(df, "text").select("id", F.col("redacted").alias("text"))
+    twice = redact(once, "text").collect()[0]
+    assert twice.redacted == "<EMAIL> and <IP>"
+    assert (twice.n_email, twice.n_ipv4) == (0, 0)
+
+
+def test_zorder_key_interleaves(spark):
+    """Exact Morton check at bits=2: quantization aside, z of the max
+    element is all ones and bucket ordering is deterministic."""
+    from spark_skew_join_spark.operators.layout import zvalue_fixed
+
+    df = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4)], "a long, b long"
+    )
+    out = df.withColumn("z", zvalue_fixed([F.col("a"), F.col("b")], bits=2))
+    got = {(r.a, r.b): r.z for r in out.collect()}
+
+    def morton(a, b):
+        z = 0
+        for i in range(2):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == {(a, b): morton(a, b) for a in range(4) for b in range(4)}
+
+
+def test_zorder_locality_beats_linear_sort(spark):
+    """Per-bucket ranges on the SECOND column: z-order buckets must be
+    far narrower than linear-sort-by-first-column buckets (the pruning
+    win the operator exists for)."""
+    rng = random.Random(3)
+    rows = [(rng.randrange(100_000), rng.randrange(100_000)) for _ in range(20_000)]
+    df = spark.createDataFrame(rows, "x long, y long")
+
+    zstats = zorder_bucket_stats(df, ["x", "y"], bits=16, bucket_bits=4).collect()
+    z_spread = sum(r.max_y - r.min_y for r in zstats) / len(zstats)
+
+    # linear sort: bucket = rank(x) quantile -> y is unclustered
+    from pyspark.sql import Window
+
+    lin = df.withColumn(
+        "bucket", F.ntile(16).over(Window.orderBy("x"))
+    ).groupBy("bucket").agg(F.min("y").alias("min_y"), F.max("y").alias("max_y"))
+    lin_rows = lin.collect()
+    lin_spread = sum(r.max_y - r.min_y for r in lin_rows) / len(lin_rows)
+
+    assert z_spread < lin_spread * 0.6, (z_spread, lin_spread)
