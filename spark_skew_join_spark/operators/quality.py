@@ -125,3 +125,50 @@ def gopher_quality_signals(docs: DataFrame, id_col: str = "doc_id",
         & (F.col("top_unigram_frac") <= 0.25)
         & (F.col("top_bigram_frac") <= 0.18),
     )
+
+
+def unigram_logprob(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Corpus-trained unigram language-model score per document — the
+    classic CCNet-style "perplexity proxy" quality signal, with the LM
+    fitted on the corpus itself instead of an external KenLM artifact.
+
+    p(tok) = count(tok) / total_tokens over the whole corpus;
+    per-document score = mean token negative log-likelihood
+    ``avg(ln(total) - ln(count))`` rounded to 6 decimals (the rounding
+    absorbs cross-libm ln() ulp differences vs the SQL oracle — the
+    tfidf lesson, ADVICE r3).  Output: (id_col, n_tokens, avg_nll);
+    higher avg_nll = rarer vocabulary.
+
+    Scale design (100 TB): tokens join the count table through an
+    ``xxhash64`` int64 key so both the vocabulary aggregation and the
+    score join shuffle 8-byte keys; the total-token count stays a lazy
+    1-row broadcast (BroadcastNestedLoopJoin of a scalar — bounded,
+    shuffle-free; the registered query is listed in SCALAR_BNL_OK).
+    Both aggregations have map-side partial combine; the per-doc reduce
+    key is the unique doc id (no skew).  A Zipf-heavy token (stopwords)
+    skews only the 8-byte count aggregation, which partial combine
+    absorbs map-side — the score join itself is keyed (doc, token
+    position) rows against a count table lookup, not row-multiplying.
+    """
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("__tok"),
+    ).select(F.col(id_col), F.xxhash64("__tok").alias("__th"))
+    cnt = tok.groupBy("__th").agg(F.count(F.lit(1)).alias("__c"))
+    total = F.broadcast(cnt.agg(F.sum("__c").alias("__n")))
+    return (
+        tok.join(cnt, "__th")
+        .crossJoin(total)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(
+                    F.log(F.col("__n").cast("double"))
+                    - F.log(F.col("__c").cast("double"))
+                ),
+                6,
+            ).alias("avg_nll"),
+        )
+    )

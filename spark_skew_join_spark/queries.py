@@ -2878,6 +2878,67 @@ FROM z GROUP BY 1
 """
 
 
+def chunk_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate removal (CCNet/RefinedWeb line-dedup
+    semantics on fixed 10-token chunks — the fixture text is single-line,
+    so the deterministic chunk grid replaces newline splitting). Chunks
+    appearing verbatim in >1 document are dropped; the reassembled
+    document is md5-verified end-to-end against the oracle."""
+    from .operators.boilerplate import chunk_dedup_stats
+
+    t = load_tables(spark, sf_dir)
+    return chunk_dedup_stats(
+        t["documents"], "doc_id", "text", chunk_tokens=10, max_docs=1
+    )
+
+
+CHUNK_DEDUP_SQL = """
+WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+chunks AS (
+  SELECT doc_id, CAST(pos AS INT) AS pos,
+         ARRAY_TO_STRING(
+           LIST_SLICE(t, CAST(pos * 10 + 1 AS INT), CAST(pos * 10 + 10 AS INT)),
+           ' ') AS chunk
+  FROM toks, UNNEST(RANGE(0, CAST(CEIL(LEN(t) / 10.0) AS BIGINT))) AS u(pos)
+),
+freq AS (SELECT chunk, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY chunk),
+flagged AS (
+  SELECT c.doc_id, c.pos, c.chunk, f.nd > 1 AS dup
+  FROM chunks c JOIN freq f USING (chunk)
+)
+SELECT doc_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       MD5(COALESCE(STRING_AGG(chunk, ' ' ORDER BY pos)
+                      FILTER (WHERE NOT dup), '')) AS clean_md5
+FROM flagged GROUP BY doc_id
+"""
+
+
+def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram-LM quality score per document (CCNet
+    perplexity-proxy shape): avg token negative log-likelihood under
+    p(tok)=count/total fitted on the corpus itself."""
+    from .operators.quality import unigram_logprob
+
+    t = load_tables(spark, sf_dir)
+    return unigram_logprob(t["documents"], "doc_id", "text")
+
+
+UNIGRAM_LM_SQL = """
+WITH tok AS (
+  SELECT doc_id, tk
+  FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tk FROM documents)
+),
+cnt AS (SELECT tk, COUNT(*) AS c FROM tok GROUP BY tk),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM cnt)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(AVG(LN(n) - LN(CAST(c AS DOUBLE))), 6) AS avg_nll
+FROM tok JOIN cnt USING (tk) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2927,6 +2988,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_signals": repetition_signals_docs,
     "redact_events_props": redact_events_props,
     "zorder_layout_orders": zorder_layout_orders,
+    "chunk_dedup_docs": chunk_dedup_docs,
+    "unigram_lm_quality": unigram_lm_quality,
     # --- previously driver-green (CORRECTNESS_r03 47 EXACT + 3 no-oracle) ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -3071,6 +3134,8 @@ ORACLES: dict[str, str] = {
     "repetition_signals": REPETITION_SQL,
     "redact_events_props": REDACT_SQL,
     "zorder_layout_orders": ZORDER_SQL,
+    "chunk_dedup_docs": CHUNK_DEDUP_SQL,
+    "unigram_lm_quality": UNIGRAM_LM_SQL,
     # rows-only (intentionally no oracle): dedup_simhash_docs, ann_lsh_topk,
     # ann_ivf_topk, approx_stats
 }
@@ -3104,6 +3169,7 @@ SCALAR_BNL_OK = (
     "q22_inactive_customers",
     "heavy_hitter_suppliers",
     "tfidf_top_terms",  # 1-row n_docs count broadcast for the IDF term
+    "unigram_lm_quality",  # 1-row total-token-count broadcast for ln(total)
 )
 
 # Correct-but-quadratic oracle formulations whose scale-path siblings are
