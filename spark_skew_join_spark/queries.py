@@ -2939,6 +2939,152 @@ GROUP BY doc_id
 """
 
 
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics on plain parquet (operators/merge.py): a
+    deterministic changeset (10% price updates + synthetic inserts keyed
+    o_orderkey+10M) merged into orders — source wins on match, unmatched
+    target rows survive. The anti-join+union plan is the logical core of
+    a lakehouse copy-on-write MERGE."""
+    from .operators.merge import merge_upsert
+
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = o.where(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+    )
+    inserts = o.where(F.col("o_orderkey") % 100 == 7).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    return merge_upsert(o, updates.unionByName(inserts), ["o_orderkey"])
+
+
+MERGE_UPSERT_SQL = """
+WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+src AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         o_totalprice * 1.1 AS o_totalprice
+  FROM o WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice
+  FROM o WHERE o_orderkey % 100 = 7
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM src
+UNION ALL
+SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus, t.o_totalprice
+FROM o t
+WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
+"""
+
+
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC classification between two snapshots of orders: the new
+    snapshot re-prices 10% of keys, deletes keys % 100 == 13 and inserts
+    keys+10M — the diff returns every non-unchanged key with its class
+    and new values, via one full-outer join (operators/merge.py)."""
+    from .operators.merge import snapshot_diff
+
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    old = o.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    modified = o.where(F.col("o_orderkey") % 100 != 13).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") * 1.1)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit("U"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+    )
+    inserted = o.where(F.col("o_orderkey") % 100 == 7).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        "o_totalprice",
+        F.lit("N").alias("o_orderstatus"),
+    )
+    new = modified.unionByName(inserted)
+    d = snapshot_diff(
+        old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+    return d.where(F.col("change_type") != "unchanged")
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH old AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+newv AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 1.1
+              ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey % 10 = 0 THEN 'U'
+              ELSE o_orderstatus END AS o_orderstatus
+  FROM orders WHERE o_orderkey % 100 <> 13
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_totalprice, 'N'
+  FROM orders WHERE o_orderkey % 100 = 7
+),
+d AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
+              WHEN n.o_orderkey IS NULL THEN 'deleted'
+              WHEN (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+                OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+                THEN 'updated'
+              ELSE 'unchanged' END AS change_type,
+         n.o_totalprice AS new_o_totalprice,
+         n.o_orderstatus AS new_o_orderstatus
+  FROM old o FULL OUTER JOIN newv n ON o.o_orderkey = n.o_orderkey
+)
+SELECT * FROM d WHERE change_type <> 'unchanged'
+"""
+
+
+def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 history of each user's event_type: consecutive same-type
+    events collapse into validity intervals [valid_from, valid_to); the
+    open current interval carries valid_to_us = -1 (sentinel instead of
+    NULL so the column stays int64 in both engines — nullable BIGINT
+    round-trips to float64 in pandas and would dtype-mismatch)."""
+    from .operators.merge import scd2_history
+
+    t = load_tables(spark, sf_dir)
+    h = scd2_history(t["events"], "user_id", "ts", "event_id", "event_type")
+    return h.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.coalesce(F.unix_micros("valid_to"), F.lit(-1)).alias("valid_to_us"),
+        "is_current",
+    )
+
+
+SCD2_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+chg AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM e WHERE prev IS NULL OR event_type <> prev
+),
+v AS (
+  SELECT user_id, event_type, ts,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM chg
+)
+SELECT user_id, event_type, EPOCH_US(ts) AS valid_from_us,
+       COALESCE(EPOCH_US(nxt), -1) AS valid_to_us,
+       nxt IS NULL AS is_current
+FROM v
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2990,6 +3136,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zorder_layout_orders": zorder_layout_orders,
     "chunk_dedup_docs": chunk_dedup_docs,
     "unigram_lm_quality": unigram_lm_quality,
+    "merge_upsert_orders": merge_upsert_orders,
+    "snapshot_diff_orders": snapshot_diff_orders,
+    "scd2_user_event_history": scd2_user_event_history,
     # --- previously driver-green (CORRECTNESS_r03 47 EXACT + 3 no-oracle) ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -3136,6 +3285,9 @@ ORACLES: dict[str, str] = {
     "zorder_layout_orders": ZORDER_SQL,
     "chunk_dedup_docs": CHUNK_DEDUP_SQL,
     "unigram_lm_quality": UNIGRAM_LM_SQL,
+    "merge_upsert_orders": MERGE_UPSERT_SQL,
+    "snapshot_diff_orders": SNAPSHOT_DIFF_SQL,
+    "scd2_user_event_history": SCD2_SQL,
     # rows-only (intentionally no oracle): dedup_simhash_docs, ann_lsh_topk,
     # ann_ivf_topk, approx_stats
 }
