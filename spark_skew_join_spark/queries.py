@@ -3085,6 +3085,113 @@ FROM v
 """
 
 
+def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase conversion funnel per user: first time
+    reaching each stage strictly after the previous stage's time, and
+    the deepest stage reached (operators/funnel.py). Unreached stage
+    times carry the -1 sentinel (nullable BIGINT pandas-roundtrips to
+    float64 and would dtype-mismatch the oracle)."""
+    from .operators.funnel import funnel_stages
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    f = funnel_stages(ev, "user_id", "event_type", "us",
+                      ["view", "click", "purchase"])
+    return f.select(
+        "user_id",
+        "reached",
+        F.col("t_view").alias("t_view_us"),
+        F.coalesce(F.col("t_click"), F.lit(-1)).alias("t_click_us"),
+        F.coalesce(F.col("t_purchase"), F.lit(-1)).alias("t_purchase_us"),
+    )
+
+
+FUNNEL_SQL = """
+WITH ev AS (SELECT user_id, event_type AS t, EPOCH_US(ts) AS us FROM events),
+s1 AS (SELECT user_id, MIN(us) AS t_view FROM ev WHERE t = 'view'
+       GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(us) AS t_click
+       FROM ev e JOIN s1 USING (user_id)
+       WHERE t = 'click' AND us > t_view GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(us) AS t_purchase
+       FROM ev e JOIN s2 USING (user_id)
+       WHERE t = 'purchase' AND us > t_click GROUP BY e.user_id)
+SELECT s1.user_id,
+       CAST(1 + CAST(t_click IS NOT NULL AS INT)
+              + CAST(t_purchase IS NOT NULL AS INT) AS INT) AS reached,
+       t_view AS t_view_us,
+       COALESCE(t_click, -1) AS t_click_us,
+       COALESCE(t_purchase, -1) AS t_purchase_us
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+
+def resample_locf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily resample of per-user event value onto a gap-free calendar
+    spine with last-observation-carried-forward fill
+    (operators/timeseries.py) — the hypertable-rollup / time-series
+    densification shape."""
+    from .operators.timeseries import resample_locf
+
+    t = load_tables(spark, sf_dir)
+    return resample_locf(t["events"], "user_id", "ts", "value")
+
+
+RESAMPLE_LOCF_SQL = """
+WITH daily AS (
+  SELECT user_id,
+         CAST(DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS INT) AS day,
+         CAST(SUM(CAST(ROUND(value, 3) AS DECIMAL(18,3))) AS DOUBLE) AS dv
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+           FROM daily GROUP BY user_id),
+spine AS (
+  SELECT user_id, CAST(d AS INT) AS day
+  FROM bounds, UNNEST(RANGE(d0, d1 + 1)) AS u(d)
+),
+j AS (SELECT s.user_id, s.day, d.dv
+      FROM spine s LEFT JOIN daily d USING (user_id, day))
+SELECT user_id, day,
+       LAST_VALUE(dv IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+       dv IS NULL AS filled
+FROM j
+"""
+
+
+def corr_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per return flag: Pearson correlation and
+    sample stddevs of (l_quantity, l_extendedprice). Rounded to 6
+    decimals — both engines use one-pass co-moment accumulation whose
+    partition-order float drift sits far below 1e-6."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "corr_qty_price"
+            ),
+            F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+            F.round(F.stddev_samp("l_extendedprice"), 6).alias("sd_price"),
+        )
+    )
+
+
+CORR_STATS_SQL = """
+SELECT l_returnflag, COUNT(*) AS n,
+       ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       ROUND(STDDEV_SAMP(l_quantity), 6) AS sd_qty,
+       ROUND(STDDEV_SAMP(l_extendedprice), 6) AS sd_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3139,6 +3246,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merge_upsert_orders": merge_upsert_orders,
     "snapshot_diff_orders": snapshot_diff_orders,
     "scd2_user_event_history": scd2_user_event_history,
+    "funnel_events": funnel_events,
+    "resample_locf_events": resample_locf_events,
+    "corr_stats_lineitem": corr_stats_lineitem,
     # --- previously driver-green (CORRECTNESS_r03 47 EXACT + 3 no-oracle) ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -3288,6 +3398,9 @@ ORACLES: dict[str, str] = {
     "merge_upsert_orders": MERGE_UPSERT_SQL,
     "snapshot_diff_orders": SNAPSHOT_DIFF_SQL,
     "scd2_user_event_history": SCD2_SQL,
+    "funnel_events": FUNNEL_SQL,
+    "resample_locf_events": RESAMPLE_LOCF_SQL,
+    "corr_stats_lineitem": CORR_STATS_SQL,
     # rows-only (intentionally no oracle): dedup_simhash_docs, ann_lsh_topk,
     # ann_ivf_topk, approx_stats
 }

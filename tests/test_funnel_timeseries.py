@@ -1,0 +1,67 @@
+"""Funnel stage ordering and LOCF resample edge semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_skew_join_spark.operators.funnel import funnel_stages
+from spark_skew_join_spark.operators.timeseries import resample_locf
+
+
+def _f(spark, rows):
+    df = spark.createDataFrame(rows, "uid long, t string, ts long")
+    return {
+        r.uid: r
+        for r in funnel_stages(df, "uid", "t", "ts", ["a", "b", "c"]).collect()
+    }
+
+
+def test_funnel_strict_ordering(spark):
+    rows = [
+        # uid 1 completes in order
+        (1, "a", 10), (1, "b", 20), (1, "c", 30),
+        # uid 2: b happened BEFORE a — must not count
+        (2, "b", 5), (2, "a", 10),
+        # uid 3: same-timestamp b is not strictly after a
+        (3, "a", 10), (3, "b", 10),
+        # uid 4 never did stage a — excluded entirely
+        (4, "b", 10), (4, "c", 20),
+    ]
+    out = _f(spark, rows)
+    assert out[1].reached == 3 and (out[1].t_a, out[1].t_b, out[1].t_c) == (10, 20, 30)
+    assert out[2].reached == 1 and out[2].t_b is None
+    assert out[3].reached == 1 and out[3].t_b is None
+    assert 4 not in out
+
+
+def test_funnel_picks_first_qualifying_time(spark):
+    rows = [(1, "a", 10), (1, "b", 5), (1, "b", 15), (1, "b", 25),
+            (1, "c", 20)]
+    out = _f(spark, rows)
+    # first b after a=10 is 15; first c after b=15 is 20
+    assert (out[1].t_a, out[1].t_b, out[1].t_c) == (10, 15, 20)
+
+
+def test_funnel_empty_stages_raises(spark):
+    df = spark.createDataFrame([(1, "a", 1)], "uid long, t string, ts long")
+    with pytest.raises(ValueError):
+        funnel_stages(df, "uid", "t", "ts", [])
+
+
+def test_resample_locf_fills_gaps_per_entity(spark):
+    rows = [
+        # uid 1: days 0, 3 observed → spine 0..3, days 1-2 carry 5.0
+        (1, "1970-01-01 10:00:00", 2.0), (1, "1970-01-01 11:00:00", 3.0),
+        (1, "1970-01-04 09:00:00", 7.0),
+        # uid 2: single day → single spine row, nothing filled
+        (2, "1970-01-10 00:00:01", 1.5),
+    ]
+    df = spark.createDataFrame(rows, "uid long, ts string, value double")
+    df = df.withColumn("ts", df.ts.cast("timestamp"))
+    out = sorted(resample_locf(df, "uid", "ts", "value").collect(),
+                 key=lambda r: (r.uid, r.day))
+    u1 = [(r.day, r.value, r.filled) for r in out if r.uid == 1]
+    assert u1 == [(0, 5.0, False), (1, 5.0, True), (2, 5.0, True),
+                  (3, 7.0, False)]
+    u2 = [(r.day, r.value, r.filled) for r in out if r.uid == 2]
+    assert u2 == [(9, 1.5, False)]
