@@ -3192,6 +3192,94 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users are cohorted by the week of
+    their first event; each (cohort_week, weeks_since) cell counts the
+    cohort's users active that week. Two user-keyed aggregations + one
+    user-keyed join — the classic retention shape, no window over the
+    whole event stream. Weeks are 7-day buckets of days-since-epoch
+    (engine-independent, no WEEK() locale semantics)."""
+    t = load_tables(spark, sf_dir)
+    week = F.floor(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) / 7
+    ).cast("int")
+    ev = t["events"].select("user_id", week.alias("week"))
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = ev.distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH ev AS (
+  SELECT user_id,
+         CAST(FLOOR(DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) / 7)
+              AS INT) AS week
+  FROM events
+),
+first AS (SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id),
+active AS (SELECT DISTINCT user_id, week FROM ev)
+SELECT cohort_week, CAST(week - cohort_week AS INT) AS weeks_since,
+       COUNT(DISTINCT user_id) AS n_users
+FROM active JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def rolling_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing moving average of each user's daily event value —
+    a RANGE-framed window over the (possibly gappy) daily series, so a
+    day with no activity in the trailing week genuinely shrinks the
+    frame (RANGE, not ROWS). Daily sums are DECIMAL(18,3) for
+    order-independence; the average divides decimal sums by an exact
+    integer count, then rounds to 6."""
+    t = load_tables(spark, sf_dir)
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    daily = (
+        t["events"]
+        .select("user_id", day.alias("day"), "value")
+        .groupBy("user_id", "day")
+        .agg(
+            F.sum(F.round("value", 3).cast("decimal(18,3)")).alias("__dv")
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "user_id",
+        "day",
+        F.col("__dv").cast("double").alias("day_value"),
+        F.round(
+            (F.sum("__dv").over(w) / F.count(F.lit(1)).over(w)).cast("double"),
+            6,
+        ).alias("avg_7d"),
+    )
+
+
+ROLLING_AVG_SQL = """
+WITH daily AS (
+  SELECT user_id,
+         CAST(DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS INT) AS day,
+         SUM(CAST(ROUND(value, 3) AS DECIMAL(18,3))) AS dv
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, day, CAST(dv AS DOUBLE) AS day_value,
+       ROUND(CAST(SUM(dv) OVER w / COUNT(*) OVER w AS DOUBLE), 6) AS avg_7d
+FROM daily
+WINDOW w AS (PARTITION BY user_id ORDER BY day
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3249,6 +3337,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_events": funnel_events,
     "resample_locf_events": resample_locf_events,
     "corr_stats_lineitem": corr_stats_lineitem,
+    "cohort_retention_events": cohort_retention_events,
+    "rolling_avg_events": rolling_avg_events,
     # --- previously driver-green (CORRECTNESS_r03 47 EXACT + 3 no-oracle) ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -3401,6 +3491,8 @@ ORACLES: dict[str, str] = {
     "funnel_events": FUNNEL_SQL,
     "resample_locf_events": RESAMPLE_LOCF_SQL,
     "corr_stats_lineitem": CORR_STATS_SQL,
+    "cohort_retention_events": COHORT_RETENTION_SQL,
+    "rolling_avg_events": ROLLING_AVG_SQL,
     # rows-only (intentionally no oracle): dedup_simhash_docs, ann_lsh_topk,
     # ann_ivf_topk, approx_stats
 }
