@@ -134,6 +134,34 @@ def main() -> None:
         )
     )
 
+    mg = q.QUERIES["merge_upsert_orders"](spark, SF)
+    simplem = plan_string(mg, "simple")
+    out.append(
+        section(
+            "merge_upsert_orders — MERGE as anti-join + union",
+            "\n".join(
+                l for l in simplem.splitlines() if "Join" in l or "Exchange" in l
+            ),
+            "The changeset key set broadcasts into a LeftAnti against the\n"
+            "target (the target never shuffles — the copy-on-write MERGE\n"
+            "shape); the union is exchange-free.",
+        )
+    )
+
+    cd = q.QUERIES["chunk_dedup_docs"](spark, SF)
+    simplecd = plan_string(cd, "simple")
+    out.append(
+        section(
+            "chunk_dedup_docs — boilerplate chunks keyed by int64 hash",
+            "\n".join(
+                l for l in simplecd.splitlines() if "Join" in l or "Exchange" in l
+            ),
+            "Chunk frequency aggregates and the flag join shuffle xxhash64\n"
+            "int64 keys, not chunk strings; the per-doc reassembly aggregate\n"
+            "is keyed by the unique doc_id. No Python anywhere.",
+        )
+    )
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print("PLANS.md written")
