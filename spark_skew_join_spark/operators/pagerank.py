@@ -1,0 +1,80 @@
+"""Fixed-iteration weighted PageRank over an edge DataFrame.
+
+Iterative graph algorithm beyond the reference surface (SURVEY §2b ★),
+companion to the pointer-jumping connected components in cluster.py.
+A FIXED iteration count (no convergence test) keeps the computation a
+pure deterministic dataflow, so the whole thing hash-checks against a
+DuckDB recursive-CTE oracle — the same strategy that made the CC
+clusters oracle-checkable.
+
+rank_{k+1}(v) = (1-d)/N + d * Σ_{u→v} rank_k(u) · w(u,v) / outw(u)
+
+Dangling mass is NOT redistributed (ranks sum to < 1 when sinks exist)
+— both engines implement the same recurrence, which is what the oracle
+checks; normalize downstream if proper probability mass is needed.
+
+Scale design (100 TB edges): each iteration is one join of the rank
+vector (|V| rows) to the out-weight-normalized edge list plus one
+target-keyed aggregation — both hash-partitioned on vertex id with
+map-side combine; the edge list is normalized ONCE before the loop.
+The rank vector is re-used every iteration: persist it per iteration
+and localCheckpoint every few rounds on a real cluster to truncate the
+deep lineage (the CC lesson, cluster.py); with the default
+iterations=10 the lazy plan stays analyzable, so the operator leaves
+materialization policy to the caller.  A hub vertex (millions of
+in-edges) skews only the Σ aggregation, which partial combine absorbs
+map-side.  Zero Python UDFs; N is derived from the edge list with one
+lazy 1-row broadcast (no driver action).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(edges: DataFrame, src_col: str, dst_col: str,
+             weight_col: str | None = None, damping: float = 0.85,
+             iterations: int = 10) -> DataFrame:
+    """(vertex, rank) after ``iterations`` synchronous updates from a
+    uniform 1/N start.  Vertices = distinct union of sources and
+    targets.  ``weight_col=None`` means unit weights."""
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        w.cast("double").alias("w"),
+    )
+    verts = (
+        e.select(F.col("src").alias("vertex"))
+        .unionByName(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    n = F.broadcast(verts.agg(F.count(F.lit(1)).alias("__n")))
+    # normalize once: transition weight out of each source sums to 1
+    outw = e.groupBy("src").agg(F.sum("w").alias("__ow"))
+    trans = e.join(outw, "src").select(
+        "src", "dst", (F.col("w") / F.col("__ow")).alias("p")
+    )
+    rank = verts.crossJoin(n).select(
+        "vertex", (F.lit(1.0) / F.col("__n")).alias("rank")
+    )
+    for _ in range(iterations):
+        contrib = (
+            trans.join(rank, trans["src"] == rank["vertex"])
+            .select(F.col("dst").alias("vertex"),
+                    (F.col("p") * F.col("rank")).alias("__c"))
+            .groupBy("vertex")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        rank = (
+            verts.join(contrib, "vertex", "left")
+            .crossJoin(n)
+            .select(
+                "vertex",
+                (
+                    (1.0 - damping) / F.col("__n")
+                    + damping * F.coalesce(F.col("__in"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return rank

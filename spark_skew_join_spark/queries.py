@@ -3280,6 +3280,112 @@ WINDOW w AS (PARTITION BY user_id ORDER BY day
 """
 
 
+def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (d=0.85, 10 fixed iterations) over the
+    inter-nation trade graph: edge supplier-nation → customer-nation
+    weighted by lineitem revenue. Fixed iteration count keeps the
+    recurrence a deterministic dataflow, oracle-checked against an
+    unrolled 10-step SQL CTE chain (DuckDB's recursive CTEs disallow
+    the per-step aggregation). The edge list is localCheckpointed so
+    the 10 lazy iterations don't re-derive the 4-table join per
+    reference (the connected-components lineage lesson) — hence
+    EAGER_QUERIES membership."""
+    from .operators.pagerank import pagerank
+
+    t = load_tables(spark, sf_dir)
+    li, o, c, s = t["lineitem"], t["orders"], t["customer"], t["supplier"]
+    edges = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "w"
+            )
+        )
+    ).localCheckpoint()
+    pr = pagerank(edges, "src", "dst", "w", damping=0.85, iterations=10)
+    return pr.select(
+        F.col("vertex").alias("nationkey"), F.round("rank", 6).alias("rank")
+    )
+
+
+def _pagerank_sql(iterations: int, damping: float) -> str:
+    steps = []
+    prev = "pr0"
+    for i in range(1, iterations + 1):
+        cur = f"pr{i}"
+        steps.append(f"""{cur} AS (
+  SELECT v.vertex,
+         (1 - {damping}) / n.n + {damping} * COALESCE(c.contrib, 0.0) AS rank
+  FROM verts v CROSS JOIN n
+  LEFT JOIN (
+    SELECT t.dst AS vertex, SUM(t.p * p.rank) AS contrib
+    FROM trans t JOIN {prev} p ON t.src = p.vertex
+    GROUP BY t.dst
+  ) c ON c.vertex = v.vertex
+)""")
+        prev = cur
+    return f"""
+WITH edges AS (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+         SUM(l.l_extendedprice * (1 - l.l_discount)) AS w
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+verts AS (SELECT src AS vertex FROM edges UNION SELECT dst FROM edges),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+trans AS (SELECT src, dst, w / SUM(w) OVER (PARTITION BY src) AS p FROM edges),
+pr0 AS (SELECT vertex, 1.0 / n.n AS rank FROM verts CROSS JOIN n),
+{",".join(steps)}
+SELECT vertex AS nationkey, ROUND(rank, 6) AS rank FROM {prev}
+"""
+
+
+PAGERANK_SQL = _pagerank_sql(10, 0.85)
+
+
+def window_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window function suite over each customer's orders in one
+    pass (one sort serves every function): row_number, ntile(4),
+    percent_rank, cume_dist, lag/lead of the price. Deterministic total
+    order via the (price DESC, orderkey) tiebreak."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    t = load_tables(spark, sf_dir)
+    return t["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
+
+
+WINDOW_FUNCS_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+       CAST(NTILE(4) OVER w AS INT) AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume,
+       LAG(o_totalprice) OVER w AS prev_price,
+       LEAD(o_totalprice) OVER w AS next_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3339,6 +3445,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corr_stats_lineitem": corr_stats_lineitem,
     "cohort_retention_events": cohort_retention_events,
     "rolling_avg_events": rolling_avg_events,
+    "pagerank_nations": pagerank_nations,
+    "window_funcs_orders": window_funcs_orders,
     # --- previously driver-green (CORRECTNESS_r03 47 EXACT + 3 no-oracle) ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -3493,6 +3601,8 @@ ORACLES: dict[str, str] = {
     "corr_stats_lineitem": CORR_STATS_SQL,
     "cohort_retention_events": COHORT_RETENTION_SQL,
     "rolling_avg_events": ROLLING_AVG_SQL,
+    "pagerank_nations": PAGERANK_SQL,
+    "window_funcs_orders": WINDOW_FUNCS_SQL,
     # rows-only (intentionally no oracle): dedup_simhash_docs, ann_lsh_topk,
     # ann_ivf_topk, approx_stats
 }
@@ -3509,6 +3619,9 @@ EAGER_QUERIES = (
     # broadcast-size guard materializes + counts the benchmark gram set
     # at plan construction (operators/contamination.py)
     "contamination_check_docs",
+    # edge-list localCheckpoint at plan construction (lineage truncation
+    # ahead of the 10 lazy iterations)
+    "pagerank_nations",
 )
 
 # Queries whose physical plan legitimately contains a BroadcastNestedLoopJoin:
@@ -3527,6 +3640,7 @@ SCALAR_BNL_OK = (
     "heavy_hitter_suppliers",
     "tfidf_top_terms",  # 1-row n_docs count broadcast for the IDF term
     "unigram_lm_quality",  # 1-row total-token-count broadcast for ln(total)
+    "pagerank_nations",  # 1-row vertex-count broadcast per iteration (1/N term)
 )
 
 # Correct-but-quadratic oracle formulations whose scale-path siblings are

@@ -1,0 +1,54 @@
+"""Fixed-iteration PageRank vs a dict-based reference implementation."""
+
+from __future__ import annotations
+
+from spark_skew_join_spark.operators.pagerank import pagerank
+
+
+def _ref_pagerank(edges, damping=0.85, iterations=10):
+    """edges: list of (src, dst, w). Same recurrence, plain Python."""
+    verts = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = len(verts)
+    outw = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0.0) + w
+    rank = {v: 1.0 / n for v in verts}
+    for _ in range(iterations):
+        contrib = {v: 0.0 for v in verts}
+        for s, d, w in edges:
+            contrib[d] += (w / outw[s]) * rank[s]
+        rank = {v: (1 - damping) / n + damping * contrib[v] for v in verts}
+    return rank
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    out = pagerank(df, "src", "dst", "w", **kw).collect()
+    return {r.vertex: r.rank for r in out}
+
+
+def test_pagerank_two_node_cycle_stays_uniform(spark):
+    got = _run(spark, [(1, 2, 1.0), (2, 1, 1.0)])
+    assert abs(got[1] - 0.5) < 1e-12 and abs(got[2] - 0.5) < 1e-12
+
+
+def test_pagerank_matches_reference_on_weighted_graph(spark):
+    edges = [
+        (1, 2, 3.0), (1, 3, 1.0), (2, 3, 2.0), (3, 1, 1.0), (4, 1, 5.0),
+    ]
+    got = _run(spark, edges, damping=0.85, iterations=10)
+    want = _ref_pagerank(edges)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12, (v, got[v], want[v])
+    # 4 is a source-only vertex: rank decays to the teleport floor
+    assert abs(got[4] - 0.15 / 4) < 1e-12
+
+
+def test_pagerank_dangling_mass_not_redistributed(spark):
+    # 1 -> 2, 2 is a sink: total rank < 1 by design (documented)
+    got = _run(spark, [(1, 2, 1.0)], iterations=10)
+    assert sum(got.values()) < 1.0
+    want = _ref_pagerank([(1, 2, 1.0)])
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12
