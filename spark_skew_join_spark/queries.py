@@ -3386,6 +3386,51 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
 """
 
 
+def dq_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit of the orders/lineitem pair in two plans: one
+    aggregation for row/null/duplicate-key metrics, one anti-join for
+    lineitem→orders referential orphans (operators/dq.py). Fixture data
+    is clean, so the audit's zeros ARE the assertion; violation
+    semantics are unit-tested on planted dirty rows."""
+    from .operators.dq import dq_metrics, orphan_count
+
+    t = load_tables(spark, sf_dir)
+    m = dq_metrics(
+        t["orders"], ["o_orderkey"], ["o_custkey", "o_orderdate"]
+    )
+    orph = orphan_count(t["lineitem"], t["orders"], "l_orderkey", "o_orderkey")
+    return m.crossJoin(F.broadcast(orph)).select(
+        "n_rows",
+        "n_dup_key",
+        "n_null_o_custkey",
+        "n_null_o_orderdate",
+        F.col("n_orphans").alias("n_orphan_lineitems"),
+    )
+
+
+DQ_AUDIT_SQL = """
+WITH m AS (
+  SELECT COUNT(*) AS n_rows,
+         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_dup_key,
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null_o_custkey,
+         CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null_o_orderdate
+  FROM orders
+),
+orph AS (
+  SELECT COUNT(*) AS n_orphan_lineitems
+  FROM lineitem l
+  WHERE l.l_orderkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_orderkey = l.l_orderkey)
+)
+SELECT n_rows, n_dup_key, n_null_o_custkey, n_null_o_orderdate,
+       n_orphan_lineitems
+FROM m CROSS JOIN orph
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3447,6 +3492,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_avg_events": rolling_avg_events,
     "pagerank_nations": pagerank_nations,
     "window_funcs_orders": window_funcs_orders,
+    "dq_audit_orders": dq_audit_orders,
     # --- previously driver-green (CORRECTNESS_r03 47 EXACT + 3 no-oracle) ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -3603,6 +3649,7 @@ ORACLES: dict[str, str] = {
     "rolling_avg_events": ROLLING_AVG_SQL,
     "pagerank_nations": PAGERANK_SQL,
     "window_funcs_orders": WINDOW_FUNCS_SQL,
+    "dq_audit_orders": DQ_AUDIT_SQL,
     # rows-only (intentionally no oracle): dedup_simhash_docs, ann_lsh_topk,
     # ann_ivf_topk, approx_stats
 }
@@ -3641,6 +3688,7 @@ SCALAR_BNL_OK = (
     "tfidf_top_terms",  # 1-row n_docs count broadcast for the IDF term
     "unigram_lm_quality",  # 1-row total-token-count broadcast for ln(total)
     "pagerank_nations",  # 1-row vertex-count broadcast per iteration (1/N term)
+    "dq_audit_orders",  # 1-row metric frames combined by scalar cross-join
 )
 
 # Correct-but-quadratic oracle formulations whose scale-path siblings are
