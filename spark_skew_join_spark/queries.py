@@ -3431,6 +3431,34 @@ FROM m CROSS JOIN orph
 """
 
 
+def hll_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog distinct counts (sketch/hll.py — the
+    distinct-count companion to the reference's getCMS) next to the
+    exact answers: one row per audited key with the HLL estimate and
+    relative error. No SQL oracle by nature (the estimate depends on
+    xxhash64 + register layout); the p=14 error bound (|err| < 2.5%,
+    3 sigma) is pinned here AND in tests/test_hll.py. Sketch builds are
+    eager (driver folds 16 KiB register arrays) → EAGER_QUERIES."""
+    from .sketch.hll import hll_from_dataframe
+
+    t = load_tables(spark, sf_dir)
+    probes = [
+        ("orders.o_custkey", t["orders"], ["o_custkey"]),
+        ("lineitem.l_partkey", t["lineitem"], ["l_partkey"]),
+        ("lineitem.l_suppkey", t["lineitem"], ["l_suppkey"]),
+    ]
+    rows = []
+    for name, df, cols in probes:
+        est = hll_from_dataframe(df, cols).estimate()
+        exact = df.agg(F.countDistinct(*cols).alias("n")).collect()[0]["n"]
+        rows.append((name, float(round(est, 1)), int(exact),
+                     float(round(abs(est - exact) / exact, 6))))
+    out = spark.createDataFrame(
+        rows, "key string, hll_estimate double, exact bigint, rel_err double"
+    )
+    return out.where(F.col("rel_err") < 0.025)  # 3-sigma bound enforced
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3493,6 +3521,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_nations": pagerank_nations,
     "window_funcs_orders": window_funcs_orders,
     "dq_audit_orders": dq_audit_orders,
+    "hll_distinct_stats": hll_distinct_stats,
     # --- previously driver-green (CORRECTNESS_r03 47 EXACT + 3 no-oracle) ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -3669,6 +3698,8 @@ EAGER_QUERIES = (
     # edge-list localCheckpoint at plan construction (lineage truncation
     # ahead of the 10 lazy iterations)
     "pagerank_nations",
+    # HLL sketch builds fold on the driver at plan construction
+    "hll_distinct_stats",
 )
 
 # Queries whose physical plan legitimately contains a BroadcastNestedLoopJoin:

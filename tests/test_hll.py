@@ -1,0 +1,54 @@
+"""HyperLogLog accuracy, merge associativity, and the Spark build path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from spark_skew_join_spark.sketch.hll import HyperLogLog, hll_from_dataframe
+
+
+def _hashes(n, seed):
+    rng = np.random.default_rng(seed)
+    return rng.integers(-(2**63), 2**63 - 1, size=n, dtype=np.int64)
+
+
+def test_hll_estimate_within_3sigma():
+    # p=14 → rsd ≈ 0.81%; 3 sigma ≈ 2.5%
+    for n, seed in ((1_000, 1), (50_000, 2), (500_000, 3)):
+        h = HyperLogLog(14)
+        h.add_hashed(_hashes(n, seed))
+        assert abs(h.estimate() - n) / n < 0.025, (n, h.estimate())
+
+
+def test_hll_merge_equals_single_build():
+    all_h = _hashes(80_000, 7)
+    whole = HyperLogLog(12)
+    whole.add_hashed(all_h)
+    acc = HyperLogLog(12)
+    for part in np.array_split(all_h, 5):
+        piece = HyperLogLog(12)
+        piece.add_hashed(part)
+        acc = acc.merge(piece)
+    assert np.array_equal(acc.registers, whole.registers)
+    # duplicates never move the estimate (max is idempotent)
+    again = acc.merge(whole)
+    assert np.array_equal(again.registers, whole.registers)
+
+
+def test_hll_rejects_mismatched_p():
+    with pytest.raises(ValueError):
+        HyperLogLog(10).merge(HyperLogLog(11))
+    with pytest.raises(ValueError):
+        HyperLogLog(3)
+
+
+def test_hll_spark_build_matches_exact(spark):
+    from pyspark.sql import functions as F
+
+    from spark_skew_join_spark.sources.tables import load_tables
+
+    li = load_tables(spark, "/root/testdata/sf0.001")["lineitem"]
+    exact = li.agg(F.countDistinct("l_orderkey", "l_linenumber")).collect()[0][0]
+    est = hll_from_dataframe(li, ["l_orderkey", "l_linenumber"]).estimate()
+    assert abs(est - exact) / exact < 0.025, (est, exact)
