@@ -230,3 +230,43 @@ def test_stream_stream_interval_join_matches_batch(spark, batch_events):
     g = sorted(map(tuple, got.collect()))
     x = sorted(map(tuple, exp.collect()))
     assert g == x and len(g) > 0
+
+
+def test_streaming_funnel_matches_batch(spark, batch_events):
+    from spark_skew_join_spark.operators.funnel import funnel_stages
+    from spark_skew_join_spark.streaming.funnel import streaming_funnel
+
+    stages = ["view", "click", "purchase"]
+    stream = read_events_stream(spark, SF).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    q = (
+        streaming_funnel(stream, "user_id", "event_type", "us", stages)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sfunnel")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # update mode appends one row per user per batch: keep the last
+    # (max-reached, then max times) snapshot per user
+    got = spark.sql(
+        """SELECT user_id, max_by(reached, t_1 + t_2 + t_3) AS reached,
+                  max(t_1) AS t_1, max(t_2) AS t_2, max(t_3) AS t_3
+           FROM sfunnel GROUP BY user_id"""
+    ).where(F.col("reached") >= 1)
+    ev = batch_events.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    exp = funnel_stages(ev, "user_id", "event_type", "us", stages).select(
+        "user_id",
+        "reached",
+        F.col("t_view").alias("t_1"),
+        F.coalesce("t_click", F.lit(-1)).alias("t_2"),
+        F.coalesce("t_purchase", F.lit(-1)).alias("t_3"),
+    )
+    cols = ["user_id", "reached", "t_1", "t_2", "t_3"]
+    assert _rows(got.select(*cols), cols) == _rows(exp.select(*cols), cols)
