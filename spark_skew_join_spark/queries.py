@@ -3498,6 +3498,58 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def outlier_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier audit: group stats (mean/std of
+    l_extendedprice per return flag) broadcast back onto the rows, rows
+    beyond 3 sigma counted. Two-pass shape — the stats aggregation is
+    tiny and broadcasts, the row pass is one scan; identical double
+    arithmetic in both engines (population std via sqrt(E[x²]−mean²)
+    would be the fragile path — stddev_pop is computed by both engines
+    with one-pass co-moments whose drift sits far below the rounding)."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    stats = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("l_extendedprice").alias("__mean"),
+        F.stddev_pop("l_extendedprice").alias("__std"),
+    )
+    joined = li.select("l_returnflag", "l_extendedprice").join(
+        F.broadcast(stats), "l_returnflag"
+    )
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.first("n").alias("n"),
+            F.round(F.first("__mean"), 6).alias("mean_price"),
+            F.round(F.first("__std"), 6).alias("std_price"),
+            F.sum(
+                (
+                    F.abs(F.col("l_extendedprice") - F.col("__mean"))
+                    > 3 * F.col("__std")
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+
+
+OUTLIER_STATS_SQL = """
+WITH s AS (
+  SELECT l_returnflag, COUNT(*) AS n, AVG(l_extendedprice) AS m,
+         STDDEV_POP(l_extendedprice) AS sd
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag, MIN(s.n) AS n,
+       ROUND(MIN(s.m), 6) AS mean_price,
+       ROUND(MIN(s.sd), 6) AS std_price,
+       CAST(SUM(CASE WHEN ABS(l.l_extendedprice - s.m) > 3 * s.sd
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM lineitem l JOIN s USING (l_returnflag)
+GROUP BY l.l_returnflag
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3567,6 +3619,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_avg_events": rolling_avg_events,
     "corr_stats_lineitem": corr_stats_lineitem,
     "window_funcs_orders": window_funcs_orders,
+    "outlier_stats_lineitem": outlier_stats_lineitem,
     "hll_distinct_stats": hll_distinct_stats,
     # --- previously driver-green (CORRECTNESS_r03 47 EXACT + 3 no-oracle) ---
     "q1_pricing_summary": q1_pricing_summary,
@@ -3726,6 +3779,7 @@ ORACLES: dict[str, str] = {
     "window_funcs_orders": WINDOW_FUNCS_SQL,
     "dq_audit_orders": DQ_AUDIT_SQL,
     "ivm_refresh_orders": IVM_REFRESH_SQL,
+    "outlier_stats_lineitem": OUTLIER_STATS_SQL,
     # rows-only (intentionally no oracle): dedup_simhash_docs, ann_lsh_topk,
     # ann_ivf_topk, approx_stats
 }

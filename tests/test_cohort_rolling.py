@@ -54,3 +54,15 @@ def test_rolling_avg_range_frame_skips_gap_days(spark, monkeypatch):
     assert out[0].avg_7d == 2.0
     assert out[1].avg_7d == 3.0  # (2+4)/2
     assert out[10].avg_7d == 9.0  # gap: frame holds only day 10
+
+
+def test_outlier_stats_flags_planted_tail(spark, monkeypatch):
+    import spark_skew_join_spark.queries as q
+    from spark_skew_join_spark.queries import outlier_stats_lineitem
+
+    # 200 tight values + one extreme: only the extreme is past 3 sigma
+    rows = [("A", 100.0 + (i % 10)) for i in range(200)] + [("A", 10000.0)]
+    df = spark.createDataFrame(rows, "l_returnflag string, l_extendedprice double")
+    monkeypatch.setattr(q, "load_tables", lambda s, d: {"lineitem": df})
+    r = outlier_stats_lineitem(spark, "ignored").collect()[0]
+    assert r.n == 201 and r.n_outliers == 1
