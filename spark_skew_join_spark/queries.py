@@ -3550,6 +3550,40 @@ GROUP BY l.l_returnflag
 """
 
 
+def quantize_embeddings_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization audit (operators/quantize.py): scale,
+    code checksum, and worst-dimension reconstruction error — the 4×
+    storage scale path for the embedding store, hash-checked UNROUNDED
+    (every step is the same IEEE op in both engines)."""
+    from .operators.quantize import quantize_audit
+
+    t = load_tables(spark, sf_dir)
+    return quantize_audit(t["embeddings"], "vec_id", "embedding")
+
+
+QUANTIZE_SQL = """
+WITH v AS (
+  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, e,
+         LIST_MAX(LIST_TRANSFORM(e, x -> ABS(x))) / 127.0 AS scale
+  FROM v
+)
+SELECT vec_id, CAST(LEN(e) AS INT) AS n_dims, scale,
+       CASE WHEN scale = 0 THEN 0
+            ELSE CAST(LIST_SUM(LIST_TRANSFORM(
+                   e, x -> CAST(FLOOR(x / scale + 0.5) AS BIGINT))) AS BIGINT)
+       END AS code_sum,
+       CASE WHEN scale = 0 THEN 0.0
+            ELSE LIST_MAX(LIST_TRANSFORM(
+                   e, x -> ABS(x - FLOOR(x / scale + 0.5) * scale)))
+       END AS max_abs_err
+FROM s
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3620,6 +3654,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corr_stats_lineitem": corr_stats_lineitem,
     "window_funcs_orders": window_funcs_orders,
     "outlier_stats_lineitem": outlier_stats_lineitem,
+    "quantize_embeddings_stats": quantize_embeddings_stats,
     "hll_distinct_stats": hll_distinct_stats,
     # --- previously driver-green (CORRECTNESS_r03 47 EXACT + 3 no-oracle) ---
     "q1_pricing_summary": q1_pricing_summary,
@@ -3780,6 +3815,7 @@ ORACLES: dict[str, str] = {
     "dq_audit_orders": DQ_AUDIT_SQL,
     "ivm_refresh_orders": IVM_REFRESH_SQL,
     "outlier_stats_lineitem": OUTLIER_STATS_SQL,
+    "quantize_embeddings_stats": QUANTIZE_SQL,
     # rows-only (intentionally no oracle): dedup_simhash_docs, ann_lsh_topk,
     # ann_ivf_topk, approx_stats
 }
