@@ -1,0 +1,86 @@
+"""Streaming CDC upsert sink: MERGE each micro-batch into a keyed
+parquet table (the Delta-style ``MERGE INTO`` streaming sink, expressed
+on plain parquet).
+
+Each micro-batch is first collapsed to one row per key (latest by a
+caller-named sequence column — within-batch CDC ordering), then merged
+into the current table state with ``operators/merge.py::merge_upsert``
+and written as a NEW version directory ``v=<epoch>``; a ``_LATEST``
+pointer file flips last.  Versioned copy-on-write gives the two
+properties a non-transactional format can still have:
+
+* **redelivery-idempotent** — a retried epoch rewrites its own version
+  directory and re-flips the pointer to the same content (upserts are
+  idempotent given per-key latest-wins collapse);
+* **readers never see a torn table** — they resolve ``_LATEST`` and read
+  an immutable snapshot.
+
+Scale notes: this is copy-on-write of the whole table per epoch — the
+right shape when epochs are minutes and the keyed state is a dimension-
+sized table (the classic streaming-dim use).  A fact-sized target needs
+a transactional format's file-level MERGE (Delta/Iceberg — jars absent
+from this image; sources/io.py autodetects them for the batch writers).
+Old versions are pruned, keeping the last ``keep_versions``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_LATEST = "_LATEST"
+
+
+def read_upsert_table(spark, path: str) -> DataFrame | None:
+    """Current snapshot per the ``_LATEST`` pointer, or None before the
+    first commit."""
+    marker = os.path.join(path, _LATEST)
+    if not os.path.exists(marker):
+        return None
+    with open(marker) as f:
+        version = f.read().strip()
+    return spark.read.parquet(os.path.join(path, version))
+
+
+def upsert_stream(stream_df: DataFrame, path: str, key_cols: list[str],
+                  seq_col: str, query_name: str, keep_versions: int = 3):
+    """Start the CDC upsert sink; returns the StreamingQuery (caller
+    stops it). ``seq_col`` orders changes within a batch (latest wins)."""
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        current = read_upsert_table(spark, path)
+        combined = (
+            batch_df if current is None else current.unionByName(batch_df)
+        )
+        # seq-aware last-wins across batches: unlike a blind MERGE
+        # (merge_upsert — correct for strictly in-order feeds), keeping
+        # the max-seq row per key is order-insensitive, so late or
+        # re-delivered batches can never roll a key backwards
+        w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+        merged = (
+            combined.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        vdir = f"v={epoch_id}"
+        merged.write.mode("overwrite").parquet(os.path.join(path, vdir))
+        tmp = os.path.join(path, _LATEST + ".tmp")
+        with open(tmp, "w") as f:
+            f.write(vdir)
+        os.replace(tmp, os.path.join(path, _LATEST))  # atomic flip
+        versions = sorted(
+            (d for d in os.listdir(path) if d.startswith("v=")),
+            key=lambda d: int(d[2:]),
+        )
+        for stale in versions[:-keep_versions]:
+            shutil.rmtree(os.path.join(path, stale), ignore_errors=True)
+
+    return (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(apply_batch)
+        .queryName(query_name)
+        .start()
+    )

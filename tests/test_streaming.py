@@ -270,3 +270,46 @@ def test_streaming_funnel_matches_batch(spark, batch_events):
     )
     cols = ["user_id", "reached", "t_1", "t_2", "t_3"]
     assert _rows(got.select(*cols), cols) == _rows(exp.select(*cols), cols)
+
+
+def test_streaming_cdc_upsert_last_wins(spark, batch_events, tmp_path):
+    import os
+
+    from spark_skew_join_spark.streaming.cdc import (
+        read_upsert_table,
+        upsert_stream,
+    )
+
+    ev = batch_events.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("seq"),
+        "event_type", "value",
+    )
+    # the last-wins oracle needs per-user seq uniqueness
+    assert (
+        ev.select("user_id", "seq").distinct().count() == ev.count()
+    )
+    src, tbl = str(tmp_path / "feed"), str(tmp_path / "tbl")
+    ev.repartition(4).write.parquet(src)  # 4 unordered CDC batches
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = upsert_stream(stream, tbl, ["user_id"], "seq", "cdcup",
+                      keep_versions=2)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = read_upsert_table(spark, tbl)
+    exp = ev.groupBy("user_id").agg(
+        F.max_by("event_id", "seq").alias("event_id"),
+        F.max("seq").alias("seq"),
+        F.max_by("event_type", "seq").alias("event_type"),
+        F.max_by("value", "seq").alias("value"),
+    )
+    cols = ["user_id", "event_id", "seq", "event_type", "value"]
+    assert _rows(got.select(*cols), cols) == _rows(exp.select(*cols), cols)
+    # version pruning kept at most keep_versions snapshots + pointer
+    versions = [d for d in os.listdir(tbl) if d.startswith("v=")]
+    assert 1 <= len(versions) <= 2
