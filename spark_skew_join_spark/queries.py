@@ -3584,6 +3584,107 @@ FROM s
 """
 
 
+def pipeline_pretrain_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composed pretraining-prep pipeline, one DataFrame
+    program over four proven operators: exact dedup survivors →
+    benchmark decontamination (4-gram semi-join, bench slice
+    doc_id % 97 = 0 excluded from output) → boilerplate gate (docs with
+    >50% corpus-duplicated chunks dropped) → per-source quota (≤10 by
+    hash rank) → per-source accounting. Shows the operators COMPOSE:
+    each stage consumes the previous stage's DataFrame lazily — Catalyst
+    plans the whole thing as one job graph."""
+    from .operators.boilerplate import chunk_dedup_stats
+    from .operators.contamination import token_ngrams
+    from .operators.dedup import dedup as exact_survivors
+    from .operators.sampling import quota_sample
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    kept = exact_survivors(docs)
+    corpus = kept.where(F.col("doc_id") % 97 != 0)
+    bench_grams = F.broadcast(
+        token_ngrams(docs.where(F.col("doc_id") % 97 == 0), 4, hashed=True)
+        .select("gram")
+        .distinct()
+    )
+    contaminated = (
+        token_ngrams(corpus, 4, hashed=True)
+        .join(bench_grams, "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = corpus.join(contaminated, "doc_id", "left_anti")
+    st = chunk_dedup_stats(docs).select("doc_id", "n_chunks", "n_dup_chunks")
+    gated = clean.join(st, "doc_id").where(
+        F.col("n_dup_chunks") * 2 <= F.col("n_chunks")
+    )
+    final = quota_sample(gated, "source", "doc_id", 10)
+    return final.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).cast("bigint").alias("total_tokens"),
+        F.sum("n_dup_chunks").cast("bigint").alias("boiler_chunks"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+PRETRAIN_PREP_SQL = r"""
+WITH fp AS (SELECT doc_id, MD5(text) AS f FROM documents),
+reps AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f),
+kept AS (SELECT d.* FROM documents d JOIN reps USING (doc_id)),
+corpus AS (SELECT * FROM kept WHERE doc_id % 97 <> 0),
+grams AS (
+  SELECT DISTINCT doc_id,
+         ARRAY_TO_STRING(LIST_SLICE(toks, CAST(pos AS INT),
+                                    CAST(pos AS INT) + 3), ' ') AS gram
+  FROM (SELECT doc_id, STRING_SPLIT_REGEX(text, '\s+') AS toks
+        FROM documents),
+       UNNEST(RANGE(1, GREATEST(LEN(toks) - 4 + 1, 0) + 1)) AS t(pos)
+  WHERE LEN(toks) >= 4
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+contaminated AS (
+  SELECT DISTINCT g.doc_id
+  FROM grams g JOIN bench b USING (gram)
+  JOIN corpus c ON c.doc_id = g.doc_id
+),
+clean AS (SELECT * FROM corpus
+          WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+toks2 AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+chunks AS (
+  SELECT doc_id,
+         ARRAY_TO_STRING(LIST_SLICE(tk, CAST(p * 10 + 1 AS INT),
+                                    CAST(p * 10 + 10 AS INT)), ' ') AS chunk
+  FROM toks2, UNNEST(RANGE(0, CAST(CEIL(LEN(tk) / 10.0) AS BIGINT))) AS u(p)
+),
+freq AS (SELECT chunk, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY chunk),
+cstats AS (
+  SELECT c.doc_id, COUNT(*) AS n_chunks,
+         CAST(SUM(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_chunks
+  FROM chunks c JOIN freq f USING (chunk) GROUP BY c.doc_id
+),
+gated AS (
+  SELECT cl.*, cs.n_dup_chunks FROM clean cl JOIN cstats cs USING (doc_id)
+  WHERE cs.n_dup_chunks * 2 <= cs.n_chunks
+),
+final AS (
+  SELECT * FROM (
+    SELECT g.*, ROW_NUMBER() OVER (
+      PARTITION BY source
+      ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+    FROM gated g
+  ) WHERE rk <= 10
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN LENGTH(text) = 0 THEN 0
+                ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+                END) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_dup_chunks) AS BIGINT) AS boiler_chunks,
+       MIN(doc_id) AS first_doc
+FROM final GROUP BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3655,6 +3756,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_funcs_orders": window_funcs_orders,
     "outlier_stats_lineitem": outlier_stats_lineitem,
     "quantize_embeddings_stats": quantize_embeddings_stats,
+    "pipeline_pretrain_prep": pipeline_pretrain_prep,
     "hll_distinct_stats": hll_distinct_stats,
     # --- previously driver-green (CORRECTNESS_r03 47 EXACT + 3 no-oracle) ---
     "q1_pricing_summary": q1_pricing_summary,
@@ -3816,6 +3918,7 @@ ORACLES: dict[str, str] = {
     "ivm_refresh_orders": IVM_REFRESH_SQL,
     "outlier_stats_lineitem": OUTLIER_STATS_SQL,
     "quantize_embeddings_stats": QUANTIZE_SQL,
+    "pipeline_pretrain_prep": PRETRAIN_PREP_SQL,
     # rows-only (intentionally no oracle): dedup_simhash_docs, ann_lsh_topk,
     # ann_ivf_topk, approx_stats
 }
