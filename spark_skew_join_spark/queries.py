@@ -3685,6 +3685,53 @@ FROM final GROUP BY source
 """
 
 
+def setops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (ALL) set-operation semantics in one result: per custkey,
+    its multiplicity under INTERSECT ALL (min of the two sides' counts)
+    and under EXCEPT ALL (left count minus right count, floored at 0) —
+    the bag-algebra identities the distinct variants can't show.
+    Aggregated to counts-per-key so the output is ordering-free."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].select(F.col("o_custkey").alias("custkey"))
+    c = t["customer"].select(F.col("c_custkey").alias("custkey"))
+    both = o.intersectAll(c).groupBy("custkey").agg(
+        F.count(F.lit(1)).alias("n_intersect_all")
+    )
+    diff = o.exceptAll(c).groupBy("custkey").agg(
+        F.count(F.lit(1)).alias("n_except_all")
+    )
+    return (
+        both.join(diff, "custkey", "full_outer")
+        .select(
+            "custkey",
+            F.coalesce("n_intersect_all", F.lit(0)).alias("n_intersect_all"),
+            F.coalesce("n_except_all", F.lit(0)).alias("n_except_all"),
+        )
+    )
+
+
+SETOPS_ALL_SQL = """
+WITH ia AS (
+  SELECT custkey, COUNT(*) AS n_intersect_all FROM (
+    SELECT o_custkey AS custkey FROM orders
+    INTERSECT ALL
+    SELECT c_custkey FROM customer
+  ) GROUP BY custkey
+),
+ea AS (
+  SELECT custkey, COUNT(*) AS n_except_all FROM (
+    SELECT o_custkey AS custkey FROM orders
+    EXCEPT ALL
+    SELECT c_custkey FROM customer
+  ) GROUP BY custkey
+)
+SELECT COALESCE(ia.custkey, ea.custkey) AS custkey,
+       COALESCE(n_intersect_all, 0) AS n_intersect_all,
+       COALESCE(n_except_all, 0) AS n_except_all
+FROM ia FULL OUTER JOIN ea ON ia.custkey = ea.custkey
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3757,6 +3804,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "outlier_stats_lineitem": outlier_stats_lineitem,
     "quantize_embeddings_stats": quantize_embeddings_stats,
     "pipeline_pretrain_prep": pipeline_pretrain_prep,
+    "setops_all_variants": setops_all_variants,
     "hll_distinct_stats": hll_distinct_stats,
     # --- previously driver-green (CORRECTNESS_r03 47 EXACT + 3 no-oracle) ---
     "q1_pricing_summary": q1_pricing_summary,
@@ -3919,6 +3967,7 @@ ORACLES: dict[str, str] = {
     "outlier_stats_lineitem": OUTLIER_STATS_SQL,
     "quantize_embeddings_stats": QUANTIZE_SQL,
     "pipeline_pretrain_prep": PRETRAIN_PREP_SQL,
+    "setops_all_variants": SETOPS_ALL_SQL,
     # rows-only (intentionally no oracle): dedup_simhash_docs, ann_lsh_topk,
     # ann_ivf_topk, approx_stats
 }
