@@ -33,15 +33,34 @@ from pyspark.sql import DataFrame, Window, functions as F
 _LATEST = "_LATEST"
 
 
-def read_upsert_table(spark, path: str) -> DataFrame | None:
-    """Current snapshot per the ``_LATEST`` pointer, or None before the
-    first commit."""
+def list_versions(path: str) -> list[int]:
+    """Retained snapshot epochs, oldest first."""
+    if not os.path.isdir(path):
+        return []
+    return sorted(
+        int(d[2:]) for d in os.listdir(path) if d.startswith("v=")
+    )
+
+
+def read_upsert_table(spark, path: str,
+                      version: int | None = None) -> DataFrame | None:
+    """Snapshot read: the ``_LATEST`` pointer by default, or a retained
+    historical epoch via ``version`` (time travel across the
+    ``keep_versions`` window). Returns None before the first commit;
+    raises for a pruned/unknown version."""
+    if version is not None:
+        vdir = os.path.join(path, f"v={version}")
+        if not os.path.isdir(vdir):
+            raise ValueError(
+                f"version {version} not retained; have {list_versions(path)}"
+            )
+        return spark.read.parquet(vdir)
     marker = os.path.join(path, _LATEST)
     if not os.path.exists(marker):
         return None
     with open(marker) as f:
-        version = f.read().strip()
-    return spark.read.parquet(os.path.join(path, version))
+        pointed = f.read().strip()
+    return spark.read.parquet(os.path.join(path, pointed))
 
 
 def upsert_stream(stream_df: DataFrame, path: str, key_cols: list[str],

@@ -313,3 +313,39 @@ def test_streaming_cdc_upsert_last_wins(spark, batch_events, tmp_path):
     # version pruning kept at most keep_versions snapshots + pointer
     versions = [d for d in os.listdir(tbl) if d.startswith("v=")]
     assert 1 <= len(versions) <= 2
+
+
+def test_cdc_time_travel_reads_retained_versions(spark, batch_events, tmp_path):
+    import pytest
+
+    from spark_skew_join_spark.streaming.cdc import (
+        list_versions,
+        read_upsert_table,
+        upsert_stream,
+    )
+
+    ev = batch_events.select(
+        "user_id", F.unix_micros("ts").alias("seq"), "value"
+    )
+    src, tbl = str(tmp_path / "feed2"), str(tmp_path / "tbl2")
+    ev.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = upsert_stream(stream, tbl, ["user_id"], "seq", "cdctt",
+                      keep_versions=2)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    vs = list_versions(tbl)
+    assert 1 <= len(vs) <= 2
+    # historical snapshot is readable and no larger than the latest
+    old = read_upsert_table(spark, tbl, version=vs[0])
+    latest = read_upsert_table(spark, tbl)
+    assert old.count() <= latest.count()
+    # pruned/unknown versions raise with the retained list
+    with pytest.raises(ValueError, match="not retained"):
+        read_upsert_table(spark, tbl, version=-5)
