@@ -3732,6 +3732,65 @@ FROM ia FULL OUTER JOIN ea ON ia.custkey = ea.custkey
 """
 
 
+def temporal_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 lookup — the consumption pattern for type-2
+    history: each purchase event joins to the event-type regime interval
+    [valid_from, valid_to) active at its timestamp. Equality on the
+    entity key + half-open range predicate → a user-keyed sort-merge
+    join, never a cartesian; every purchase lands in exactly one
+    interval by construction (intervals partition the user's timeline
+    from their first event)."""
+    from .operators.merge import scd2_history
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    h = scd2_history(ev, "user_id", "ts", "event_id", "event_type")
+    maxlong = 9223372036854775807
+    v = h.select(
+        F.col("user_id").alias("h_user"),
+        F.col("event_type").alias("regime"),
+        F.unix_micros("valid_from").alias("f"),
+        F.coalesce(F.unix_micros("valid_to"), F.lit(maxlong)).alias("tt"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    j = p.join(
+        v,
+        (p["user_id"] == v["h_user"])
+        & (p["us"] >= v["f"])
+        & (p["us"] < v["tt"]),
+    )
+    return j.select(
+        "event_id", "user_id", "regime", F.col("f").alias("regime_start_us")
+    )
+
+
+TEMPORAL_JOIN_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+chg AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM e WHERE prev IS NULL OR event_type <> prev
+),
+v AS (
+  SELECT user_id, event_type, EPOCH_US(ts) AS f,
+         COALESCE(EPOCH_US(LEAD(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)),
+           9223372036854775807) AS tt
+  FROM chg
+),
+p AS (SELECT user_id, event_id, EPOCH_US(ts) AS us
+      FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, v.event_type AS regime,
+       v.f AS regime_start_us
+FROM p JOIN v ON p.user_id = v.user_id AND p.us >= v.f AND p.us < v.tt
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3805,6 +3864,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantize_embeddings_stats": quantize_embeddings_stats,
     "pipeline_pretrain_prep": pipeline_pretrain_prep,
     "setops_all_variants": setops_all_variants,
+    "temporal_join_events": temporal_join_events,
     "hll_distinct_stats": hll_distinct_stats,
     # --- previously driver-green (CORRECTNESS_r03 47 EXACT + 3 no-oracle) ---
     "q1_pricing_summary": q1_pricing_summary,
@@ -3968,6 +4028,7 @@ ORACLES: dict[str, str] = {
     "quantize_embeddings_stats": QUANTIZE_SQL,
     "pipeline_pretrain_prep": PRETRAIN_PREP_SQL,
     "setops_all_variants": SETOPS_ALL_SQL,
+    "temporal_join_events": TEMPORAL_JOIN_SQL,
     # rows-only (intentionally no oracle): dedup_simhash_docs, ann_lsh_topk,
     # ann_ivf_topk, approx_stats
 }

@@ -62,3 +62,20 @@ def test_scd2_collapses_consecutive_and_marks_current(spark):
     assert [r.is_current for r in k1] == [False, False, True]
     k2 = [r for r in out if r.k == 2]
     assert len(k2) == 1 and k2[0].is_current and k2[0].valid_to is None
+
+
+def test_temporal_join_exactly_one_regime_per_purchase(spark):
+    from pyspark.sql import functions as F
+
+    from spark_skew_join_spark.queries import temporal_join_events
+    from spark_skew_join_spark.sources.tables import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    out = temporal_join_events(spark, sf)
+    n_purchases = (
+        load_tables(spark, sf)["events"]
+        .where(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert out.count() == n_purchases
+    assert out.select("event_id").distinct().count() == n_purchases
