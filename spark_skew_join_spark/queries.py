@@ -3791,6 +3791,101 @@ FROM p JOIN v ON p.user_id = v.user_id AND p.us >= v.f AND p.us < v.tt
 """
 
 
+def q3_via_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 with its fact join routed through the reference flagship
+    skew_join operator instead of a broadcast join — demonstrating the
+    operator drops into a real reporting query unchanged (same oracle as
+    q3_shipping_priority; equality is the whole point)."""
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].where(F.col("c_mktsegment") == "BUILDING")
+    o = t["orders"].where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    l = t["lineitem"].where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    oc = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = skew_join(
+        l, oc, [("l_orderkey", "o_orderkey")], "inner", SKEW_CONF
+    )
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        j.groupBy(
+            "l_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(_dsum(disc_price, _DEC_PROD).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+def delete_propagation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR-style delete propagation audit: a tombstone set of customers
+    (c_custkey % 50 == 3) cascades through orders to lineitem via
+    anti-joins — each fact table is pruned by keys, never row-multiplied.
+    One row per table with surviving/deleted counts."""
+    t = load_tables(spark, sf_dir)
+    tomb = t["customer"].where(F.col("c_custkey") % 50 == 3).select(
+        F.col("c_custkey").alias("k")
+    )
+    cust_kept = t["customer"].join(
+        tomb, t["customer"]["c_custkey"] == tomb["k"], "left_anti"
+    )
+    del_orders = t["orders"].join(
+        tomb, t["orders"]["o_custkey"] == tomb["k"], "left_semi"
+    ).select(F.col("o_orderkey").alias("ok"))
+    orders_kept = t["orders"].join(
+        tomb, t["orders"]["o_custkey"] == tomb["k"], "left_anti"
+    )
+    li_kept = t["lineitem"].join(
+        del_orders, t["lineitem"]["l_orderkey"] == del_orders["ok"],
+        "left_anti",
+    )
+    rows = [
+        ("customer", t["customer"], cust_kept),
+        ("orders", t["orders"], orders_kept),
+        ("lineitem", t["lineitem"], li_kept),
+    ]
+    out = None
+    for name, full, kept in rows:
+        r = full.agg(F.count(F.lit(1)).alias("n_total")).crossJoin(
+            F.broadcast(kept.agg(F.count(F.lit(1)).alias("n_kept")))
+        ).select(
+            F.lit(name).alias("table_name"),
+            "n_total",
+            "n_kept",
+            (F.col("n_total") - F.col("n_kept")).alias("n_deleted"),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+DELETE_PROPAGATION_SQL = """
+WITH tomb AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 50 = 3),
+del_orders AS (SELECT o_orderkey FROM orders
+               WHERE o_custkey IN (SELECT k FROM tomb)),
+m AS (
+  SELECT 'customer' AS table_name, (SELECT COUNT(*) FROM customer) AS n_total,
+         (SELECT COUNT(*) FROM customer
+          WHERE c_custkey NOT IN (SELECT k FROM tomb)) AS n_kept
+  UNION ALL
+  SELECT 'orders', (SELECT COUNT(*) FROM orders),
+         (SELECT COUNT(*) FROM orders
+          WHERE o_custkey NOT IN (SELECT k FROM tomb))
+  UNION ALL
+  SELECT 'lineitem', (SELECT COUNT(*) FROM lineitem),
+         (SELECT COUNT(*) FROM lineitem
+          WHERE l_orderkey NOT IN (SELECT o_orderkey FROM del_orders))
+)
+SELECT table_name, n_total, n_kept, n_total - n_kept AS n_deleted FROM m
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3865,6 +3960,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_pretrain_prep": pipeline_pretrain_prep,
     "setops_all_variants": setops_all_variants,
     "temporal_join_events": temporal_join_events,
+    "q3_via_skew_join": q3_via_skew_join,
+    "delete_propagation_stats": delete_propagation_stats,
     "hll_distinct_stats": hll_distinct_stats,
     # --- previously driver-green (CORRECTNESS_r03 47 EXACT + 3 no-oracle) ---
     "q1_pricing_summary": q1_pricing_summary,
@@ -4029,6 +4126,8 @@ ORACLES: dict[str, str] = {
     "pipeline_pretrain_prep": PRETRAIN_PREP_SQL,
     "setops_all_variants": SETOPS_ALL_SQL,
     "temporal_join_events": TEMPORAL_JOIN_SQL,
+    "q3_via_skew_join": Q3_SQL,
+    "delete_propagation_stats": DELETE_PROPAGATION_SQL,
     # rows-only (intentionally no oracle): dedup_simhash_docs, ann_lsh_topk,
     # ann_ivf_topk, approx_stats
 }
@@ -4040,6 +4139,7 @@ ORACLES: dict[str, str] = {
 EAGER_QUERIES = (
     "skew_join_lineitem_supplier",
     "skew_join_multicol",
+    "q3_via_skew_join",
     "dedup_clusters_docs",
     "dedup_fuzzy_survivors",
     # broadcast-size guard materializes + counts the benchmark gram set
@@ -4070,6 +4170,7 @@ SCALAR_BNL_OK = (
     "unigram_lm_quality",  # 1-row total-token-count broadcast for ln(total)
     "pagerank_nations",  # 1-row vertex-count broadcast per iteration (1/N term)
     "dq_audit_orders",  # 1-row metric frames combined by scalar cross-join
+    "delete_propagation_stats",  # 1-row per-table count frames cross-joined
 )
 
 # Correct-but-quadratic oracle formulations whose scale-path siblings are
