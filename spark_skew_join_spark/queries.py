@@ -3886,6 +3886,41 @@ SELECT table_name, n_total, n_kept, n_total - n_kept AS n_deleted FROM m
 """
 
 
+def bottomk_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate order-price quantiles from a bottom-k sketch
+    (operators/bottomk.py): the 1000 orders with the smallest md5(key)
+    form a deterministic uniform sample whose percentiles estimate the
+    population's — and because the sample is hash-defined, the oracle
+    reproduces it EXACTLY (an honestly checkable approximate-quantile
+    path, unlike engine-internal approx_percentile)."""
+    from .operators.bottomk import bottomk_quantiles
+
+    t = load_tables(spark, sf_dir)
+    out = bottomk_quantiles(
+        t["orders"], "o_orderkey", "o_totalprice", 1000, [0.5, 0.9, 0.99]
+    )
+    return out.select(
+        "sample_n",
+        F.round("q_50", 6).alias("q_50"),
+        F.round("q_90", 6).alias("q_90"),
+        F.round("q_99", 6).alias("q_99"),
+    )
+
+
+BOTTOMK_QUANTILES_SQL = """
+WITH s AS (
+  SELECT o_totalprice FROM orders
+  ORDER BY MD5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+  LIMIT 1000
+)
+SELECT COUNT(*) AS sample_n,
+       ROUND(QUANTILE_CONT(o_totalprice, 0.5), 6) AS q_50,
+       ROUND(QUANTILE_CONT(o_totalprice, 0.9), 6) AS q_90,
+       ROUND(QUANTILE_CONT(o_totalprice, 0.99), 6) AS q_99
+FROM s
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3962,6 +3997,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temporal_join_events": temporal_join_events,
     "q3_via_skew_join": q3_via_skew_join,
     "delete_propagation_stats": delete_propagation_stats,
+    "bottomk_quantiles_orders": bottomk_quantiles_orders,
     "hll_distinct_stats": hll_distinct_stats,
     # --- previously driver-green (CORRECTNESS_r03 47 EXACT + 3 no-oracle) ---
     "q1_pricing_summary": q1_pricing_summary,
@@ -4128,6 +4164,7 @@ ORACLES: dict[str, str] = {
     "temporal_join_events": TEMPORAL_JOIN_SQL,
     "q3_via_skew_join": Q3_SQL,
     "delete_propagation_stats": DELETE_PROPAGATION_SQL,
+    "bottomk_quantiles_orders": BOTTOMK_QUANTILES_SQL,
     # rows-only (intentionally no oracle): dedup_simhash_docs, ann_lsh_topk,
     # ann_ivf_topk, approx_stats
 }
