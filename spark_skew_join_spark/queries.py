@@ -3921,6 +3921,44 @@ FROM s
 """
 
 
+def null_aware_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN three-valued-logic semantics — the classic correctness
+    trap: against a null-free key set NOT IN ≡ anti-join; inject one
+    NULL into the set and NOT IN returns ZERO rows (x <> NULL is
+    unknown for every x). Spark plans the null-aware anti join
+    (broadcast, single-column NAAJ); both counts must match the SQL
+    oracle's."""
+    t = load_tables(spark, sf_dir)
+    t["orders"].createOrReplaceTempView("__naaj_orders")
+    t["customer"].createOrReplaceTempView("__naaj_customer")
+    return spark.sql(
+        """
+        SELECT
+          (SELECT COUNT(*) FROM __naaj_orders
+           WHERE o_custkey NOT IN
+             (SELECT c_custkey FROM __naaj_customer
+              WHERE c_custkey % 3 = 0)) AS n_without_null,
+          (SELECT COUNT(*) FROM __naaj_orders
+           WHERE o_custkey NOT IN
+             (SELECT c_custkey FROM __naaj_customer WHERE c_custkey % 3 = 0
+              UNION ALL SELECT CAST(NULL AS BIGINT))) AS n_with_null
+        """
+    )
+
+
+NULL_AWARE_ANTI_SQL = """
+SELECT
+  (SELECT COUNT(*) FROM orders
+   WHERE o_custkey NOT IN
+     (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0))
+    AS n_without_null,
+  (SELECT COUNT(*) FROM orders
+   WHERE o_custkey NOT IN
+     (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL SELECT CAST(NULL AS BIGINT))) AS n_with_null
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3998,6 +4036,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q3_via_skew_join": q3_via_skew_join,
     "delete_propagation_stats": delete_propagation_stats,
     "bottomk_quantiles_orders": bottomk_quantiles_orders,
+    "null_aware_anti_join": null_aware_anti_join,
     "hll_distinct_stats": hll_distinct_stats,
     # --- previously driver-green (CORRECTNESS_r03 47 EXACT + 3 no-oracle) ---
     "q1_pricing_summary": q1_pricing_summary,
@@ -4165,6 +4204,7 @@ ORACLES: dict[str, str] = {
     "q3_via_skew_join": Q3_SQL,
     "delete_propagation_stats": DELETE_PROPAGATION_SQL,
     "bottomk_quantiles_orders": BOTTOMK_QUANTILES_SQL,
+    "null_aware_anti_join": NULL_AWARE_ANTI_SQL,
     # rows-only (intentionally no oracle): dedup_simhash_docs, ann_lsh_topk,
     # ann_ivf_topk, approx_stats
 }
