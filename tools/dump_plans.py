@@ -148,6 +148,35 @@ def main() -> None:
         )
     )
 
+    tj = q.QUERIES["temporal_join_events"](spark, SF)
+    simplet = plan_string(tj, "simple")
+    out.append(
+        section(
+            "temporal_join_events — point-in-time SCD2 lookup",
+            "\n".join(
+                l for l in simplet.splitlines() if "Join" in l or "Exchange" in l
+            ),
+            "Equality on user_id + half-open range predicate plans as a\n"
+            "user-keyed SortMergeJoin with the range as a post-join filter\n"
+            "condition — never a cartesian.",
+        )
+    )
+
+    pp = q.QUERIES["pipeline_pretrain_prep"](spark, SF)
+    simplepp = plan_string(pp, "simple")
+    out.append(
+        section(
+            "pipeline_pretrain_prep — four operators, one job graph",
+            "\n".join(
+                l for l in simplepp.splitlines() if "Join" in l or "Exchange" in l
+            ),
+            "Exact dedup semi-join, decontamination gram semi-join,\n"
+            "boilerplate-stats join and the quota window compose lazily —\n"
+            "Catalyst plans the whole pipeline at once (broadcast semi-joins\n"
+            "where sides are small, hash exchanges elsewhere).",
+        )
+    )
+
     cd = q.QUERIES["chunk_dedup_docs"](spark, SF)
     simplecd = plan_string(cd, "simple")
     out.append(
