@@ -28,8 +28,15 @@ def dq_metrics(df: DataFrame, key_cols: Sequence[str],
     ``key_cols`` tuple), and n_null_<c> per ``not_null_cols`` entry —
     all from a single aggregation."""
     aggs = [F.count(F.lit(1)).alias("n_rows")]
+    # distinct over a STRUCT of the keys: a tuple containing NULLs is a
+    # non-null struct and therefore counted, so a single NULL-key row is
+    # NOT a duplicate (bare COUNT(DISTINCT k) would skip it and flag a
+    # false positive); the SQL mirror is COUNT(DISTINCT ROW(...))
     aggs.append(
-        (F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in key_cols]))
+        (
+            F.count(F.lit(1))
+            - F.count_distinct(F.struct(*[F.col(c) for c in key_cols]))
+        )
         .cast("bigint")
         .alias("n_dup_key")
     )

@@ -35,7 +35,11 @@ def agg_state(df: DataFrame, group_cols: Sequence[str], value_col: str,
 def merge_agg_states(base: DataFrame, delta: DataFrame,
                      group_cols: Sequence[str]) -> DataFrame:
     """Fold ``delta`` state into ``base`` state: full-outer on the group
-    key, component-wise monoid combine (missing side = identity)."""
+    key, component-wise monoid combine (missing side = identity). The
+    sum identity is cast to the state's OWN decimal type (taken from the
+    base schema) so merging never widens the precision away from what a
+    from-scratch recompute would produce."""
+    s_type = base.schema["s"].dataType.simpleString()
     b = base.select(*group_cols, F.col("n").alias("__nb"),
                     F.col("s").alias("__sb"))
     d = delta.select(*group_cols, F.col("n").alias("__nd"),
@@ -46,7 +50,12 @@ def merge_agg_states(base: DataFrame, delta: DataFrame,
             "n"
         ),
         (
-            F.coalesce(F.col("__sb"), F.lit(0).cast("decimal(18,2)"))
-            + F.coalesce(F.col("__sd"), F.lit(0).cast("decimal(18,2)"))
-        ).alias("s"),
+            F.coalesce(F.col("__sb"), F.lit(0).cast(s_type))
+            + F.coalesce(F.col("__sd"), F.lit(0).cast(s_type))
+        )
+        # addition widens decimal precision by 1; cast back so the merged
+        # state has EXACTLY the recompute's type and repeated folds don't
+        # walk the precision toward the decimal(38) cap
+        .cast(s_type)
+        .alias("s"),
     )

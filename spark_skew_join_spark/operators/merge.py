@@ -91,13 +91,21 @@ def scd2_history(df: DataFrame, key_col: str, ts_col: str, tie_col: str,
     (valid_to NULL, is_current true).  Deterministic total order within a
     key via ``(ts_col, tie_col)``."""
     w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+    # change detection must be NULL-safe (IS DISTINCT FROM): a plain !=
+    # evaluates to NULL against a NULL attribute and silently drops the
+    # row; rn=1 (not "__prev IS NULL") marks the first version so a
+    # leading NULL attribute still opens an interval
     chg = (
         df.select(
             key_col, ts_col, tie_col, attr_col,
+            F.row_number().over(w).alias("__rn"),
             F.lag(attr_col).over(w).alias("__prev"),
         )
-        .where(F.col("__prev").isNull() | (F.col(attr_col) != F.col("__prev")))
-        .drop("__prev")
+        .where(
+            (F.col("__rn") == 1)
+            | ~F.col(attr_col).eqNullSafe(F.col("__prev"))
+        )
+        .drop("__rn", "__prev")
     )
     w2 = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
     nxt = F.lead(ts_col).over(w2)

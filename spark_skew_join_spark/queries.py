@@ -3066,12 +3066,13 @@ def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 SCD2_SQL = """
 WITH e AS (
   SELECT user_id, event_type, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
          LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
   FROM events
 ),
 chg AS (
   SELECT user_id, event_type, ts, event_id
-  FROM e WHERE prev IS NULL OR event_type <> prev
+  FROM e WHERE rn = 1 OR event_type IS DISTINCT FROM prev
 ),
 v AS (
   SELECT user_id, event_type, ts,
@@ -3411,7 +3412,7 @@ def dq_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 DQ_AUDIT_SQL = """
 WITH m AS (
   SELECT COUNT(*) AS n_rows,
-         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_dup_key,
+         CAST(COUNT(*) - COUNT(DISTINCT ROW(o_orderkey)) AS BIGINT) AS n_dup_key,
          CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
            AS n_null_o_custkey,
          CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
@@ -3769,12 +3770,13 @@ def temporal_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEMPORAL_JOIN_SQL = """
 WITH e AS (
   SELECT user_id, event_type, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
          LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
   FROM events
 ),
 chg AS (
   SELECT user_id, event_type, ts, event_id
-  FROM e WHERE prev IS NULL OR event_type <> prev
+  FROM e WHERE rn = 1 OR event_type IS DISTINCT FROM prev
 ),
 v AS (
   SELECT user_id, event_type, EPOCH_US(ts) AS f,

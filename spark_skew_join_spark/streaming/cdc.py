@@ -66,11 +66,24 @@ def read_upsert_table(spark, path: str,
 def upsert_stream(stream_df: DataFrame, path: str, key_cols: list[str],
                   seq_col: str, query_name: str, keep_versions: int = 3):
     """Start the CDC upsert sink; returns the StreamingQuery (caller
-    stops it). ``seq_col`` orders changes within a batch (latest wins)."""
+    stops it). ``seq_col`` orders changes within a batch (latest wins).
+    ``keep_versions`` is floored at 2: a retried epoch rebuilds from its
+    predecessor version, which must therefore survive pruning."""
+    keep_versions = max(keep_versions, 2)
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        current = read_upsert_table(spark, path)
+        # resolve state from the newest version STRICTLY BELOW this epoch,
+        # not the _LATEST pointer: on redelivery (crash between the flip
+        # and the checkpoint commit) the pointer already names v=<epoch>,
+        # and reading that directory while overwriting it would fail or
+        # corrupt — the retried epoch must rebuild from its predecessor
+        prior = [v for v in list_versions(path) if v < epoch_id]
+        current = (
+            read_upsert_table(spark, path, version=max(prior))
+            if prior
+            else None
+        )
         combined = (
             batch_df if current is None else current.unionByName(batch_df)
         )

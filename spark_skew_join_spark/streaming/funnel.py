@@ -36,8 +36,9 @@ def streaming_funnel(events: DataFrame, id_col: str, type_col: str,
     k = len(stages)
     if k == 0:
         raise ValueError("streaming_funnel: need at least one stage")
+    id_type = events.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"{id_col} bigint, reached int, "
+        f"{id_col} {id_type}, reached int, "
         + ", ".join(f"t_{i + 1} bigint" for i in range(k))
     )
     state_schema = ", ".join(f"t_{i + 1} bigint" for i in range(k))

@@ -13,9 +13,10 @@ def test_dq_metrics_counts_nulls_and_dup_keys(spark):
     df = spark.createDataFrame(rows, "k long, v string")
     m = dq_metrics(df, ["k"], ["v", "k"]).collect()[0]
     assert m.n_rows == 5
-    # COUNT(DISTINCT k) ignores the NULL key: 5 - 3 = 2 "dups"
-    # (the duplicate 2 AND the null-key row — SQL COUNT DISTINCT semantics)
-    assert m.n_dup_key == 2
+    # struct-distinct counts the NULL key as its own tuple: only the
+    # genuine duplicate (key 2 twice) is flagged — a single NULL-key row
+    # is a null violation (n_null_k), not a duplicate
+    assert m.n_dup_key == 1
     assert m.n_null_v == 2
     assert m.n_null_k == 1
 

@@ -79,3 +79,20 @@ def test_temporal_join_exactly_one_regime_per_purchase(spark):
     )
     assert out.count() == n_purchases
     assert out.select("event_id").distinct().count() == n_purchases
+
+
+def test_scd2_null_attribute_values_form_intervals(spark):
+    rows = [
+        (1, 100, 1, "a"), (1, 200, 2, None), (1, 300, 3, None),
+        (1, 400, 4, "a"),
+        (2, 100, 5, None),  # leading NULL attr must still open an interval
+    ]
+    df = spark.createDataFrame(rows, "k long, ts long, tie long, attr string")
+    out = scd2_history(df, "k", "ts", "tie", "attr").collect()
+    k1 = sorted([r for r in out if r.k == 1], key=lambda r: r.valid_from)
+    # a@100 → NULL@200 (300 collapses into it) → a@400 (current)
+    assert [(r.attr, r.valid_from, r.valid_to) for r in k1] == [
+        ("a", 100, 200), (None, 200, 400), ("a", 400, None)
+    ]
+    k2 = [r for r in out if r.k == 2]
+    assert len(k2) == 1 and k2[0].attr is None and k2[0].is_current

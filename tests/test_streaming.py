@@ -349,3 +349,27 @@ def test_cdc_time_travel_reads_retained_versions(spark, batch_events, tmp_path):
     # pruned/unknown versions raise with the retained list
     with pytest.raises(ValueError, match="not retained"):
         read_upsert_table(spark, tbl, version=-5)
+
+
+def test_streaming_funnel_string_ids(spark, tmp_path):
+    from spark_skew_join_spark.streaming.funnel import streaming_funnel
+
+    rows = [("u1", "a", 10), ("u1", "b", 20), ("u2", "b", 5)]
+    df = spark.createDataFrame(rows, "uid string, t string, ts long")
+    src = str(tmp_path / "sfeed")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        streaming_funnel(stream, "uid", "t", "ts", ["a", "b"])
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sfstr")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.uid: r for r in spark.sql("SELECT * FROM sfstr").collect()}
+    assert got["u1"].reached == 2 and got["u1"].t_2 == 20
+    assert got["u2"].reached == 0
