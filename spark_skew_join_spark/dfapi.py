@@ -44,17 +44,58 @@ def _get_cms(self: DataFrame, key_cols, eps: float = 0.005,
     return cms_from_dataframe(self, key_cols, eps, delta, seed)
 
 
+def _merge_upsert(self: DataFrame, source: DataFrame, key_cols) -> DataFrame:
+    from .operators.merge import merge_upsert
+
+    return merge_upsert(self, source, key_cols)
+
+
+def _snapshot_diff(self: DataFrame, new: DataFrame, key_cols,
+                   compare_cols) -> DataFrame:
+    from .operators.merge import snapshot_diff
+
+    return snapshot_diff(self, new, key_cols, compare_cols)
+
+
+def _get_hll(self: DataFrame, key_cols, p: int = 14):
+    from .sketch.hll import hll_from_dataframe
+
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    return hll_from_dataframe(self, key_cols, p)
+
+
+def _bottom_k(self: DataFrame, id_col: str, k: int) -> DataFrame:
+    from .operators.bottomk import bottom_k_sample
+
+    return bottom_k_sample(self, id_col, k)
+
+
+def _chunk_dedup_stats(self: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", chunk_tokens: int = 10,
+                       max_docs: int = 1) -> DataFrame:
+    from .operators.boilerplate import chunk_dedup_stats
+
+    return chunk_dedup_stats(self, id_col, text_col, chunk_tokens, max_docs)
+
+
 def register_dataframe_api() -> None:
-    """Attach the reference-parity method surface to DataFrame (idempotent)."""
+    """Attach the reference-parity method surface to DataFrame (idempotent).
+    The extension operators ride along so a reference user migrating to
+    this library reaches the whole toolkit through the same idiom."""
     _METHODS.update(
         skew_join=_skew_join,
         get_cms=_get_cms,
+        get_hll=_get_hll,
         count_per_partition=count_per_partition,
         show_count_per_partition=show_count_per_partition,
         partition_stats=partition_stats,
         show_partition_stats=show_partition_stats,
         timed_save=timed_save,
         ensure_dataframe_equals=assert_df_equal,
+        merge_upsert=_merge_upsert,
+        snapshot_diff=_snapshot_diff,
+        bottom_k_sample=_bottom_k,
+        chunk_dedup_stats=_chunk_dedup_stats,
     )
     for name, fn in _METHODS.items():
         setattr(DataFrame, name, fn)

@@ -142,3 +142,25 @@ def test_stratified_sample(spark):
     s = stratified_sample(df, "lang", {"en": 0.1, "fr": 0.5}, seed=1)
     by = dict((r["lang"], r["count"]) for r in s.groupBy("lang").count().collect())
     assert 50 < by["en"] < 180 and 380 < by["fr"] < 620
+
+
+def test_dfapi_extension_methods(spark):
+    from spark_skew_join_spark.dfapi import (
+        register_dataframe_api,
+        unregister_dataframe_api,
+    )
+
+    register_dataframe_api()
+    try:
+        t = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+        s = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+        merged = {r.k: r.v for r in t.merge_upsert(s, ["k"]).collect()}
+        assert merged == {1: "a", 2: "B", 3: "c"}
+        d = {r.k: r.change_type
+             for r in t.snapshot_diff(s, ["k"], ["v"]).collect()}
+        assert d == {1: "deleted", 2: "updated", 3: "inserted"}
+        assert t.bottom_k_sample("k", 1).count() == 1
+        est = spark.range(5000).get_hll("id").estimate()
+        assert abs(est - 5000) / 5000 < 0.05
+    finally:
+        unregister_dataframe_api()
