@@ -1,0 +1,119 @@
+"""Per-query shuffle/input-byte audit via the Spark status REST API.
+
+Direct evidence for the minimize-shuffles design claims: runs a set of
+representative queries in a UI-enabled session and records, per query,
+the delta in completed-stage input / shuffle-read / shuffle-write bytes.
+Writes SHUFFLE_AUDIT.md at the repo root.
+
+Usage: python tools/shuffle_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+PORT = 4049
+
+QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "skew_join_lineitem_supplier",
+    "prefilter_join_orders",
+    "merge_upsert_orders",
+    "contamination_check_docs",
+    "chunk_dedup_docs",
+    "dedup_minhash_docs",
+    "funnel_events",
+    "pagerank_nations",
+    "pipeline_pretrain_prep",
+    "knn_bruteforce",
+]
+
+
+def _rest(path: str):
+    with urllib.request.urlopen(
+        f"http://localhost:{PORT}/api/v1/{path}", timeout=10
+    ) as r:
+        return json.load(r)
+
+
+def _totals(app_id: str) -> dict[str, int]:
+    out = {"input": 0, "sread": 0, "swrite": 0}
+    for st in _rest(f"applications/{app_id}/stages?status=COMPLETE"):
+        out["input"] += st.get("inputBytes", 0)
+        out["sread"] += st.get("shuffleReadBytes", 0)
+        out["swrite"] += st.get("shuffleWriteBytes", 0)
+    return out
+
+
+def main() -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("shuffle-audit")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", str(PORT))
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.retainedStages", "5000")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    from spark_skew_join_spark.sources.tables import configure
+
+    configure(spark)
+    from spark_skew_join_spark import queries as q
+
+    app_id = _rest("applications")[0]["id"]
+    rows = []
+    for name in QUERIES:
+        df = q.QUERIES[name](spark, SF)
+        before = _totals(app_id)
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        wall = time.perf_counter() - t0
+        time.sleep(0.5)  # let the status store settle
+        after = _totals(app_id)
+        mb = lambda k: (after[k] - before[k]) / 1e6  # noqa: E731
+        rows.append(
+            (name, wall, mb("input"), mb("sread"), mb("swrite"))
+        )
+        print(
+            f"{name:34s} {wall:6.2f} s  input {mb('input'):9.1f} MB  "
+            f"shuffle-read {mb('sread'):8.1f} MB  "
+            f"shuffle-write {mb('swrite'):8.1f} MB"
+        )
+    q.clear_dedup_cache()
+    with open(os.path.join(REPO, "SHUFFLE_AUDIT.md"), "w") as f:
+        f.write(
+            "# SHUFFLE_AUDIT — per-query bytes from the status REST API\n\n"
+            f"sf_dir: `{SF}`, local[{cpus}]. Execution-phase deltas of\n"
+            "completed-stage input / shuffle-read / shuffle-write bytes\n"
+            "(eager plan-construction pre-passes are not inside the timed\n"
+            "window and appear in the NEXT row's delta if stages complete\n"
+            "late — read totals, not row-exact attribution).\n"
+            "Regenerate: `python tools/shuffle_audit.py`.\n\n"
+            "| query | wall s | input MB | shuffle-read MB | shuffle-write MB |\n"
+            "|---|---|---|---|---|\n"
+        )
+        for name, wall, i, sr, sw in rows:
+            f.write(f"| {name} | {wall:.2f} | {i:.1f} | {sr:.1f} | {sw:.1f} |\n")
+    print("SHUFFLE_AUDIT.md written")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
