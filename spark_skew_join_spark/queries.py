@@ -3961,6 +3961,32 @@ SELECT
 """
 
 
+def histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order prices: 25k-wide bins with count +
+    per-bin min/max — one codegen projection + one aggregation (integer
+    bin arithmetic, engine-identical)."""
+    t = load_tables(spark, sf_dir)
+    bucket = F.floor(F.col("o_totalprice") / F.lit(25000.0)).cast("int")
+    return (
+        t["orders"]
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+HISTOGRAM_SQL = """
+SELECT CAST(FLOOR(o_totalprice / 25000.0) AS INT) AS bucket,
+       COUNT(*) AS n_orders,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM orders GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4039,6 +4065,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "delete_propagation_stats": delete_propagation_stats,
     "bottomk_quantiles_orders": bottomk_quantiles_orders,
     "null_aware_anti_join": null_aware_anti_join,
+    "histogram_prices": histogram_prices,
     "hll_distinct_stats": hll_distinct_stats,
     # --- previously driver-green (CORRECTNESS_r03 47 EXACT + 3 no-oracle) ---
     "q1_pricing_summary": q1_pricing_summary,
@@ -4207,6 +4234,7 @@ ORACLES: dict[str, str] = {
     "delete_propagation_stats": DELETE_PROPAGATION_SQL,
     "bottomk_quantiles_orders": BOTTOMK_QUANTILES_SQL,
     "null_aware_anti_join": NULL_AWARE_ANTI_SQL,
+    "histogram_prices": HISTOGRAM_SQL,
     # rows-only (intentionally no oracle): dedup_simhash_docs, ann_lsh_topk,
     # ann_ivf_topk, approx_stats
 }
