@@ -267,6 +267,127 @@ def jaccard_for_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    max_shingle_df: int | None = None,
+    shingle_df: DataFrame | None = None,
+    cache_shingles: bool = True,
+) -> DataFrame:
+    """Directed near-superset pairs: C(inner→outer) = |S_i ∩ S_o| / |S_i| ≥ t.
+
+    Containment is the asymmetric sibling of Jaccard: it flags a document
+    whose shingle set is (nearly) contained in another's — the
+    boilerplate-expansion / quoted-subdocument case that Jaccard misses when
+    the outer document is much larger (J = |∩|/|∪| shrinks with |S_o| while
+    C(inner→outer) stays at 1). This is the "substring/superset duplicate"
+    family from the public training-data dedup literature (e.g. Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better").
+
+    Output: (inner_id, outer_id, inter, size_inner, size_outer, containment)
+    for inner_id != outer_id — directed, so a ⊂ b and b ⊂ a are separate
+    rows (both appear only for exact-equal shingle sets).
+
+    Scale notes: identical shape to ``ngram_jaccard_pairs`` — one shingle
+    equi-join bounded by ``max_shingle_df``; the intersection is computed
+    once per unordered pair (id_a < id_b) and mirrored into both directions
+    afterwards, so the join/aggregate cost is the same as the Jaccard pass.
+    Like its sibling this is the exact all-pairs oracle; the scale path is
+    LSH candidates + ``containment_for_pairs`` verification.
+    """
+    if shingle_df is not None:
+        sh = shingle_df
+    else:
+        sh = shingles(df, text_col, id_col, n)
+        if cache_shingles:
+            sh = sh.persist()
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .count()
+            .where(F.col("count") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(hot, on="shingle", how="left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("size"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("size").alias("size_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("size").alias("size_b")),
+            "id_b",
+        )
+    )
+    directed = inter.select(
+        F.col("id_a").alias("inner_id"),
+        F.col("id_b").alias("outer_id"),
+        "inter",
+        F.col("size_a").alias("size_inner"),
+        F.col("size_b").alias("size_outer"),
+    ).unionByName(
+        inter.select(
+            F.col("id_b").alias("inner_id"),
+            F.col("id_a").alias("outer_id"),
+            "inter",
+            F.col("size_b").alias("size_inner"),
+            F.col("size_a").alias("size_outer"),
+        )
+    )
+    return (
+        directed.withColumn(
+            "containment",
+            F.col("inter").cast("double") / F.col("size_inner"),
+        )
+        .where(F.col("containment") >= threshold)
+        .select(
+            "inner_id", "outer_id", "inter", "size_inner", "size_outer", "containment"
+        )
+    )
+
+
+def containment_for_pairs(
+    pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Directed containment for a candidate pair list only (the scale path).
+
+    ``pairs``: (id_a, id_b) unordered candidates (e.g. from MinHash/LSH
+    banding — containment ≥ t implies Jaccard ≥ t·|S_i|/(|S_i|+|S_o|), so
+    a band pass at a lowered threshold generates the candidates);
+    ``sh``: (id, shingle). Output mirrors ``ngram_containment_pairs`` but
+    costs O(candidate shingles), not O(n²) — same candidate-scoped shape as
+    ``jaccard_for_pairs``."""
+    j = jaccard_for_pairs(pairs, sh, id_col)
+    directed = j.select(
+        F.col("id_a").alias("inner_id"),
+        F.col("id_b").alias("outer_id"),
+        "inter",
+        F.col("size_a").alias("size_inner"),
+        F.col("size_b").alias("size_outer"),
+    ).unionByName(
+        j.select(
+            F.col("id_b").alias("inner_id"),
+            F.col("id_a").alias("outer_id"),
+            "inter",
+            F.col("size_b").alias("size_inner"),
+            F.col("size_a").alias("size_outer"),
+        )
+    )
+    return directed.withColumn(
+        "containment", F.col("inter").cast("double") / F.col("size_inner")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

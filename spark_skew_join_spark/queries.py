@@ -735,6 +735,59 @@ WHERE CAST(inter AS DOUBLE) / (sa.size + sb.size - inter) >= 0.5
 """
 
 
+def dedup_containment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed near-superset pairs (containment ≥ 0.6) over the shared
+    8-gram shingle set — the asymmetric dedup flavor that catches a doc
+    quoted/embedded inside a larger one, which Jaccard under-scores. Same
+    stop-shingle cap (df > 50) and shared materialization as the Jaccard
+    sibling; like it, this exact all-pairs form is the oracle
+    (BENCH_EXCLUDE) and the scale path is LSH candidates +
+    containment_for_pairs."""
+    from .operators.dedup import ngram_containment_pairs
+
+    sh, _ = _dedup_family(spark, sf_dir)
+    return ngram_containment_pairs(
+        load_tables(spark, sf_dir)["documents"], threshold=0.6, n=8,
+        max_shingle_df=50, shingle_df=sh,
+    )
+
+
+DEDUP_CONTAINMENT_SQL = """
+WITH sh0 AS (
+  SELECT DISTINCT doc_id, SUBSTRING(text, CAST(pos AS INT), 8) AS shingle
+  FROM documents, UNNEST(range(1, GREATEST(LENGTH(text) - 8 + 1, 1) + 1)) AS t(pos)
+  WHERE LENGTH(text) >= 8
+),
+sh AS (
+  SELECT doc_id, shingle FROM sh0
+  WHERE shingle IN (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 50)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS size FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sized AS (
+  SELECT id_a, id_b, inter, sa.size AS size_a, sb.size AS size_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+),
+directed AS (
+  SELECT id_a AS inner_id, id_b AS outer_id, inter,
+         size_a AS size_inner, size_b AS size_outer FROM sized
+  UNION ALL
+  SELECT id_b AS inner_id, id_a AS outer_id, inter,
+         size_b AS size_inner, size_a AS size_outer FROM sized
+)
+SELECT inner_id, outer_id, inter, size_inner, size_outer,
+       CAST(inter AS DOUBLE) / size_inner AS containment
+FROM directed
+WHERE CAST(inter AS DOUBLE) / size_inner >= 0.6
+"""
+
+
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end LLM-data cleaning pipeline, one DataFrame program:
     exact-dedup (md5 min-id representative) → language filter (en) →
@@ -4067,6 +4120,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "null_aware_anti_join": null_aware_anti_join,
     "histogram_prices": histogram_prices,
     "hll_distinct_stats": hll_distinct_stats,
+    "dedup_containment_docs": dedup_containment_docs,
     # --- previously driver-green (CORRECTNESS_r03 47 EXACT + 3 no-oracle) ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -4157,6 +4211,7 @@ ORACLES: dict[str, str] = {
     "udaf_weighted_price": UDAF_WPRICE_SQL,
     "dedup_exact_docs": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
+    "dedup_containment_docs": DEDUP_CONTAINMENT_SQL,
     # dedup_minhash_docs / embedding_near_dup_lsh are gated against exact
     # full-recall oracles; the gate holds because the pinned seeds/banding
     # give empirically 100% recall on the current fixtures (asserted in
@@ -4289,6 +4344,7 @@ SCALAR_BNL_OK = (
 BENCH_EXCLUDE = (
     "dedup_ngram_jaccard",      # all-pairs-within-shingle; scale path: dedup_minhash_docs
     "embedding_near_dup_pairs",  # cartesian baseline; scale path: embedding_near_dup_lsh
+    "dedup_containment_docs",   # all-pairs oracle; scale path: containment_for_pairs on LSH candidates
 )
 
 

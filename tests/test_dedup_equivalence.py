@@ -228,3 +228,64 @@ def test_skew_aware_shingle_join_balances_partitions(spark, hot_shingle_docs):
         for k, v in old.items():
             spark.conf.set(k, v)
     assert skew_ratio < plain_ratio, (skew_ratio, plain_ratio)
+
+# ------------------------------------------------------- containment family
+
+def test_containment_scale_path_matches_exact(spark):
+    """containment_for_pairs on an all-candidate list reproduces the exact
+    all-pairs ngram_containment_pairs output — the equivalence that lets the
+    candidate-scoped form be the scale path (exact all-pairs is the
+    BENCH_EXCLUDEd oracle, like its Jaccard sibling)."""
+    from spark_skew_join_spark.operators.dedup import (
+        containment_for_pairs,
+        ngram_containment_pairs,
+        shingles,
+    )
+
+    docs = load_tables(spark, SF)["documents"]
+    sh = shingles(docs, n=8).persist()
+    try:
+        exact = ngram_containment_pairs(
+            docs, threshold=0.6, n=8, shingle_df=sh
+        )
+        # all unordered candidate pairs with any shingle overlap
+        cands = (
+            sh.select(F.col("doc_id").alias("id_a"), "shingle")
+            .join(sh.select(F.col("doc_id").alias("id_b"), "shingle"), "shingle")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        scale = containment_for_pairs(cands, sh).where(
+            F.col("containment") >= 0.6
+        )
+        cols = ("inner_id", "outer_id", "inter", "size_inner", "size_outer")
+        assert _pairs(exact, *cols) == _pairs(scale, *cols)
+        assert exact.count() > 0, "fixture has no containment pairs — vacuous"
+    finally:
+        sh.unpersist()
+
+
+def test_containment_is_directional(spark):
+    """A small doc embedded in a big one scores containment 1.0 in the
+    small→big direction while Jaccard stays below threshold — the case this
+    operator exists for."""
+    from spark_skew_join_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    small = "the quick brown fox jumps over the lazy dog"
+    # high-entropy suffix: distinct 8-grams, so |S_big| >> |S_small|
+    big = small + " " + " ".join(str(i * 7919) for i in range(80))
+    docs = spark.createDataFrame(
+        [(1, small), (2, big)], "doc_id int, text string"
+    )
+    cont = {
+        (r["inner_id"], r["outer_id"]): r["containment"]
+        for r in ngram_containment_pairs(docs, threshold=0.9, n=8).collect()
+    }
+    assert (1, 2) in cont and cont[(1, 2)] >= 0.99
+    assert (2, 1) not in cont  # big is NOT contained in small
+    jac = ngram_jaccard_pairs(docs, threshold=0.5, n=8).collect()
+    assert jac == []  # Jaccard misses the asymmetric duplicate
