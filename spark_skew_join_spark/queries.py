@@ -788,6 +788,81 @@ WHERE CAST(inter AS DOUBLE) / size_inner >= 0.6
 """
 
 
+def near_dup_leakage_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplicate leakage audit: for every unordered pair
+    of sources, how many near-duplicate document pairs (8-gram Jaccard
+    ≥ 0.5) span them. The train/test-split hygiene check for an LLM corpus:
+    a 'held-out' source whose documents near-duplicate a training source
+    leaks — exact-dedup alone misses it (this fixture has ZERO exact
+    cross-source duplicates but 24/25 near-dup pairs cross sources).
+
+    Spark side rides the shared MinHash pair list (the verified scale
+    path — banded candidates, not all-pairs); the oracle recomputes the
+    pairs with the exact Jaccard CTE, so the driver gate also re-certifies
+    minhash's full recall on the fixtures. Source lookup is two joins on
+    doc_id against a 2-column projection of documents (broadcastable at
+    any corpus size: one row per doc, two small columns)."""
+    _, pairs = _dedup_family(spark, sf_dir)
+    src = load_tables(spark, sf_dir)["documents"].select("doc_id", "source")
+    labeled = (
+        pairs.select("id_a", "id_b")
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_a"), F.col("source").alias("src_a")
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"), F.col("source").alias("src_b")
+            ),
+            "id_b",
+        )
+    )
+    return (
+        labeled.select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+NEAR_DUP_LEAKAGE_SQL = """
+WITH sh0 AS (
+  SELECT DISTINCT doc_id, SUBSTRING(text, CAST(pos AS INT), 8) AS shingle
+  FROM documents, UNNEST(range(1, GREATEST(LENGTH(text) - 8 + 1, 1) + 1)) AS t(pos)
+  WHERE LENGTH(text) >= 8
+),
+sh AS (
+  SELECT doc_id, shingle FROM sh0
+  WHERE shingle IN (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 50)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS size FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(inter AS DOUBLE) / (sa.size + sb.size - inter) >= 0.5
+)
+SELECT LEAST(da.source, db.source) AS source_a,
+       GREATEST(da.source, db.source) AS source_b,
+       COUNT(*) AS n_pairs
+FROM pairs
+JOIN documents da ON da.doc_id = id_a
+JOIN documents db ON db.doc_id = id_b
+GROUP BY 1, 2
+ORDER BY source_a, source_b
+"""
+
+
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end LLM-data cleaning pipeline, one DataFrame program:
     exact-dedup (md5 min-id representative) → language filter (en) →
@@ -4121,6 +4196,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "histogram_prices": histogram_prices,
     "hll_distinct_stats": hll_distinct_stats,
     "dedup_containment_docs": dedup_containment_docs,
+    "near_dup_leakage_sources": near_dup_leakage_sources,
     # --- previously driver-green (CORRECTNESS_r03 47 EXACT + 3 no-oracle) ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -4212,6 +4288,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact_docs": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "dedup_containment_docs": DEDUP_CONTAINMENT_SQL,
+    "near_dup_leakage_sources": NEAR_DUP_LEAKAGE_SQL,
     # dedup_minhash_docs / embedding_near_dup_lsh are gated against exact
     # full-recall oracles; the gate holds because the pinned seeds/banding
     # give empirically 100% recall on the current fixtures (asserted in
