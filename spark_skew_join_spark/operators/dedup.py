@@ -289,7 +289,9 @@ def ngram_containment_pairs(
 
     Output: (inner_id, outer_id, inter, size_inner, size_outer, containment)
     for inner_id != outer_id — directed, so a ⊂ b and b ⊂ a are separate
-    rows (both appear only for exact-equal shingle sets).
+    rows.  Both directions appear whenever BOTH containments meet the
+    threshold (inter ≥ t·max(size_a, size_b) suffices — e.g. sizes 10/10
+    with inter 8 at t=0.6); the sets need only be equal at t = 1.0.
 
     Scale notes: identical shape to ``ngram_jaccard_pairs`` — one shingle
     equi-join bounded by ``max_shingle_df``; the intersection is computed

@@ -35,16 +35,45 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 
 def merge_upsert(target: DataFrame, source: DataFrame,
-                 key_cols: Sequence[str]) -> DataFrame:
+                 key_cols: Sequence[str],
+                 on_duplicate: str = "error") -> DataFrame:
     """SCD1 MERGE: on key match the source row replaces the target row
     (WHEN MATCHED THEN UPDATE SET *); unmatched source rows are inserted;
     unmatched target rows survive.  Columns are aligned by name and must
-    match between the two sides."""
+    match between the two sides.
+
+    ``on_duplicate`` controls duplicate merge keys in the SOURCE — the
+    case where SQL MERGE raises and Delta/Iceberg error out:
+
+    * ``"error"`` (default) — eagerly scan the changeset and raise, the
+      standard MERGE contract.  Costs one small job over the source
+      (the changeset is the small side by design).
+    * ``"keep_all"`` — legacy pass-through: every duplicate source row
+      survives into the output.  Only sound when the caller has already
+      collapsed per-key (the streaming CDC sink does its own seq-based
+      collapse and uses this).
+    """
     if set(target.columns) != set(source.columns):
         raise ValueError(
             f"merge_upsert: column sets differ: {sorted(target.columns)} "
             f"vs {sorted(source.columns)}"
         )
+    if on_duplicate not in ("error", "keep_all"):
+        raise ValueError(f"on_duplicate must be error|keep_all, got {on_duplicate!r}")
+    if on_duplicate == "error":
+        dup = (
+            source.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            key = {c: dup[0][c] for c in key_cols}
+            raise ValueError(
+                f"merge_upsert: duplicate source merge key {key}; collapse "
+                "the changeset per key first or pass on_duplicate='keep_all'"
+            )
     survivors = target.join(
         source.select(*key_cols), on=list(key_cols), how="left_anti"
     )

@@ -46,9 +46,16 @@ class HyperLogLog:
         idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
         rest = (h << np.uint64(self.p)) | np.uint64((1 << self.p) - 1)
         # rank = leading zeros of the remaining 64-p bits, +1 — the
-        # sentinel low bits cap ranks at 64-p+1 without a branch
-        bits = 64 - np.floor(np.log2(rest.astype(np.float64))).astype(np.int64)
-        rank = np.clip(bits, 1, 64 - self.p + 1).astype(np.uint8)
+        # sentinel low bits cap ranks at 64-p+1 without a branch.
+        # Integer clz (binary-search shifts), not float log2: a float64
+        # cast rounds suffixes just below a power of two UP to it, which
+        # would undercount the rank by 1.
+        clz = np.zeros(rest.shape, dtype=np.uint64)
+        for s in (32, 16, 8, 4, 2, 1):
+            top_zero = (rest >> np.uint64(64 - s)) == 0
+            clz += np.where(top_zero, np.uint64(s), np.uint64(0))
+            rest = np.where(top_zero, rest << np.uint64(s), rest)
+        rank = (clz + np.uint64(1)).astype(np.uint8)
         np.maximum.at(self.registers, idx, rank)
 
     # -- merging -------------------------------------------------------
@@ -60,9 +67,14 @@ class HyperLogLog:
         return out
 
     # -- estimating ----------------------------------------------------
+    # Flajolet et al. 2007 give exact bias constants for the small
+    # register counts; the 0.7213/(1+1.079/m) closed form only holds
+    # for m >= 128 (p >= 7).
+    _SMALL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
     def estimate(self) -> float:
         m = float(self.m)
-        alpha = 0.7213 / (1.0 + 1.079 / m)
+        alpha = self._SMALL_ALPHA.get(self.m, 0.7213 / (1.0 + 1.079 / m))
         raw = alpha * m * m / np.sum(
             np.exp2(-self.registers.astype(np.float64))
         )

@@ -9,9 +9,12 @@ and written as a NEW version directory ``v=<epoch>``; a ``_LATEST``
 pointer file flips last.  Versioned copy-on-write gives the two
 properties a non-transactional format can still have:
 
-* **redelivery-idempotent** — a retried epoch rewrites its own version
-  directory and re-flips the pointer to the same content (upserts are
-  idempotent given per-key latest-wins collapse);
+* **redelivery-idempotent** — a retried epoch writes a FRESH
+  attempt-suffixed directory (``v=<epoch>.<attempt>``) with the same
+  content and re-flips the pointer (upserts are idempotent given
+  per-key latest-wins collapse); the previously-pointed directory is
+  never written in place, so a reader resolving the pointer mid-retry
+  still sees a complete snapshot;
 * **readers never see a torn table** — they resolve ``_LATEST`` and read
   an immutable snapshot.
 
@@ -33,13 +36,25 @@ from pyspark.sql import DataFrame, Window, functions as F
 _LATEST = "_LATEST"
 
 
-def list_versions(path: str) -> list[int]:
-    """Retained snapshot epochs, oldest first."""
+def _snapshot_dirs(path: str) -> list[tuple[int, int, str]]:
+    """All snapshot directories as (epoch, attempt, dirname), oldest
+    first. ``v=<epoch>`` is attempt 0; a redelivered epoch writes
+    ``v=<epoch>.<attempt>`` so the previously-pointed directory is never
+    rewritten in place."""
     if not os.path.isdir(path):
         return []
-    return sorted(
-        int(d[2:]) for d in os.listdir(path) if d.startswith("v=")
-    )
+    out = []
+    for d in os.listdir(path):
+        if not d.startswith("v="):
+            continue
+        epoch, _, attempt = d[2:].partition(".")
+        out.append((int(epoch), int(attempt) if attempt else 0, d))
+    return sorted(out)
+
+
+def list_versions(path: str) -> list[int]:
+    """Retained snapshot epochs, oldest first (attempts collapsed)."""
+    return sorted({e for e, _, _ in _snapshot_dirs(path)})
 
 
 def read_upsert_table(spark, path: str,
@@ -49,12 +64,13 @@ def read_upsert_table(spark, path: str,
     ``keep_versions`` window). Returns None before the first commit;
     raises for a pruned/unknown version."""
     if version is not None:
-        vdir = os.path.join(path, f"v={version}")
-        if not os.path.isdir(vdir):
+        dirs = [d for e, _, d in _snapshot_dirs(path) if e == version]
+        if not dirs:
             raise ValueError(
                 f"version {version} not retained; have {list_versions(path)}"
             )
-        return spark.read.parquet(vdir)
+        # highest attempt = the directory the pointer was last flipped to
+        return spark.read.parquet(os.path.join(path, dirs[-1]))
     marker = os.path.join(path, _LATEST)
     if not os.path.exists(marker):
         return None
@@ -97,17 +113,22 @@ def upsert_stream(stream_df: DataFrame, path: str, key_cols: list[str],
             .where(F.col("__rn") == 1)
             .drop("__rn")
         )
-        vdir = f"v={epoch_id}"
+        # never rewrite a directory _LATEST may already point to: on
+        # redelivery the epoch's attempt-0 dir exists (and is likely
+        # pointed), so write a fresh attempt-suffixed sibling and flip
+        # the pointer only after the write completes
+        attempts = [a for e, a, _ in _snapshot_dirs(path) if e == epoch_id]
+        attempt = max(attempts) + 1 if attempts else 0
+        vdir = f"v={epoch_id}" if attempt == 0 else f"v={epoch_id}.{attempt}"
         merged.write.mode("overwrite").parquet(os.path.join(path, vdir))
         tmp = os.path.join(path, _LATEST + ".tmp")
         with open(tmp, "w") as f:
             f.write(vdir)
         os.replace(tmp, os.path.join(path, _LATEST))  # atomic flip
-        versions = sorted(
-            (d for d in os.listdir(path) if d.startswith("v=")),
-            key=lambda d: int(d[2:]),
-        )
-        for stale in versions[:-keep_versions]:
+        # prune by directory age (epoch, attempt) — a superseded attempt
+        # ages out of the window like any other snapshot
+        snapshots = [d for _, _, d in _snapshot_dirs(path)]
+        for stale in snapshots[:-keep_versions]:
             shutil.rmtree(os.path.join(path, stale), ignore_errors=True)
 
     return (

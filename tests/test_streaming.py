@@ -351,6 +351,48 @@ def test_cdc_time_travel_reads_retained_versions(spark, batch_events, tmp_path):
         read_upsert_table(spark, tbl, version=-5)
 
 
+def test_cdc_redelivery_writes_fresh_attempt_dir(spark, tmp_path):
+    """A retried epoch must never rewrite the directory _LATEST points
+    to (torn-read hazard): the snapshot layer resolves attempt-suffixed
+    siblings (v=<epoch>.<attempt>) as the same logical version."""
+    import os
+
+    from spark_skew_join_spark.streaming.cdc import (
+        _snapshot_dirs,
+        list_versions,
+        read_upsert_table,
+    )
+
+    tbl = str(tmp_path / "tbl3")
+    os.makedirs(tbl)
+    spark.createDataFrame([(1, "stale")], "k int, v string").write.parquet(
+        os.path.join(tbl, "v=5")
+    )
+    spark.createDataFrame([(1, "retried")], "k int, v string").write.parquet(
+        os.path.join(tbl, "v=5.1")
+    )
+    with open(os.path.join(tbl, "_LATEST"), "w") as f:
+        f.write("v=5.1")
+    assert _snapshot_dirs(tbl) == [(5, 0, "v=5"), (5, 1, "v=5.1")]
+    assert list_versions(tbl) == [5]
+    # both the pointer read and the versioned read resolve the retry
+    assert read_upsert_table(spark, tbl).first()["v"] == "retried"
+    assert read_upsert_table(spark, tbl, version=5).first()["v"] == "retried"
+
+
+def test_merge_upsert_rejects_duplicate_source_keys(spark):
+    import pytest
+
+    from spark_skew_join_spark.operators.merge import merge_upsert
+
+    t = spark.createDataFrame([(1, "a")], "k int, v string")
+    s = spark.createDataFrame([(2, "x"), (2, "y")], "k int, v string")
+    with pytest.raises(ValueError, match="duplicate source merge key"):
+        merge_upsert(t, s, ["k"])
+    # explicit opt-out preserves the legacy pass-through
+    assert merge_upsert(t, s, ["k"], on_duplicate="keep_all").count() == 3
+
+
 def test_streaming_funnel_string_ids(spark, tmp_path):
     from spark_skew_join_spark.streaming.funnel import streaming_funnel
 
