@@ -788,6 +788,74 @@ WHERE CAST(inter AS DOUBLE) / size_inner >= 0.6
 """
 
 
+def dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate runs (operators/substr_dedup.py — the
+    distributed approximation of Lee et al. 2022's suffix-array
+    ExactSubstr pass, VERDICT r4 #4): maximal exactly-matching token
+    runs of >= 32 detected tokens between document pairs, reported with
+    token AND character offsets into both documents. Anchor width k=16,
+    so every true common run of >= 47 tokens (the paper's ~50-token
+    regime) is guaranteed detected; spans are grid-aligned in doc_a.
+    The oracle replays the identical seed-grid + islands-merge
+    arithmetic in SQL — hash-free (it joins on the window text), so the
+    match also certifies that xxhash64 collisions played no role."""
+    from .operators.substr_dedup import exact_substring_runs
+
+    t = load_tables(spark, sf_dir)
+    return exact_substring_runs(t["documents"], k=16, min_tokens=32)
+
+
+DEDUP_SUBSTR_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+w AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(list_slice(tk, i + 1, i + 16), ' ') AS win
+  FROM toks, UNNEST(range(0, GREATEST(len(tk) - 15, 0))) AS t(i)
+),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+         b.pos - a.pos AS diag
+  FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
+  WHERE a.pos % 16 = 0
+),
+brk AS (
+  SELECT doc_a, doc_b, diag, pa,
+         CASE WHEN pa - LAG(pa) OVER (PARTITION BY doc_a, doc_b, diag
+                                      ORDER BY pa) <= 16
+              THEN 0 ELSE 1 END AS b
+  FROM m
+),
+grp AS (
+  SELECT doc_a, doc_b, diag, pa,
+         SUM(b) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa
+                      ROWS UNBOUNDED PRECEDING) AS rid
+  FROM brk
+),
+spans AS (
+  SELECT doc_a, doc_b, diag, MIN(pa) AS a_start,
+         MAX(pa) + 16 - MIN(pa) AS n_tokens
+  FROM grp GROUP BY doc_a, doc_b, diag, rid
+  HAVING MAX(pa) + 16 - MIN(pa) >= 32
+)
+SELECT s.doc_a, s.doc_b,
+       CAST(s.a_start AS INT) AS a_start_tok,
+       CAST(s.a_start + s.diag AS INT) AS b_start_tok,
+       CAST(s.n_tokens AS INT) AS n_tokens,
+       CAST(COALESCE(LENGTH(array_to_string(list_slice(ta.tk, 1, s.a_start), ' ')), 0)
+            + CASE WHEN s.a_start > 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS a_start_char,
+       CAST(COALESCE(LENGTH(array_to_string(list_slice(tb.tk, 1, s.a_start + s.diag), ' ')), 0)
+            + CASE WHEN s.a_start + s.diag > 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS b_start_char,
+       CAST(LENGTH(array_to_string(
+              list_slice(ta.tk, s.a_start + 1, s.a_start + s.n_tokens), ' '))
+         AS BIGINT) AS n_chars
+FROM spans s
+JOIN toks ta ON ta.doc_id = s.doc_a
+JOIN toks tb ON tb.doc_id = s.doc_b
+"""
+
+
 def near_dup_leakage_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source near-duplicate leakage audit: for every unordered pair
     of sources, how many near-duplicate document pairs (8-gram Jaccard
@@ -4172,6 +4240,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_leakage_sources": near_dup_leakage_sources,
     # --- round-5 additions (must stay inside the first-50 window in
     # their debut round; driver certifies them in CORRECTNESS_r05) ---
+    "dedup_exact_substr": dedup_exact_substr,
     # --- filler to position 50: r4-driver-certified entries ---
     "multimodal_features": multimodal_features,
     "train_test_split_stats": train_test_split_stats,
@@ -4317,6 +4386,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact_docs": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "dedup_containment_docs": DEDUP_CONTAINMENT_SQL,
+    "dedup_exact_substr": DEDUP_SUBSTR_SQL,
     "near_dup_leakage_sources": NEAR_DUP_LEAKAGE_SQL,
     # dedup_minhash_docs / embedding_near_dup_lsh are gated against exact
     # full-recall oracles; the gate holds because the pinned seeds/banding
