@@ -856,6 +856,74 @@ JOIN toks tb ON tb.doc_id = s.doc_b
 """
 
 
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (operators/semdedup.py, SemDeDup recipe): cluster
+    the embedding space, prune any vector with a smaller-id same-cluster
+    neighbor at cosine >= 0.4 (the corpus's near-dup threshold), keep
+    one representative per duplicate chain. centroid_source="seed_rows"
+    (the 8 smallest vec_ids) makes assignment AND pruning replayable in
+    the SQL oracle — exact within-cluster cosines, never all-pairs."""
+    from .operators.semdedup import semdedup
+
+    t = load_tables(spark, sf_dir)
+    return semdedup(
+        t["embeddings"], threshold=0.4, n_clusters=8,
+        centroid_source="seed_rows", dim=64,
+    )
+
+
+_SEMDEDUP_COS = """
+CASE WHEN sqrt(list_sum(list_transform({a}, x -> x * x))) = 0
+       OR sqrt(list_sum(list_transform({b}, x -> x * x))) = 0 THEN 0.0
+     ELSE list_sum(list_transform(list_zip({a}, {b}), s -> s[1] * s[2]))
+          / (sqrt(list_sum(list_transform({a}, x -> x * x)))
+             * sqrt(list_sum(list_transform({b}, x -> x * x))))
+END
+""".strip()
+
+SEMDEDUP_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+c AS (
+  SELECT e AS ce, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+  FROM v ORDER BY vec_id LIMIT 8
+),
+sims AS (
+  SELECT v.vec_id, c.cid,
+         {_SEMDEDUP_COS.format(a="v.e", b="c.ce")} AS sim
+  FROM v CROSS JOIN c
+),
+assign AS (
+  SELECT vec_id, cid AS cluster_id FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cid ASC) AS rn
+    FROM sims) x
+  WHERE rn = 1
+),
+pairs AS (
+  SELECT bb.vec_id AS id_b,
+         {_SEMDEDUP_COS.format(a="va.e", b="vb.e")} AS sim
+  FROM assign aa
+  JOIN assign bb ON aa.cluster_id = bb.cluster_id AND aa.vec_id < bb.vec_id
+  JOIN v va ON va.vec_id = aa.vec_id
+  JOIN v vb ON vb.vec_id = bb.vec_id
+),
+stats AS (
+  SELECT id_b, CAST(COUNT(*) AS INT) AS n_dups_smaller,
+         MAX(sim) AS max_sim_smaller
+  FROM pairs WHERE sim >= 0.4 GROUP BY id_b
+)
+SELECT a.vec_id, CAST(a.cluster_id AS INT) AS cluster_id,
+       s.id_b IS NULL AS is_kept,
+       COALESCE(s.n_dups_smaller, 0) AS n_dups_smaller,
+       s.max_sim_smaller
+FROM assign a LEFT JOIN stats s ON s.id_b = a.vec_id
+"""
+
+
 def near_dup_leakage_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source near-duplicate leakage audit: for every unordered pair
     of sources, how many near-duplicate document pairs (8-gram Jaccard
@@ -4241,6 +4309,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-5 additions (must stay inside the first-50 window in
     # their debut round; driver certifies them in CORRECTNESS_r05) ---
     "dedup_exact_substr": dedup_exact_substr,
+    "semdedup_embeddings": semdedup_embeddings,
     # --- filler to position 50: r4-driver-certified entries ---
     "multimodal_features": multimodal_features,
     "train_test_split_stats": train_test_split_stats,
@@ -4387,6 +4456,7 @@ ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "dedup_containment_docs": DEDUP_CONTAINMENT_SQL,
     "dedup_exact_substr": DEDUP_SUBSTR_SQL,
+    "semdedup_embeddings": SEMDEDUP_SQL,
     "near_dup_leakage_sources": NEAR_DUP_LEAKAGE_SQL,
     # dedup_minhash_docs / embedding_near_dup_lsh are gated against exact
     # full-recall oracles; the gate holds because the pinned seeds/banding
