@@ -4180,6 +4180,48 @@ SELECT table_name, n_total, n_kept, n_total - n_kept AS n_deleted FROM m
 """
 
 
+def kll_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KLL quantile sketch (sketch/kll.py, VERDICT r4 #7) over
+    o_totalprice: one row per probed quantile with the sketch estimate,
+    the EXACT normalized rank of that estimate, and the rank error.  No
+    SQL oracle by nature (estimates depend on the seeded compaction
+    path); instead the hll_distinct_stats idiom — the in-query gate
+    enforces the sketch's own rank-error envelope, and the exact
+    comparator ranks are computed in ONE Spark action (a single
+    multi-conditional aggregate). Sketch build is eager → EAGER_QUERIES."""
+    from .sketch.kll import kll_from_dataframe
+
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    sketch = kll_from_dataframe(o, "o_totalprice", k=200)
+    probes = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    ests = {q: sketch.quantile(q) for q in probes}
+    # exact normalized ranks of all 7 estimates in one aggregate action
+    exact = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(
+                F.when(F.col("o_totalprice") <= F.lit(ests[q]), 1).otherwise(0)
+            ).alias(f"r_{int(q * 100)}")
+            for q in probes
+        ],
+    ).collect()[0]
+    n = exact["n"]
+    rows = [
+        (
+            float(q),
+            float(round(ests[q], 6)),
+            float(round(exact[f"r_{int(q * 100)}"] / n, 6)),
+            float(round(abs(exact[f"r_{int(q * 100)}"] / n - q), 6)),
+        )
+        for q in probes
+    ]
+    out = spark.createDataFrame(
+        rows, "q double, kll_estimate double, exact_rank double, rank_err double"
+    )
+    return out.where(F.col("rank_err") <= sketch.rank_error_bound())
+
+
 def bottomk_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate order-price quantiles from a bottom-k sketch
     (operators/bottomk.py): the 1000 orders with the smallest md5(key)
@@ -4310,6 +4352,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # their debut round; driver certifies them in CORRECTNESS_r05) ---
     "dedup_exact_substr": dedup_exact_substr,
     "semdedup_embeddings": semdedup_embeddings,
+    "kll_quantiles_orders": kll_quantiles_orders,
     # --- filler to position 50: r4-driver-certified entries ---
     "multimodal_features": multimodal_features,
     "train_test_split_stats": train_test_split_stats,
@@ -4546,6 +4589,7 @@ ORACLES: dict[str, str] = {
 # Any new iterative/pre-pass query must be added here (ADVICE r2 #1).
 EAGER_QUERIES = (
     "skew_join_lineitem_supplier",
+    "kll_quantiles_orders",
     "skew_join_multicol",
     "q3_via_skew_join",
     "dedup_clusters_docs",

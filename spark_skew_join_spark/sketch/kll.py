@@ -1,0 +1,208 @@
+"""Mergeable KLL quantile sketch (Karnin, Lang, Liberty 2016,
+"Optimal Quantile Approximation in Streams").
+
+Completes the sketch family (CMS frequencies, HLL distinct counts,
+Misra-Gries heavy hitters, bottom-k samples — VERDICT r4 #7): a
+fixed-size mergeable summary answering rank/quantile queries with
+normalized rank error ~O(1/k), far tighter than bottom-k's
+sqrt(q(1-q)/k) at the same footprint.
+
+Structure: a stack of compactors.  Level h holds items of weight 2^h;
+when a level overflows its capacity (k·c^(depth) with c=2/3, floored at
+2) it sorts its buffer and promotes every other item — starting from a
+randomly chosen parity — to the level above.  Merging concatenates
+levels pairwise and re-compacts; estimates are weighted ranks over all
+levels.  The randomness is a seeded ``numpy`` generator, so builds are
+reproducible; merge results depend on merge ORDER internally, but every
+order's estimates stay inside the same rank-error bound (pinned by the
+associativity property test).
+
+For k=200 the practical single-sided normalized rank error is ~1.65%
+at 99% confidence (the Apache DataSketches calibration of the same
+algorithm); ``rank_error_bound()`` reports a conservative 2·1.65%/√(k/200)
+envelope that the registry query gates on in-query.
+
+Spark integration mirrors cms.py/hll.py: column-pruned scan → Arrow
+batches → numpy per-partition sketches → one combine stage → driver
+fold.  Only float64 buffers of bounded size (~3k items) ever cross the
+Python boundary.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+
+_C = 2.0 / 3.0
+
+
+class KLL:
+    """KLL sketch over float64 values. ``k`` controls accuracy/size."""
+
+    def __init__(self, k: int = 200, seed: int = 1):
+        if k < 8:
+            raise ValueError("k must be >= 8")
+        self.k = k
+        self.seed = seed
+        self._rng = np.random.default_rng(seed)
+        self.compactors: list[np.ndarray] = [np.empty(0)]
+        self.n = 0
+
+    # -- capacities ----------------------------------------------------
+    def _capacity(self, level: int) -> int:
+        # top level holds k items; each level below shrinks by c
+        depth = len(self.compactors) - 1 - level
+        return max(int(np.ceil(self.k * (_C ** depth))), 2)
+
+    def _size(self) -> int:
+        return sum(len(c) for c in self.compactors)
+
+    def _max_size(self) -> int:
+        return sum(self._capacity(h) for h in range(len(self.compactors)))
+
+    # -- building ------------------------------------------------------
+    def add(self, values: np.ndarray) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if not len(v):
+            return
+        self.n += len(v)
+        self.compactors[0] = np.concatenate([self.compactors[0], v])
+        self._compress()
+
+    def _compress(self) -> None:
+        while self._size() > self._max_size():
+            for h in range(len(self.compactors)):
+                if len(self.compactors[h]) > self._capacity(h):
+                    self._compact_level(h)
+                    break
+            else:  # every level within capacity but total over: grow
+                self.compactors.append(np.empty(0))
+
+    def _compact_level(self, h: int) -> None:
+        if h + 1 == len(self.compactors):
+            self.compactors.append(np.empty(0))
+        buf = np.sort(self.compactors[h])
+        # an odd buffer keeps its max in place so promoted weight is
+        # exactly the compacted weight (2·(L/2) = L, no bias)
+        if len(buf) % 2 == 1:
+            leftover, buf = buf[-1:], buf[:-1]
+        else:
+            leftover = np.empty(0)
+        parity = int(self._rng.integers(0, 2))
+        promoted = buf[parity::2]
+        self.compactors[h] = leftover
+        self.compactors[h + 1] = np.concatenate(
+            [self.compactors[h + 1], promoted]
+        )
+
+    # -- merging -------------------------------------------------------
+    def merge(self, other: "KLL") -> "KLL":
+        if self.k != other.k:
+            raise ValueError("cannot merge KLL sketches with different k")
+        out = KLL(self.k, self.seed)
+        out.n = self.n + other.n
+        depth = max(len(self.compactors), len(other.compactors))
+        out.compactors = []
+        for h in range(depth):
+            parts = []
+            if h < len(self.compactors):
+                parts.append(self.compactors[h])
+            if h < len(other.compactors):
+                parts.append(other.compactors[h])
+            out.compactors.append(
+                np.concatenate(parts) if parts else np.empty(0)
+            )
+        out._compress()
+        return out
+
+    # -- estimating ----------------------------------------------------
+    def _weighted(self) -> tuple[np.ndarray, np.ndarray]:
+        vals, wts = [], []
+        for h, c in enumerate(self.compactors):
+            if len(c):
+                vals.append(c)
+                wts.append(np.full(len(c), 1 << h, dtype=np.int64))
+        if not vals:
+            return np.empty(0), np.empty(0, dtype=np.int64)
+        v = np.concatenate(vals)
+        w = np.concatenate(wts)
+        order = np.argsort(v, kind="stable")
+        return v[order], w[order]
+
+    def rank(self, x: float) -> float:
+        """Estimated normalized rank of x: fraction of items <= x."""
+        if self.n == 0:
+            return 0.0
+        v, w = self._weighted()
+        return float(w[v <= x].sum()) / self.n
+
+    def quantile(self, q: float) -> float:
+        """Estimated q-quantile (smallest value whose weighted rank
+        reaches q·n)."""
+        if not 0.0 <= q <= 1.0:
+            raise ValueError("q must be in [0, 1]")
+        if self.n == 0:
+            raise ValueError("empty sketch")
+        v, w = self._weighted()
+        cum = np.cumsum(w)
+        target = q * cum[-1]
+        idx = int(np.searchsorted(cum, target, side="left"))
+        return float(v[min(idx, len(v) - 1)])
+
+    def quantiles(self, qs: list[float]) -> list[float]:
+        return [self.quantile(q) for q in qs]
+
+    def rank_error_bound(self) -> float:
+        """Conservative two-sided normalized rank-error envelope."""
+        return 2 * 0.0165 / np.sqrt(self.k / 200.0)
+
+    def __reduce__(self):
+        return (_rebuild_kll, (self.k, self.seed, self.n, self.compactors))
+
+
+def _rebuild_kll(k, seed, n, compactors):
+    s = KLL(k, seed)
+    s.n = n
+    s.compactors = compactors
+    return s
+
+
+def kll_from_dataframe(df, value_col: str, k: int = 200, seed: int = 1,
+                       combine_partitions: int = 8) -> KLL:
+    """Distributed KLL over a numeric column (NULLs skipped).  Same
+    two-level mapInPandas shape as cms_from_dataframe: per-partition
+    sketches → bounded combine stage → driver fold; only ~3k-float64
+    buffers cross the Python boundary."""
+    from pyspark.sql import functions as F
+
+    vals = df.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("double").alias("v")
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        local = KLL(k, seed)
+        for pdf in batches:
+            local.add(pdf["v"].to_numpy())
+        yield pd.DataFrame({"sketch": [pickle.dumps(local)]})
+
+    def combine(batches):
+        import pandas as pd
+
+        acc = KLL(k, seed)
+        for pdf in batches:
+            for blob in pdf["sketch"]:
+                acc = acc.merge(pickle.loads(blob))
+        yield pd.DataFrame({"sketch": [pickle.dumps(acc)]})
+
+    level1 = vals.mapInPandas(build, "sketch binary")
+    level2 = level1.repartition(combine_partitions).mapInPandas(
+        combine, "sketch binary"
+    )
+    out = KLL(k, seed)
+    for row in level2.collect():
+        out = out.merge(pickle.loads(row["sketch"]))
+    return out
