@@ -71,3 +71,101 @@ def streaming_funnel(events: DataFrame, id_col: str, type_col: str,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_funnel_unordered(events: DataFrame, id_col: str,
+                               type_col: str, ts_col: str,
+                               stages: Sequence[str],
+                               lateness: str = "10 seconds") -> DataFrame:
+    """``streaming_funnel`` under OUT-OF-ORDER delivery (VERDICT r4 #6).
+
+    The plain funnel's contract is in-order batches — its greedy fold
+    commits stage times immediately, so an earlier-timestamped event
+    arriving in a later micro-batch is silently ignored (the 2M-event
+    stress documented exactly this failure under shuffled replay).  This
+    variant buffers events per user and folds them ONLY once the
+    event-time watermark has passed them: every event delayed by at most
+    ``lateness`` lands in the buffer before the watermark reaches its
+    timestamp, so the fold always runs over a complete, globally
+    time-sorted prefix and converges to the batch funnel bit-for-bit.
+
+    Mechanics: a watermark column is derived from the integral
+    epoch-micros ``ts_col``; each invocation buffers the batch's events,
+    folds the buffered prefix with ts strictly below the current
+    watermark into the committed stage times, and arms an event-time
+    timeout at the newest buffered timestamp so the tail flushes when
+    the watermark finally passes it (no further events required).
+
+    Scale: state is O(stages) committed times plus the events of ONE
+    user inside the lateness window — bounded by the disorder you
+    declare, the standard watermark trade-off.  Events later than
+    ``lateness`` are dropped by the engine before reaching the operator
+    (standard watermark semantics)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    k = len(stages)
+    if k == 0:
+        raise ValueError("streaming_funnel_unordered: need at least one stage")
+    id_type = events.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {id_type}, reached int, "
+        + ", ".join(f"t_{i + 1} bigint" for i in range(k))
+    )
+    state_schema = (
+        ", ".join(f"t_{i + 1} bigint" for i in range(k))
+        + ", buf_ts array<bigint>, buf_si array<int>"
+    )
+    stage_idx = {s: i for i, s in enumerate(stages)}
+
+    wm = events.withColumn(
+        "__evt", F.timestamp_micros(F.col(ts_col).cast("long"))
+    ).withWatermark("__evt", lateness)
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            st = state.get
+            times = list(st[:k])
+            buf = list(zip(st[k] or [], st[k + 1] or []))
+        else:
+            times, buf = [-1] * k, []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                for t, ts in zip(pdf[type_col], pdf[ts_col]):
+                    i = stage_idx.get(t)
+                    if i is not None:
+                        buf.append((int(ts), i))
+        # fold the complete prefix: events strictly below the watermark
+        # can no longer be preceded by anything still in flight
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        buf.sort()
+        keep = []
+        for ts, i in buf:
+            if ts >= wm_us and not state.hasTimedOut:
+                keep.append((ts, i))
+                continue
+            if times[i] != -1:
+                continue
+            if i == 0 or (times[i - 1] != -1 and ts > times[i - 1]):
+                times[i] = ts
+        state.update(tuple(times) + ([t for t, _ in keep],
+                                     [i for _, i in keep]))
+        if keep:
+            # flush the tail once the watermark passes the newest
+            # buffered event, even if this user never appears again
+            state.setTimeoutTimestamp(keep[-1][0] // 1000 + 1)
+        reached = sum(1 for t in times if t != -1)
+        yield pd.DataFrame(
+            {id_col: [key[0]], "reached": [reached],
+             **{f"t_{i + 1}": [times[i]] for i in range(k)}}
+        )
+
+    return wm.groupBy(id_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -393,6 +393,94 @@ def test_merge_upsert_rejects_duplicate_source_keys(spark):
     assert merge_upsert(t, s, ["k"], on_duplicate="keep_all").count() == 3
 
 
+def test_unordered_funnel_converges_to_batch_under_shuffled_delivery(
+    spark, tmp_path
+):
+    """Bounded-lateness replay: events shuffled within and ACROSS
+    micro-batch boundaries (disorder <= the declared lateness) must
+    converge to the batch funnel exactly — the failure mode the 2M-event
+    stress documented for the in-order operator."""
+    import random
+
+    from spark_skew_join_spark.operators.funnel import funnel_stages
+    from spark_skew_join_spark.streaming.funnel import (
+        streaming_funnel_unordered,
+    )
+
+    rng = random.Random(23)
+    sec = 1_000_000  # ts in epoch micros, 1 event/second
+    rows = []
+    for u in range(40):
+        n = rng.randint(3, 12)
+        ts = sorted(rng.sample(range(200), n))
+        for t in ts:
+            rows.append((u, rng.choice(["a", "b", "c", "x"]), t * sec))
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, us long")
+    exp = funnel_stages(ev, "user_id", "event_type", "us", ["a", "b", "c"])
+
+    # delivery: 3 time slices; ~30% of each slice's tail events slip
+    # into the NEXT batch (cross-boundary lateness <= 60 s), and every
+    # batch is internally shuffled
+    srows = sorted(rows, key=lambda r: r[2])
+    cut1, cut2 = len(srows) // 3, 2 * len(srows) // 3
+    batches = [srows[:cut1], srows[cut1:cut2], srows[cut2:]]
+    for b in range(2):
+        late = [r for r in batches[b][-12:] if rng.random() < 0.5
+                and batches[b + 1][0][2] - r[2] < 60 * sec]
+        batches[b] = [r for r in batches[b] if r not in late]
+        batches[b + 1] = late + batches[b + 1]
+    for b in batches:
+        rng.shuffle(b)
+    # sentinel far in the future pushes the watermark past every real
+    # event so the reorder buffers flush via event-time timeout
+    batches.append([(999, "x", 10_000 * sec)])
+
+    src = str(tmp_path / "ufeed")
+    import os
+    import time
+
+    os.makedirs(src)
+    for i, b in enumerate(batches):
+        spark.createDataFrame(
+            b, "user_id long, event_type string, us long"
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    q = (
+        streaming_funnel_unordered(
+            stream, "user_id", "event_type", "us", ["a", "b", "c"],
+            lateness="60 seconds",
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ufun")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql(
+        """SELECT user_id, max_by(reached, t_1 + t_2 + t_3) AS reached,
+                  max(t_1) AS t_1, max(t_2) AS t_2, max(t_3) AS t_3
+           FROM ufun WHERE user_id < 999 GROUP BY user_id"""
+    ).where("reached >= 1").selectExpr(
+        "user_id", "reached", "nullif(t_1, -1) AS t_1",
+        "nullif(t_2, -1) AS t_2", "nullif(t_3, -1) AS t_3"
+    )
+    exp_full = exp.selectExpr(
+        "user_id", "reached", "t_a AS t_1", "t_b AS t_2", "t_c AS t_3"
+    )
+    cols = ["user_id", "reached", "t_1", "t_2", "t_3"]
+    assert _rows(got.select(*cols), cols) == _rows(exp_full, cols)
+
+
 def test_streaming_funnel_string_ids(spark, tmp_path):
     from spark_skew_join_spark.streaming.funnel import streaming_funnel
 

@@ -98,6 +98,76 @@ def main() -> None:
         f"batch-parity mismatches={mismatch}"
     )
 
+    # --- 1b. OUT-OF-ORDER funnel (bounded-lateness reorder buffer) ---
+    # the in-order operator's documented failure mode: time slices
+    # replayed with cross-boundary disorder. Each slice keeps ~0.1% of
+    # its tail events back one batch (disorder bounded by the slice's
+    # tail span), every slice is internally shuffled, and a far-future
+    # sentinel flushes the buffers. streaming_funnel_unordered must
+    # still match the batch funnel exactly.
+    from spark_skew_join_spark.streaming.funnel import (
+        streaming_funnel_unordered,
+    )
+
+    src_u = os.path.join(work, "feed_unordered")
+    hold = slice_sz // 1000  # events held back across each boundary
+    for b in range(BATCHES):
+        lo, hi = b * slice_sz, (b + 1) * slice_sz
+        cond = (F.col("us") >= lo) & (
+            F.col("us") < hi if b < BATCHES - 1 else F.lit(True)
+        )
+        # late tail of the PREVIOUS slice joins this batch
+        if b > 0:
+            cond = cond | (
+                (F.col("us") >= lo - hold) & (F.col("us") < lo)
+            )
+        if b < BATCHES - 1:
+            cond = cond & (F.col("us") < hi - hold)
+        ev.where(cond).orderBy(F.xxhash64("us")).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_u)
+        time.sleep(1.1)
+    sentinel_us = EVENTS + 10_000_000_000
+    spark.createDataFrame(
+        [(-1, "x", sentinel_us, 0.0)], ev.schema
+    ).coalesce(1).write.mode("append").parquet(src_u)
+    time.sleep(1.1)
+
+    stream_u = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src_u)
+    )
+    t0 = time.perf_counter()
+    qu = (
+        streaming_funnel_unordered(
+            stream_u, "user_id", "event_type", "us", ["a", "b", "c"],
+            lateness=f"{max(hold * 2, 10)} microseconds",
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sfun_u")
+        .start()
+    )
+    qu.processAllAvailable()
+    qu.stop()
+    t_unordered = time.perf_counter() - t0
+    got_u = spark.sql(
+        """SELECT user_id, max_by(reached, t_1 + t_2 + t_3) AS reached
+           FROM sfun_u WHERE user_id >= 0 GROUP BY user_id"""
+    ).where("reached >= 1")
+    mismatch_u = (
+        got_u.exceptAll(exp.select("user_id", "reached")).count()
+        + exp.select("user_id", "reached").exceptAll(got_u).count()
+    )
+    print(
+        f"streaming_funnel_unordered {EVENTS:,} events, {BATCHES} shuffled "
+        f"batches (+{hold}-event cross-boundary disorder): "
+        f"{t_unordered:.1f} s ({EVENTS / t_unordered / 1e6:.2f} M events/s), "
+        f"batch-parity mismatches={mismatch_u}"
+    )
+
     # --- 2. CDC upsert sink -----------------------------------------
     tbl = os.path.join(work, "tbl")
     stream2 = (
