@@ -147,6 +147,11 @@ def exact_substring_runs(
     )
     # char offsets: rejoin the (few) surviving runs to the token arrays;
     # offset of token s = chars of the first s tokens + s separators
+    return _attach_char_offsets(grouped, docs, id_col, text_col)
+
+
+def _attach_char_offsets(grouped: DataFrame, docs: DataFrame,
+                         id_col: str, text_col: str) -> DataFrame:
     toks = F.split(F.col(text_col), " ")
     ta = docs.select(F.col(id_col).alias("doc_a"), toks.alias("__ta"))
     tb = docs.select(F.col(id_col).alias("doc_b"), toks.alias("__tb"))
@@ -175,5 +180,89 @@ def exact_substring_runs(
                     " ",
                 )
             ).cast("long").alias("n_chars"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    runs: DataFrame | None = None,
+    k: int = 16,
+    min_tokens: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_window_df: int | None = None,
+) -> DataFrame:
+    """The removal half of the ExactSubstr pass: cut every detected
+    duplicated span out of the LARGER-id document (the smaller id keeps
+    its copy — one surviving copy per run, the paper's policy), and
+    reassemble the cleaned text.
+
+    Output, one row per input document:
+    (id_col, n_tokens, n_removed, clean_text) — clean_text is the
+    surviving tokens rejoined in order ('' when the whole document was
+    duplicated).  Overlapping spans from different runs union cleanly
+    (removal works on the distinct token-position set).
+
+    Scale: span positions explode to O(duplicated tokens) rows — the
+    data actually being deleted — and the anti-join is keyed by
+    (doc, pos) against the exploded corpus; the reassembly aggregation
+    is keyed by the unique doc id (same shape as
+    boilerplate.chunk_dedup_stats, which stresses 4M docs).  Documents
+    without any span skip the rebuild entirely via a semi-join-derived
+    flag.  Zero Python UDFs.
+    """
+    if runs is None:
+        runs = exact_substring_runs(
+            docs, k=k, min_tokens=min_tokens, id_col=id_col,
+            text_col=text_col, max_window_df=max_window_df,
+        )
+    drop_pos = (
+        runs.select(
+            F.col("doc_b").alias(id_col),
+            F.explode(
+                F.sequence(
+                    F.col("b_start_tok"),
+                    F.col("b_start_tok") + F.col("n_tokens") - 1,
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = docs.select(
+        id_col, F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok")
+    )
+    affected = drop_pos.select(id_col).distinct()
+    kept = (
+        toks.join(affected, on=id_col, how="left_semi")
+        .join(drop_pos, on=[id_col, "pos"], how="left_anti")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("__clean"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    n_tokens = F.size(F.split(F.col(text_col), " "))
+    return (
+        docs.join(affected.withColumn("__hit", F.lit(True)), on=id_col, how="left")
+        .join(rebuilt, on=id_col, how="left")
+        .select(
+            id_col,
+            n_tokens.cast("int").alias("n_tokens"),
+            F.when(
+                F.col("__hit").isNotNull(),
+                n_tokens - F.coalesce(F.col("__n_kept"), F.lit(0)),
+            )
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("n_removed"),
+            F.when(F.col("__hit").isNotNull(), F.coalesce(F.col("__clean"), F.lit("")))
+            .otherwise(F.col(text_col))
+            .alias("clean_text"),
         )
     )

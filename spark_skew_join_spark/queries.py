@@ -856,6 +856,93 @@ JOIN toks tb ON tb.doc_id = s.doc_b
 """
 
 
+def substr_dedup_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of the ExactSubstr pass
+    (operators/substr_dedup.py::remove_duplicate_spans): every detected
+    duplicated span is cut from the larger-id document, and the CLEANED
+    TEXT itself is verified end-to-end via md5 (the chunk_dedup
+    reassembly idiom) — per doc: token count, removed-token count, and
+    the checksum of the surviving text."""
+    from .operators.substr_dedup import remove_duplicate_spans
+
+    t = load_tables(spark, sf_dir)
+    out = remove_duplicate_spans(t["documents"], k=16, min_tokens=32)
+    return out.select(
+        "doc_id", "n_tokens", "n_removed", F.md5("clean_text").alias("clean_md5")
+    )
+
+
+_SUBSTR_SPAN_CTES = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+w AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(list_slice(tk, i + 1, i + 16), ' ') AS win
+  FROM toks, UNNEST(range(0, GREATEST(len(tk) - 15, 0))) AS t(i)
+),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+         b.pos - a.pos AS diag
+  FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
+  WHERE a.pos % 16 = 0
+),
+brk AS (
+  SELECT doc_a, doc_b, diag, pa,
+         CASE WHEN pa - LAG(pa) OVER (PARTITION BY doc_a, doc_b, diag
+                                      ORDER BY pa) <= 16
+              THEN 0 ELSE 1 END AS b
+  FROM m
+),
+grp AS (
+  SELECT doc_a, doc_b, diag, pa,
+         SUM(b) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa
+                      ROWS UNBOUNDED PRECEDING) AS rid
+  FROM brk
+),
+spans AS (
+  SELECT doc_a, doc_b, diag, MIN(pa) AS a_start,
+         MAX(pa) + 16 - MIN(pa) AS n_tokens
+  FROM grp GROUP BY doc_a, doc_b, diag, rid
+  HAVING MAX(pa) + 16 - MIN(pa) >= 32
+)
+""".strip()
+
+SUBSTR_CLEAN_SQL = f"""
+WITH {_SUBSTR_SPAN_CTES},
+drop_pos AS (
+  SELECT DISTINCT s.doc_b AS doc_id, s.a_start + s.diag + i AS pos
+  FROM spans s, UNNEST(range(0, s.n_tokens)) AS t(i)
+),
+affected AS (SELECT DISTINCT doc_id FROM drop_pos),
+tok_rows AS (
+  SELECT t.doc_id, i AS pos, tk[CAST(i + 1 AS INT)] AS tok
+  FROM toks t JOIN affected a ON a.doc_id = t.doc_id,
+       UNNEST(range(0, len(tk))) AS u(i)
+),
+kept AS (
+  SELECT tr.doc_id, tr.pos, tr.tok
+  FROM tok_rows tr
+  LEFT JOIN drop_pos dp ON dp.doc_id = tr.doc_id AND dp.pos = tr.pos
+  WHERE dp.doc_id IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(t.tk) AS INT) AS n_tokens,
+       CAST(CASE WHEN a.doc_id IS NOT NULL
+                 THEN len(t.tk) - COALESCE(r.n_kept, 0) ELSE 0 END AS INT)
+         AS n_removed,
+       MD5(CASE WHEN a.doc_id IS NOT NULL THEN COALESCE(r.clean, '')
+                ELSE d.text END) AS clean_md5
+FROM documents d
+JOIN toks t ON t.doc_id = d.doc_id
+LEFT JOIN affected a ON a.doc_id = d.doc_id
+LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+"""
+
+
 def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup (operators/semdedup.py, SemDeDup recipe): cluster
     the embedding space, prune any vector with a smaller-id same-cluster
@@ -4351,6 +4438,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-5 additions (must stay inside the first-50 window in
     # their debut round; driver certifies them in CORRECTNESS_r05) ---
     "dedup_exact_substr": dedup_exact_substr,
+    "substr_dedup_clean_docs": substr_dedup_clean_docs,
     "semdedup_embeddings": semdedup_embeddings,
     "kll_quantiles_orders": kll_quantiles_orders,
     # --- filler to position 50: r4-driver-certified entries ---
@@ -4499,6 +4587,7 @@ ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "dedup_containment_docs": DEDUP_CONTAINMENT_SQL,
     "dedup_exact_substr": DEDUP_SUBSTR_SQL,
+    "substr_dedup_clean_docs": SUBSTR_CLEAN_SQL,
     "semdedup_embeddings": SEMDEDUP_SQL,
     "near_dup_leakage_sources": NEAR_DUP_LEAKAGE_SQL,
     # dedup_minhash_docs / embedding_near_dup_lsh are gated against exact

@@ -99,3 +99,47 @@ def test_token_windows_counts(spark):
     w = token_windows(df, k=16).collect()
     assert len(w) == 5                  # 20-16+1 windows; short doc skipped
     assert {r["doc_id"] for r in w} == {0}
+
+
+def test_remove_duplicate_spans_cuts_larger_id_copy(spark):
+    from spark_skew_join_spark.operators.substr_dedup import (
+        exact_substring_runs,
+        remove_duplicate_spans,
+    )
+
+    rng = random.Random(21)
+    run = _rand_tokens(rng, 48)
+    a = _rand_tokens(rng, 30) + run + _rand_tokens(rng, 25)
+    b = _rand_tokens(rng, 10) + run + _rand_tokens(rng, 40)
+    c = _rand_tokens(rng, 50)  # untouched bystander
+    df = spark.createDataFrame(
+        [(0, " ".join(a)), (1, " ".join(b)), (2, " ".join(c))],
+        "doc_id long, text string",
+    )
+    runs = exact_substring_runs(df, k=16, min_tokens=32)
+    out = {r["doc_id"]: r for r in
+           remove_duplicate_spans(df, runs=runs).collect()}
+    # doc 0 (smaller id) keeps its copy; doc 2 untouched
+    assert out[0]["n_removed"] == 0 and out[0]["clean_text"] == " ".join(a)
+    assert out[2]["n_removed"] == 0 and out[2]["clean_text"] == " ".join(c)
+    # doc 1 loses exactly the detected span's tokens, in place
+    [span] = [r for r in runs.collect()]
+    exp_kept = b[:span["b_start_tok"]] + b[span["b_start_tok"] + span["n_tokens"]:]
+    assert out[1]["n_removed"] == span["n_tokens"]
+    assert out[1]["clean_text"] == " ".join(exp_kept)
+
+
+def test_remove_duplicate_spans_full_duplicate_empties_doc(spark):
+    rng = random.Random(2)
+    run = _rand_tokens(rng, 64)
+    df = spark.createDataFrame(
+        [(0, " ".join(run + _rand_tokens(rng, 20))), (1, " ".join(run))],
+        "doc_id long, text string",
+    )
+    from spark_skew_join_spark.operators.substr_dedup import (
+        remove_duplicate_spans,
+    )
+
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(df).collect()}
+    assert out[1]["clean_text"] == "" and out[1]["n_removed"] == 64
+    assert out[0]["n_removed"] == 0
