@@ -78,6 +78,42 @@ def _chunk_dedup_stats(self: DataFrame, id_col: str = "doc_id",
     return chunk_dedup_stats(self, id_col, text_col, chunk_tokens, max_docs)
 
 
+def _exact_substring_runs(self: DataFrame, k: int = 16,
+                          min_tokens: int = 32, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          max_window_df: int | None = None) -> DataFrame:
+    from .operators.substr_dedup import exact_substring_runs
+
+    return exact_substring_runs(self, k, min_tokens, id_col, text_col,
+                                max_window_df)
+
+
+def _remove_duplicate_spans(self: DataFrame, runs: DataFrame | None = None,
+                            k: int = 16, min_tokens: int = 32,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    from .operators.substr_dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(self, runs, k, min_tokens, id_col, text_col)
+
+
+def _semdedup(self: DataFrame, threshold: float = 0.4, n_clusters: int = 8,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              centroid_source: str = "seed_rows",
+              dim: int | None = None,
+              cluster_cap: int | None = None) -> DataFrame:
+    from .operators.semdedup import semdedup
+
+    return semdedup(self, threshold, n_clusters, id_col, vec_col,
+                    centroid_source, dim, cluster_cap)
+
+
+def _get_kll(self: DataFrame, value_col: str, k: int = 200, seed: int = 1):
+    from .sketch.kll import kll_from_dataframe
+
+    return kll_from_dataframe(self, value_col, k, seed)
+
+
 def register_dataframe_api() -> None:
     """Attach the reference-parity method surface to DataFrame (idempotent).
     The extension operators ride along so a reference user migrating to
@@ -96,6 +132,10 @@ def register_dataframe_api() -> None:
         snapshot_diff=_snapshot_diff,
         bottom_k_sample=_bottom_k,
         chunk_dedup_stats=_chunk_dedup_stats,
+        exact_substring_runs=_exact_substring_runs,
+        remove_duplicate_spans=_remove_duplicate_spans,
+        semdedup=_semdedup,
+        get_kll=_get_kll,
     )
     for name, fn in _METHODS.items():
         setattr(DataFrame, name, fn)

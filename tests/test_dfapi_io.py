@@ -162,5 +162,28 @@ def test_dfapi_extension_methods(spark):
         assert t.bottom_k_sample("k", 1).count() == 1
         est = spark.range(5000).get_hll("id").estimate()
         assert abs(est - 5000) / 5000 < 0.05
+        # round-5 additions: KLL sketch, substring dedup, semdedup
+        kll = spark.range(10000).selectExpr("CAST(id AS DOUBLE) AS v").get_kll("v")
+        assert abs(kll.quantile(0.5) / 10000 - 0.5) <= kll.rank_error_bound()
+        docs = spark.createDataFrame(
+            [(0, " ".join(f"t{i}" for i in range(40))),
+             (1, " ".join(f"t{i}" for i in range(40)))],
+            "doc_id long, text string",
+        )
+        runs = docs.exact_substring_runs(k=16, min_tokens=32)
+        assert runs.count() == 1
+        cleaned = {r.doc_id: r.n_removed
+                   for r in docs.remove_duplicate_spans(runs=runs).collect()}
+        # detected span covers the two matched grid chunks [0, 32);
+        # the 8-token tail is inside the grid slack
+        assert cleaned[0] == 0 and cleaned[1] == 32
+        vecs = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        sd = {r.vec_id: r.is_kept
+              for r in vecs.semdedup(threshold=0.99, n_clusters=2,
+                                     dim=2).collect()}
+        assert sd == {0: True, 1: False, 2: True}
     finally:
         unregister_dataframe_api()
