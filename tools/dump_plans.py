@@ -191,6 +191,40 @@ def main() -> None:
         )
     )
 
+    ss = q.QUERIES["dedup_exact_substr"](spark, SF)
+    simpless = plan_string(ss, "simple")
+    out.append(
+        section(
+            "dedup_exact_substr — seed-grid windows + islands merge",
+            "\n".join(
+                l for l in simpless.splitlines()
+                if "Join" in l or "Exchange" in l or "Window" in l
+            ),
+            "Grid anchors equi-join all windows on int64 xxhash64 keys (20\n"
+            "bytes/token shuffled, never text); the run merge is one lag/sum\n"
+            "window over (pair, diagonal); the char-offset joins touch only\n"
+            "surviving runs. No Python, no cartesian.",
+        )
+    )
+
+    sd = q.QUERIES["semdedup_embeddings"](spark, SF)
+    simplesd = plan_string(sd, "simple")
+    out.append(
+        section(
+            "semdedup_embeddings — per-cluster pairs, never all-pairs",
+            "\n".join(
+                # the unrolled 64-dim cosine makes the join condition
+                # ~40 KB of text — keep the node shape, cut the formula
+                (l[:140] + " …" if len(l) > 140 else l)
+                for l in simplesd.splitlines() if "Join" in l or "Exchange" in l
+            ),
+            "Centroid assignment is one codegen pass (scalar-literal dots);\n"
+            "the duplicate-pair join is keyed by cluster_id, so the quadratic\n"
+            "term is bounded by the largest cluster, and only (id, cluster)\n"
+            "rows + pruned-stat rows shuffle.",
+        )
+    )
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print("PLANS.md written")
