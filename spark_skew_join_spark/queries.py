@@ -4476,7 +4476,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quota_sample_sources": quota_sample_sources,
     "tfidf_top_terms": tfidf_top_terms,
     "embedding_centroids": embedding_centroids,
-    # round 4 additions (kept inside the driver's first-50 check window)
+    # r4 additions, driver-certified in CORRECTNESS_r04 (some now sit
+    # past position 50 after the r5 rotation — all have driver rows)
     "doc_fingerprint_winnow": doc_fingerprint_winnow,
     "winnow_overlap_pairs": winnow_overlap_pairs_docs,
     "repetition_signals": repetition_signals_docs,
