@@ -105,6 +105,46 @@ def assign_clusters(
     )
 
 
+def assign_clusters_join(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Assignment via a broadcast centroid TABLE instead of literal
+    expressions — the scale path for large n_clusters (the literal form
+    builds an O(n_clusters·dim) expression tree per copy and blows
+    codegen past ~32 clusters; the paper's regime is tens of thousands).
+    Row count fans out ×n_clusters through the broadcast cross join,
+    then one max_by aggregate keyed by the unique vector id picks the
+    nearest centroid (ties to the smallest cluster_id — the same rule
+    as the literal path's first-max array_position)."""
+    spark = corpus.sparkSession
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cluster_id int, __c array<double>",
+    )
+    v = F.col(vec_col)
+    scored = (
+        corpus.select(F.col(id_col).alias("vec_id"), v.alias("__v"))
+        .join(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "cluster_id",
+            _cos(F.col("__v"), F.col("__c"), dim).alias("__sim"),
+        )
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max_by(
+            "cluster_id", F.struct(F.col("__sim"), (-F.col("cluster_id")))
+        ).alias("cluster_id")
+    )
+    return corpus.select(
+        F.col(id_col).alias("vec_id"), v.alias("__v")
+    ).join(best, on="vec_id")
+
+
 def semdedup(
     corpus: DataFrame,
     threshold: float = 0.4,
@@ -116,6 +156,7 @@ def semdedup(
     cluster_cap: int | None = None,
     sample_size: int = 2048,
     kmeans_iters: int = 5,
+    assign_method: str = "auto",
 ) -> DataFrame:
     """Per-vector semantic-dedup verdict.
 
@@ -123,6 +164,12 @@ def semdedup(
     max_sim_smaller) — is_kept is false iff a same-cluster vector with a
     smaller id has cosine >= threshold; for kept rows n_dups_smaller = 0
     and max_sim_smaller is NULL.
+
+    ``assign_method``: "literal" (codegen expressions — the
+    SQL-replayable path, viable up to ~32 clusters), "join" (broadcast
+    centroid table — scales to the paper's tens of thousands), or
+    "auto" (literal iff n_clusters <= 32).  Both use the same
+    nearest-by-cosine / smallest-index tie rule.
     """
     if centroid_source == "seed_rows":
         centroids = _seed_centroids(corpus, id_col, vec_col, n_clusters)
@@ -134,7 +181,16 @@ def semdedup(
         raise ValueError(
             f"centroid_source must be seed_rows|kmeans, got {centroid_source!r}"
         )
-    assigned = assign_clusters(corpus, centroids, id_col, vec_col, dim)
+    if assign_method == "auto":
+        assign_method = "literal" if len(centroids) <= 32 else "join"
+    if assign_method == "literal":
+        assigned = assign_clusters(corpus, centroids, id_col, vec_col, dim)
+    elif assign_method == "join":
+        assigned = assign_clusters_join(corpus, centroids, id_col, vec_col, dim)
+    else:
+        raise ValueError(
+            f"assign_method must be auto|literal|join, got {assign_method!r}"
+        )
     a = assigned.select(
         F.col("vec_id").alias("id_a"), F.col("__v").alias("__va"), "cluster_id"
     )

@@ -127,3 +127,36 @@ def test_identical_vectors_tie_to_first_centroid(spark):
     df = spark.createDataFrame([(7, v)], "vec_id long, embedding array<double>")
     [r] = assign_clusters(df, [v, v], dim=DIM).collect()
     assert r["cluster_id"] == 0
+
+
+def test_join_assignment_matches_literal_path(spark):
+    """The broadcast-table assignment (scale path for large n_clusters)
+    must agree with the literal-expression path vector by vector."""
+    from spark_skew_join_spark.operators.semdedup import (
+        _seed_centroids,
+        assign_clusters,
+        assign_clusters_join,
+    )
+
+    rng = random.Random(31)
+    rows = [(i, _unit(rng)) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = _seed_centroids(df, "vec_id", "embedding", 6)
+    lit = {r["vec_id"]: r["cluster_id"]
+           for r in assign_clusters(df, cents, dim=DIM).collect()}
+    jn = {r["vec_id"]: r["cluster_id"]
+          for r in assign_clusters_join(df, cents, dim=DIM).collect()}
+    assert lit == jn
+
+
+def test_semdedup_verdicts_agree_across_assign_methods(spark):
+    rng = random.Random(41)
+    rows = _corpus(rng, n_groups=5, group_size=3)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = {r["vec_id"]: (r["cluster_id"], r["is_kept"]) for r in
+         semdedup(df, threshold=0.98, n_clusters=5, dim=DIM,
+                  assign_method="literal").collect()}
+    b = {r["vec_id"]: (r["cluster_id"], r["is_kept"]) for r in
+         semdedup(df, threshold=0.98, n_clusters=5, dim=DIM,
+                  assign_method="join").collect()}
+    assert a == b
