@@ -191,8 +191,20 @@ def semdedup(
         raise ValueError(
             f"assign_method must be auto|literal|join, got {assign_method!r}"
         )
-    a = assigned.select(
-        F.col("vec_id").alias("id_a"), F.col("__v").alias("__va"), "cluster_id"
+    # per-row norms precomputed BEFORE the pair join: the full 3·dim-term
+    # unrolled cosine inside a join condition exceeds janino's method
+    # limit at dim=64 (interpreted fallback, ~3x slower); carrying the
+    # norm leaves only the dim-term dot in the condition.  Same IEEE ops
+    # in the same order, so the SQL oracle's values are unchanged.
+    if dim:
+        withn = assigned.withColumn("__n", F.sqrt(dot_fixed(F.col("__v"), F.col("__v"), dim)))
+    else:
+        from ..functions.vectors import cosine, norm, to_double_array
+
+        withn = assigned.withColumn("__n", norm(to_double_array(F.col("__v"))))
+    a = withn.select(
+        F.col("vec_id").alias("id_a"), F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"), "cluster_id"
     )
     if cluster_cap is not None:
         wc = Window.partitionBy("cluster_id").orderBy("id_a")
@@ -201,16 +213,25 @@ def semdedup(
             .where(F.col("__r") <= cluster_cap)
             .drop("__r")
         )
-    b = assigned.select(
-        F.col("vec_id").alias("id_b"), F.col("__v").alias("__vb"), "cluster_id"
+    b = withn.select(
+        F.col("vec_id").alias("id_b"), F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"), "cluster_id"
     )
+    if dim:
+        pair_dot = dot_fixed(F.col("__va"), F.col("__vb"), dim)
+    else:
+        from ..functions.vectors import dot, to_double_array
+
+        pair_dot = dot(
+            to_double_array(F.col("__va")), to_double_array(F.col("__vb"))
+        )
+    pair_sim = F.when(
+        (F.col("__na") == 0) | (F.col("__nb") == 0), F.lit(0.0)
+    ).otherwise(pair_dot / (F.col("__na") * F.col("__nb")))
     dup_stats = (
         a.join(b, on="cluster_id")
         .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_b",
-            _cos(F.col("__va"), F.col("__vb"), dim).alias("__sim"),
-        )
+        .select("id_b", pair_sim.alias("__sim"))
         .where(F.col("__sim") >= threshold)
         .groupBy("id_b")
         .agg(
