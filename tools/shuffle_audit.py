@@ -37,6 +37,9 @@ QUERIES = [
     "pagerank_nations",
     "pipeline_pretrain_prep",
     "knn_bruteforce",
+    "dedup_exact_substr",
+    "substr_dedup_clean_docs",
+    "semdedup_embeddings",
 ]
 
 
