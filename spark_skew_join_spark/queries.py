@@ -1015,6 +1015,85 @@ FROM assign a LEFT JOIN stats s ON s.id_b = a.vec_id
 """
 
 
+def temperature_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampled training mixture (operators/packing.py):
+    source targets ∝ n^0.5 (alpha=0.5 up-samples low-resource sources),
+    members = the target smallest md5(id) ranks per source — the
+    deterministic hash-rank idiom, so the oracle reproduces the exact
+    sampled set, not just its size."""
+    from .operators.packing import temperature_mix
+
+    t = load_tables(spark, sf_dir)
+    return temperature_mix(t["documents"], alpha=0.5, total=300)
+
+
+TEMPERATURE_MIX_SQL = """
+WITH counts AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+),
+weighted AS (SELECT source, n, POWER(n, 0.5) AS w FROM counts),
+z AS (SELECT SUM(w) AS z FROM weighted),
+targets AS (
+  SELECT source, n,
+         LEAST(CAST(FLOOR(300 * w / z.z) AS INT), CAST(n AS INT)) AS target
+  FROM weighted, z
+),
+ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rk
+  FROM documents
+)
+SELECT r.doc_id, r.source, t.n AS source_docs, t.target AS source_target
+FROM ranked r JOIN targets t ON t.source = r.source
+WHERE r.rk <= t.target
+"""
+
+
+def sequence_packing_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing (operators/packing.py): documents in id
+    order pack into 256-token bins per source (a doc that would
+    overflow opens a new bin). Output is per-document (bin id + offset
+    inside the bin) — fully deterministic, so the oracle replays the
+    greedy recurrence with a recursive CTE and the match verifies every
+    placement, not just bin counts."""
+    from .operators.packing import sequence_packing
+
+    t = load_tables(spark, sf_dir)
+    out = sequence_packing(t["documents"], capacity=256, group_col="source")
+    return out.select(
+        "source", "doc_id", "n_tokens",
+        F.col("bin_id").cast("int").alias("bin_id"),
+        F.col("bin_offset").cast("int").alias("bin_offset"),
+    )
+
+
+SEQUENCE_PACKING_SQL = """
+WITH RECURSIVE t AS (
+  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+rec AS (
+  SELECT source, rn, doc_id, n_tokens,
+         0 AS bin_id, 0 AS bin_offset
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.rn, t.doc_id, t.n_tokens,
+         CASE WHEN rec.bin_offset + rec.n_tokens + t.n_tokens <= 256
+              THEN rec.bin_id ELSE rec.bin_id + 1 END,
+         CASE WHEN rec.bin_offset + rec.n_tokens + t.n_tokens <= 256
+              THEN rec.bin_offset + rec.n_tokens ELSE 0 END
+  FROM rec JOIN t ON t.source = rec.source AND t.rn = rec.rn + 1
+)
+SELECT source, doc_id, n_tokens,
+       CAST(bin_id AS INT) AS bin_id,
+       CAST(bin_offset AS INT) AS bin_offset
+FROM rec
+"""
+
+
 def near_dup_leakage_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source near-duplicate leakage audit: for every unordered pair
     of sources, how many near-duplicate document pairs (8-gram Jaccard
@@ -4445,6 +4524,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substr_dedup_clean_docs": substr_dedup_clean_docs,
     "semdedup_embeddings": semdedup_embeddings,
     "kll_quantiles_orders": kll_quantiles_orders,
+    "temperature_mix_sources": temperature_mix_sources,
+    "sequence_packing_docs": sequence_packing_docs,
     # --- filler to position 50: r4-driver-certified entries ---
     "multimodal_features": multimodal_features,
     "train_test_split_stats": train_test_split_stats,
@@ -4594,6 +4675,8 @@ ORACLES: dict[str, str] = {
     "dedup_exact_substr": DEDUP_SUBSTR_SQL,
     "substr_dedup_clean_docs": SUBSTR_CLEAN_SQL,
     "semdedup_embeddings": SEMDEDUP_SQL,
+    "temperature_mix_sources": TEMPERATURE_MIX_SQL,
+    "sequence_packing_docs": SEQUENCE_PACKING_SQL,
     "near_dup_leakage_sources": NEAR_DUP_LEAKAGE_SQL,
     # dedup_minhash_docs / embedding_near_dup_lsh are gated against exact
     # full-recall oracles; the gate holds because the pinned seeds/banding
