@@ -3866,6 +3866,68 @@ FROM m CROSS JOIN orph
 """
 
 
+def hll_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL MERGEABILITY as a query — the property the built-in
+    approx_count_distinct cannot offer (sketch/hll.py docstring): one
+    distributed pass builds a distinct-token sketch PER SOURCE
+    (applyInPandas keyed by source over pre-hashed tokens), the driver
+    max-merges the ~16 KiB register arrays, and the merged estimate is
+    gated against the exact corpus-wide distinct-token count — the
+    union was never recomputed from data.  Per-source rows gate their
+    own estimates the same way; exact comparators come from ONE
+    unioned aggregate action.  Rows-only by nature (register-layout
+    estimates), the hll_distinct_stats idiom."""
+    import pickle
+
+    from .sketch.hll import HyperLogLog
+
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        "source",
+        F.explode(F.split("text", " ")).alias("tok"),
+    ).select("source", F.xxhash64("tok").alias("h"))
+
+    def build(pdf):
+        import pandas as pd
+
+        local = HyperLogLog(14)
+        local.add_hashed(pdf["h"].to_numpy())
+        return pd.DataFrame(
+            {"source": [pdf["source"].iloc[0]],
+             "sketch": [pickle.dumps(local)]}
+        )
+
+    per_source = {
+        r["source"]: pickle.loads(r["sketch"])
+        for r in toks.groupBy("source")
+        .applyInPandas(build, "source string, sketch binary")
+        .collect()
+    }
+    merged = HyperLogLog(14)
+    for s in per_source.values():
+        merged = merged.merge(s)
+    # exact distincts (per source + corpus) in one action
+    exact_rows = (
+        toks.groupBy("source").agg(F.countDistinct("h").alias("n"))
+        .unionByName(
+            toks.agg(F.countDistinct("h").alias("n"))
+            .select(F.lit("__union__").alias("source"), "n")
+        )
+        .collect()
+    )
+    exact = {r["source"]: int(r["n"]) for r in exact_rows}
+    rows = []
+    for name in sorted(per_source) + ["__union__"]:
+        est = (merged if name == "__union__" else per_source[name]).estimate()
+        ex = exact[name]
+        rows.append((name, float(round(est, 1)), ex,
+                     float(round(abs(est - ex) / ex, 6))))
+    out = spark.createDataFrame(
+        rows, "source string, hll_estimate double, exact bigint, rel_err double"
+    )
+    return out.where(F.col("rel_err") < 0.025)  # 3-sigma p=14 bound
+
+
 def hll_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HyperLogLog distinct counts (sketch/hll.py — the
     distinct-count companion to the reference's getCMS) next to the
@@ -4526,6 +4588,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kll_quantiles_orders": kll_quantiles_orders,
     "temperature_mix_sources": temperature_mix_sources,
     "sequence_packing_docs": sequence_packing_docs,
+    "hll_union_sources": hll_union_sources,
     # --- filler to position 50: r4-driver-certified entries ---
     "multimodal_features": multimodal_features,
     "train_test_split_stats": train_test_split_stats,
@@ -4767,6 +4830,7 @@ ORACLES: dict[str, str] = {
 EAGER_QUERIES = (
     "skew_join_lineitem_supplier",
     "kll_quantiles_orders",
+    "hll_union_sources",
     "skew_join_multicol",
     "q3_via_skew_join",
     "dedup_clusters_docs",

@@ -52,3 +52,25 @@ def test_hll_spark_build_matches_exact(spark):
     exact = li.agg(F.countDistinct("l_orderkey", "l_linenumber")).collect()[0][0]
     est = hll_from_dataframe(li, ["l_orderkey", "l_linenumber"]).estimate()
     assert abs(est - exact) / exact < 0.025, (est, exact)
+
+
+def test_per_source_merge_equals_whole_corpus_build(spark):
+    """Mergeability is EXACT, not approximate: max-merging per-group
+    sketches yields bit-identical registers to one whole-corpus build
+    (same hashes, same max fold) — the property hll_union_sources
+    showcases as a query."""
+    import numpy as np
+
+    from spark_skew_join_spark.sketch.hll import HyperLogLog, hll_from_dataframe
+
+    df = spark.range(30_000).selectExpr(
+        "CAST(id % 3 AS STRING) AS grp", "CAST(id % 7919 AS STRING) AS k"
+    )
+    whole = hll_from_dataframe(df, ["k"])
+    merged = HyperLogLog(14)
+    for g in ("0", "1", "2"):
+        merged = merged.merge(
+            hll_from_dataframe(df.where(f"grp = '{g}'"), ["k"])
+        )
+    assert np.array_equal(whole.registers, merged.registers)
+    assert whole.estimate() == merged.estimate()
