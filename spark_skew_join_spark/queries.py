@@ -4864,6 +4864,10 @@ SCALAR_BNL_OK = (
     "pagerank_nations",  # 1-row vertex-count broadcast per iteration (1/N term)
     "dq_audit_orders",  # 1-row metric frames combined by scalar cross-join
     "delete_propagation_stats",  # 1-row per-table count frames cross-joined
+    "temperature_mix_sources",  # 1-row Σn^alpha normalizer broadcast
+    "semdedup_embeddings",  # n_clusters-row centroid table broadcast:
+    # each vector fans out exactly x n_clusters for scoring (the IVF
+    # assignment shape), bounded by the quantizer size — never data x data
 )
 
 # Correct-but-quadratic oracle formulations whose scale-path siblings are
