@@ -84,3 +84,35 @@ def test_sequence_packing_oversized_doc_gets_own_bin(spark):
     assert out[2]["bin_id"] == 2
     with pytest.raises(ValueError, match="capacity"):
         sequence_packing(df, capacity=0)
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+
+def _greedy_reference(sizes, capacity):
+    """Pure-Python greedy packing: (bin_id, bin_offset) per doc in order."""
+    out, bin_id, offset = [], 0, 0
+    for i, n in enumerate(sizes):
+        if i > 0 and offset + n > capacity:
+            bin_id, offset = bin_id + 1, 0
+        out.append((bin_id, offset))
+        offset += n
+    return out
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=90), min_size=1,
+                   max_size=60),
+    capacity=st.integers(min_value=32, max_value=128),
+)
+def test_packing_matches_python_reference(spark, sizes, capacity):
+    rows = [(i, " ".join(["t"] * n)) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["bin_id"], r["bin_offset"])
+        for r in sequence_packing(df, capacity=capacity).collect()
+    }
+    exp = dict(enumerate(_greedy_reference(sizes, capacity)))
+    assert got == exp
