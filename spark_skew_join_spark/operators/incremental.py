@@ -1,0 +1,175 @@
+"""Incremental deduplication: new data against a persisted corpus state.
+
+A 100 TB pipeline never re-deduplicates its whole history when a new
+crawl lands — it keeps a compact *store* (16-byte exact fingerprints;
+MinHash band buckets) and checks only the new batch against it.  These
+operators provide that increment for the exact and fuzzy families:
+
+* ``fingerprint_store`` — the persistable exact-dup state: one
+  (fp, rep_id) row per distinct historical text (16-byte md5 keys, the
+  same shuffle posture as exact_dedup).
+* ``incremental_exact_dedup`` — classify each NEW document against the
+  store AND within its own batch (a batch can self-duplicate), without
+  touching historical documents.  Appending the returned surviving
+  fingerprints to the store is the state update.
+* ``incremental_minhash_dups`` — fuzzy increment: band-bucket the new
+  batch's MinHash signatures against the HISTORICAL band table only
+  (new × history, never history × history), verify candidates with
+  exact Jaccard over the candidate documents' shingles.  History is
+  touched only where a band matches.
+
+Scale design (100 TB):
+* the store join is an equi-join on 16-byte keys; the new batch is the
+  small side and broadcasts (AQE) — history fingerprints never
+  re-shuffle when the batch is small.
+* the fuzzy increment joins band tables (id, band, bucket — 20-byte
+  rows): history's band table is the persisted artifact (built once per
+  epoch, appended like the store); per-bucket fan-out is bounded by
+  ``max_bucket_size`` exactly as in ``minhash_pairs``.
+* document ids must be globally unique across history and batch (the
+  verify stage unions their shingle tables).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.text import fingerprint
+from .dedup import jaccard_for_pairs, minhash_signatures, shingles
+
+
+def fingerprint_store(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """(fp, rep_id): one row per distinct historical text."""
+    return (
+        docs.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("rep_id"))
+    )
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    store: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Classify each new document against the store and its own batch.
+
+    Output per new document: (id, fp, hist_rep, batch_rep, is_new) —
+    ``hist_rep`` is the historical representative id when the exact
+    text already exists in the store (NULL otherwise), ``batch_rep``
+    the smallest same-text id within the batch, and ``is_new`` is true
+    iff the document is the batch representative of a text absent from
+    history (exactly the rows whose (fp, id) should be appended to the
+    store)."""
+    fps = new_docs.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+    w = Window.partitionBy("fp")
+    batch = fps.withColumn("batch_rep", F.min(id_col).over(w))
+    hist = store.select("fp", F.col("rep_id").alias("hist_rep"))
+    return (
+        batch.join(hist, on="fp", how="left")
+        .select(
+            id_col,
+            "fp",
+            "hist_rep",
+            "batch_rep",
+            (
+                F.col("hist_rep").isNull()
+                & (F.col("batch_rep") == F.col(id_col))
+            ).alias("is_new"),
+        )
+    )
+
+
+def band_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    num_perm: int = 32,
+    n_bands: int = 8,
+    shingle_df: DataFrame | None = None,
+) -> DataFrame:
+    """(id, band, bucket): the persistable LSH state — same banding as
+    ``minhash_pairs`` (bucket = xxhash64 over the band's signature
+    slice), so stores built by either are interchangeable."""
+    r = num_perm // n_bands
+    sig = minhash_signatures(docs, text_col, id_col, n, num_perm, shingle_df)
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * r + i] for i in range(r)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
+def incremental_minhash_dups(
+    new_docs: DataFrame,
+    hist_docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    num_perm: int = 32,
+    n_bands: int = 8,
+    max_bucket_size: int | None = 1000,
+    hist_bands: DataFrame | None = None,
+) -> DataFrame:
+    """Near-duplicates of the new batch AGAINST HISTORY only.
+
+    Output: (hist_id, new_id, inter, size_hist, size_new, jaccard) for
+    candidate pairs with exact Jaccard >= threshold.  Pass
+    ``hist_bands`` (a persisted ``band_table``) to skip rebuilding the
+    historical state — the intended incremental use; ``hist_docs`` is
+    then only scanned for the shingles of verify-stage candidates."""
+    nb = band_table(new_docs, text_col, id_col, n, num_perm, n_bands)
+    hb = (
+        hist_bands
+        if hist_bands is not None
+        else band_table(hist_docs, text_col, id_col, n, num_perm, n_bands)
+    )
+    if max_bucket_size is not None:
+        # cap the HISTORICAL side's buckets: a degenerate boilerplate
+        # bucket otherwise fans every matching new doc out x bucket
+        hot = (
+            hb.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .where(F.col("__bn") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        hb = hb.join(F.broadcast(hot), on=["band", "bucket"], how="left_anti")
+    cand = (
+        hb.select("band", "bucket", F.col(id_col).alias("id_a"))
+        .join(
+            nb.select("band", "bucket", F.col(id_col).alias("id_b")),
+            on=["band", "bucket"],
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh = shingles(hist_docs, text_col, id_col, n).unionByName(
+        shingles(new_docs, text_col, id_col, n)
+    )
+    verified = jaccard_for_pairs(cand, sh, id_col)
+    return (
+        verified.where(F.col("jaccard") >= threshold)
+        .select(
+            F.col("id_a").alias("hist_id"),
+            F.col("id_b").alias("new_id"),
+            "inter",
+            F.col("size_a").alias("size_hist"),
+            F.col("size_b").alias("size_new"),
+            "jaccard",
+        )
+    )

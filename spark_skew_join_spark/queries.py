@@ -1094,6 +1094,78 @@ FROM rec
 """
 
 
+def incremental_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup (operators/incremental.py): the batch of
+    documents with doc_id >= 250 is classified against the persisted
+    fingerprint store of the first 250 — per new doc, its historical
+    representative (if the text already exists), its within-batch
+    representative, and whether it is genuinely new (the rows whose
+    fingerprints extend the store). History is never re-deduplicated."""
+    from .operators.incremental import fingerprint_store, incremental_exact_dedup
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    store = fingerprint_store(docs.where(F.col("doc_id") < 250))
+    return incremental_exact_dedup(docs.where(F.col("doc_id") >= 250), store)
+
+
+INCR_EXACT_SQL = """
+WITH store AS (
+  SELECT MD5(text) AS fp, MIN(doc_id) AS rep_id
+  FROM documents WHERE doc_id < 250 GROUP BY MD5(text)
+),
+batch AS (
+  SELECT doc_id, MD5(text) AS fp,
+         MIN(doc_id) OVER (PARTITION BY MD5(text)) AS batch_rep
+  FROM documents WHERE doc_id >= 250
+)
+SELECT b.doc_id, b.fp, s.rep_id AS hist_rep, b.batch_rep,
+       (s.rep_id IS NULL AND b.batch_rep = b.doc_id) AS is_new
+FROM batch b LEFT JOIN store s ON s.fp = b.fp
+"""
+
+
+def incremental_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental FUZZY dedup: the new batch's MinHash band table joins
+    the historical band table only (new x history — history is never
+    self-joined), candidates verified by exact Jaccard at the family's
+    standing parameters (8-gram shingles, threshold 0.5). The oracle
+    computes exact cross-Jaccard for ALL (hist, new) pairs, so the match
+    also re-certifies the banding's recall on this corpus."""
+    from .operators.incremental import incremental_minhash_dups
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    return incremental_minhash_dups(
+        docs.where(F.col("doc_id") >= 250),
+        docs.where(F.col("doc_id") < 250),
+        threshold=0.5, n=8,
+    )
+
+
+INCR_MINHASH_SQL = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, SUBSTRING(text, CAST(pos AS INT), 8) AS shingle
+  FROM documents, UNNEST(range(1, GREATEST(LENGTH(text) - 8 + 1, 1) + 1)) AS t(pos)
+  WHERE LENGTH(text) >= 8
+),
+sizes AS (SELECT doc_id, COUNT(*) AS size FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT h.doc_id AS hist_id, n.doc_id AS new_id, COUNT(*) AS inter
+  FROM sh h JOIN sh n ON h.shingle = n.shingle
+  WHERE h.doc_id < 250 AND n.doc_id >= 250
+  GROUP BY h.doc_id, n.doc_id
+)
+SELECT i.hist_id, i.new_id, i.inter,
+       sh_.size AS size_hist, sn.size AS size_new,
+       CAST(i.inter AS DOUBLE) / (sh_.size + sn.size - i.inter) AS jaccard
+FROM inter i
+JOIN sizes sh_ ON sh_.doc_id = i.hist_id
+JOIN sizes sn ON sn.doc_id = i.new_id
+WHERE CAST(i.inter AS DOUBLE) / (sh_.size + sn.size - i.inter) >= 0.5
+"""
+
+
 def near_dup_leakage_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source near-duplicate leakage audit: for every unordered pair
     of sources, how many near-duplicate document pairs (8-gram Jaccard
@@ -4589,6 +4661,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temperature_mix_sources": temperature_mix_sources,
     "sequence_packing_docs": sequence_packing_docs,
     "hll_union_sources": hll_union_sources,
+    "incremental_exact_dedup_docs": incremental_exact_dedup_docs,
+    "incremental_minhash_docs": incremental_minhash_docs,
     # --- filler to position 50: r4-driver-certified entries ---
     "multimodal_features": multimodal_features,
     "train_test_split_stats": train_test_split_stats,
@@ -4740,6 +4814,8 @@ ORACLES: dict[str, str] = {
     "semdedup_embeddings": SEMDEDUP_SQL,
     "temperature_mix_sources": TEMPERATURE_MIX_SQL,
     "sequence_packing_docs": SEQUENCE_PACKING_SQL,
+    "incremental_exact_dedup_docs": INCR_EXACT_SQL,
+    "incremental_minhash_docs": INCR_MINHASH_SQL,
     "near_dup_leakage_sources": NEAR_DUP_LEAKAGE_SQL,
     # dedup_minhash_docs / embedding_near_dup_lsh are gated against exact
     # full-recall oracles; the gate holds because the pinned seeds/banding
