@@ -114,6 +114,31 @@ def _get_kll(self: DataFrame, value_col: str, k: int = 200, seed: int = 1):
     return kll_from_dataframe(self, value_col, k, seed)
 
 
+def _temperature_mix(self: DataFrame, alpha: float, total: int,
+                     source_col: str = "source",
+                     id_col: str = "doc_id") -> DataFrame:
+    from .operators.packing import temperature_mix
+
+    return temperature_mix(self, alpha, total, source_col, id_col)
+
+
+def _sequence_packing(self: DataFrame, capacity: int,
+                      group_col: str | None = None,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    from .operators.packing import sequence_packing
+
+    return sequence_packing(self, capacity, group_col, id_col, text_col)
+
+
+def _incremental_exact_dedup(self: DataFrame, store: DataFrame,
+                             text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    from .operators.incremental import incremental_exact_dedup
+
+    return incremental_exact_dedup(self, store, text_col, id_col)
+
+
 def register_dataframe_api() -> None:
     """Attach the reference-parity method surface to DataFrame (idempotent).
     The extension operators ride along so a reference user migrating to
@@ -136,6 +161,9 @@ def register_dataframe_api() -> None:
         remove_duplicate_spans=_remove_duplicate_spans,
         semdedup=_semdedup,
         get_kll=_get_kll,
+        temperature_mix=_temperature_mix,
+        sequence_packing=_sequence_packing,
+        incremental_exact_dedup=_incremental_exact_dedup,
     )
     for name, fn in _METHODS.items():
         setattr(DataFrame, name, fn)

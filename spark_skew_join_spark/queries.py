@@ -1166,6 +1166,71 @@ WHERE CAST(i.inter AS DOUBLE) / (sh_.size + sn.size - i.inter) >= 0.5
 """
 
 
+def dsir_importance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting (operators/dsir.py): every document
+    scored by sum count_b·(log p_target(b) − log p_raw(b)) over 512
+    hashed unigram+bigram buckets, target = the 'src0' slice. hash_fn=
+    "md5" so the bucketing is bit-equal in the SQL oracle (xxhash64 is
+    the scale path); the weight is rounded to 6 decimals — double
+    summation order differs between engines at ~1e-13 relative, far
+    below the rounding quantum."""
+    from .operators.dsir import importance_weights
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    out = importance_weights(
+        docs, docs.where(F.col("source") == "src0"), hash_fn="md5"
+    )
+    return out.select(
+        "doc_id", "n_grams",
+        F.round("log_weight", 6).alias("log_weight"),
+        (F.col("log_weight") > 0).alias("target_like"),
+    )
+
+
+DSIR_SQL = """
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents
+),
+grams AS (
+  SELECT doc_id, source, tk[CAST(i + 1 AS INT)] AS g
+  FROM toks, UNNEST(range(0, len(tk))) AS u(i)
+  UNION ALL
+  SELECT doc_id, source,
+         tk[CAST(i + 1 AS INT)] || ' ' || tk[CAST(i + 2 AS INT)] AS g
+  FROM toks, UNNEST(range(0, len(tk) - 1)) AS u(i)
+  WHERE len(tk) >= 2
+),
+bucketed AS (
+  SELECT doc_id, source,
+         CAST(CAST(('0x' || SUBSTRING(MD5(g), 1, 8)) AS BIGINT) % 512 AS BIGINT)
+           AS bucket
+  FROM grams
+),
+doc_b AS (
+  SELECT doc_id, bucket, COUNT(*) AS cnt FROM bucketed GROUP BY 1, 2
+),
+raw_c AS (SELECT bucket, COUNT(*) AS n FROM bucketed GROUP BY 1),
+raw_n AS (SELECT SUM(n) AS N FROM raw_c),
+tgt_c AS (SELECT bucket, COUNT(*) AS n FROM bucketed WHERE source = 'src0'
+          GROUP BY 1),
+tgt_n AS (SELECT SUM(n) AS N FROM tgt_c),
+scored AS (
+  SELECT d.doc_id, d.cnt,
+         d.cnt * (LN(COALESCE(t.n + 1.0, 1.0) / (tn.N + 512.0))
+                  - LN(COALESCE(r.n + 1.0, 1.0) / (rn.N + 512.0))) AS contrib
+  FROM doc_b d
+  LEFT JOIN tgt_c t ON t.bucket = d.bucket
+  LEFT JOIN raw_c r ON r.bucket = d.bucket
+  CROSS JOIN tgt_n tn CROSS JOIN raw_n rn
+)
+SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+       ROUND(SUM(contrib), 6) AS log_weight,
+       SUM(contrib) > 0 AS target_like
+FROM scored GROUP BY doc_id
+"""
+
+
 def near_dup_leakage_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source near-duplicate leakage audit: for every unordered pair
     of sources, how many near-duplicate document pairs (8-gram Jaccard
@@ -4663,6 +4728,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_union_sources": hll_union_sources,
     "incremental_exact_dedup_docs": incremental_exact_dedup_docs,
     "incremental_minhash_docs": incremental_minhash_docs,
+    "dsir_importance_docs": dsir_importance_docs,
     # --- filler to position 50: r4-driver-certified entries ---
     "multimodal_features": multimodal_features,
     "train_test_split_stats": train_test_split_stats,
@@ -4816,6 +4882,7 @@ ORACLES: dict[str, str] = {
     "sequence_packing_docs": SEQUENCE_PACKING_SQL,
     "incremental_exact_dedup_docs": INCR_EXACT_SQL,
     "incremental_minhash_docs": INCR_MINHASH_SQL,
+    "dsir_importance_docs": DSIR_SQL,
     "near_dup_leakage_sources": NEAR_DUP_LEAKAGE_SQL,
     # dedup_minhash_docs / embedding_near_dup_lsh are gated against exact
     # full-recall oracles; the gate holds because the pinned seeds/banding
