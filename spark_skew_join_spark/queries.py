@@ -4986,6 +4986,8 @@ EAGER_QUERIES = (
     "pagerank_nations",
     # HLL sketch builds fold on the driver at plan construction
     "hll_distinct_stats",
+    # seed-centroid collect (8 rows) at plan construction
+    "semdedup_embeddings",
 )
 
 # Queries whose physical plan legitimately contains a BroadcastNestedLoopJoin:
@@ -5008,6 +5010,7 @@ SCALAR_BNL_OK = (
     "dq_audit_orders",  # 1-row metric frames combined by scalar cross-join
     "delete_propagation_stats",  # 1-row per-table count frames cross-joined
     "temperature_mix_sources",  # 1-row Σn^alpha normalizer broadcast
+    "dsir_importance_docs",  # 1-row corpus/target gram-total broadcasts
     "semdedup_embeddings",  # n_clusters-row centroid table broadcast:
     # each vector fans out exactly x n_clusters for scoring (the IVF
     # assignment shape), bounded by the quantizer size — never data x data
