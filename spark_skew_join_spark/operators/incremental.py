@@ -158,7 +158,16 @@ def incremental_minhash_dups(
         .select("id_a", "id_b")
         .distinct()
     )
-    sh = shingles(hist_docs, text_col, id_col, n).unionByName(
+    # shingle ONLY candidate history documents — the semi-join runs on the
+    # raw docs BEFORE the shingle explode (Catalyst does not push a join
+    # through Generate, so pruning here is what keeps the verify stage's
+    # history scan proportional to band matches, not history size)
+    hist_cand = hist_docs.join(
+        cand.select(F.col("id_a").alias(id_col)).distinct(),
+        on=id_col,
+        how="left_semi",
+    )
+    sh = shingles(hist_cand, text_col, id_col, n).unionByName(
         shingles(new_docs, text_col, id_col, n)
     )
     verified = jaccard_for_pairs(cand, sh, id_col)

@@ -1231,6 +1231,164 @@ FROM scored GROUP BY doc_id
 """
 
 
+def pipeline_train_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 capstone composition — the full training-mix pipeline as
+    ONE lazily-planned job graph over four proven operators:
+    exact-substring span removal (duplicated spans cut from larger-id
+    docs) → DSIR importance weights over the CLEANED text (target =
+    src0) → temperature-sampled mixture (alpha 0.5, 300 docs) →
+    greedy 256-token sequence packing of the selected docs per source.
+    Output: one row per selected document with its cleaned length,
+    removed-span tokens, importance weight, and packed position.
+    The oracle replays the whole chain in a single CTE pipeline."""
+    from .operators.dsir import importance_weights
+    from .operators.packing import sequence_packing, temperature_mix
+    from .operators.substr_dedup import remove_duplicate_spans
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    cleaned = (
+        remove_duplicate_spans(docs, k=16, min_tokens=32)
+        .join(docs.select("doc_id", "source"), on="doc_id")
+        .select("doc_id", "source", F.col("clean_text").alias("text"),
+                "n_removed")
+    )
+    weights = importance_weights(
+        cleaned, cleaned.where(F.col("source") == "src0"), hash_fn="md5"
+    )
+    mixed = temperature_mix(cleaned, alpha=0.5, total=300)
+    packed = sequence_packing(
+        cleaned.join(mixed.select("doc_id"), on="doc_id", how="left_semi"),
+        capacity=256, group_col="source",
+    )
+    return (
+        packed.join(weights.select("doc_id", "log_weight"), on="doc_id")
+        .join(cleaned.select("doc_id", "n_removed"), on="doc_id")
+        .select(
+            "source", "doc_id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.col("n_removed").cast("int").alias("n_removed"),
+            F.round("log_weight", 6).alias("log_weight"),
+            F.col("bin_id").cast("int").alias("bin_id"),
+            F.col("bin_offset").cast("int").alias("bin_offset"),
+        )
+    )
+
+
+PIPELINE_TRAIN_MIX_SQL = f"""
+WITH RECURSIVE {_SUBSTR_SPAN_CTES},
+drop_pos AS (
+  SELECT DISTINCT s.doc_b AS doc_id, s.a_start + s.diag + i AS pos
+  FROM spans s, UNNEST(range(0, s.n_tokens)) AS t(i)
+),
+affected AS (SELECT DISTINCT doc_id FROM drop_pos),
+tok_rows AS (
+  SELECT t.doc_id, i AS pos, tk[CAST(i + 1 AS INT)] AS tok
+  FROM toks t JOIN affected a ON a.doc_id = t.doc_id,
+       UNNEST(range(0, len(tk))) AS u(i)
+),
+kept AS (
+  SELECT tr.doc_id, tr.pos, tr.tok
+  FROM tok_rows tr
+  LEFT JOIN drop_pos dp ON dp.doc_id = tr.doc_id AND dp.pos = tr.pos
+  WHERE dp.doc_id IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+cleaned AS (
+  SELECT d.doc_id, d.source,
+         CASE WHEN a.doc_id IS NOT NULL THEN COALESCE(r.clean, '')
+              ELSE d.text END AS text,
+         CAST(CASE WHEN a.doc_id IS NOT NULL
+                   THEN len(string_split(d.text, ' ')) - COALESCE(r.n_kept, 0)
+                   ELSE 0 END AS INT) AS n_removed
+  FROM documents d
+  LEFT JOIN affected a ON a.doc_id = d.doc_id
+  LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+),
+ctoks AS (SELECT doc_id, source, string_split(text, ' ') AS ctk FROM cleaned),
+grams AS (
+  SELECT doc_id, source, ctk[CAST(i + 1 AS INT)] AS g
+  FROM ctoks, UNNEST(range(0, len(ctk))) AS u(i)
+  UNION ALL
+  SELECT doc_id, source,
+         ctk[CAST(i + 1 AS INT)] || ' ' || ctk[CAST(i + 2 AS INT)] AS g
+  FROM ctoks, UNNEST(range(0, len(ctk) - 1)) AS u(i)
+  WHERE len(ctk) >= 2
+),
+bucketed AS (
+  SELECT doc_id, source,
+         CAST(CAST(('0x' || SUBSTRING(MD5(g), 1, 8)) AS BIGINT) % 512 AS BIGINT)
+           AS bucket
+  FROM grams
+),
+doc_b AS (SELECT doc_id, bucket, COUNT(*) AS cnt FROM bucketed GROUP BY 1, 2),
+raw_c AS (SELECT bucket, COUNT(*) AS n FROM bucketed GROUP BY 1),
+raw_n AS (SELECT SUM(n) AS nn FROM raw_c),
+tgt_c AS (SELECT bucket, COUNT(*) AS n FROM bucketed WHERE source = 'src0'
+          GROUP BY 1),
+tgt_n AS (SELECT SUM(n) AS nn FROM tgt_c),
+wts AS (
+  SELECT d.doc_id,
+         SUM(d.cnt * (LN(COALESCE(tc.n + 1.0, 1.0) / (tn.nn + 512.0))
+                      - LN(COALESCE(rc.n + 1.0, 1.0) / (rn.nn + 512.0))))
+           AS log_weight
+  FROM doc_b d
+  LEFT JOIN tgt_c tc ON tc.bucket = d.bucket
+  LEFT JOIN raw_c rc ON rc.bucket = d.bucket
+  CROSS JOIN tgt_n tn CROSS JOIN raw_n rn
+  GROUP BY d.doc_id
+),
+counts AS (SELECT source, COUNT(*) AS n FROM cleaned GROUP BY source),
+weighted AS (SELECT source, n, POWER(n, 0.5) AS w FROM counts),
+zz AS (SELECT SUM(w) AS z FROM weighted),
+targets AS (
+  SELECT source,
+         LEAST(CAST(FLOOR(300 * w / zz.z) AS INT), CAST(n AS INT)) AS target
+  FROM weighted, zz
+),
+rankd AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rk
+  FROM cleaned
+),
+selected AS (
+  SELECT r.doc_id, r.source FROM rankd r
+  JOIN targets tg ON tg.source = r.source
+  WHERE r.rk <= tg.target
+),
+pt AS (
+  SELECT c.source, c.doc_id,
+         CAST(len(string_split(c.text, ' ')) AS INT) AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY c.source ORDER BY c.doc_id) AS rn
+  FROM cleaned c JOIN selected s ON s.doc_id = c.doc_id
+),
+rec AS (
+  SELECT source, rn, doc_id, n_tokens, 0 AS bin_id, 0 AS bin_offset
+  FROM pt WHERE rn = 1
+  UNION ALL
+  SELECT pt.source, pt.rn, pt.doc_id, pt.n_tokens,
+         CASE WHEN rec.bin_offset + rec.n_tokens + pt.n_tokens <= 256
+              THEN rec.bin_id ELSE rec.bin_id + 1 END,
+         CASE WHEN rec.bin_offset + rec.n_tokens + pt.n_tokens <= 256
+              THEN rec.bin_offset + rec.n_tokens ELSE 0 END
+  FROM rec JOIN pt ON pt.source = rec.source AND pt.rn = rec.rn + 1
+)
+SELECT rec.source, rec.doc_id, rec.n_tokens, cl.n_removed,
+       ROUND(w.log_weight, 6) AS log_weight,
+       CAST(rec.bin_id AS INT) AS bin_id,
+       CAST(rec.bin_offset AS INT) AS bin_offset
+FROM rec
+JOIN wts w ON w.doc_id = rec.doc_id
+JOIN cleaned cl ON cl.doc_id = rec.doc_id
+"""
+
+
 def near_dup_leakage_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source near-duplicate leakage audit: for every unordered pair
     of sources, how many near-duplicate document pairs (8-gram Jaccard
@@ -4729,6 +4887,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_exact_dedup_docs": incremental_exact_dedup_docs,
     "incremental_minhash_docs": incremental_minhash_docs,
     "dsir_importance_docs": dsir_importance_docs,
+    "pipeline_train_mix": pipeline_train_mix,
     # --- filler to position 50: r4-driver-certified entries ---
     "multimodal_features": multimodal_features,
     "train_test_split_stats": train_test_split_stats,
@@ -4883,6 +5042,7 @@ ORACLES: dict[str, str] = {
     "incremental_exact_dedup_docs": INCR_EXACT_SQL,
     "incremental_minhash_docs": INCR_MINHASH_SQL,
     "dsir_importance_docs": DSIR_SQL,
+    "pipeline_train_mix": PIPELINE_TRAIN_MIX_SQL,
     "near_dup_leakage_sources": NEAR_DUP_LEAKAGE_SQL,
     # dedup_minhash_docs / embedding_near_dup_lsh are gated against exact
     # full-recall oracles; the gate holds because the pinned seeds/banding
@@ -5011,6 +5171,7 @@ SCALAR_BNL_OK = (
     "delete_propagation_stats",  # 1-row per-table count frames cross-joined
     "temperature_mix_sources",  # 1-row Σn^alpha normalizer broadcast
     "dsir_importance_docs",  # 1-row corpus/target gram-total broadcasts
+    "pipeline_train_mix",  # composes the DSIR + temperature scalar broadcasts
     "semdedup_embeddings",  # n_clusters-row centroid table broadcast:
     # each vector fans out exactly x n_clusters for scoring (the IVF
     # assignment shape), bounded by the quantizer size — never data x data
