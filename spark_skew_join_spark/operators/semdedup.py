@@ -131,18 +131,20 @@ def assign_clusters_join(
         .join(F.broadcast(cent))
         .select(
             "vec_id",
+            "__v",
             "cluster_id",
             _cos(F.col("__v"), F.col("__c"), dim).alias("__sim"),
         )
     )
-    best = scored.groupBy("vec_id").agg(
+    # carry the vector through the aggregate (it is functionally
+    # dependent on vec_id) instead of re-joining the corpus afterwards —
+    # one shuffle instead of two
+    return scored.groupBy("vec_id").agg(
         F.max_by(
             "cluster_id", F.struct(F.col("__sim"), (-F.col("cluster_id")))
-        ).alias("cluster_id")
-    )
-    return corpus.select(
-        F.col(id_col).alias("vec_id"), v.alias("__v")
-    ).join(best, on="vec_id")
+        ).alias("cluster_id"),
+        F.first("__v").alias("__v"),
+    ).select("vec_id", "__v", "cluster_id")
 
 
 def semdedup(
