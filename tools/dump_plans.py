@@ -225,6 +225,24 @@ def main() -> None:
         )
     )
 
+    tm = q.QUERIES["pipeline_train_mix"](spark, SF)
+    simpletm = plan_string(tm, "simple")
+    out.append(
+        section(
+            "pipeline_train_mix — four round-5 operators, one job graph",
+            "\n".join(
+                (l[:140] + " …" if len(l) > 140 else l)
+                for l in simpletm.splitlines()
+                if "Join" in l or "Exchange" in l or "Window" in l
+            ),
+            "Substring-span removal, DSIR scoring over the cleaned text,\n"
+            "temperature mixing, and per-source packing compose lazily —\n"
+            "Catalyst plans the whole chain at once: the span/window joins,\n"
+            "the broadcast distribution joins, the mixture rank window, and\n"
+            "the pack-group aggregate share one optimized graph.",
+        )
+    )
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print("PLANS.md written")
