@@ -40,6 +40,9 @@ QUERIES = [
     "dedup_exact_substr",
     "substr_dedup_clean_docs",
     "semdedup_embeddings",
+    "incremental_minhash_docs",
+    "dsir_importance_docs",
+    "pipeline_train_mix",
 ]
 
 
