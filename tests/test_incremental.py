@@ -100,3 +100,36 @@ def test_hot_history_bucket_capped(spark):
     capped = incremental_minhash_dups(new, hist, max_bucket_size=5)
     assert uncapped.count() == 20
     assert capped.count() == 0  # entire bucket over cap -> skipped
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+_TEXTS = [f"text body {i}" for i in range(8)]
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    hist=st.lists(st.sampled_from(_TEXTS), min_size=0, max_size=12),
+    new=st.lists(st.sampled_from(_TEXTS), min_size=1, max_size=12),
+)
+def test_exact_increment_matches_python_reference(spark, hist, new):
+    hist_rows = [(i, t) for i, t in enumerate(hist)]
+    new_rows = [(100 + i, t) for i, t in enumerate(new)]
+    hdf = spark.createDataFrame(hist_rows, "doc_id long, text string") \
+        if hist_rows else spark.createDataFrame([], "doc_id long, text string")
+    ndf = spark.createDataFrame(new_rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["hist_rep"], r["batch_rep"], r["is_new"])
+           for r in incremental_exact_dedup(
+               ndf, fingerprint_store(hdf)).collect()}
+    # python reference
+    hist_min = {}
+    for i, t in hist_rows:
+        hist_min[t] = min(hist_min.get(t, i), i)
+    batch_min = {}
+    for i, t in new_rows:
+        batch_min[t] = min(batch_min.get(t, i), i)
+    for i, t in new_rows:
+        hr = hist_min.get(t)
+        exp = (hr, batch_min[t], hr is None and batch_min[t] == i)
+        assert got[i] == exp, (i, t, got[i], exp)
