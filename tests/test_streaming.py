@@ -503,3 +503,69 @@ def test_streaming_funnel_string_ids(spark, tmp_path):
     got = {r.uid: r for r in spark.sql("SELECT * FROM sfstr").collect()}
     assert got["u1"].reached == 2 and got["u1"].t_2 == 20
     assert got["u2"].reached == 0
+
+
+def test_streaming_kll_quantiles_track_exact_within_bound(spark, tmp_path):
+    """Per-key KLL state folded over micro-batches: final streamed
+    estimates must sit inside the sketch's rank-error envelope of the
+    exact per-key quantiles over the whole feed — and out-of-order
+    batch delivery must not matter (the sketch is order-insensitive)."""
+    import os
+    import random
+    import time
+
+    import numpy as np
+
+    from spark_skew_join_spark.sketch.kll import KLL
+    from spark_skew_join_spark.streaming.quantiles import streaming_quantiles
+
+    rng = random.Random(19)
+    per_key = {"a": [], "b": []}
+    rows = []
+    for i in range(12_000):
+        key = "a" if i % 3 else "b"
+        v = rng.uniform(0, 1000) if key == "a" else rng.gauss(500, 100)
+        per_key[key].append(v)
+        rows.append((key, v))
+    # shuffled delivery across 4 files
+    rng.shuffle(rows)
+    src = str(tmp_path / "qfeed")
+    os.makedirs(src)
+    quarter = len(rows) // 4
+    for b in range(4):
+        chunk = rows[b * quarter: (b + 1) * quarter] if b < 3 else rows[3 * quarter:]
+        spark.createDataFrame(chunk, "k string, v double") \
+            .coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("k string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_quantiles(stream, "k", "v", quantiles=(0.1, 0.5, 0.9))
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("skll")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = {
+        r["k"]: r
+        for r in spark.sql(
+            "SELECT k, max_by(q_10, n) AS q_10, max_by(q_50, n) AS q_50, "
+            "max_by(q_90, n) AS q_90, max(n) AS n FROM skll GROUP BY k"
+        ).collect()
+    }
+    bound = KLL(k=200).rank_error_bound()
+    for key, vals in per_key.items():
+        assert final[key]["n"] == len(vals)
+        srt = np.sort(vals)
+        for col, qq in (("q_10", 0.1), ("q_50", 0.5), ("q_90", 0.9)):
+            est = final[key][col]
+            rank = np.searchsorted(srt, est, side="right") / len(srt)
+            assert abs(rank - qq) <= bound, (key, col, est, rank)
