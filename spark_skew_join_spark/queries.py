@@ -4707,6 +4707,70 @@ SELECT table_name, n_total, n_kept, n_total - n_kept AS n_deleted FROM m
 """
 
 
+def kll_quantiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP KLL sketches in batch (the grouped sibling of
+    kll_quantiles_orders and the batch counterpart of
+    streaming/quantiles.py): one sketch per order priority built in a
+    single applyInPandas pass, median + p90 estimates gated against the
+    exact per-group percentiles computed in ONE aggregate action.
+    Rows-only by nature; the in-query gate is the correctness check."""
+    import pickle
+
+    from .sketch.kll import KLL
+
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].select("o_orderpriority", "o_totalprice")
+
+    def build(pdf):
+        import pandas as pd
+
+        s = KLL(k=200)
+        s.add(pdf["o_totalprice"].to_numpy(dtype="float64"))
+        return pd.DataFrame(
+            {"p": [pdf["o_orderpriority"].iloc[0]],
+             "sketch": [pickle.dumps(s)]}
+        )
+
+    sketches = {
+        r["p"]: pickle.loads(r["sketch"])
+        for r in o.groupBy("o_orderpriority")
+        .applyInPandas(build, "p string, sketch binary")
+        .collect()
+    }
+    exact = {
+        r["o_orderpriority"]: (r["n"], r["qs"][0], r["qs"][1])
+        for r in o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("percentile(o_totalprice, array(0.5, 0.9))").alias("qs"),
+        )
+        .collect()
+    }
+    bound = KLL(k=200).rank_error_bound()
+    rows = []
+    for p in sorted(sketches):
+        s = sketches[p]
+        n, ex50, ex90 = exact[p]
+        # exact normalized rank of each estimate via the sketch's own
+        # counts would need another pass; gate on value-rank agreement
+        # through the exact percentiles instead: the estimate must sit
+        # within the rank envelope, i.e. between the exact quantiles at
+        # q±bound — conservative and one-action
+        est50, est90 = s.quantile(0.5), s.quantile(0.9)
+        rows.append(
+            (p, int(n), float(round(est50, 2)), float(round(ex50, 2)),
+             float(round(est90, 2)), float(round(ex90, 2)),
+             bool(abs(s.rank(ex50) - 0.5) <= bound
+                  and abs(s.rank(ex90) - 0.9) <= bound))
+        )
+    out = spark.createDataFrame(
+        rows,
+        "priority string, n bigint, kll_p50 double, exact_p50 double, "
+        "kll_p90 double, exact_p90 double, within_bound boolean",
+    )
+    return out.where(F.col("within_bound"))
+
+
 def kll_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable KLL quantile sketch (sketch/kll.py, VERDICT r4 #7) over
     o_totalprice: one row per probed quantile with the sketch estimate,
@@ -4888,6 +4952,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_minhash_docs": incremental_minhash_docs,
     "dsir_importance_docs": dsir_importance_docs,
     "pipeline_train_mix": pipeline_train_mix,
+    "kll_quantiles_by_priority": kll_quantiles_by_priority,
     # --- filler to position 50: r4-driver-certified entries ---
     "multimodal_features": multimodal_features,
     "train_test_split_stats": train_test_split_stats,
@@ -5148,6 +5213,8 @@ EAGER_QUERIES = (
     "hll_distinct_stats",
     # seed-centroid collect (8 rows) at plan construction
     "semdedup_embeddings",
+    # per-group sketch builds fold on the driver at plan construction
+    "kll_quantiles_by_priority",
 )
 
 # Queries whose physical plan legitimately contains a BroadcastNestedLoopJoin:
