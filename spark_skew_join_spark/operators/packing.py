@@ -106,6 +106,9 @@ def sequence_packing(
     if capacity <= 0:
         raise ValueError("capacity must be positive")
     part = [group_col] if group_col else []
+    # the accumulator's id field mirrors the caller's id type (string
+    # doc ids are as valid as bigint — ADVICE r5 #3)
+    id_type = docs.schema[id_col].dataType.simpleString()
     n_tok = F.size(F.split(F.col(text_col), " "))
     packed = (
         docs.select(*part, id_col, n_tok.cast("int").alias("n_tokens"))
@@ -121,7 +124,7 @@ def sequence_packing(
                 F.aggregate(
                     "__docs",
                     F.array().cast(
-                        "array<struct<doc_id:long,n_tokens:int,"
+                        f"array<struct<doc_id:{id_type},n_tokens:int,"
                         "bin_id:int,bin_offset:int>>"
                     ),
                     lambda acc, d: F.concat(

@@ -4165,39 +4165,23 @@ def hll_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL MERGEABILITY as a query — the property the built-in
     approx_count_distinct cannot offer (sketch/hll.py docstring): one
     distributed pass builds a distinct-token sketch PER SOURCE
-    (applyInPandas keyed by source over pre-hashed tokens), the driver
-    max-merges the ~16 KiB register arrays, and the merged estimate is
-    gated against the exact corpus-wide distinct-token count — the
-    union was never recomputed from data.  Per-source rows gate their
-    own estimates the same way; exact comparators come from ONE
-    unioned aggregate action.  Rows-only by nature (register-layout
-    estimates), the hll_distinct_stats idiom."""
-    import pickle
-
-    from .sketch.hll import HyperLogLog
+    (the bounded-memory grouped two-level mapInPandas fold of
+    hll_by_group — per-partition group slices, never a whole group on
+    one worker; ADVICE r5 #4), the driver max-merges the ~16 KiB
+    register arrays, and the merged estimate is gated against the
+    exact corpus-wide distinct-token count — the union was never
+    recomputed from data.  Per-source rows gate their own estimates
+    the same way; exact comparators come from ONE unioned aggregate
+    action.  Rows-only by nature (register-layout estimates), the
+    hll_distinct_stats idiom."""
+    from .sketch.hll import HyperLogLog, hll_by_group
 
     t = load_tables(spark, sf_dir)
     toks = t["documents"].select(
         "source",
         F.explode(F.split("text", " ")).alias("tok"),
     ).select("source", F.xxhash64("tok").alias("h"))
-
-    def build(pdf):
-        import pandas as pd
-
-        local = HyperLogLog(14)
-        local.add_hashed(pdf["h"].to_numpy())
-        return pd.DataFrame(
-            {"source": [pdf["source"].iloc[0]],
-             "sketch": [pickle.dumps(local)]}
-        )
-
-    per_source = {
-        r["source"]: pickle.loads(r["sketch"])
-        for r in toks.groupBy("source")
-        .applyInPandas(build, "source string, sketch binary")
-        .collect()
-    }
+    per_source = hll_by_group(toks, "source", ["h"])
     merged = HyperLogLog(14)
     for s in per_source.values():
         merged = merged.merge(s)
@@ -4711,32 +4695,16 @@ def kll_quantiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PER-GROUP KLL sketches in batch (the grouped sibling of
     kll_quantiles_orders and the batch counterpart of
     streaming/quantiles.py): one sketch per order priority built in a
-    single applyInPandas pass, median + p90 estimates gated against the
-    exact per-group percentiles computed in ONE aggregate action.
+    bounded-memory grouped two-level mapInPandas fold (kll_by_group —
+    per-partition group slices, never a whole group on one worker;
+    ADVICE r5 #4), median + p90 estimates gated against the exact
+    per-group percentiles computed in ONE aggregate action.
     Rows-only by nature; the in-query gate is the correctness check."""
-    import pickle
-
-    from .sketch.kll import KLL
+    from .sketch.kll import KLL, kll_by_group
 
     t = load_tables(spark, sf_dir)
     o = t["orders"].select("o_orderpriority", "o_totalprice")
-
-    def build(pdf):
-        import pandas as pd
-
-        s = KLL(k=200)
-        s.add(pdf["o_totalprice"].to_numpy(dtype="float64"))
-        return pd.DataFrame(
-            {"p": [pdf["o_orderpriority"].iloc[0]],
-             "sketch": [pickle.dumps(s)]}
-        )
-
-    sketches = {
-        r["p"]: pickle.loads(r["sketch"])
-        for r in o.groupBy("o_orderpriority")
-        .applyInPandas(build, "p string, sketch binary")
-        .collect()
-    }
+    sketches = kll_by_group(o, "o_orderpriority", "o_totalprice", k=200)
     exact = {
         r["o_orderpriority"]: (r["n"], r["qs"][0], r["qs"][1])
         for r in o.groupBy("o_orderpriority")
@@ -5215,6 +5183,9 @@ EAGER_QUERIES = (
     "semdedup_embeddings",
     # per-group sketch builds fold on the driver at plan construction
     "kll_quantiles_by_priority",
+    # merge_upsert's default on_duplicate="error" runs an eager
+    # duplicate-source-key check job at plan construction (ADVICE r5 #2)
+    "merge_upsert_orders",
 )
 
 # Queries whose physical plan legitimately contains a BroadcastNestedLoopJoin:

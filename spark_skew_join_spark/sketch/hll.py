@@ -132,3 +132,63 @@ def hll_from_dataframe(df, key_cols: list[str], p: int = 14,
     for row in level2.collect():
         out = out.merge(pickle.loads(row["sketch"]))
     return out
+
+
+def hll_by_group(df, group_col: str, key_cols: list[str], p: int = 14,
+                 combine_partitions: int = 8) -> dict:
+    """One HLL per distinct ``group_col`` value, built with the SAME
+    bounded-memory two-level mapInPandas fold as hll_from_dataframe —
+    each partition folds only ITS slice of each group into a 16 KiB
+    sketch, so no executor ever materializes a whole group's rows (the
+    applyInPandas-per-group shape does exactly that; ADVICE r5 #4).
+    Level 2 hash-partitions the (group, sketch) rows by group and
+    merges within partitions, so the driver folds at most
+    ``combine_partitions`` sketches per group. Returns
+    {group_value: HyperLogLog}."""
+    from pyspark.sql import functions as F
+
+    from .cms import spark_key_expr
+
+    filtered = df
+    for c in key_cols:
+        filtered = filtered.where(F.col(c).isNotNull())
+    hashed = filtered.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.xxhash64(spark_key_expr(key_cols)).alias("h"),
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        local: dict = {}
+        for pdf in batches:
+            for g, sub in pdf.groupby("g", sort=False):
+                sk = local.get(g)
+                if sk is None:
+                    sk = local[g] = HyperLogLog(p)
+                sk.add_hashed(sub["h"].to_numpy())
+        yield pd.DataFrame(
+            {"g": list(local), "sketch": [pickle.dumps(s) for s in local.values()]}
+        )
+
+    def combine(batches):
+        import pandas as pd
+
+        acc: dict = {}
+        for pdf in batches:
+            for g, blob in zip(pdf["g"], pdf["sketch"]):
+                sk = pickle.loads(blob)
+                acc[g] = sk if g not in acc else acc[g].merge(sk)
+        yield pd.DataFrame(
+            {"g": list(acc), "sketch": [pickle.dumps(s) for s in acc.values()]}
+        )
+
+    level1 = hashed.mapInPandas(build, "g string, sketch binary")
+    level2 = level1.repartition(combine_partitions, "g").mapInPandas(
+        combine, "g string, sketch binary"
+    )
+    out: dict = {}
+    for row in level2.collect():
+        sk = pickle.loads(row["sketch"])
+        out[row["g"]] = sk if row["g"] not in out else out[row["g"]].merge(sk)
+    return out

@@ -79,6 +79,22 @@ def read_upsert_table(spark, path: str,
     return spark.read.parquet(os.path.join(path, pointed))
 
 
+def _prune_versions(path: str, keep_versions: int) -> None:
+    """Prune by DISTINCT EPOCH, never by directory count: a
+    crash-looping epoch writes one attempt dir per retry, and if
+    attempts counted toward the window, keep_versions retries of one
+    epoch would evict every predecessor — the next retry would then
+    find no prior version and silently rebuild from just the batch
+    rows. Keeping the newest ``keep_versions`` EPOCHS (all their
+    attempt dirs) preserves the invariant that a retried epoch's
+    predecessor always survives pruning (ADVICE r5 #1)."""
+    snaps = _snapshot_dirs(path)
+    keep_epochs = set(sorted({e for e, _, _ in snaps})[-keep_versions:])
+    for epoch, _, stale in snaps:
+        if epoch not in keep_epochs:
+            shutil.rmtree(os.path.join(path, stale), ignore_errors=True)
+
+
 def upsert_stream(stream_df: DataFrame, path: str, key_cols: list[str],
                   seq_col: str, query_name: str, keep_versions: int = 3):
     """Start the CDC upsert sink; returns the StreamingQuery (caller
@@ -125,11 +141,7 @@ def upsert_stream(stream_df: DataFrame, path: str, key_cols: list[str],
         with open(tmp, "w") as f:
             f.write(vdir)
         os.replace(tmp, os.path.join(path, _LATEST))  # atomic flip
-        # prune by directory age (epoch, attempt) — a superseded attempt
-        # ages out of the window like any other snapshot
-        snapshots = [d for _, _, d in _snapshot_dirs(path)]
-        for stale in snapshots[:-keep_versions]:
-            shutil.rmtree(os.path.join(path, stale), ignore_errors=True)
+        _prune_versions(path, keep_versions)
 
     return (
         stream_df.writeStream.outputMode("append")

@@ -74,3 +74,21 @@ def test_per_source_merge_equals_whole_corpus_build(spark):
         )
     assert np.array_equal(whole.registers, merged.registers)
     assert whole.estimate() == merged.estimate()
+
+
+def test_hll_by_group_matches_per_group_builds(spark):
+    """Grouped two-level fold (ADVICE r5 #4): hll_by_group must produce
+    bit-identical registers to separate whole-group builds — partition
+    slicing changes WHERE rows fold, never the max-merge result."""
+    import numpy as np
+
+    from spark_skew_join_spark.sketch.hll import hll_by_group, hll_from_dataframe
+
+    df = spark.range(30_000).selectExpr(
+        "CAST(id % 3 AS STRING) AS grp", "CAST(id % 7919 AS STRING) AS k"
+    ).repartition(11)  # groups straddle partitions
+    grouped = hll_by_group(df, "grp", ["k"])
+    assert sorted(grouped) == ["0", "1", "2"]
+    for g in ("0", "1", "2"):
+        solo = hll_from_dataframe(df.where(f"grp = '{g}'"), ["k"])
+        assert np.array_equal(grouped[g].registers, solo.registers)

@@ -112,3 +112,21 @@ def test_distributed_build_matches_exact_quantiles(spark):
     assert s.n == 100_000
     for q in (0.1, 0.5, 0.9):
         assert abs(s.quantile(q) / 100_000 - q) <= s.rank_error_bound()
+
+
+def test_kll_by_group_estimates_within_bound(spark):
+    """Grouped two-level fold (ADVICE r5 #4): per-group estimates honor
+    the sketch's rank-error envelope even when groups straddle
+    partitions (each partition folds only its slice of each group)."""
+    from spark_skew_join_spark.sketch.kll import kll_by_group
+
+    df = spark.range(0, 90_000).selectExpr(
+        "CAST(id % 3 AS STRING) AS grp", "CAST(id AS DOUBLE) AS v"
+    ).repartition(11)
+    grouped = kll_by_group(df, "grp", "v", k=200)
+    assert sorted(grouped) == ["0", "1", "2"]
+    for g, s in grouped.items():
+        assert s.n == 30_000
+        # group g holds values {g, g+3, g+6, ...}: quantile q ≈ 90000*q
+        for q in (0.1, 0.5, 0.9):
+            assert abs(s.quantile(q) / 90_000 - q) <= s.rank_error_bound()

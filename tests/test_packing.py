@@ -70,6 +70,20 @@ def test_sequence_packing_invariants(spark):
         assert bins == list(range(len(bins)))
 
 
+def test_sequence_packing_string_doc_ids(spark):
+    """ADVICE r5 #3 regression: a non-bigint id_col (string doc ids,
+    as streaming_funnel supports) must pack — the accumulator schema
+    derives the id field's type from the input instead of hard-coding
+    long."""
+    rows = [("d-a", " ".join(["t"] * 30)), ("d-b", " ".join(["t"] * 30)),
+            ("d-c", " ".join(["t"] * 30))]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in
+           sequence_packing(df, capacity=64).collect()}
+    assert out["d-a"]["bin_id"] == 0 and out["d-b"]["bin_id"] == 0
+    assert out["d-c"]["bin_id"] == 1 and out["d-c"]["bin_offset"] == 0
+
+
 def test_sequence_packing_oversized_doc_gets_own_bin(spark):
     rows = [
         (0, " ".join(["t"] * 10)),

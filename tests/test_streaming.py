@@ -380,6 +380,38 @@ def test_cdc_redelivery_writes_fresh_attempt_dir(spark, tmp_path):
     assert read_upsert_table(spark, tbl, version=5).first()["v"] == "retried"
 
 
+def test_cdc_prune_counts_epochs_not_attempt_dirs(tmp_path):
+    """ADVICE r5 #1 regression: a crash-looping epoch (many attempt
+    dirs) must never crowd its PREDECESSOR epoch out of the retention
+    window — the retry rebuilds from that predecessor, so evicting it
+    silently drops all accumulated state."""
+    import os
+
+    from spark_skew_join_spark.streaming.cdc import (
+        _prune_versions,
+        _snapshot_dirs,
+        list_versions,
+    )
+
+    tbl = str(tmp_path / "tbl4")
+    # epochs 3, 4, then epoch 5 crash-loops through 4 attempts: 6 dirs
+    for d in ["v=3", "v=4", "v=5", "v=5.1", "v=5.2", "v=5.3"]:
+        os.makedirs(os.path.join(tbl, d))
+    _prune_versions(tbl, keep_versions=3)
+    # all three epochs retained — every attempt dir of epoch 5 kept,
+    # epochs 3 and 4 untouched (old dir-count pruning kept only
+    # [v=5.1, v=5.2, v=5.3], losing BOTH predecessors)
+    assert list_versions(tbl) == [3, 4, 5]
+    assert len(_snapshot_dirs(tbl)) == 6
+    # a fourth epoch arrives: epoch 3 ages out, epoch 5 attempts intact
+    os.makedirs(os.path.join(tbl, "v=6"))
+    _prune_versions(tbl, keep_versions=3)
+    assert list_versions(tbl) == [4, 5, 6]
+    assert [d for _, _, d in _snapshot_dirs(tbl) if d.startswith("v=5")] == [
+        "v=5", "v=5.1", "v=5.2", "v=5.3"
+    ]
+
+
 def test_merge_upsert_rejects_duplicate_source_keys(spark):
     import pytest
 
