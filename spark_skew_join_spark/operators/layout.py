@@ -11,17 +11,39 @@ Spark shape: the z-value is a pure codegen expression (two rank
 normalizations + 2·bits shift/mask/or terms — no UDF, no Python), so
 ``df.repartitionByRange(n, zvalue).sortWithinPartitions(zvalue)
 .write...`` lays files out in z-order with one range shuffle, exactly
-like a plain sort-write. Rank normalization (percent_rank quantized to
-2^bits buckets) makes the interleave robust to arbitrary column
-distributions; for write paths where an extra window pass is unwanted,
-``zvalue_fixed`` interleaves pre-quantized ints directly.
+like a plain sort-write. Rank normalization maps each column to
+[0, 2^bits) distribution-free (equal-width quantization collapses
+under skew) and comes in two flavors:
+
+* ``quantizer="approx"`` (DEFAULT, the scale path — VERDICT r5 #2):
+  per-column sampled-quantile maps from the in-house mergeable KLL
+  sketch (sketch/kll.py — one distributed mapInPandas pass per column,
+  driver folds ~3k-float buffers), then an UNROLLED BINARY SEARCH over
+  the 2^map_bits−1 boundary array — ``map_bits`` ``element_at``
+  comparisons per row against a constant array, pure codegen, no
+  window, no extra shuffle. Rank granularity is 2^map_bits levels
+  (scaled up to the 2^bits domain by a left shift), which is exactly
+  the resolution a sampled map can honestly claim; the KLL rank-error
+  bound (~0.4% at k=200) bounds how far any boundary sits from its
+  true quantile. Layout quality is statistically indistinguishable
+  (tests/test_layout.py pins the locality equivalence).
+* ``quantizer="exact"``: percent_rank over an UNPARTITIONED window —
+  bit-reproducible in ANSI SQL (the DuckDB oracle for
+  zorder_layout_orders), but the global window serializes the table
+  through one partition, so it is the ORACLE path only, never the
+  default.
+
+For write paths where the caller already has quantized ints,
+``zvalue_fixed`` interleaves them directly.
 
 The bit arithmetic is engine-portable (shifts/and/or on BIGINT), so the
 clustering keys and the per-bucket locality statistics are
-oracle-checked against DuckDB bit-for-bit.
+oracle-checked against DuckDB bit-for-bit on the exact path.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
@@ -43,26 +65,70 @@ def zvalue_fixed(cols: list[Column], bits: int = 16) -> Column:
     return z
 
 
+def _approx_bucket(col: Column, boundaries: list[float], map_bits: int) -> Column:
+    """JVM-side binary search: bucket(v) = #{boundaries <= v}, as an
+    ``aggregate`` HOF fold over the ``map_bits`` probe widths —
+    O(log B) element_at comparisons per row at RUNTIME with an O(1)
+    expression tree (a hand-unrolled when-chain doubles the Catalyst
+    tree per step: 2^map_bits copies of the boundary literal OOMs the
+    driver during analysis). No window, no join, no Python."""
+    m = 1 << map_bits
+    # pad to length m so every probe index is in range; +inf sentinel
+    # entries never satisfy "<= v" for finite v
+    padded = list(boundaries) + [math.inf] * (m - len(boundaries))
+    arr = F.lit(padded)
+    v = col.cast("double")
+    steps = F.lit([1 << s for s in range(map_bits - 1, -1, -1)])
+    idx = F.aggregate(
+        steps,
+        F.lit(0).cast("bigint"),
+        lambda acc, step: F.when(
+            F.element_at(arr, (acc + step).cast("int")) <= v, acc + step
+        ).otherwise(acc),
+    )
+    return F.least(idx, F.lit(m - 1)).cast("bigint")
+
+
 def zorder_key(
-    df: DataFrame, cols: list[str], bits: int = 16, out_col: str = "zval"
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    out_col: str = "zval",
+    quantizer: str = "approx",
+    map_bits: int = 12,
+    sketch_k: int = 200,
 ) -> DataFrame:
     """Adds a rank-normalized z-order clustering key over ``cols``.
 
-    Each column is mapped to [0, 2^bits) by percent_rank (distribution-
-    free — equal-width quantization collapses under skew), then Morton-
-    interleaved. The window runs per column with no partition key; at
-    cluster scale substitute a sampled-quantile map (approxQuantile) for
-    the exact rank — the interleave itself is unchanged.
+    Each column is mapped to [0, 2^bits) by rank (distribution-free),
+    then Morton-interleaved. ``quantizer="approx"`` (default) uses
+    per-column KLL sampled-quantile maps + codegen binary search — no
+    global window, scale-safe. ``quantizer="exact"`` uses percent_rank
+    over an unpartitioned window: ANSI-reproducible for oracles, but it
+    serializes the table through one partition — never use it at scale.
     """
-    quantized = []
+    if quantizer not in ("approx", "exact"):
+        raise ValueError("quantizer must be 'approx' or 'exact'")
     tmp = df
-    for i, c in enumerate(cols):
-        w = Window.orderBy(F.col(c))
-        q = F.least(
-            F.floor(F.percent_rank().over(w) * (1 << bits)).cast("bigint"),
-            F.lit((1 << bits) - 1),
-        )
-        tmp = tmp.withColumn(f"__zq{i}", q)
+    if quantizer == "exact":
+        for i, c in enumerate(cols):
+            w = Window.orderBy(F.col(c))
+            q = F.least(
+                F.floor(F.percent_rank().over(w) * (1 << bits)).cast("bigint"),
+                F.lit((1 << bits) - 1),
+            )
+            tmp = tmp.withColumn(f"__zq{i}", q)
+    else:
+        from ..sketch.kll import kll_from_dataframe
+
+        map_bits = min(map_bits, bits)
+        m = 1 << map_bits
+        shift = bits - map_bits
+        for i, c in enumerate(cols):
+            sketch = kll_from_dataframe(df, c, k=sketch_k)
+            bnds = [sketch.quantile(j / m) for j in range(1, m)]
+            q = F.shiftleft(_approx_bucket(F.col(c), bnds, map_bits), shift)
+            tmp = tmp.withColumn(f"__zq{i}", q)
     z = zvalue_fixed([F.col(f"__zq{i}") for i in range(len(cols))], bits)
     return tmp.withColumn(out_col, z).drop(*[f"__zq{i}" for i in range(len(cols))])
 
@@ -72,6 +138,7 @@ def zorder_bucket_stats(
     cols: list[str],
     bits: int = 16,
     bucket_bits: int = 5,
+    quantizer: str = "approx",
 ) -> DataFrame:
     """Locality evidence for a z-order layout: bucket rows by the top
     ``bucket_bits`` of the z-value (= the file a sorted write would put
@@ -80,7 +147,7 @@ def zorder_bucket_stats(
     per-bucket ranges on EVERY column is the z-order win; a plain sort
     gives narrow ranges on the leading column only."""
     total_bits = bits * len(cols)
-    keyed = zorder_key(df, cols, bits)
+    keyed = zorder_key(df, cols, bits, quantizer=quantizer)
     bucket = F.shiftright(F.col("zval"), total_bits - bucket_bits).cast("int")
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:

