@@ -68,6 +68,9 @@ def main() -> None:
     start = time.perf_counter()
     q._winnow_family(spark, sf_dir).count()
     timings["winnow_family_build"] = round(time.perf_counter() - start, 3)
+    start = time.perf_counter()
+    q._substr_family(spark, sf_dir).count()
+    timings["substr_family_build"] = round(time.perf_counter() - start, 3)
     names = (
         [n for n in q.QUERIES if n not in q.BENCH_EXCLUDE]
         if HEADLINE == "ALL"

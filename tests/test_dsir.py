@@ -56,3 +56,47 @@ def test_unknown_hash_fn_raises(spark):
     df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
     with pytest.raises(ValueError, match="hash_fn"):
         hashed_gram_buckets(df, hash_fn="sha1").collect()
+
+
+def test_dsir_resample_top_k_matches_python_reference(spark):
+    """top_k selects exactly the k largest log-weights with doc_id
+    tiebreak — verified against a driver-side sort of the full table."""
+    from spark_skew_join_spark.operators.dsir import dsir_resample
+
+    rows = [(i, float((i * 37) % 100) / 10.0 - 5.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, log_weight double")
+    got = sorted(r["doc_id"] for r in
+                 dsir_resample(df, k=25, method="top_k").collect())
+    want = sorted(d for d, _ in
+                  sorted(rows, key=lambda r: (-r[1], r[0]))[:25])
+    assert got == want
+
+
+def test_dsir_resample_gumbel_deterministic_and_weight_biased(spark):
+    """Gumbel-top-k: (a) the sampled set is identical across runs and
+    partitionings (md5-derived noise, no RNG state); (b) selection is
+    biased toward high weights — the high-weight half must dominate."""
+    from spark_skew_join_spark.operators.dsir import dsir_resample
+
+    # half the docs get log_w = +3, half -3: softmax odds e^6 ≈ 400:1
+    rows = [(i, 3.0 if i % 2 == 0 else -3.0) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, log_weight double")
+    one = sorted(r["doc_id"] for r in
+                 dsir_resample(df, k=100, method="gumbel").collect())
+    two = sorted(r["doc_id"] for r in
+                 dsir_resample(df.repartition(13), k=100,
+                               method="gumbel").collect())
+    assert one == two
+    high = sum(1 for d in one if d % 2 == 0)
+    assert high >= 95, high  # ~99.75% expected from the e^6 odds
+
+    # temperature → 0 approaches hard top-k of the weights
+    cold = {r["doc_id"] for r in
+            dsir_resample(df, k=100, method="gumbel",
+                          temperature=1e-6).collect()}
+    assert all(d % 2 == 0 for d in cold)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="method"):
+        dsir_resample(df, k=5, method="uniform")
