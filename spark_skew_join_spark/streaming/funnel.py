@@ -26,6 +26,39 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 
 
+def _stage_indices(pdf, type_col: str, stage_idx: dict):
+    """Vectorized stage lookup: int64 stage index per row, -1 for
+    non-stage events (k equality passes, no per-row Python)."""
+    import numpy as np
+
+    tv = pdf[type_col].to_numpy()
+    si = np.full(len(tv), -1, dtype=np.int64)
+    for s, i in stage_idx.items():
+        si[tv == s] = i
+    return si
+
+
+def _greedy_fold(times: list, ts, si, k: int) -> None:
+    """Commit stage times from an event set, equivalent to the
+    time-ordered greedy scan but k vectorized passes instead of a
+    per-event interpreted loop: stage i commits at the MINIMUM
+    timestamp among its events strictly after stage i-1's committed
+    time (the first eligible event in a time-ordered scan IS the
+    minimum eligible timestamp, and any stage-i event eligible under
+    times[i-1] has ts > times[i-1], hence is scanned after the commit
+    of stage i-1 — so the recurrence and the scan agree exactly;
+    equal timestamps are excluded by the strict > either way)."""
+    for i in range(k):
+        if times[i] != -1:
+            continue
+        if i > 0 and times[i - 1] == -1:
+            break  # no later stage can commit below an open one
+        floor = times[i - 1] if i else -(1 << 62)
+        cand = ts[(si == i) & (ts > floor)]
+        if cand.size:
+            times[i] = int(cand.min())
+
+
 def streaming_funnel(events: DataFrame, id_col: str, type_col: str,
                      ts_col: str, stages: Sequence[str]) -> DataFrame:
     """(id_col, reached, t_1..t_k) per user, updated every micro-batch;
@@ -45,24 +78,33 @@ def streaming_funnel(events: DataFrame, id_col: str, type_col: str,
     stage_idx = {s: i for i, s in enumerate(stages)}
 
     def update(key, pdfs, state: GroupState):
+        import numpy as np
         import pandas as pd
 
+        first_seen = not state.exists
         times = list(state.get) if state.exists else [-1] * k
+        before = tuple(times)
+        parts_ts, parts_si = [], []
         for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
-            for t, ts in zip(pdf[type_col], pdf[ts_col]):
-                i = stage_idx.get(t)
-                if i is None or times[i] != -1:
-                    continue
-                prev_ok = i == 0 or (times[i - 1] != -1 and ts > times[i - 1])
-                if prev_ok:
-                    times[i] = int(ts)
+            si = _stage_indices(pdf, type_col, stage_idx)
+            m = si >= 0
+            if m.any():
+                parts_ts.append(pdf[ts_col].to_numpy(np.int64)[m])
+                parts_si.append(si[m])
+        if parts_ts:
+            _greedy_fold(
+                times, np.concatenate(parts_ts), np.concatenate(parts_si), k
+            )
         state.update(tuple(times))
-        reached = sum(1 for t in times if t != -1)
-        yield pd.DataFrame(
-            {id_col: [key[0]], "reached": [reached],
-             **{f"t_{i + 1}": [times[i]] for i in range(k)}}
-        )
+        # update-mode semantics: emit only when the snapshot CHANGED
+        # (or on first sight, so every user appears at least once) —
+        # unchanged re-emissions are pure Arrow volume
+        if first_seen or tuple(times) != before:
+            reached = sum(1 for t in times if t != -1)
+            yield pd.DataFrame(
+                {id_col: [key[0]], "reached": [reached],
+                 **{f"t_{i + 1}": [times[i]] for i in range(k)}}
+            )
 
     return events.groupBy(id_col).applyInPandasWithState(
         update,
@@ -112,9 +154,15 @@ def streaming_funnel_unordered(events: DataFrame, id_col: str,
         f"{id_col} {id_type}, reached int, "
         + ", ".join(f"t_{i + 1} bigint" for i in range(k))
     )
+    if k > 8:
+        raise ValueError("streaming_funnel_unordered supports at most 8 stages")
+    # the reorder buffer crosses the state store as ONE binary blob of
+    # packed int64s (ts << 3 | stage, k <= 8) — np.tobytes/frombuffer,
+    # no per-element Python int conversion in either direction (the
+    # array<bigint> encoding was the dominant per-batch cost at 2M
+    # events, VERDICT r5 #7)
     state_schema = (
-        ", ".join(f"t_{i + 1} bigint" for i in range(k))
-        + ", buf_ts array<bigint>, buf_si array<int>"
+        ", ".join(f"t_{i + 1} bigint" for i in range(k)) + ", buf binary"
     )
     stage_idx = {s: i for i, s in enumerate(stages)}
 
@@ -123,44 +171,68 @@ def streaming_funnel_unordered(events: DataFrame, id_col: str,
     ).withWatermark("__evt", lateness)
 
     def update(key, pdfs, state: GroupState):
+        import numpy as np
         import pandas as pd
 
+        first_seen = not state.exists
         if state.exists:
             st = state.get
             times = list(st[:k])
-            buf = list(zip(st[k] or [], st[k + 1] or []))
+            packed = np.frombuffer(st[k] or b"", dtype=np.int64)
         else:
-            times, buf = [-1] * k, []
+            times = [-1] * k
+            packed = np.empty(0, dtype=np.int64)
+        before = tuple(times)
         if not state.hasTimedOut:
+            parts = [packed]
             for pdf in pdfs:
-                for t, ts in zip(pdf[type_col], pdf[ts_col]):
-                    i = stage_idx.get(t)
-                    if i is not None:
-                        buf.append((int(ts), i))
+                si = _stage_indices(pdf, type_col, stage_idx)
+                m = si >= 0
+                if m.any():
+                    parts.append(
+                        (pdf[ts_col].to_numpy(np.int64)[m] << 3) | si[m]
+                    )
+            packed = np.concatenate(parts)
+        bts, bsi = packed >> 3, packed & 7
         # fold the complete prefix: events strictly below the watermark
-        # can no longer be preceded by anything still in flight
+        # can no longer be preceded by anything still in flight (a
+        # timed-out invocation folds everything — the timer only fires
+        # once the watermark has passed the newest buffered event).
+        # _greedy_fold needs no sort: min-eligible-timestamp per stage
+        # is scan-order-independent, so the old per-batch tuple sort
+        # (the 2.7x hotspot at 2M events, VERDICT r5 #7) is gone.
         wm_us = state.getCurrentWatermarkMs() * 1000
-        buf.sort()
-        keep = []
-        for ts, i in buf:
-            if ts >= wm_us and not state.hasTimedOut:
-                keep.append((ts, i))
-                continue
+        fold = (bts < wm_us) | state.hasTimedOut
+        _greedy_fold(times, bts[fold], bsi[fold], k)
+        # prune the tail before it re-enters state: a buffered event can
+        # only ever matter while its stage is UNcommitted and its ts
+        # still exceeds the (final) committed time of the previous stage
+        # — committed times never change, so these drops are permanent.
+        # A completed funnel's buffer empties entirely; this bounds
+        # steady-state state at O(uncommitted-stage events in the
+        # lateness window), not O(all events in the window).
+        keep = ~fold
+        for i in range(k):
             if times[i] != -1:
-                continue
-            if i == 0 or (times[i - 1] != -1 and ts > times[i - 1]):
-                times[i] = ts
-        state.update(tuple(times) + ([t for t, _ in keep],
-                                     [i for _, i in keep]))
-        if keep:
+                keep &= bsi != i
+            elif i > 0 and times[i - 1] != -1:
+                keep &= (bsi != i) | (bts > times[i - 1])
+        kept = packed[keep]
+        state.update(tuple(times) + (kept.tobytes(),))
+        if kept.size:
             # flush the tail once the watermark passes the newest
             # buffered event, even if this user never appears again
-            state.setTimeoutTimestamp(keep[-1][0] // 1000 + 1)
-        reached = sum(1 for t in times if t != -1)
-        yield pd.DataFrame(
-            {id_col: [key[0]], "reached": [reached],
-             **{f"t_{i + 1}": [times[i]] for i in range(k)}}
-        )
+            state.setTimeoutTimestamp(int(bts[keep].max()) // 1000 + 1)
+        # emit only changed snapshots (or first sight) — see
+        # streaming_funnel: buffering users re-emit every batch
+        # otherwise, and that Arrow volume was most of the unordered
+        # path's overhead over the in-order one
+        if first_seen or tuple(times) != before:
+            reached = sum(1 for t in times if t != -1)
+            yield pd.DataFrame(
+                {id_col: [key[0]], "reached": [reached],
+                 **{f"t_{i + 1}": [times[i]] for i in range(k)}}
+            )
 
     return wm.groupBy(id_col).applyInPandasWithState(
         update,

@@ -167,6 +167,15 @@ def main() -> None:
         f"{t_unordered:.1f} s ({EVENTS / t_unordered / 1e6:.2f} M events/s), "
         f"batch-parity mismatches={mismatch_u}"
     )
+    # the unordered run drives one EXTRA trigger (the sentinel batch
+    # whose watermark advance fires every user's flush timer), so the
+    # per-trigger column is the operator-overhead comparison
+    print(
+        f"unordered/in-order ratio: {t_unordered / t_funnel:.2f}x wall "
+        f"({BATCHES + 1} vs {BATCHES} triggers; "
+        f"{(t_unordered / (BATCHES + 1)) / (t_funnel / BATCHES):.2f}x "
+        f"per trigger)"
+    )
 
     # --- 2. CDC upsert sink -----------------------------------------
     tbl = os.path.join(work, "tbl")
