@@ -5023,67 +5023,15 @@ FROM orders GROUP BY 1
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # round 5: registry ROTATED again (VERDICT r4 #1) — the driver
-    # correctness-checks the FIRST 50 entries only. Head = the 16 r4
-    # queries that had only selfcheck coverage (old positions 51-66),
-    # then the round-5 additions, then filler from the r4-certified set
-    # up to position 50. Everything below position 50 has at least one
-    # driver-certified row from a prior round (r3 or r4).
-    "rolling_avg_events": rolling_avg_events,
-    "corr_stats_lineitem": corr_stats_lineitem,
-    "window_funcs_orders": window_funcs_orders,
-    "outlier_stats_lineitem": outlier_stats_lineitem,
-    "quantize_embeddings_stats": quantize_embeddings_stats,
-    "pipeline_pretrain_prep": pipeline_pretrain_prep,
-    "setops_all_variants": setops_all_variants,
-    "temporal_join_events": temporal_join_events,
-    "q3_via_skew_join": q3_via_skew_join,
-    "delete_propagation_stats": delete_propagation_stats,
-    "bottomk_quantiles_orders": bottomk_quantiles_orders,
-    "null_aware_anti_join": null_aware_anti_join,
-    "histogram_prices": histogram_prices,
-    "hll_distinct_stats": hll_distinct_stats,
-    "dedup_containment_docs": dedup_containment_docs,
-    "near_dup_leakage_sources": near_dup_leakage_sources,
-    # --- round-5 additions (must stay inside the first-50 window in
-    # their debut round; driver certifies them in CORRECTNESS_r05) ---
-    "dedup_exact_substr": dedup_exact_substr,
-    "substr_dedup_clean_docs": substr_dedup_clean_docs,
-    "semdedup_embeddings": semdedup_embeddings,
-    "kll_quantiles_orders": kll_quantiles_orders,
-    "temperature_mix_sources": temperature_mix_sources,
-    "sequence_packing_docs": sequence_packing_docs,
-    "hll_union_sources": hll_union_sources,
-    "incremental_exact_dedup_docs": incremental_exact_dedup_docs,
-    "incremental_minhash_docs": incremental_minhash_docs,
-    "incremental_compaction_docs": incremental_compaction_docs,
-    "dsir_importance_docs": dsir_importance_docs,
+    # round 6: registry ROTATED (VERDICT r5 #1) — the driver
+    # correctness-checks the FIRST 50 entries only. This window holds
+    # ONLY previously-driver-unsampled entries: the 2 round-6 additions
+    # (debut round) + 48 of the 78 entries positions 51-128 held in r5
+    # (r3/r4-certified, no r5 driver row). The 30 unsampled leftovers
+    # head the post-window region and rotate in next round; everything
+    # r5-certified follows them.
     "dsir_resample_docs": dsir_resample_docs,
-    "pipeline_train_mix": pipeline_train_mix,
-    "kll_quantiles_by_priority": kll_quantiles_by_priority,
-    # --- filler to position 50: r4-driver-certified entries ---
-    "multimodal_features": multimodal_features,
-    "train_test_split_stats": train_test_split_stats,
-    "tumbling_window_events": tumbling_window_events,
-    "sliding_window_events": sliding_window_events,
-    "session_windows_events": session_windows_events,
-    "asof_purchase_attribution": asof_purchase_attribution,
-    "range_join_price_bands": range_join_price_bands,
-    "pivot_linestatus": pivot_linestatus,
-    "unpivot_metrics": unpivot_metrics,
-    "q2_min_cost_supplier": q2_min_cost_supplier,
-    "q7_volume_shipping": q7_volume_shipping,
-    "q8_market_share": q8_market_share,
-    "q9_product_profit": q9_product_profit,
-    "q10_returned_items": q10_returned_items,
-    "q11_important_parts": q11_important_parts,
-    "q13_order_count_distribution": q13_order_count_distribution,
-    "q15_top_supplier": q15_top_supplier,
-    "q16_supplier_part_counts": q16_supplier_part_counts,
-    "q17_small_qty_revenue": q17_small_qty_revenue,
-    "q18_large_volume_customers": q18_large_volume_customers,
-    "q20_part_promotion_suppliers": q20_part_promotion_suppliers,
-    "q21_waiting_suppliers": q21_waiting_suppliers,
+    "incremental_compaction_docs": incremental_compaction_docs,
     "q22_inactive_customers": q22_inactive_customers,
     "ann_ivf_topk": ann_ivf_topk,
     "bpe_token_stats": bpe_token_stats,
@@ -5096,8 +5044,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quota_sample_sources": quota_sample_sources,
     "tfidf_top_terms": tfidf_top_terms,
     "embedding_centroids": embedding_centroids,
-    # r4 additions, driver-certified in CORRECTNESS_r04 (some now sit
-    # past position 50 after the r5 rotation — all have driver rows)
     "doc_fingerprint_winnow": doc_fingerprint_winnow,
     "winnow_overlap_pairs": winnow_overlap_pairs_docs,
     "repetition_signals": repetition_signals_docs,
@@ -5114,9 +5060,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_nations": pagerank_nations,
     "ivm_refresh_orders": ivm_refresh_orders,
     "dq_audit_orders": dq_audit_orders,
-    # ^ everything below this line is OUTSIDE the driver's first-50 check
-    # window this round but driver-certified in a prior round (r3/r4).
-    # --- previously driver-green (CORRECTNESS_r03 47 EXACT + 3 no-oracle) ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -5137,6 +5080,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_stats": approx_stats,
     "skew_agg_distinct": skew_agg_distinct,
     "skew_agg_salted_mean": skew_agg_salted_mean,
+    # ^ end of the driver's first-50 check window.
+    # --- unsampled leftovers: FIRST in line for the r7 window ---
     "grouping_sets_li": grouping_sets_li,
     "json_props_events": json_props_events,
     "vector_stats": vector_stats,
@@ -5167,6 +5112,57 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup_lsh": embedding_near_dup_lsh_pairs,
     "token_frequencies": token_frequencies,
     "multimodal_binary_meta": multimodal_binary_meta,
+    # --- driver-certified in CORRECTNESS_r05 (46 EXACT + 4 no-oracle) ---
+    "rolling_avg_events": rolling_avg_events,
+    "corr_stats_lineitem": corr_stats_lineitem,
+    "window_funcs_orders": window_funcs_orders,
+    "outlier_stats_lineitem": outlier_stats_lineitem,
+    "quantize_embeddings_stats": quantize_embeddings_stats,
+    "pipeline_pretrain_prep": pipeline_pretrain_prep,
+    "setops_all_variants": setops_all_variants,
+    "temporal_join_events": temporal_join_events,
+    "q3_via_skew_join": q3_via_skew_join,
+    "delete_propagation_stats": delete_propagation_stats,
+    "bottomk_quantiles_orders": bottomk_quantiles_orders,
+    "null_aware_anti_join": null_aware_anti_join,
+    "histogram_prices": histogram_prices,
+    "hll_distinct_stats": hll_distinct_stats,
+    "dedup_containment_docs": dedup_containment_docs,
+    "near_dup_leakage_sources": near_dup_leakage_sources,
+    "dedup_exact_substr": dedup_exact_substr,
+    "substr_dedup_clean_docs": substr_dedup_clean_docs,
+    "semdedup_embeddings": semdedup_embeddings,
+    "kll_quantiles_orders": kll_quantiles_orders,
+    "temperature_mix_sources": temperature_mix_sources,
+    "sequence_packing_docs": sequence_packing_docs,
+    "hll_union_sources": hll_union_sources,
+    "incremental_exact_dedup_docs": incremental_exact_dedup_docs,
+    "incremental_minhash_docs": incremental_minhash_docs,
+    "dsir_importance_docs": dsir_importance_docs,
+    "pipeline_train_mix": pipeline_train_mix,
+    "kll_quantiles_by_priority": kll_quantiles_by_priority,
+    "multimodal_features": multimodal_features,
+    "train_test_split_stats": train_test_split_stats,
+    "tumbling_window_events": tumbling_window_events,
+    "sliding_window_events": sliding_window_events,
+    "session_windows_events": session_windows_events,
+    "asof_purchase_attribution": asof_purchase_attribution,
+    "range_join_price_bands": range_join_price_bands,
+    "pivot_linestatus": pivot_linestatus,
+    "unpivot_metrics": unpivot_metrics,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
+    "q10_returned_items": q10_returned_items,
+    "q11_important_parts": q11_important_parts,
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q17_small_qty_revenue": q17_small_qty_revenue,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "q20_part_promotion_suppliers": q20_part_promotion_suppliers,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
 }
 
 ORACLES: dict[str, str] = {
