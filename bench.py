@@ -70,6 +70,7 @@ def main() -> None:
     timings["winnow_family_build"] = round(time.perf_counter() - start, 3)
     start = time.perf_counter()
     q._substr_family(spark, sf_dir).count()
+    q._substr_clean_family(spark, sf_dir).count()
     timings["substr_family_build"] = round(time.perf_counter() - start, 3)
     names = (
         [n for n in q.QUERIES if n not in q.BENCH_EXCLUDE]
