@@ -72,6 +72,9 @@ def main() -> None:
     q._substr_family(spark, sf_dir).count()
     q._substr_clean_family(spark, sf_dir).count()
     timings["substr_family_build"] = round(time.perf_counter() - start, 3)
+    start = time.perf_counter()
+    q._dsir_family(spark, sf_dir).count()
+    timings["dsir_family_build"] = round(time.perf_counter() - start, 3)
     names = (
         [n for n in q.QUERIES if n not in q.BENCH_EXCLUDE]
         if HEADLINE == "ALL"

@@ -1,0 +1,88 @@
+"""BM25 full-text retrieval over a document corpus.
+
+A training-data engine needs lexical retrieval alongside embedding ANN
+(operators/similarity.py): targeted corpus audits ("show me the
+documents about X"), hard-negative mining for retrievers, and
+quality-slicing by topic all start with a BM25 top-k.  This is the
+Robertson/Okapi BM25 in its Lucene form, expressed entirely in
+relational algebra — no index structure, no Python:
+
+    idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score(d, q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+
+Scale design (100 TB corpus, q query terms):
+- tokenize → posexplode → **filter to the q query terms BEFORE any
+  aggregation** — only matching postings ever shuffle, everything else
+  dies at the scan projection;
+- doc lengths aggregate from the same single scan (map-side combined);
+- N / avgdl are one-row aggregates crossJoin-broadcast (plan-asserted
+  BroadcastNestedLoopJoin over 1 row — the registry's scalar idiom);
+- per-term df is a q-row aggregate, broadcast-joined back to postings;
+- final top-k is orderBy+limit → TakeOrderedAndProject (per-partition
+  heap + k-row driver merge, never a global sort).
+
+The whole plan is a DuckDB-replayable SQL expression — the registry
+query pins it EXACT against the same arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 20,
+              k1: float = 1.2, b: float = 0.75, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Top-``k`` documents by BM25 score for a bag of ``query_terms``.
+
+    Returns (id_col, dl, matched, score): document token length, the
+    number of distinct query terms present, and the BM25 score (ties
+    broken by ascending id for engine-reproducible output).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    # doc length + corpus scalars from one scan shape
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    corpus = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    # postings: query terms only — the selectivity lever at scale
+    tf = (
+        toks.where(F.col("term").isin(query_terms))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (
+        F.col("tf") * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(df_t), on="term")
+        .join(dl, on=id_col)
+        .crossJoin(F.broadcast(corpus))
+        .groupBy(id_col, "dl")
+        .agg(
+            F.count("*").alias("matched"),
+            F.sum(idf * tf_norm).alias("__score"),
+        )
+        .select(
+            id_col,
+            F.col("dl").cast("int").alias("dl"),
+            F.col("matched").cast("int").alias("matched"),
+            F.round("__score", 6).alias("score"),
+        )
+        # order by the ROUNDED score: the oracle rounds identically, so
+        # the top-k cut can never straddle a sub-1e-6 float divergence
+        .orderBy(F.desc("score"), id_col)
+        .limit(k)
+    )

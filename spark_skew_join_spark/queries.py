@@ -715,6 +715,29 @@ def _substr_clean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cleaned
 
 
+# DSIR weights over the RAW corpus (target = src0, md5 bucketing) feed
+# both dsir_importance_docs and dsir_resample_docs — identical ~4 s gram
+# aggregations. Same family idiom; the capstone's weights are over the
+# span-CLEANED text and stay separate.
+_DSIR_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _dsir_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted importance_weights(documents, target=src0, md5)."""
+    from .operators.dsir import importance_weights
+
+    key = (id(spark.sparkContext), sf_dir)
+    hit = _DSIR_CACHE.get(key)
+    if hit is not None:
+        return hit
+    docs = load_tables(spark, sf_dir)["documents"]
+    weights = importance_weights(
+        docs, docs.where(F.col("source") == "src0"), hash_fn="md5"
+    ).persist()
+    _DSIR_CACHE[key] = weights
+    return weights
+
+
 def clear_dedup_cache() -> None:
     """Unpersist the shared dedup-family DataFrames AND the operator-level
     LSH band caches (idempotent)."""
@@ -745,6 +768,12 @@ def clear_dedup_cache() -> None:
         except Exception:
             pass
     _SUBSTR_CLEAN_CACHE.clear()
+    for weights in _DSIR_CACHE.values():
+        try:
+            weights.unpersist()
+        except Exception:
+            pass
+    _DSIR_CACHE.clear()
     clear_band_cache()
 
 
@@ -1272,14 +1301,9 @@ def dsir_importance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "md5" so the bucketing is bit-equal in the SQL oracle (xxhash64 is
     the scale path); the weight is rounded to 6 decimals — double
     summation order differs between engines at ~1e-13 relative, far
-    below the rounding quantum."""
-    from .operators.dsir import importance_weights
-
-    t = load_tables(spark, sf_dir)
-    docs = t["documents"]
-    out = importance_weights(
-        docs, docs.where(F.col("source") == "src0"), hash_fn="md5"
-    )
+    below the rounding quantum. Reads the shared weights table
+    (_dsir_family)."""
+    out = _dsir_family(spark, sf_dir)
     return out.select(
         "doc_id", "n_grams",
         F.round("log_weight", 6).alias("log_weight"),
@@ -1337,15 +1361,11 @@ def dsir_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically from md5(doc_id) so the sampled SET is
     engine-reproducible — the oracle replays weight computation AND
     the perturbed top-k bit-for-bit. The top_k (hard-selection)
-    variant is pinned against a Python reference in tests/test_dsir.py."""
-    from .operators.dsir import dsir_resample, importance_weights
+    variant is pinned against a Python reference in tests/test_dsir.py.
+    Reads the shared weights table (_dsir_family)."""
+    from .operators.dsir import dsir_resample
 
-    t = load_tables(spark, sf_dir)
-    docs = t["documents"]
-    weights = importance_weights(
-        docs, docs.where(F.col("source") == "src0"), hash_fn="md5"
-    )
-    sel = dsir_resample(weights, k=200, method="gumbel")
+    sel = dsir_resample(_dsir_family(spark, sf_dir), k=200, method="gumbel")
     return sel.select(
         "doc_id", "n_grams", F.round("log_weight", 6).alias("log_weight")
     )
@@ -5052,6 +5072,180 @@ FROM orders GROUP BY 1
 # registry
 # --------------------------------------------------------------------------
 
+# --- round 6: retrieval + membership-sketch + quality-verdict queries ----
+
+
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (operators/retrieval.py::bm25_topk):
+    top-25 documents for a 4-term query, Lucene-form idf and length
+    normalization, expressed fully relationally — postings are filtered
+    to the query terms BEFORE any aggregation, corpus scalars are 1-row
+    broadcasts, and the cut is TakeOrderedAndProject on the ROUNDED
+    score so the oracle's top-k boundary is bit-identical."""
+    from .operators.retrieval import bm25_topk
+
+    t = load_tables(spark, sf_dir)
+    return bm25_topk(
+        t["documents"], ["spark", "join", "window", "vector"], k=25
+    )
+
+
+BM25_SQL = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+corpus AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+  WHERE term IN ('spark', 'join', 'window', 'vector') GROUP BY 1, 2
+),
+dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT t.doc_id, d.dl,
+         LN(1 + (c.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * (t.tf * (1.2 + 1.0))
+           / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / c.avgdl)) AS s
+  FROM tf t JOIN dft f USING (term) JOIN dl d USING (doc_id)
+  CROSS JOIN corpus c
+)
+SELECT doc_id, CAST(dl AS INT) AS dl, CAST(COUNT(*) AS INT) AS matched,
+       ROUND(SUM(s), 6) AS score
+FROM scored GROUP BY doc_id, dl
+ORDER BY ROUND(SUM(s), 6) DESC, doc_id LIMIT 25
+"""
+
+
+def bloom_membership_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership summary (sketch/bloom.py): build a
+    128 KiB filter over orders.o_custkey (two per-half builds merged —
+    certifying bitwise-OR mergeability against the one-shot build),
+    probe every customer key through the broadcast prefilter, and
+    cross-check against the exact semi-join truth.  In-query gates
+    (the sketch contract, same posture as the HLL/KLL queries):
+    zero false negatives, merge ≡ one-shot bit-for-bit, observed fp
+    rate within 2× the (1-e^(-kn/m))^k envelope + 1e-3.  Eager
+    (sketch builds collect at construction) → EAGER_QUERIES."""
+    from .sketch.bloom import bloom_from_dataframe, bloom_prefilter
+
+    t = load_tables(spark, sf_dir)
+    orders, customer = t["orders"], t["customer"]
+    halves = [
+        bloom_from_dataframe(
+            orders.where(F.pmod("o_orderkey", F.lit(2)) == i), ["o_custkey"]
+        )
+        for i in (0, 1)
+    ]
+    merged = halves[0].merge(halves[1])
+    oneshot = bloom_from_dataframe(orders, ["o_custkey"])
+    union_exact = bool((merged.bits == oneshot.bits).all())
+    assert union_exact, "bloom merge diverged from one-shot build"
+
+    n_customers = customer.count()
+    truth = customer.join(orders, customer.c_custkey == orders.o_custkey,
+                          "left_semi")
+    n_true = truth.count()
+    claimed = bloom_prefilter(customer, merged, ["c_custkey"], keep="member")
+    n_claimed = claimed.count()
+    n_false_neg = truth.join(
+        claimed.select("c_custkey"), on="c_custkey", how="left_anti"
+    ).count()
+    assert n_false_neg == 0, f"bloom false negatives: {n_false_neg}"
+    n_keys = orders.select("o_custkey").distinct().count()
+    bound = merged.fp_bound(n_keys)
+    fp_rate = (
+        (n_claimed - n_true) / (n_customers - n_true)
+        if n_customers > n_true else 0.0
+    )
+    assert fp_rate <= 2.0 * bound + 1e-3, (fp_rate, bound)
+    return spark.createDataFrame(
+        [(n_customers, n_true, n_claimed, n_false_neg,
+          round(fp_rate, 6), round(bound, 6), union_exact)],
+        "n_customers bigint, n_with_orders bigint, n_claimed bigint, "
+        "n_false_neg bigint, fp_rate double, fp_bound double, "
+        "merge_exact boolean",
+    )
+
+
+def gopher_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule-set verdict (operators/quality.py::
+    gopher_quality_signals, Rae et al. 2021 §A1.1): per-doc word count,
+    mean word length, symbol:word ratio, top-unigram/bigram fractions,
+    and the combined passes_quality flag — every signal an int/int
+    division in double, hash-exact against the SQL oracle."""
+    from .operators.quality import gopher_quality_signals
+
+    t = load_tables(spark, sf_dir)
+    out = gopher_quality_signals(t["documents"])
+    return out.select(
+        "doc_id", "n_tokens",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("symbol_word_ratio", 6).alias("symbol_word_ratio"),
+        F.round("top_unigram_frac", 6).alias("top_unigram_frac"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+        "passes_quality",
+    )
+
+
+GOPHER_QUALITY_SQL = """
+WITH base AS (
+  SELECT doc_id, text,
+         CASE WHEN LENGTH(text) = 0 THEN 0
+              ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+         END AS n_tokens,
+         LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g'))
+           AS n_punct
+  FROM documents
+),
+scalars AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_tokens = 0 THEN 0.0
+              ELSE (LENGTH(text) - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE)
+         END AS mean_word_len,
+         CASE WHEN n_tokens = 0 THEN 0.0
+              ELSE n_punct / CAST(n_tokens AS DOUBLE)
+         END AS symbol_word_ratio
+  FROM base
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+g1 AS (
+  SELECT doc_id, tk[CAST(i + 1 AS INT)] AS ng
+  FROM toks, UNNEST(range(0, len(tk))) AS u(i)
+),
+uni AS (
+  SELECT doc_id, MAX(c) / CAST(SUM(c) AS DOUBLE) AS top_unigram_frac
+  FROM (SELECT doc_id, ng, COUNT(*) AS c FROM g1 GROUP BY 1, 2)
+  GROUP BY doc_id
+),
+g2 AS (
+  SELECT doc_id,
+         tk[CAST(i + 1 AS INT)] || ' ' || tk[CAST(i + 2 AS INT)] AS ng
+  FROM toks, UNNEST(range(0, len(tk) - 1)) AS u(i)
+  WHERE len(tk) >= 2
+),
+bi AS (
+  SELECT doc_id, MAX(c) / CAST(SUM(c) AS DOUBLE) AS top_bigram_frac
+  FROM (SELECT doc_id, ng, COUNT(*) AS c FROM g2 GROUP BY 1, 2)
+  GROUP BY doc_id
+)
+SELECT s.doc_id, CAST(s.n_tokens AS INT) AS n_tokens,
+       ROUND(s.mean_word_len, 6) AS mean_word_len,
+       ROUND(s.symbol_word_ratio, 6) AS symbol_word_ratio,
+       ROUND(COALESCE(u.top_unigram_frac, 0.0), 6) AS top_unigram_frac,
+       ROUND(COALESCE(b.top_bigram_frac, 0.0), 6) AS top_bigram_frac,
+       (s.n_tokens BETWEEN 10 AND 1000)
+         AND (s.mean_word_len BETWEEN 2.0 AND 12.0)
+         AND (s.symbol_word_ratio <= 0.3)
+         AND (COALESCE(u.top_unigram_frac, 0.0) <= 0.25)
+         AND (COALESCE(b.top_bigram_frac, 0.0) <= 0.18) AS passes_quality
+FROM scalars s
+LEFT JOIN uni u ON u.doc_id = s.doc_id
+LEFT JOIN bi b ON b.doc_id = s.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round 6: registry ROTATED (VERDICT r5 #1) — the driver
     # correctness-checks the FIRST 50 entries only. This window holds
@@ -5060,6 +5254,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (r3/r4-certified, no r5 driver row). The 30 unsampled leftovers
     # head the post-window region and rotate in next round; everything
     # r5-certified follows them.
+    "bm25_topk_docs": bm25_topk_docs,
+    "bloom_membership_orders": bloom_membership_orders,
+    "gopher_quality_docs": gopher_quality_docs,
     "dsir_resample_docs": dsir_resample_docs,
     "incremental_compaction_docs": incremental_compaction_docs,
     "q22_inactive_customers": q22_inactive_customers,
@@ -5196,6 +5393,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "bm25_topk_docs": BM25_SQL,
+    "gopher_quality_docs": GOPHER_QUALITY_SQL,
+    # bloom_membership_orders: rows-only by nature (bit patterns depend
+    # on xxhash64 seeds) — gated in-query: 0 false negatives, merge ≡
+    # one-shot bit-for-bit, fp rate within 2× the analytic envelope
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_local_supplier_volume": Q5_SQL,
@@ -5332,6 +5534,7 @@ ORACLES: dict[str, str] = {
 # construction+execution so the reported number includes the eager work.
 # Any new iterative/pre-pass query must be added here (ADVICE r2 #1).
 EAGER_QUERIES = (
+    "bloom_membership_orders",
     "skew_join_lineitem_supplier",
     "kll_quantiles_orders",
     "hll_union_sources",
@@ -5371,6 +5574,7 @@ SCALAR_BNL_OK = (
     "q22_inactive_customers",
     "heavy_hitter_suppliers",
     "tfidf_top_terms",  # 1-row n_docs count broadcast for the IDF term
+    "bm25_topk_docs",  # 1-row (n_docs, avgdl) corpus-scalar broadcast
     "unigram_lm_quality",  # 1-row total-token-count broadcast for ln(total)
     "pagerank_nations",  # 1-row vertex-count broadcast per iteration (1/N term)
     "dq_audit_orders",  # 1-row metric frames combined by scalar cross-join

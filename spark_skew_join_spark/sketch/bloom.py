@@ -1,0 +1,188 @@
+"""Mergeable Bloom filter (numpy bit array, Kirsch-Mitzenmacher hashing).
+
+Third member of the sketch family (cms.py frequencies, hll.py distinct
+counts): the Bloom filter answers the MEMBERSHIP question a 100 TB
+pipeline asks constantly — "was this URL / doc hash / customer key seen
+before?" — with a fixed-size, associatively mergeable bit array and a
+one-sided error guarantee (no false negatives, bounded false-positive
+rate).  Classic use at scale: seen-URL dedup across crawl shards, and
+shipping a compact membership summary of one table to prefilter another
+without shuffling either.
+
+Hashing: Spark's JVM ``xxhash64`` with two seeds runs codegen-side; the
+k probe positions derive as h1 + i*h2 (Kirsch & Mitzenmacher 2006 —
+two independent hashes simulate k with no detectable loss), so Python
+only ever sees two 8-byte hashes per row, never the keys.
+
+Spark integration mirrors hll_from_dataframe: column-pruned scan → JVM
+hashes → Arrow batches → numpy per-partition bit arrays → one combine
+stage → driver fold.  Union of Bloom filters over the same (m, k,
+seeds) is bitwise OR — exactly associative, so bloom(A ∪ B) ≡
+bloom(A) | bloom(B) bit-for-bit (pinned in tests/test_bloom.py).
+
+False-positive envelope for n inserted keys: fp ≈ (1 - e^(-k·n/m))^k;
+``fp_bound`` below returns it so callers can gate observed rates.
+"""
+
+from __future__ import annotations
+
+import math
+import pickle
+
+import numpy as np
+
+_SEED1 = 0x51ED_CAFE
+_SEED2 = 0x0B10_0A17
+
+
+class BloomFilter:
+    """Bit-array Bloom filter with ``m_bits`` bits and ``k`` probes.
+
+    Default m=1<<20 (128 KiB), k=7: ~1e-4 fp at 50k keys, ~0.8% at
+    500k — sized for per-shard summaries that merge upward.
+    """
+
+    def __init__(self, m_bits: int = 1 << 20, k: int = 7):
+        if m_bits <= 0 or m_bits % 64:
+            raise ValueError("m_bits must be a positive multiple of 64")
+        if not 1 <= k <= 16:
+            raise ValueError("k must be in [1, 16]")
+        self.m = m_bits
+        self.k = k
+        self.bits = np.zeros(m_bits // 64, dtype=np.uint64)
+
+    # -- building ------------------------------------------------------
+    def _positions(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """(n, k) probe positions from the two xxhash64 columns."""
+        a = h1.astype(np.int64).view(np.uint64)[:, None]
+        b = h2.astype(np.int64).view(np.uint64)[:, None]
+        i = np.arange(self.k, dtype=np.uint64)[None, :]
+        return ((a + i * b) % np.uint64(self.m)).astype(np.uint64)
+
+    def add_hashed(self, h1: np.ndarray, h2: np.ndarray) -> None:
+        pos = self._positions(h1, h2).ravel()
+        np.bitwise_or.at(
+            self.bits, (pos >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (pos & np.uint64(63)),
+        )
+
+    def contains_hashed(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """Vectorized membership test → bool array (no false negatives)."""
+        pos = self._positions(h1, h2)
+        word = self.bits[(pos >> np.uint64(6)).astype(np.int64)]
+        hit = (word >> (pos & np.uint64(63))) & np.uint64(1)
+        return hit.all(axis=1)
+
+    # -- merging -------------------------------------------------------
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        if (self.m, self.k) != (other.m, other.k):
+            raise ValueError("cannot merge Bloom filters with different m/k")
+        out = BloomFilter(self.m, self.k)
+        out.bits = self.bits | other.bits
+        return out
+
+    def fill_ratio(self) -> float:
+        set_bits = int(np.unpackbits(self.bits.view(np.uint8)).sum())
+        return set_bits / self.m
+
+    def fp_bound(self, n_keys: int) -> float:
+        """(1 - e^(-kn/m))^k — the standard fp envelope at n keys."""
+        return (1.0 - math.exp(-self.k * n_keys / self.m)) ** self.k
+
+    def __reduce__(self):
+        return (_rebuild_bloom, (self.m, self.k, self.bits))
+
+
+def _rebuild_bloom(m, k, bits):
+    b = BloomFilter(m, k)
+    b.bits = bits
+    return b
+
+
+def _hashed(df, key_cols: list[str]):
+    """NULL-tuple-filtered (h1, h2) projection — keys never reach Python."""
+    from pyspark.sql import functions as F
+
+    from .cms import spark_key_expr
+
+    filtered = df
+    for c in key_cols:
+        filtered = filtered.where(F.col(c).isNotNull())
+    key = spark_key_expr(key_cols)
+    return filtered.select(
+        F.xxhash64(key, F.lit(_SEED1)).alias("h1"),
+        F.xxhash64(key, F.lit(_SEED2)).alias("h2"),
+    )
+
+
+def bloom_from_dataframe(df, key_cols: list[str], m_bits: int = 1 << 20,
+                         k: int = 7, combine_partitions: int = 8
+                         ) -> BloomFilter:
+    """Distributed Bloom build over the tuple of ``key_cols`` (NULL
+    tuples skipped).  Same two-level mapInPandas shape as
+    hll_from_dataframe: per-partition bit arrays, one hash-partitioned
+    combine stage, bounded driver fold."""
+
+    def build(batches):
+        import pandas as pd
+
+        local = BloomFilter(m_bits, k)
+        for pdf in batches:
+            local.add_hashed(pdf["h1"].to_numpy(), pdf["h2"].to_numpy())
+        yield pd.DataFrame({"sketch": [pickle.dumps(local)]})
+
+    def combine(batches):
+        import pandas as pd
+
+        acc = BloomFilter(m_bits, k)
+        for pdf in batches:
+            for blob in pdf["sketch"]:
+                acc = acc.merge(pickle.loads(blob))
+        yield pd.DataFrame({"sketch": [pickle.dumps(acc)]})
+
+    level1 = _hashed(df, key_cols).mapInPandas(build, "sketch binary")
+    level2 = level1.repartition(combine_partitions).mapInPandas(
+        combine, "sketch binary"
+    )
+    out = BloomFilter(m_bits, k)
+    for row in level2.collect():
+        out = out.merge(pickle.loads(row["sketch"]))
+    return out
+
+
+def bloom_prefilter(df, bloom: BloomFilter, key_cols: list[str],
+                    keep: str = "member"):
+    """Filter ``df`` by broadcast Bloom membership of ``key_cols``.
+
+    keep="member" retains probable members (may keep false positives —
+    downstream must re-verify exactly); keep="non_member" retains
+    definite non-members (EXACT: the no-false-negative guarantee means
+    a key the filter rejects was never inserted — the safe side for
+    "drop already-seen" dedup).  The filter broadcasts once (m/8 bytes);
+    rows never shuffle.
+    """
+    if keep not in ("member", "non_member"):
+        raise ValueError("keep must be member|non_member")
+    from pyspark.sql import functions as F
+
+    from .cms import spark_key_expr
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(pickle.dumps(bloom))
+    key = spark_key_expr(key_cols)
+    with_h = df.withColumns({
+        "__bl_h1": F.xxhash64(key, F.lit(_SEED1)),
+        "__bl_h2": F.xxhash64(key, F.lit(_SEED2)),
+    })
+    schema = with_h.schema
+    want_member = keep == "member"
+
+    def flt(batches):
+        local = pickle.loads(bc.value)
+        for pdf in batches:
+            hit = local.contains_hashed(
+                pdf["__bl_h1"].to_numpy(), pdf["__bl_h2"].to_numpy()
+            )
+            yield pdf[hit if want_member else ~hit]
+
+    return with_h.mapInPandas(flt, schema).drop("__bl_h1", "__bl_h2")

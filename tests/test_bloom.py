@@ -1,0 +1,87 @@
+"""Bloom filter sketch: no false negatives, fp envelope, exact
+mergeability (bitwise OR), and the broadcast prefilter's two sides."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from spark_skew_join_spark.sketch.bloom import (
+    BloomFilter,
+    bloom_from_dataframe,
+    bloom_prefilter,
+)
+
+
+def _hashes(spark, values):
+    """(h1, h2) numpy arrays for ``values`` via the SAME JVM xxhash64
+    path the distributed build uses."""
+    from pyspark.sql import functions as F
+
+    from spark_skew_join_spark.sketch.bloom import _SEED1, _SEED2
+    from spark_skew_join_spark.sketch.cms import spark_key_expr
+
+    df = spark.createDataFrame([(v,) for v in values], "k bigint").select(
+        F.xxhash64(spark_key_expr(["k"]), F.lit(_SEED1)).alias("h1"),
+        F.xxhash64(spark_key_expr(["k"]), F.lit(_SEED2)).alias("h2"),
+    )
+    pdf = df.toPandas()
+    return pdf["h1"].to_numpy(), pdf["h2"].to_numpy()
+
+
+def test_no_false_negatives_and_fp_bound(spark):
+    keys = list(range(20_000))
+    df = spark.createDataFrame([(k,) for k in keys], "k bigint")
+    bloom = bloom_from_dataframe(df, ["k"], m_bits=1 << 18, k=5)
+    h1, h2 = _hashes(spark, keys)
+    assert bloom.contains_hashed(h1, h2).all(), "false negative"
+    # disjoint probe keys: observed fp within 2x the analytic envelope
+    probe = list(range(100_000, 140_000))
+    p1, p2 = _hashes(spark, probe)
+    fp = float(bloom.contains_hashed(p1, p2).mean())
+    assert fp <= 2.0 * bloom.fp_bound(len(keys)) + 1e-3
+
+
+def test_merge_equals_oneshot_bit_for_bit(spark):
+    df = spark.createDataFrame([(k,) for k in range(10_000)], "k bigint")
+    left = bloom_from_dataframe(df.where("k % 2 = 0"), ["k"])
+    right = bloom_from_dataframe(df.where("k % 2 = 1"), ["k"])
+    oneshot = bloom_from_dataframe(df, ["k"])
+    assert (left.merge(right).bits == oneshot.bits).all()
+
+
+def test_merge_param_mismatch_rejected():
+    with pytest.raises(ValueError):
+        BloomFilter(1 << 10, 3).merge(BloomFilter(1 << 12, 3))
+
+
+def test_prefilter_sides(spark):
+    inserted = spark.createDataFrame([(k,) for k in range(5_000)], "k bigint")
+    bloom = bloom_from_dataframe(inserted, ["k"])
+    probe = spark.createDataFrame(
+        [(k,) for k in range(2_500, 9_000)], "k bigint"
+    )
+    member = bloom_prefilter(probe, bloom, ["k"], keep="member")
+    non_member = bloom_prefilter(probe, bloom, ["k"], keep="non_member")
+    member_keys = {r["k"] for r in member.collect()}
+    non_member_keys = {r["k"] for r in non_member.collect()}
+    # partition of the probe set
+    assert member_keys | non_member_keys == set(range(2_500, 9_000))
+    assert not (member_keys & non_member_keys)
+    # one-sided guarantees: every inserted key claimed member; every
+    # claimed non-member genuinely uninserted
+    assert set(range(2_500, 5_000)) <= member_keys
+    assert non_member_keys.isdisjoint(range(2_500, 5_000))
+
+
+def test_positions_match_numpy_reference():
+    """Kirsch-Mitzenmacher probe derivation pinned against a direct
+    uint64 computation (overflow semantics are the subtle part)."""
+    bloom = BloomFilter(1 << 16, 4)
+    h1 = np.array([-5, 123456789, 2**63 - 1], dtype=np.int64)
+    h2 = np.array([7, -987654321, -1], dtype=np.int64)
+    got = bloom._positions(h1, h2)
+    for r, (a, b) in enumerate(zip(h1, h2)):
+        ua, ub = np.uint64(a).item(), np.uint64(b).item()
+        for i in range(4):
+            assert got[r, i] == (ua + i * ub) % (2**64) % bloom.m

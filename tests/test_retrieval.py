@@ -1,0 +1,80 @@
+"""BM25 retrieval pinned against a pure-Python reference."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from spark_skew_join_spark.operators.retrieval import bm25_topk
+
+CORPUS = [
+    (1, "spark join spark window table"),
+    (2, "join join join filter scan"),
+    (3, "window window window window window window window window"),
+    (4, "table scan filter merge batch"),
+    (5, "spark"),
+    (6, "the a the a the a join"),
+]
+
+
+def _reference(query, k1=1.2, b=0.75):
+    docs = {i: t.split(" ") for i, t in CORPUS}
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    scores = {}
+    for term in query:
+        df = sum(1 for t in docs.values() if term in t)
+        if df == 0:
+            continue
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        for i, toks in docs.items():
+            tf = toks.count(term)
+            if tf == 0:
+                continue
+            dl = len(toks)
+            norm = tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+            scores[i] = scores.get(i, 0.0) + idf * norm
+    return scores
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+
+
+def test_scores_match_reference(spark, docs_df):
+    query = ["spark", "join", "window"]
+    got = {r["doc_id"]: r["score"] for r in
+           bm25_topk(docs_df, query, k=10).collect()}
+    want = _reference(query)
+    assert set(got) == set(want)
+    for i, s in want.items():
+        assert got[i] == pytest.approx(s, abs=1e-6)
+
+
+def test_topk_cut_and_order(spark, docs_df):
+    query = ["join"]
+    rows = bm25_topk(docs_df, query, k=2).collect()
+    want = sorted(
+        _reference(query).items(), key=lambda kv: (-round(kv[1], 6), kv[0])
+    )[:2]
+    assert [r["doc_id"] for r in rows] == [i for i, _ in want]
+    # matched counts distinct query terms present, dl the token length
+    assert rows[0]["matched"] == 1
+    assert {r["doc_id"]: r["dl"] for r in rows} == {
+        i: len(dict(CORPUS)[i].split(" ")) for i, _ in want
+    }
+
+
+def test_absent_term_contributes_nothing(spark, docs_df):
+    with_junk = {r["doc_id"]: r["score"] for r in
+                 bm25_topk(docs_df, ["spark", "zzz_absent"], k=10).collect()}
+    alone = {r["doc_id"]: r["score"] for r in
+             bm25_topk(docs_df, ["spark"], k=10).collect()}
+    assert with_junk == alone
+
+
+def test_empty_query_rejected(spark, docs_df):
+    with pytest.raises(ValueError):
+        bm25_topk(docs_df, [])
