@@ -80,7 +80,7 @@ def assign_clusters(
     Python sum of squares performs the same IEEE adds as the SQL
     oracle's list_sum, so the folded norm stays bit-identical."""
     v = F.col(vec_col)
-    vnorm = F.sqrt(dot_fixed(v, v, dim)) if dim else None
+    vnorm = F.sqrt(dot_fixed(vec_col, vec_col, dim)) if dim else None
     if vnorm is None:
         raise ValueError("assign_clusters requires a known dim")
 
@@ -92,7 +92,7 @@ def assign_clusters(
         if nc == 0.0:
             return F.lit(0.0)
         return F.when(vnorm == 0, F.lit(0.0)).otherwise(
-            dot_literal(v, c) / (vnorm * F.lit(nc))
+            dot_literal(vec_col, c) / (vnorm * F.lit(nc))
         )
 
     sims = F.array(*[cent_cos(c) for c in centroids])
@@ -133,7 +133,7 @@ def assign_clusters_join(
             "vec_id",
             "__v",
             "cluster_id",
-            _cos(F.col("__v"), F.col("__c"), dim).alias("__sim"),
+            _cos("__v", "__c", dim).alias("__sim"),
         )
     )
     # carry the vector through the aggregate (it is functionally
@@ -199,11 +199,22 @@ def semdedup(
     # norm leaves only the dim-term dot in the condition.  Same IEEE ops
     # in the same order, so the SQL oracle's values are unchanged.
     if dim:
-        withn = assigned.withColumn("__n", F.sqrt(dot_fixed(F.col("__v"), F.col("__v"), dim)))
+        withn = assigned.withColumn("__n", F.sqrt(dot_fixed("__v", "__v", dim)))
     else:
         from ..functions.vectors import cosine, norm, to_double_array
 
         withn = assigned.withColumn("__n", norm(to_double_array(F.col("__v"))))
+    # the assignment aggregate feeds three consumers (both pair-join
+    # sides + the verdict join); cache it through the session registry
+    # (released by dedup.clear_band_cache) so the broadcast-score +
+    # max_by stage runs once — (id, vec, cluster, norm) rows; memory
+    # persist (MEMORY_AND_DISK spills per-partition), not the table
+    # spill: the fanout join above inflates the plan-size estimate and
+    # "auto" would eagerly write a table costing more than the recompute
+    from .dedup import _session_cache
+
+    withn = _session_cache(withn, mode=True)
+    assigned = withn.drop("__n")
     a = withn.select(
         F.col("vec_id").alias("id_a"), F.col("__v").alias("__va"),
         F.col("__n").alias("__na"), "cluster_id"
@@ -220,7 +231,7 @@ def semdedup(
         F.col("__n").alias("__nb"), "cluster_id"
     )
     if dim:
-        pair_dot = dot_fixed(F.col("__va"), F.col("__vb"), dim)
+        pair_dot = dot_fixed("__va", "__vb", dim)
     else:
         from ..functions.vectors import dot, to_double_array
 

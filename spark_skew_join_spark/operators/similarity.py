@@ -63,7 +63,7 @@ def cosine_topk(
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        _cos(F.col("__qv"), F.col("__cv"), dim).alias("sim"),
+        _cos("__qv", "__cv", dim).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
@@ -201,7 +201,7 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            _cos(F.col("__qv"), F.col("__cv"), dim).alias("sim"),
+            _cos("__qv", "__cv", dim).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
@@ -315,7 +315,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            _cos(F.col("__qv"), F.col("__cv"), dim).alias("sim"),
+            _cos("__qv", "__cv", dim).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
