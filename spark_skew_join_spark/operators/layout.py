@@ -47,7 +47,10 @@ import math
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["zvalue_fixed", "zorder_key", "zorder_bucket_stats"]
+__all__ = [
+    "zvalue_fixed", "zorder_key", "zorder_bucket_stats",
+    "hilbert_fixed", "hilbert_key", "hilbert_bucket_stats",
+]
 
 
 def zvalue_fixed(cols: list[Column], bits: int = 16) -> Column:
@@ -131,6 +134,114 @@ def zorder_key(
             tmp = tmp.withColumn(f"__zq{i}", q)
     z = zvalue_fixed([F.col(f"__zq{i}") for i in range(len(cols))], bits)
     return tmp.withColumn(out_col, z).drop(*[f"__zq{i}" for i in range(len(cols))])
+
+
+def hilbert_fixed(df: DataFrame, x_col: str, y_col: str, bits: int,
+                  out_col: str = "hval") -> DataFrame:
+    """2-D Hilbert-curve index of pre-quantized ints in [0, 2^bits).
+
+    The Hilbert curve dominates Morton for locality (no Z-shape jumps:
+    successive indices are always grid-adjacent, so bucket ranges on
+    both axes are tighter at the same bit budget — the curve behind
+    e.g. Delta Lake's HILBERT clustering option).  Standard iterative
+    xy→d walk (the Wikipedia/Warren formulation), one step per bit from
+    the top: accumulate the quadrant, then reflect+swap the frame when
+    entering a bottom quadrant.
+
+    Each step is materialized as ITS OWN projection over named columns
+    — the naive single-expression form references the running (x, y)
+    2-3× per step and doubles the Catalyst tree per bit.  All integer
+    shift/xor/case codegen, engine-portable: the SQL oracle unrolls the
+    identical steps as chained CTEs.
+    """
+    tmp = df.withColumns({
+        "__px": F.col(x_col).cast("bigint"),
+        "__py": F.col(y_col).cast("bigint"),
+        "__pd": F.lit(0).cast("bigint"),
+    })
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        tmp = tmp.withColumns({
+            "__rx": F.shiftright("__px", i).bitwiseAND(F.lit(1)),
+            "__ry": F.shiftright("__py", i).bitwiseAND(F.lit(1)),
+        })
+        refl_x = F.when(F.col("__rx") == 1, F.lit(s - 1) - F.col("__px")
+                        ).otherwise(F.col("__px"))
+        refl_y = F.when(F.col("__rx") == 1, F.lit(s - 1) - F.col("__py")
+                        ).otherwise(F.col("__py"))
+        tmp = tmp.withColumns({
+            "__pd": F.col("__pd")
+            + F.lit(s) * F.lit(s)
+            * (F.lit(3) * F.col("__rx")).bitwiseXOR(F.col("__ry")),
+            # entering a bottom quadrant (ry=0): reflect if rx=1, then
+            # swap axes; top quadrants keep the frame
+            "__px": F.when(F.col("__ry") == 0, refl_y).otherwise(F.col("__px")),
+            "__py": F.when(F.col("__ry") == 0, refl_x).otherwise(F.col("__py")),
+        })
+    return tmp.withColumn(out_col, F.col("__pd")).drop(
+        "__px", "__py", "__pd", "__rx", "__ry"
+    )
+
+
+def hilbert_key(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    out_col: str = "hval",
+    quantizer: str = "approx",
+    map_bits: int = 12,
+    sketch_k: int = 200,
+) -> DataFrame:
+    """Adds a rank-normalized 2-D Hilbert clustering key over ``cols``
+    — same quantizers and contract as ``zorder_key`` (approx = KLL
+    sampled-quantile map, the scale default; exact = unpartitioned
+    percent_rank, oracle-only), with the Morton interleave replaced by
+    the Hilbert walk."""
+    if len(cols) != 2:
+        raise ValueError("hilbert_key supports exactly 2 columns")
+    if quantizer not in ("approx", "exact"):
+        raise ValueError("quantizer must be 'approx' or 'exact'")
+    tmp = df
+    if quantizer == "exact":
+        for i, c in enumerate(cols):
+            w = Window.orderBy(F.col(c))
+            q = F.least(
+                F.floor(F.percent_rank().over(w) * (1 << bits)).cast("bigint"),
+                F.lit((1 << bits) - 1),
+            )
+            tmp = tmp.withColumn(f"__hq{i}", q)
+    else:
+        from ..sketch.kll import kll_from_dataframe
+
+        map_bits = min(map_bits, bits)
+        m = 1 << map_bits
+        shift = bits - map_bits
+        for i, c in enumerate(cols):
+            sketch = kll_from_dataframe(df, c, k=sketch_k)
+            bnds = [sketch.quantile(j / m) for j in range(1, m)]
+            q = F.shiftleft(_approx_bucket(F.col(c), bnds, map_bits), shift)
+            tmp = tmp.withColumn(f"__hq{i}", q)
+    out = hilbert_fixed(tmp, "__hq0", "__hq1", bits, out_col)
+    return out.drop("__hq0", "__hq1")
+
+
+def hilbert_bucket_stats(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    bucket_bits: int = 5,
+    quantizer: str = "approx",
+) -> DataFrame:
+    """Per-bucket min/max locality statistics for a Hilbert layout —
+    same evidence shape as ``zorder_bucket_stats`` (the d-value range a
+    sorted write would put in one file), comparable side by side."""
+    total_bits = bits * len(cols)
+    keyed = hilbert_key(df, cols, bits, quantizer=quantizer)
+    bucket = F.shiftright(F.col("hval"), total_bits - bucket_bits).cast("int")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return keyed.groupBy(bucket.alias("bucket")).agg(*aggs)
 
 
 def zorder_bucket_stats(

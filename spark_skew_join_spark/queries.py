@@ -3795,6 +3795,66 @@ FROM z GROUP BY 1
 """
 
 
+def hilbert_layout_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering key over (o_custkey, o_totalprice) +
+    per-bucket min/max locality statistics (operators/layout.py::
+    hilbert_bucket_stats) — the locality-optimal sibling of
+    zorder_layout_orders (successive Hilbert indices are always
+    grid-adjacent; Morton's Z-jumps are what it removes). The iterative
+    reflect+swap walk is integer shift/xor/case codegen, unrolled one
+    projection per bit; the oracle replays the identical 16 steps as
+    chained CTEs. quantizer="exact" for the oracle (ANSI percent_rank);
+    production uses the default KLL sampled-quantile map, locality
+    equivalence pinned in tests/test_redact_layout.py."""
+    from .operators.layout import hilbert_bucket_stats
+
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].select("o_custkey", "o_totalprice")
+    return hilbert_bucket_stats(
+        o, ["o_custkey", "o_totalprice"], bits=16, bucket_bits=5,
+        quantizer="exact",
+    )
+
+
+def _hilbert_steps_sql(bits: int) -> str:
+    """The xy→d walk as chained CTEs s{bits-1}..s0 (one per bit),
+    mirroring layout.hilbert_fixed step for step."""
+    ctes = []
+    prev = "h0"
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = f"((x >> {i}) & 1)"
+        ry = f"((y >> {i}) & 1)"
+        ctes.append(
+            f"s{i} AS (SELECT o_custkey, o_totalprice,\n"
+            f"  CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 "
+            f"THEN {s - 1} - y ELSE y END) ELSE x END AS x,\n"
+            f"  CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 "
+            f"THEN {s - 1} - x ELSE x END) ELSE y END AS y,\n"
+            f"  d + {s * s} * xor(3 * {rx}, {ry}) AS d\n"
+            f"  FROM {prev})"
+        )
+        prev = f"s{i}"
+    return ",\n".join(ctes)
+
+
+HILBERT_SQL = f"""
+WITH q AS (
+  SELECT o_custkey, o_totalprice,
+         CAST(LEAST(FLOOR(PERCENT_RANK() OVER (ORDER BY o_custkey) * 65536), 65535) AS BIGINT) AS q0,
+         CAST(LEAST(FLOOR(PERCENT_RANK() OVER (ORDER BY o_totalprice) * 65536), 65535) AS BIGINT) AS q1
+  FROM orders
+),
+h0 AS (SELECT o_custkey, o_totalprice, q0 AS x, q1 AS y,
+              CAST(0 AS BIGINT) AS d FROM q),
+{_hilbert_steps_sql(16)}
+SELECT CAST(d >> 27 AS INT) AS bucket, COUNT(*) AS n_rows,
+       MIN(o_custkey) AS min_o_custkey, MAX(o_custkey) AS max_o_custkey,
+       MIN(o_totalprice) AS min_o_totalprice, MAX(o_totalprice) AS max_o_totalprice
+FROM s0 GROUP BY 1
+"""
+
+
 def chunk_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide boilerplate removal (CCNet/RefinedWeb line-dedup
     semantics on fixed 10-token chunks — the fixture text is single-line,
@@ -5257,6 +5317,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk_docs": bm25_topk_docs,
     "bloom_membership_orders": bloom_membership_orders,
     "gopher_quality_docs": gopher_quality_docs,
+    "hilbert_layout_orders": hilbert_layout_orders,
     "dsir_resample_docs": dsir_resample_docs,
     "incremental_compaction_docs": incremental_compaction_docs,
     "q22_inactive_customers": q22_inactive_customers,
@@ -5395,6 +5456,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "bm25_topk_docs": BM25_SQL,
     "gopher_quality_docs": GOPHER_QUALITY_SQL,
+    "hilbert_layout_orders": HILBERT_SQL,
     # bloom_membership_orders: rows-only by nature (bit patterns depend
     # on xxhash64 seeds) — gated in-query: 0 false negatives, merge ≡
     # one-shot bit-for-bit, fp rate within 2× the analytic envelope

@@ -44,6 +44,76 @@ def dedup_stream(
     return events.dropDuplicates(key_cols)
 
 
+def bloom_dedup_stream(
+    events: DataFrame,
+    key_col: str = "event_id",
+    n_shards: int = 32,
+    m_bits: int = 1 << 17,
+    k: int = 5,
+) -> DataFrame:
+    """Unbounded-horizon streaming dedup with FIXED-size state: a Bloom
+    filter per hash shard (sketch/bloom.py) via applyInPandasWithState.
+
+    ``dedup_stream`` is exact but its state lives only inside the
+    watermark horizon — a key replayed days later re-emits.  This is
+    the crawl/"seen URL" semantics instead: state is n_shards × m_bits
+    bits FOREVER (default 32 × 16 KiB = 512 KiB total), a key is
+    emitted at most once for the stream's whole lifetime, and the price
+    is one-sided — a false POSITIVE silently drops a genuinely-new key
+    (P bounded by the (1-e^(-kn/m))^k envelope at n inserted keys per
+    shard), while emitted rows are always true first occurrences.
+
+    Sharding: groupBy pmod(xxhash64(key), n_shards) — state updates
+    parallelize across shards and each shard's filter sizes for
+    n_keys/n_shards inserts.  Within a micro-batch the pandas group is
+    processed in order, so intra-batch duplicates dedup too.  Output:
+    the surviving rows (original columns).
+    """
+    import pickle
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..sketch.bloom import BloomFilter, _SEED1, _SEED2
+
+    cols = events.columns
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in events.schema.fields
+    )
+    with_h = events.withColumns({
+        "__bd_h1": F.xxhash64(F.col(key_col), F.lit(_SEED1)),
+        "__bd_h2": F.xxhash64(F.col(key_col), F.lit(_SEED2)),
+        "__bd_shard": F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)),
+    })
+
+    def update(key, pdfs, state: GroupState):
+        bloom = pickle.loads(state.get[0]) if state.exists else BloomFilter(
+            m_bits, k
+        )
+        for pdf in pdfs:
+            h1 = pdf["__bd_h1"].to_numpy()
+            h2 = pdf["__bd_h2"].to_numpy()
+            fresh = ~bloom.contains_hashed(h1, h2)
+            # first occurrence WITHIN the batch too: keep the first row
+            # of each (h1, h2) among the fresh ones
+            sub = pdf[fresh]
+            sub = sub[~sub.duplicated(subset=["__bd_h1", "__bd_h2"])]
+            if len(sub):
+                bloom.add_hashed(
+                    sub["__bd_h1"].to_numpy(), sub["__bd_h2"].to_numpy()
+                )
+                yield sub[cols]
+        state.update((pickle.dumps(bloom),))
+
+    deduped = with_h.groupBy("__bd_shard").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="sketch binary",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return deduped
+
+
 def enrich_stream(
     events: DataFrame,
     dim: DataFrame,

@@ -138,3 +138,70 @@ def test_zorder_approx_matches_exact_locality(spark):
     # approx bucket spans within 15% of exact on both columns
     assert ap_x <= ex_x * 1.15, (ap_x, ex_x)
     assert ap_y <= ex_y * 1.15, (ap_y, ex_y)
+
+
+def _xy2d_ref(n, x, y):
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_fixed_matches_reference(spark):
+    from spark_skew_join_spark.operators.layout import hilbert_fixed
+
+    rng = random.Random(5)
+    rows = [(rng.randrange(256), rng.randrange(256)) for _ in range(400)]
+    rows += [(0, 0), (255, 255), (0, 255), (255, 0)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {(r.x, r.y): r.hval for r in hilbert_fixed(df, "x", "y", 8).collect()}
+    for (x, y), d in got.items():
+        assert d == _xy2d_ref(256, x, y), (x, y)
+
+
+def test_hilbert_locality_at_least_zorder(spark):
+    """The whole point of the curve: per-bucket spans on both columns no
+    worse than Morton's at the same bit budget (grid-adjacent steps, no
+    Z-jumps)."""
+    from spark_skew_join_spark.operators.layout import hilbert_bucket_stats
+
+    rng = random.Random(13)
+    rows = [(rng.randrange(100_000), rng.randrange(100_000))
+            for _ in range(20_000)]
+    df = spark.createDataFrame(rows, "x long, y long")
+
+    def spreads(stats):
+        sx = sum(r.max_x - r.min_x for r in stats) / len(stats)
+        sy = sum(r.max_y - r.min_y for r in stats) / len(stats)
+        return sx, sy
+
+    hx, hy = spreads(
+        hilbert_bucket_stats(df, ["x", "y"], bits=16, bucket_bits=4).collect()
+    )
+    zx, zy = spreads(
+        zorder_bucket_stats(df, ["x", "y"], bits=16, bucket_bits=4).collect()
+    )
+    assert hx <= zx * 1.05, (hx, zx)
+    assert hy <= zy * 1.05, (hy, zy)
+
+
+def test_hilbert_approx_default_no_window_no_python(spark):
+    from spark_skew_join_spark.operators.layout import hilbert_key
+
+    rng = random.Random(17)
+    rows = [(rng.randrange(100_000), rng.randrange(100_000))
+            for _ in range(5_000)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    keyed = hilbert_key(df, ["x", "y"], bits=16)  # default approx
+    plan = keyed._jdf.queryExecution().executedPlan().toString()
+    assert "WindowExec" not in plan and "Window" not in plan, plan[:2000]
+    assert "EvalPython" not in plan and "MapInPandas" not in plan, plan[:2000]
+    assert keyed.count() == 5_000

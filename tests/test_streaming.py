@@ -601,3 +601,59 @@ def test_streaming_kll_quantiles_track_exact_within_bound(spark, tmp_path):
             est = final[key][col]
             rank = np.searchsorted(srt, est, side="right") / len(srt)
             assert abs(rank - qq) <= bound, (key, col, est, rank)
+
+
+def test_bloom_dedup_stream_at_most_once(spark, tmp_path):
+    """Bloom-state streaming dedup: every key emitted AT MOST once
+    across micro-batches (including replays far apart — the case
+    watermarked dedup forgets), emitted rows are true first
+    occurrences, and the false-drop count stays within the fp
+    envelope."""
+    import os
+    import random
+    import time
+
+    from spark_skew_join_spark.streaming.dedup import bloom_dedup_stream
+
+    rng = random.Random(23)
+    n_unique = 6_000
+    # batch 1: keys 0..3999 (some intra-batch dups); batch 2: replay of
+    # 0..1999 + new 4000..4999; batch 3: replay of 0..999 + new 5000..5999
+    batches = [
+        [rng.randrange(0, 4000) for _ in range(6000)] + list(range(0, 4000)),
+        list(range(0, 2000)) + list(range(4000, 5000)),
+        list(range(0, 1000)) + list(range(5000, 6000)),
+    ]
+    src = str(tmp_path / "bdfeed")
+    os.makedirs(src)
+    for b, keys in enumerate(batches):
+        spark.createDataFrame(
+            [(k, b) for k in keys], "event_id long, batch int"
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("event_id long, batch int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        bloom_dedup_stream(stream, key_col="event_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("bdedup")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql("SELECT event_id, COUNT(*) AS c FROM bdedup GROUP BY 1")
+    rows = out.collect()
+    # at most once, ever
+    assert max(r["c"] for r in rows) == 1
+    emitted = {r["event_id"] for r in rows}
+    assert emitted <= set(range(n_unique))
+    # false drops bounded: default 32 shards x 128k bits, k=5 at
+    # ~190 keys/shard -> fp ~ 1e-11; allow a generous absolute slack
+    assert len(emitted) >= n_unique - 5, n_unique - len(emitted)
