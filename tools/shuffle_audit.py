@@ -43,6 +43,11 @@ QUERIES = [
     "incremental_minhash_docs",
     "dsir_importance_docs",
     "pipeline_train_mix",
+    "dsir_resample_docs",
+    "incremental_compaction_docs",
+    "bm25_topk_docs",
+    "gopher_quality_docs",
+    "hilbert_layout_orders",
 ]
 
 
