@@ -1,0 +1,139 @@
+"""Mergeable sketches as streaming state: HLL distincts and Misra-Gries
+heavy hitters per key.
+
+Completes the sketches-as-state trio begun by streaming/quantiles.py
+(KLL): each grouped ``applyInPandasWithState`` state is one bounded
+summary — O(2^p) registers for distinct counting, O(k) counters for
+frequent items — folded with every micro-batch and re-emitted on
+update.  The properties that make the batch builders scale across
+partitions (sketch/hll.py, operators/heavy.py) are exactly what a
+stream needs across TIME: state that never grows with event volume,
+order-insensitive folds (no reorder buffer), and estimates with known
+error bounds.
+
+* ``streaming_distinct`` — per-key distinct-value estimate via an HLL
+  (±~0.81% rse at p=14).  Values are hashed JVM-side (xxhash64) so the
+  Python state update only ever touches 8-byte ints.
+* ``streaming_heavy_hitters`` — per-key Misra-Gries top items: lower-
+  bound counts that underestimate truth by at most the accumulated
+  subtraction error ``err`` (emitted alongside), with the classic
+  guarantee that any item with true share > 1/k is present in the
+  summary.  Unlike the batch operator (heavy.py), a stream cannot run
+  the exact verify pass — the emitted counts are the (bounded-error)
+  summary itself, which is the standard streaming trade.
+
+Event-time semantics are the caller's concern (watermark upstream if
+needed); both folds are order-insensitive.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def streaming_distinct(
+    events: DataFrame,
+    key_col: str,
+    value_col: str,
+    p: int = 14,
+) -> DataFrame:
+    """(key, n_events, distinct_est) per key, re-emitted each
+    micro-batch the key appears in."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..sketch.hll import HyperLogLog
+
+    key_type = events.schema[key_col].dataType.simpleString()
+    out_schema = f"{key_col} {key_type}, n_events bigint, distinct_est double"
+    hashed = events.select(
+        key_col, F.xxhash64(F.col(value_col)).alias("__h")
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            n, blob = state.get
+            sketch = pickle.loads(blob)
+        else:
+            n, sketch = 0, HyperLogLog(p)
+        for pdf in pdfs:
+            n += len(pdf)
+            sketch.add_hashed(pdf["__h"].to_numpy())
+        state.update((n, pickle.dumps(sketch)))
+        yield pd.DataFrame({
+            key_col: [key[0]], "n_events": [n],
+            "distinct_est": [float(sketch.estimate())],
+        })
+
+    return hashed.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="n bigint, sketch binary",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_heavy_hitters(
+    events: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: int = 64,
+    emit_top: int = 10,
+) -> DataFrame:
+    """Per-key Misra-Gries summary, one row per retained item:
+    (key, item, count_lb, err, n_events) — ``count_lb`` ≤ true count ≤
+    ``count_lb + err``; any item with true count > n_events/k is
+    guaranteed present.  ``emit_top`` caps rows emitted per trigger
+    (largest counters first; the STATE keeps all ≤ k)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_type = events.schema[key_col].dataType.simpleString()
+    val_type = events.schema[value_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {key_type}, item {val_type}, count_lb bigint, "
+        "err bigint, n_events bigint"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            n, err, blob = state.get
+            counts = pickle.loads(blob)
+        else:
+            n, err, counts = 0, 0, {}
+        for pdf in pdfs:
+            n += len(pdf)
+            vc = pdf[value_col].value_counts()
+            for item, c in zip(vc.index, vc.to_numpy()):
+                counts[item] = counts.get(item, 0) + int(c)
+            if len(counts) > 4 * k:
+                sub = sorted(counts.values(), reverse=True)[k]
+                err += sub
+                counts = {i: c - sub for i, c in counts.items() if c > sub}
+        if len(counts) > k:
+            sub = sorted(counts.values(), reverse=True)[k]
+            err += sub
+            counts = {i: c - sub for i, c in counts.items() if c > sub}
+        state.update((n, err, pickle.dumps(counts)))
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], str(kv[0])))
+        top = top[:emit_top]
+        yield pd.DataFrame({
+            key_col: [key[0]] * len(top),
+            "item": [i for i, _ in top],
+            "count_lb": [c for _, c in top],
+            "err": [err] * len(top),
+            "n_events": [n] * len(top),
+        })
+
+    return events.select(key_col, value_col).groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="n bigint, err bigint, counts binary",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

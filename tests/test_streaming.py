@@ -657,3 +657,115 @@ def test_bloom_dedup_stream_at_most_once(spark, tmp_path):
     # false drops bounded: default 32 shards x 128k bits, k=5 at
     # ~190 keys/shard -> fp ~ 1e-11; allow a generous absolute slack
     assert len(emitted) >= n_unique - 5, n_unique - len(emitted)
+
+
+def test_streaming_distinct_hll_state(spark, tmp_path):
+    """Per-key HLL state across shuffled micro-batches: final estimate
+    within 3σ (rse ≈ 1.04/√2^p) of the exact per-key distinct count."""
+    import os
+    import random
+    import time
+
+    from spark_skew_join_spark.streaming.sketches import streaming_distinct
+
+    rng = random.Random(31)
+    per_key = {"a": set(), "b": set()}
+    rows = []
+    for i in range(30_000):
+        key = "a" if i % 3 else "b"
+        v = rng.randrange(8_000) if key == "a" else rng.randrange(1_500)
+        per_key[key].add(v)
+        rows.append((key, v))
+    rng.shuffle(rows)
+    src = str(tmp_path / "hfeed")
+    os.makedirs(src)
+    third = len(rows) // 3
+    for b in range(3):
+        chunk = rows[b * third:(b + 1) * third] if b < 2 else rows[2 * third:]
+        spark.createDataFrame(chunk, "k string, v long") \
+            .coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema("k string, v long")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        streaming_distinct(stream, "k", "v")
+        .writeStream.outputMode("update").format("memory")
+        .queryName("sdist").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = {
+        r["k"]: r for r in spark.sql(
+            "SELECT k, max_by(distinct_est, n_events) AS est, "
+            "max(n_events) AS n FROM sdist GROUP BY k"
+        ).collect()
+    }
+    rse = 1.04 / (1 << 14) ** 0.5
+    for key, vals in per_key.items():
+        exact = len(vals)
+        assert final[key]["n"] == sum(1 for r_ in rows if r_[0] == key)
+        assert abs(final[key]["est"] - exact) <= 3 * rse * exact + 2, (
+            key, final[key]["est"], exact
+        )
+
+
+def test_streaming_heavy_hitters_mg_state(spark, tmp_path):
+    """Per-key Misra-Gries state: every item with true share > 1/k is
+    present in the final summary, and count_lb ≤ true ≤ count_lb+err."""
+    import os
+    import random
+    import time
+
+    from spark_skew_join_spark.streaming.sketches import (
+        streaming_heavy_hitters,
+    )
+
+    rng = random.Random(37)
+    # key "a": two planted hot items (20% / 10%) over a long uniform tail
+    rows = []
+    truth: dict = {}
+    for i in range(20_000):
+        r = rng.random()
+        item = "hot1" if r < 0.2 else ("hot2" if r < 0.3 else f"t{rng.randrange(5000)}")
+        truth[item] = truth.get(item, 0) + 1
+        rows.append(("a", item))
+    rng.shuffle(rows)
+    src = str(tmp_path / "mgfeed")
+    os.makedirs(src)
+    half = len(rows) // 2
+    for b in range(2):
+        chunk = rows[b * half:] if b else rows[:half]
+        spark.createDataFrame(chunk, "k string, item string") \
+            .coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema("k string, item string")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        streaming_heavy_hitters(stream, "k", "item", k=64)
+        .writeStream.outputMode("update").format("memory")
+        .queryName("smg").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows_out = spark.sql(
+        "SELECT item, max_by(count_lb, n_events) AS lb, "
+        "max_by(err, n_events) AS err, max(n_events) AS n "
+        "FROM smg GROUP BY item"
+    ).collect()
+    final = {r["item"]: r for r in rows_out}
+    n_total = max(r["n"] for r in rows_out)
+    assert n_total == 20_000
+    for hot in ("hot1", "hot2"):
+        assert hot in final, hot
+        r = final[hot]
+        assert r["lb"] <= truth[hot] <= r["lb"] + r["err"], (
+            hot, r["lb"], r["err"], truth[hot]
+        )
