@@ -5306,6 +5306,256 @@ LEFT JOIN bi b ON b.doc_id = s.doc_id
 """
 
 
+def theta_sketch_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta distinct SET-OPERATION estimates (sketch/theta.py) —
+    the question HLL cannot answer: per order priority, one k=256
+    sketch of distinct o_custkey is built in a SINGLE bounded two-level
+    fold (theta_by_group), then every priority pair reports distinct /
+    union / intersection / Jaccard ESTIMATES (customer-audience overlap
+    across priorities, J ≈ 0.76 at this fixture).  hash_fn="md5"
+    derives a 60-bit hash from md5's first 15 hex chars, so KMV — pure
+    order statistics over a deterministic hash — is reproduced EXACTLY
+    by the SQL oracle: the estimate columns hash-match, they are not
+    merely row-count-gated (unique among the sketch queries).  An
+    in-query gate additionally pins each per-priority estimate within
+    4·RSE (RSE = 1/sqrt(k−2)) of the exact distinct count.  Sketch
+    builds collect at construction → EAGER_QUERIES."""
+    import itertools
+
+    from .sketch.theta import intersection_estimate, theta_by_group
+
+    K = 256
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"]
+    sk = theta_by_group(orders, "o_orderpriority", ["o_custkey"], k=K,
+                        hash_fn="md5")
+    exact = {
+        r["o_orderpriority"]: r["n"]
+        for r in orders.where(F.col("o_custkey").isNotNull())
+        .where(F.col("o_orderpriority").isNotNull())
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    for g, s in sk.items():
+        est, true = s.estimate(), exact[g]
+        assert abs(est - true) <= 4.0 * s.rse() * true + 1e-9, \
+            f"theta estimate out of envelope: {g} est={est} true={true}"
+    rows = []
+    for ta, tb in itertools.combinations(sorted(sk), 2):
+        a, b = sk[ta], sk[tb]
+        eu = a.merge(b).estimate()
+        ei = intersection_estimate(a, b)
+        rows.append((
+            ta, tb, round(a.estimate(), 4), round(b.estimate(), 4),
+            round(eu, 4), round(ei, 4),
+            round(ei / eu if eu else 0.0, 4),
+        ))
+    return spark.createDataFrame(
+        rows,
+        "type_a string, type_b string, est_a double, est_b double, "
+        "est_union double, est_inter double, est_jaccard double",
+    )
+
+
+# KMV is deterministic order statistics over the md5-derived 60-bit
+# hash, so the ORACLE replays the whole sketch in SQL: rank the distinct
+# hashes per group, keep the k smallest, theta = the k-th (full space
+# 2^60 when unsaturated), estimate = n·2^60/theta with n the retained
+# values strictly below theta.  Union ranks the distinct union of
+# hashes (KMV mergeability: k-smallest of the union ≡ merge of the
+# k-smallest sets); intersection counts kept_a ∩ kept_b below
+# LEAST(theta_a, theta_b).  All divisions double-typed to mirror the
+# Python float path bit-for-bit.
+THETA_SKETCH_SQL = """
+WITH hv AS (
+  SELECT DISTINCT o_orderpriority AS et,
+         CAST(('0x' || SUBSTRING(MD5(CAST(o_custkey AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderpriority IS NOT NULL
+),
+ranked AS (
+  SELECT et, h, ROW_NUMBER() OVER (PARTITION BY et ORDER BY h) AS rn,
+         COUNT(*) OVER (PARTITION BY et) AS cnt
+  FROM hv
+),
+kept AS (SELECT * FROM ranked WHERE rn <= 256),
+marg AS (
+  SELECT et,
+         CASE WHEN MAX(cnt) >= 256 THEN MAX(CASE WHEN rn = 256 THEN h END)
+              ELSE 1152921504606846976 END AS th,
+         CASE WHEN MAX(cnt) >= 64 THEN 255 ELSE MAX(cnt) END AS n
+  FROM kept GROUP BY et
+),
+est AS (
+  SELECT et,
+         n * CAST(1152921504606846976 AS DOUBLE) / CAST(th AS DOUBLE) AS e,
+         th
+  FROM marg
+),
+pairs AS (
+  SELECT a.et AS ta, b.et AS tb, a.e AS ea, a.th AS tha,
+         b.e AS eb, b.th AS thb
+  FROM est a JOIN est b ON a.et < b.et
+),
+uh AS (
+  SELECT p.ta, p.tb, v.h
+  FROM (SELECT DISTINCT ta, tb FROM pairs) p
+  JOIN hv v ON v.et IN (p.ta, p.tb)
+  GROUP BY p.ta, p.tb, v.h
+),
+ur AS (
+  SELECT ta, tb, h,
+         ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY h) AS rn,
+         COUNT(*) OVER (PARTITION BY ta, tb) AS cnt
+  FROM uh
+),
+um AS (
+  SELECT ta, tb,
+         CASE WHEN MAX(cnt) >= 256 THEN MAX(CASE WHEN rn = 256 THEN h END)
+              ELSE 1152921504606846976 END AS th,
+         CASE WHEN MAX(cnt) >= 64 THEN 255 ELSE MAX(cnt) END AS n
+  FROM ur WHERE rn <= 256 GROUP BY ta, tb
+),
+uest AS (
+  SELECT ta, tb,
+         n * CAST(1152921504606846976 AS DOUBLE) / CAST(th AS DOUBLE) AS eu
+  FROM um
+),
+icnt AS (
+  SELECT p.ta, p.tb,
+         COUNT(CASE WHEN kb.h < LEAST(p.tha, p.thb) THEN 1 END) AS n
+  FROM pairs p
+  LEFT JOIN kept ka ON ka.et = p.ta
+  LEFT JOIN kept kb ON kb.et = p.tb AND kb.h = ka.h
+  GROUP BY p.ta, p.tb
+),
+iest AS (
+  SELECT i.ta, i.tb,
+         i.n * CAST(1152921504606846976 AS DOUBLE)
+           / CAST(LEAST(p.tha, p.thb) AS DOUBLE) AS ei
+  FROM icnt i JOIN pairs p ON p.ta = i.ta AND p.tb = i.tb
+)
+SELECT p.ta AS type_a, p.tb AS type_b,
+       ROUND(p.ea, 4) AS est_a, ROUND(p.eb, 4) AS est_b,
+       ROUND(u.eu, 4) AS est_union, ROUND(i.ei, 4) AS est_inter,
+       ROUND(CASE WHEN u.eu > 0 THEN i.ei / u.eu ELSE 0.0 END, 4)
+         AS est_jaccard
+FROM pairs p
+JOIN uest u ON u.ta = p.ta AND u.tb = p.tb
+JOIN iest i ON i.ta = p.ta AND i.tb = p.tb
+"""
+
+
+def record_linkage_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage (operators/linkage.py): match every customer to a
+    deterministically-dirtied copy of itself (id offset +1,000,000,
+    phone dashes stripped) — the Fellegi-Sunter blocking→scoring→
+    best-match shape with NO all-pairs stage.  Blocking key = last 4
+    digits of the dash-stripped phone (stable under the perturbation,
+    high-cardinality → O(1) blocks at any scale); score = normalized
+    Levenshtein similarity of the phone strings (JVM codegen); 1:1
+    best-match window per left id.  A true pair always scores exactly
+    1 − 2/13 (two dash deletions over the 13-char phone), so the
+    per-nation aggregate is hash-exact vs the SQL oracle, which mirrors
+    the block-cap guard, the scoring formula, and the tie-broken
+    best-match window."""
+    from .operators.linkage import link_records
+
+    t = load_tables(spark, sf_dir)
+    customer = t["customer"]
+    # the synthetic customer table has no phone column — derive a
+    # deterministic 13-char pseudo-phone from md5(custkey) (identical
+    # hex in both engines), dash-grouped 3-4-4
+    phone = (
+        "concat(substring(md5(cast(c_custkey as string)), 1, 3), '-', "
+        "substring(md5(cast(c_custkey as string)), 4, 4), '-', "
+        "substring(md5(cast(c_custkey as string)), 8, 4))"
+    )
+    base = customer.select(
+        "c_custkey", F.expr(phone).alias("c_phone")
+    )
+    left = base.select(
+        "c_custkey", "c_phone",
+        F.expr("right(replace(c_phone, '-', ''), 4)").alias("blk"),
+    )
+    dirty = base.select(
+        (F.col("c_custkey") + 1_000_000).alias("d_id"),
+        F.expr("replace(c_phone, '-', '')").alias("d_phone"),
+    ).withColumn("blk", F.expr("right(d_phone, 4)"))
+    links = link_records(
+        left, dirty,
+        left_id="c_custkey", right_id="d_id",
+        block_left=["blk"], block_right=["blk"],
+        compare=[("c_phone", "d_phone")],
+        threshold=0.6, block_cap=10_000, best_match=True,
+    )
+    return (
+        links.join(customer.select("c_custkey", "c_nationkey"),
+                   on="c_custkey")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.sum(
+                F.when(F.col("d_id") - 1_000_000 == F.col("c_custkey"), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("n_correct"),
+            F.round(F.avg("score"), 4).alias("avg_score"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+RECORD_LINKAGE_SQL = """
+WITH ph AS (
+  SELECT c_custkey,
+         SUBSTRING(MD5(CAST(c_custkey AS VARCHAR)), 1, 3) || '-' ||
+         SUBSTRING(MD5(CAST(c_custkey AS VARCHAR)), 4, 4) || '-' ||
+         SUBSTRING(MD5(CAST(c_custkey AS VARCHAR)), 8, 4) AS c_phone
+  FROM customer
+),
+l AS (
+  SELECT c_custkey AS lid, c_phone,
+         right(replace(c_phone, '-', ''), 4) AS blk
+  FROM ph
+),
+r AS (
+  SELECT c_custkey + 1000000 AS rid,
+         replace(c_phone, '-', '') AS d_phone,
+         right(replace(c_phone, '-', ''), 4) AS blk
+  FROM ph
+),
+ln AS (SELECT blk, COUNT(*) AS nl FROM l GROUP BY blk),
+rn AS (SELECT blk, COUNT(*) AS nr FROM r GROUP BY blk),
+ok AS (
+  SELECT ln.blk FROM ln JOIN rn ON rn.blk = ln.blk
+  WHERE ln.nl * rn.nr <= 10000
+),
+cand AS (
+  SELECT l.lid, r.rid,
+         1.0 - levenshtein(l.c_phone, r.d_phone)
+             / GREATEST(LENGTH(l.c_phone), LENGTH(r.d_phone), 1) AS score
+  FROM l JOIN ok ON ok.blk = l.blk JOIN r ON r.blk = l.blk
+),
+matched AS (
+  SELECT lid, rid, score,
+         ROW_NUMBER() OVER (PARTITION BY lid
+                            ORDER BY score DESC, rid ASC) AS rk
+  FROM cand WHERE score >= 0.6
+)
+SELECT c.c_nationkey, COUNT(*) AS n_links,
+       CAST(SUM(CASE WHEN m.rid - 1000000 = m.lid THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       ROUND(AVG(m.score), 4) AS avg_score
+FROM matched m
+JOIN customer c ON c.c_custkey = m.lid
+WHERE m.rk = 1
+GROUP BY c.c_nationkey
+ORDER BY c.c_nationkey
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round 6: registry ROTATED (VERDICT r5 #1) — the driver
     # correctness-checks the FIRST 50 entries only. This window holds
@@ -5314,6 +5564,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (r3/r4-certified, no r5 driver row). The 30 unsampled leftovers
     # head the post-window region and rotate in next round; everything
     # r5-certified follows them.
+    "theta_sketch_orders": theta_sketch_orders,
+    "record_linkage_customers": record_linkage_customers,
     "bm25_topk_docs": bm25_topk_docs,
     "bloom_membership_orders": bloom_membership_orders,
     "gopher_quality_docs": gopher_quality_docs,
@@ -5454,6 +5706,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "theta_sketch_orders": THETA_SKETCH_SQL,
+    "record_linkage_customers": RECORD_LINKAGE_SQL,
     "bm25_topk_docs": BM25_SQL,
     "gopher_quality_docs": GOPHER_QUALITY_SQL,
     "hilbert_layout_orders": HILBERT_SQL,
@@ -5596,6 +5850,7 @@ ORACLES: dict[str, str] = {
 # construction+execution so the reported number includes the eager work.
 # Any new iterative/pre-pass query must be added here (ADVICE r2 #1).
 EAGER_QUERIES = (
+    "theta_sketch_orders",
     "bloom_membership_orders",
     "skew_join_lineitem_supplier",
     "kll_quantiles_orders",
