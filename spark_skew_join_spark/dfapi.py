@@ -139,6 +139,50 @@ def _incremental_exact_dedup(self: DataFrame, store: DataFrame,
     return incremental_exact_dedup(self, store, text_col, id_col)
 
 
+def _get_bloom(self: DataFrame, key_cols, m_bits: int = 1 << 20, k: int = 7):
+    from .sketch.bloom import bloom_from_dataframe
+
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    return bloom_from_dataframe(self, key_cols, m_bits, k)
+
+
+def _get_theta(self: DataFrame, key_cols, k: int = 1024,
+               hash_fn: str = "xxhash64"):
+    from .sketch.theta import theta_from_dataframe
+
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    return theta_from_dataframe(self, key_cols, k, hash_fn)
+
+
+def _bm25_topk(self: DataFrame, query_terms, k: int = 20, k1: float = 1.2,
+               b: float = 0.75, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    from .operators.retrieval import bm25_topk
+
+    return bm25_topk(self, list(query_terms), k, k1, b, id_col, text_col)
+
+
+def _link_records(self: DataFrame, right: DataFrame, **kwargs) -> DataFrame:
+    from .operators.linkage import link_records
+
+    return link_records(self, right, **kwargs)
+
+
+def _zorder_key(self: DataFrame, cols, bits: int = 16, out_col: str = "zval",
+                quantizer: str = "approx", map_bits: int = 12) -> DataFrame:
+    from .operators.layout import zorder_key
+
+    return zorder_key(self, list(cols), bits, out_col, quantizer, map_bits)
+
+
+def _hilbert_key(self: DataFrame, cols, bits: int = 16,
+                 out_col: str = "hval", quantizer: str = "approx",
+                 map_bits: int = 12) -> DataFrame:
+    from .operators.layout import hilbert_key
+
+    return hilbert_key(self, list(cols), bits, out_col, quantizer, map_bits)
+
+
 def register_dataframe_api() -> None:
     """Attach the reference-parity method surface to DataFrame (idempotent).
     The extension operators ride along so a reference user migrating to
@@ -164,6 +208,12 @@ def register_dataframe_api() -> None:
         temperature_mix=_temperature_mix,
         sequence_packing=_sequence_packing,
         incremental_exact_dedup=_incremental_exact_dedup,
+        get_bloom=_get_bloom,
+        get_theta=_get_theta,
+        bm25_topk=_bm25_topk,
+        link_records=_link_records,
+        zorder_key=_zorder_key,
+        hilbert_key=_hilbert_key,
     )
     for name, fn in _METHODS.items():
         setattr(DataFrame, name, fn)

@@ -5618,10 +5618,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_distinct": agg_distinct,
     "median_stats": median_stats,
     "approx_stats": approx_stats,
+    # ^ end of the driver's first-50 check window (theta_sketch_orders
+    # + record_linkage_customers debuted at the head, displacing the
+    # two skew_agg entries below into the r7 front-of-line).
+    # --- unsampled leftovers: FIRST in line for the r7 window ---
     "skew_agg_distinct": skew_agg_distinct,
     "skew_agg_salted_mean": skew_agg_salted_mean,
-    # ^ end of the driver's first-50 check window.
-    # --- unsampled leftovers: FIRST in line for the r7 window ---
     "grouping_sets_li": grouping_sets_li,
     "json_props_events": json_props_events,
     "vector_stats": vector_stats,

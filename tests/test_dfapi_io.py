@@ -185,5 +185,26 @@ def test_dfapi_extension_methods(spark):
               for r in vecs.semdedup(threshold=0.99, n_clusters=2,
                                      dim=2).collect()}
         assert sd == {0: True, 1: False, 2: True}
+        # round-6 additions: Bloom / theta sketches, BM25, linkage, layout
+        ids = spark.range(3000)
+        bloom = ids.get_bloom("id", m_bits=1 << 16)
+        assert 0.0 < bloom.fill_ratio() < 1.0
+        theta = ids.get_theta("id", k=256)
+        assert abs(theta.estimate() - 3000) / 3000 <= 4 * theta.rse()
+        bm = docs.bm25_topk(["t1", "t5"], k=1)
+        assert bm.count() == 1 and bm.collect()[0]["matched"] == 2
+        left = spark.createDataFrame([(1, "abcd", "b")],
+                                     "id long, s string, blk string")
+        right = spark.createDataFrame([(9, "abcx", "b")],
+                                      "id long, s string, blk string")
+        lk = left.link_records(
+            right, left_id="id", right_id="id", block_left=["blk"],
+            block_right=["blk"], compare=[("s", "s")], threshold=0.5,
+        ).collect()
+        assert lk[0]["score"] == pytest.approx(0.75)
+        pts = spark.createDataFrame([(float(i), float(i)) for i in range(64)],
+                                    "x double, y double")
+        assert pts.zorder_key(["x", "y"], bits=4).where("zval IS NULL").count() == 0
+        assert pts.hilbert_key(["x", "y"], bits=4).where("hval IS NULL").count() == 0
     finally:
         unregister_dataframe_api()
