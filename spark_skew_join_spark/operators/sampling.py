@@ -46,6 +46,51 @@ def hash_split(
     )
 
 
+def cluster_aware_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    rep_col: str = "cluster_rep",
+    train_pct: int = 80,
+    label_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/test split: hash the CLUSTER REPRESENTATIVE,
+    not the row's own id, so every member of a near-dup cluster lands in
+    the same split and no near-duplicate pair straddles train/test (the
+    contamination a plain per-doc ``hash_split`` permits — a test doc
+    whose near-dup sits in train leaks the answer).
+
+    ``clusters`` is an (id_col, rep_col) map — e.g. the output of
+    cluster.connected_components over MinHash-LSH pairs.  Rows absent
+    from ``clusters`` (or with NULL rep) are singletons and hash their
+    own id, which agrees with CC's rep-of-singleton = self convention.
+    Same md5 hex-byte threshold as ``hash_split``, so the assignment is
+    engine-reproducible and oracle-checkable.
+
+    Scale: one equi-join on the id (broadcast when the cluster map is
+    small; near-dup maps are ≪ corpus because most docs are singletons
+    — pass only the non-singleton rows) plus a codegen hash compare.
+    """
+    threshold = (256 * train_pct) // 100
+    joined = df.join(
+        clusters.select(
+            F.col(id_col).alias(id_col), F.col(rep_col).alias("__rep")
+        ),
+        on=id_col,
+        how="left",
+    )
+    rep = F.coalesce(F.col("__rep"), F.col(id_col))
+    if threshold >= 256:
+        cond = F.lit(True)
+    elif threshold <= 0:
+        cond = F.lit(False)
+    else:
+        cond = _hex_prefix(rep) < format(threshold, "02x")
+    return joined.withColumn(
+        label_col, F.when(cond, F.lit("train")).otherwise(F.lit("test"))
+    ).drop("__rep")
+
+
 def stratified_sample(
     df: DataFrame, stratum_col: str, fractions: dict, seed: int = 42
 ) -> DataFrame:

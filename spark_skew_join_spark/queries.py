@@ -2651,6 +2651,84 @@ GROUP BY d.source
 )
 
 
+def cluster_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split (operators/sampling.py::
+    cluster_aware_split): split by the md5 of each doc's NEAR-DUP
+    CLUSTER REP, so no near-duplicate pair straddles train/test.  The
+    output carries the guarantee in the data: per split, the number of
+    clusters whose members land in >1 split under this scheme
+    (n_straddling — provably 0) next to the same count under a naive
+    per-doc hash_split (n_naive_straddling — nonzero on this fixture:
+    the leakage the operator exists to prevent).  Oracle recomputes the
+    transitive-closure reps and both split assignments in SQL."""
+    from .operators.cluster import connected_components
+    from .operators.sampling import cluster_aware_split, hash_split
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    _, mh = _dedup_family(spark, sf_dir)
+    clusters = connected_components(
+        mh.select("id_a", "id_b"), docs.select("doc_id")
+    )
+    out = cluster_aware_split(docs, clusters, id_col="doc_id", train_pct=80)
+    out = hash_split(out, "doc_id", train_pct=80, label_col="naive_split")
+    both = out.join(clusters, on="doc_id")
+    per_cluster = both.groupBy("cluster_rep").agg(
+        F.countDistinct("split").alias("n_splits"),
+        F.countDistinct("naive_split").alias("n_naive_splits"),
+        F.min("split").alias("split"),
+    )
+    docs_agg = out.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+    cl_agg = per_cluster.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0))
+        .cast("bigint").alias("n_straddling"),
+        F.sum(F.when(F.col("n_naive_splits") > 1, 1).otherwise(0))
+        .cast("bigint").alias("n_naive_straddling"),
+    )
+    return docs_agg.join(cl_agg, on="split").orderBy("split")
+
+
+CLUSTER_SPLIT_SQL = (
+    _CLOSURE_CTE
+    + """SELECT doc_id, cluster_rep,
+       CASE WHEN SUBSTRING(MD5(CAST(cluster_rep AS VARCHAR)), 1, 2) < 'cc'
+            THEN 'train' ELSE 'test' END AS split,
+       CASE WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+            THEN 'train' ELSE 'test' END AS naive_split
+FROM (
+  SELECT d.doc_id,
+         LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_rep
+  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+  GROUP BY d.doc_id
+)
+"""
+)
+
+CLUSTER_SPLIT_STATS_SQL = f"""
+WITH assigned AS ({CLUSTER_SPLIT_SQL}),
+per_cluster AS (
+  SELECT cluster_rep,
+         COUNT(DISTINCT split) AS n_splits,
+         COUNT(DISTINCT naive_split) AS n_naive_splits,
+         MIN(split) AS split
+  FROM assigned GROUP BY cluster_rep
+),
+docs_agg AS (SELECT split, COUNT(*) AS n_docs FROM assigned GROUP BY split),
+cl_agg AS (
+  SELECT split, COUNT(*) AS n_clusters,
+         CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_straddling,
+         CAST(SUM(CASE WHEN n_naive_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_naive_straddling
+  FROM per_cluster GROUP BY split
+)
+SELECT d.split, d.n_docs, c.n_clusters, c.n_straddling, c.n_naive_straddling
+FROM docs_agg d JOIN cl_agg c ON c.split = d.split
+ORDER BY d.split
+"""
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
@@ -5566,6 +5644,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r5-certified follows them.
     "theta_sketch_orders": theta_sketch_orders,
     "record_linkage_customers": record_linkage_customers,
+    "cluster_split_docs": cluster_split_docs,
     "bm25_topk_docs": bm25_topk_docs,
     "bloom_membership_orders": bloom_membership_orders,
     "gopher_quality_docs": gopher_quality_docs,
@@ -5613,15 +5692,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_join_semi": skew_join_semi,
     "skew_join_anti": skew_join_anti,
     "skew_join_cms_estimator": skew_join_cms_estimator,
+    # ^ end of the driver's first-50 check window (three round-6
+    # debuts — theta_sketch_orders, record_linkage_customers,
+    # cluster_split_docs — entered at the head, displacing the agg/
+    # skew_agg entries below into the r7 front-of-line).
+    # --- unsampled leftovers: FIRST in line for the r7 window ---
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,
     "agg_distinct": agg_distinct,
     "median_stats": median_stats,
     "approx_stats": approx_stats,
-    # ^ end of the driver's first-50 check window (theta_sketch_orders
-    # + record_linkage_customers debuted at the head, displacing the
-    # two skew_agg entries below into the r7 front-of-line).
-    # --- unsampled leftovers: FIRST in line for the r7 window ---
     "skew_agg_distinct": skew_agg_distinct,
     "skew_agg_salted_mean": skew_agg_salted_mean,
     "grouping_sets_li": grouping_sets_li,
@@ -5710,6 +5790,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "theta_sketch_orders": THETA_SKETCH_SQL,
     "record_linkage_customers": RECORD_LINKAGE_SQL,
+    "cluster_split_docs": CLUSTER_SPLIT_STATS_SQL,
     "bm25_topk_docs": BM25_SQL,
     "gopher_quality_docs": GOPHER_QUALITY_SQL,
     "hilbert_layout_orders": HILBERT_SQL,
@@ -5853,6 +5934,7 @@ ORACLES: dict[str, str] = {
 # Any new iterative/pre-pass query must be added here (ADVICE r2 #1).
 EAGER_QUERIES = (
     "theta_sketch_orders",
+    "cluster_split_docs",
     "bloom_membership_orders",
     "skew_join_lineitem_supplier",
     "kll_quantiles_orders",

@@ -132,6 +132,42 @@ def test_hash_split_deterministic_and_proportional(spark):
     assert 0.77 < frac < 0.83  # expected 204/256 = 0.797
 
 
+def test_cluster_aware_split_never_straddles(spark):
+    from spark_skew_join_spark.operators.sampling import (
+        cluster_aware_split,
+        hash_split,
+    )
+
+    docs = spark.range(2_000).select(F.col("id").alias("doc_id"))
+    # clusters of 4 consecutive ids, rep = min member
+    clusters = docs.select(
+        "doc_id", (F.col("doc_id") - F.col("doc_id") % 4).alias("cluster_rep")
+    )
+    out = cluster_aware_split(docs, clusters, id_col="doc_id")
+    per = (
+        out.join(clusters, "doc_id")
+        .groupBy("cluster_rep")
+        .agg(F.countDistinct("split").alias("n"))
+    )
+    assert per.where("n > 1").count() == 0
+    # members follow their rep's own-id assignment
+    reps = hash_split(
+        clusters.select("cluster_rep").distinct(), "cluster_rep",
+        label_col="rep_split",
+    )
+    joined = out.join(clusters, "doc_id").join(reps, "cluster_rep")
+    assert joined.where("split != rep_split").count() == 0
+    # rows absent from the cluster map fall back to their own id
+    lone = cluster_aware_split(
+        docs, clusters.where("doc_id < 0"), id_col="doc_id"
+    )
+    own = hash_split(docs, "doc_id")
+    assert (
+        lone.join(own.withColumnRenamed("split", "own"), "doc_id")
+        .where("split != own").count() == 0
+    )
+
+
 def test_stratified_sample(spark):
     from spark_skew_join_spark.operators.sampling import stratified_sample
 
