@@ -1,11 +1,11 @@
-"""Mergeable sketches as streaming state: HLL distincts and Misra-Gries
-heavy hitters per key.
+"""Mergeable sketches as streaming state: HLL distincts, Misra-Gries
+heavy hitters, and KMV theta samples per key.
 
-Completes the sketches-as-state trio begun by streaming/quantiles.py
+Completes the sketches-as-state family begun by streaming/quantiles.py
 (KLL): each grouped ``applyInPandasWithState`` state is one bounded
 summary — O(2^p) registers for distinct counting, O(k) counters for
-frequent items — folded with every micro-batch and re-emitted on
-update.  The properties that make the batch builders scale across
+frequent items, k minimum hashes for set algebra — folded with every
+micro-batch and re-emitted on update.  The properties that make the batch builders scale across
 partitions (sketch/hll.py, operators/heavy.py) are exactly what a
 stream needs across TIME: state that never grows with event volume,
 order-insensitive folds (no reorder buffer), and estimates with known
@@ -21,9 +21,15 @@ error bounds.
   summary.  Unlike the batch operator (heavy.py), a stream cannot run
   the exact verify pass — the emitted counts are the (bounded-error)
   summary itself, which is the standard streaming trade.
+* ``streaming_theta`` — per-key KMV sketch (sketch/theta.py) whose
+  SERIALIZED SKETCH is part of every emission (≈ 8·k bytes): unlike
+  the HLL row, a consumer can load two keys' sketches and compute
+  intersections / differences / Jaccard between live audiences, or
+  merge them with batch-built sketches — KMV union is exactly
+  associative, so stream state and offline state compose.
 
 Event-time semantics are the caller's concern (watermark upstream if
-needed); both folds are order-insensitive.
+needed); all three folds are order-insensitive.
 """
 
 from __future__ import annotations
@@ -134,6 +140,59 @@ def streaming_heavy_hitters(
         update,
         outputStructType=out_schema,
         stateStructType="n bigint, err bigint, counts binary",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_theta(
+    events: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: int = 1024,
+) -> DataFrame:
+    """(key, n_events, distinct_est, sketch) per key, re-emitted each
+    micro-batch the key appears in.  ``sketch`` is the pickled
+    ThetaSketch — load with ``pickle.loads`` and combine with
+    ``theta.intersection_estimate`` / ``merge`` across keys or against
+    batch-built sketches (KMV merge is exactly associative, so online
+    and offline state compose losslessly)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..sketch.theta import ThetaSketch
+
+    key_type = events.schema[key_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {key_type}, n_events bigint, distinct_est double, "
+        "sketch binary"
+    )
+    hashed = events.select(
+        key_col, F.xxhash64(F.col(value_col)).alias("__h")
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            n, blob = state.get
+            sketch = pickle.loads(blob)
+        else:
+            n, sketch = 0, ThetaSketch(k)
+        for pdf in pdfs:
+            n += len(pdf)
+            sketch.add_hashed(pdf["__h"].to_numpy())
+        blob = pickle.dumps(sketch)
+        state.update((n, blob))
+        yield pd.DataFrame({
+            key_col: [key[0]], "n_events": [n],
+            "distinct_est": [float(sketch.estimate())],
+            "sketch": [blob],
+        })
+
+    return hashed.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="n bigint, sketch binary",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -769,3 +769,81 @@ def test_streaming_heavy_hitters_mg_state(spark, tmp_path):
         assert r["lb"] <= truth[hot] <= r["lb"] + r["err"], (
             hot, r["lb"], r["err"], truth[hot]
         )
+
+
+def test_streaming_theta_state_equals_batch_sketch(spark, tmp_path):
+    """Per-key KMV state across shuffled micro-batches: the final
+    emitted sketch must be VALUE-IDENTICAL to a batch build over the
+    same rows (order-insensitive, exactly associative fold — a stronger
+    contract than an estimate envelope), and cross-key set operations
+    computed from the emitted blobs must match the batch-side result."""
+    import os
+    import pickle
+    import random
+    import time
+
+    import numpy as np
+
+    from spark_skew_join_spark.sketch.theta import intersection_estimate
+    from spark_skew_join_spark.streaming.sketches import streaming_theta
+
+    rng = random.Random(47)
+    rows = []
+    for i in range(24_000):
+        key = "a" if i % 3 else "b"
+        lo, hi = (0, 6_000) if key == "a" else (3_000, 8_000)
+        rows.append((key, rng.randrange(lo, hi)))
+    rng.shuffle(rows)
+    src = str(tmp_path / "tfeed")
+    os.makedirs(src)
+    third = len(rows) // 3
+    for b in range(3):
+        chunk = rows[b * third:(b + 1) * third] if b < 2 else rows[2 * third:]
+        spark.createDataFrame(chunk, "k string, v long") \
+            .coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema("k string, v long")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        streaming_theta(stream, "k", "v", k=512)
+        .writeStream.outputMode("update").format("memory")
+        .queryName("stheta").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = {
+        r["k"]: r for r in spark.sql(
+            "SELECT k, max_by(sketch, n_events) AS sketch, "
+            "max(n_events) AS n FROM stheta GROUP BY k"
+        ).collect()
+    }
+    batch_df = spark.createDataFrame(rows, "k string, v long")
+    from pyspark.sql import functions as F
+
+    from spark_skew_join_spark.sketch.theta import ThetaSketch
+
+    for key in ("a", "b"):
+        streamed = pickle.loads(bytes(final[key]["sketch"]))
+        # the streaming fold hashes the raw value column (xxhash64(v)),
+        # so the bit-equality reference folds the same raw hashes
+        raw = batch_df.where(f"k = '{key}'").select(
+            F.xxhash64("v").alias("h")
+        ).toPandas()["h"].to_numpy()
+        expect = ThetaSketch(512)
+        expect.add_hashed(raw)
+        assert np.array_equal(streamed.values, expect.values), key
+        assert final[key]["n"] == sum(1 for r_ in rows if r_[0] == key)
+    # cross-key set algebra from the emitted blobs
+    sa = pickle.loads(bytes(final["a"]["sketch"]))
+    sb = pickle.loads(bytes(final["b"]["sketch"]))
+    true_inter = len(
+        {v for k_, v in rows if k_ == "a"} & {v for k_, v in rows if k_ == "b"}
+    )
+    est = intersection_estimate(sa, sb)
+    assert abs(est - true_inter) <= 6 * sa.rse() * true_inter + 5, (
+        est, true_inter
+    )
