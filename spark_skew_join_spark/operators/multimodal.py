@@ -3,12 +3,22 @@
 Pattern (per the build contract): media travels as a ``binary`` column next
 to a metadata struct; decode / feature-extraction / resize / frame-sampling
 run as Arrow-batched ``mapInPandas`` stages so bytes never round-trip
-through Python row-at-a-time. The actual codec step is STUBBED — the
-image/audio libraries are not in this container — behind
-``decoder="stub"`` (deterministic fake features derived from the bytes) or
-``decoder="pil"``/``"librosa"`` which raise NotImplementedError with a clear
-message. Everything Spark-side (schema, batching, partitioning, UDF
-signatures) is real and tested.
+through Python row-at-a-time.
+
+Codec tiers:
+
+* ``decoder="bmp"`` / ``decoder="wav"`` — REAL decoders with zero
+  external dependencies: uncompressed 24-bit BMP parsed/encoded with
+  numpy (header + bottom-up padded rows), PCM-16 WAV through the
+  stdlib ``wave`` module.  Features and resizes computed from actual
+  pixels/samples; malformed payloads raise ValueError naming the
+  offense.
+* ``decoder="stub"`` — deterministic sha-derived fake features (the
+  oracle-checkable path the registry queries use).
+* ``decoder="pil"``/``"librosa"`` — compressed codecs (JPEG/PNG/MP3/…)
+  genuinely need the external libraries, which are not in this
+  container: NotImplementedError with a clear message.  The Spark-side
+  plumbing is identical to the real bmp/wav paths.
 
 Scale: mapInPandas streams Arrow batches; per-batch memory is bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch``. Media blobs are the widest
@@ -19,10 +29,119 @@ until the decode stage).
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
+
+import numpy as np
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
+
+
+# -- real zero-dependency codecs --------------------------------------
+
+def decode_bmp(content: bytes) -> np.ndarray:
+    """Parse an uncompressed 24-bit BMP → (h, w, 3) uint8 RGB array.
+
+    Handles the standard BITMAPINFOHEADER layout: bottom-up rows,
+    4-byte row padding, BGR byte order. Anything else (compression,
+    other bit depths) raises ValueError."""
+    if len(content) < 54 or content[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    data_off = struct.unpack_from("<I", content, 10)[0]
+    w = struct.unpack_from("<i", content, 18)[0]
+    h_signed = struct.unpack_from("<i", content, 22)[0]
+    bpp = struct.unpack_from("<H", content, 28)[0]
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if w <= 0 or h_signed == 0:
+        raise ValueError(f"BMP dimensions invalid: {w}x{h_signed}")
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"only uncompressed 24-bit BMP supported (got bpp={bpp}, "
+            f"compression={compression})"
+        )
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    row_bytes = (w * 3 + 3) & ~3
+    need = data_off + row_bytes * h
+    if len(content) < need:
+        raise ValueError(f"BMP truncated: need {need} bytes, have {len(content)}")
+    raw = np.frombuffer(content, dtype=np.uint8, count=row_bytes * h,
+                        offset=data_off).reshape(h, row_bytes)
+    px = raw[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        px = px[::-1]
+    return px[:, :, ::-1].copy()  # BGR → RGB
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB array → uncompressed 24-bit BMP bytes."""
+    h, w = arr.shape[:2]
+    row_bytes = (w * 3 + 3) & ~3
+    img_size = row_bytes * h
+    header = struct.pack(
+        "<2sIHHIIiiHHIIiiII",
+        b"BM", 54 + img_size, 0, 0, 54,
+        40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0,
+    )
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # RGB→BGR, bottom-up
+    return header + rows.tobytes()
+
+
+def decode_wav(content: bytes) -> tuple[np.ndarray, int, int]:
+    """PCM-16 WAV bytes → (samples int16 [n, channels], sample_rate,
+    n_channels) via the stdlib wave module."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(content)) as wf:
+            sw, sr, nch = wf.getsampwidth(), wf.getframerate(), wf.getnchannels()
+            if sw != 2:
+                raise ValueError(f"only PCM-16 WAV supported (sampwidth={sw})")
+            frames = wf.readframes(wf.getnframes())
+    except wave.Error as e:
+        raise ValueError(f"not a PCM WAV payload: {e}") from e
+    samples = np.frombuffer(frames, dtype="<i2").reshape(-1, nch)
+    return samples, sr, nch
+
+
+def _bmp_features(content: bytes) -> list[float]:
+    """FEATURE_DIM real image features: per-channel mean/std (6),
+    luminance quartiles (5), row/col edge energy (2), dims (2),
+    fill ratio of near-black pixels (1)."""
+    px = decode_bmp(content).astype(np.float64)
+    lum = px.mean(axis=2)
+    q = np.quantile(lum, [0.0, 0.25, 0.5, 0.75, 1.0])
+    feats = [
+        *(px[:, :, c].mean() / 255.0 for c in range(3)),
+        *(px[:, :, c].std() / 255.0 for c in range(3)),
+        *(v / 255.0 for v in q),
+        float(np.abs(np.diff(lum, axis=0)).mean() / 255.0) if px.shape[0] > 1 else 0.0,
+        float(np.abs(np.diff(lum, axis=1)).mean() / 255.0) if px.shape[1] > 1 else 0.0,
+        float(px.shape[1]), float(px.shape[0]),
+        float((lum < 16.0).mean()),
+    ]
+    return feats[:FEATURE_DIM]
+
+
+def _wav_features(content: bytes) -> list[float]:
+    """FEATURE_DIM real audio features: duration_s, rms, peak,
+    zero-crossing rate, then 12 log-energy FFT bands (mono mixdown)."""
+    samples, sr, _ = decode_wav(content)
+    mono = samples.mean(axis=1) / 32768.0
+    n = len(mono)
+    dur = n / sr if sr else 0.0
+    if n == 0:
+        return [0.0] * FEATURE_DIM
+    rms = float(np.sqrt((mono ** 2).mean()))
+    peak = float(np.abs(mono).max())
+    zcr = float((np.diff(np.signbit(mono)) != 0).mean()) if n > 1 else 0.0
+    spec = np.abs(np.fft.rfft(mono)) ** 2
+    bands = np.array_split(spec, 12)
+    band_e = [float(np.log1p(b.sum())) for b in bands]
+    return [dur, rms, peak, zcr, *band_e][:FEATURE_DIM]
 
 MEDIA_META = T.StructType(
     [
@@ -84,22 +203,28 @@ def extract_features(
 ) -> DataFrame:
     """Arrow-batched decode + feature extraction over a binary column.
 
-    decoder="stub" → deterministic sha-derived features (tested);
-    decoder="pil"/"librosa" → NotImplementedError (libs not in container).
+    decoder="bmp"/"wav" → REAL features from decoded pixels/samples
+    (zero-dependency codecs above); decoder="stub" → deterministic
+    sha-derived features (the oracle path); decoder="pil"/"librosa" →
+    NotImplementedError (compressed codecs need libs not in container).
     """
-    if decoder not in ("stub", "pil", "librosa"):
+    if decoder not in ("stub", "bmp", "wav", "pil", "librosa"):
         raise ValueError(f"unknown decoder {decoder!r}")
-    if decoder != "stub":
+    if decoder in ("pil", "librosa"):
         raise NotImplementedError(
             f"decoder={decoder!r} requires media libraries not present in "
-            "this container; the Spark plumbing is identical to decoder='stub'"
+            "this container; decoder='bmp'/'wav' are real zero-dependency "
+            "paths, decoder='stub' is the deterministic fake"
         )
+    decode = {
+        "stub": _stub_decode, "bmp": _bmp_features, "wav": _wav_features,
+    }[decoder]
 
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in it:
-            feats = pdf[content_col].map(lambda b: _stub_decode(bytes(b)))
+            feats = pdf[content_col].map(lambda b: decode(bytes(b)))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
@@ -135,31 +260,44 @@ def resize_images(
     """Arrow-batched image resize over a binary column (1 row in → 1 row
     out, new payload + target dimensions).
 
-    decoder="stub" emits a deterministic 16-byte md5 payload of
-    ``r{w}x{h}:`` + content (a real decoder would decode→resample→encode in
-    the same batch loop); "pil" raises until the library ships. The
-    Spark-side shape — late blob selection, Arrow batch streaming, binary
-    output column — is the production plumbing."""
-    if decoder != "stub":
+    decoder="bmp" REALLY resizes: decode → nearest-neighbor resample
+    (numpy index grid) → re-encode BMP, all in the batch loop with no
+    external libraries.  decoder="stub" emits a deterministic 16-byte
+    md5 payload of ``r{w}x{h}:`` + content; "pil" raises until the
+    library ships (JPEG/PNG need it). The Spark-side shape — late blob
+    selection, Arrow batch streaming, binary output column — is the
+    production plumbing."""
+    if decoder not in ("stub", "bmp"):
         raise NotImplementedError(
             f"decoder={decoder!r} requires media libraries not present in "
-            "this container; the Spark plumbing is identical to decoder='stub'"
+            "this container; decoder='bmp' is a real zero-dependency path"
         )
 
     prefix = f"r{width}x{height}:".encode()
+
+    def _resize_bmp(b: bytes) -> bytes:
+        px = decode_bmp(b)
+        h0, w0 = px.shape[:2]
+        yi = (np.arange(height) * h0 // height).clip(0, h0 - 1)
+        xi = (np.arange(width) * w0 // width).clip(0, w0 - 1)
+        return encode_bmp(px[yi][:, xi])
 
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in it:
+            if decoder == "bmp":
+                resized = pdf[content_col].map(lambda b: _resize_bmp(bytes(b)))
+            else:
+                resized = pdf[content_col].map(
+                    lambda b: hashlib.md5(prefix + bytes(b)).digest()
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
                     "width": width,
                     "height": height,
-                    "resized": pdf[content_col].map(
-                        lambda b: hashlib.md5(prefix + bytes(b)).digest()
-                    ),
+                    "resized": resized,
                 }
             )
 

@@ -489,3 +489,123 @@ def test_asof_join_randomized_vs_pandas(spark):
         for r in exp_df.itertuples()
     }
     assert got == exp
+
+
+def _make_bmp(w, h, seed=0):
+    import numpy as np
+
+    from spark_skew_join_spark.operators.multimodal import encode_bmp
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    return arr, encode_bmp(arr)
+
+
+def _make_wav(n, sr=8000, freq=440.0):
+    import io
+    import wave
+
+    import numpy as np
+
+    t = np.arange(n) / sr
+    samples = (np.sin(2 * np.pi * freq * t) * 20000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(samples.tobytes())
+    return samples, buf.getvalue()
+
+
+def test_bmp_codec_roundtrip_and_validation():
+    import numpy as np
+    import pytest
+
+    from spark_skew_join_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    # odd width exercises the 4-byte row padding
+    arr, payload = _make_bmp(13, 7, seed=3)
+    assert np.array_equal(decode_bmp(payload), arr)
+    assert np.array_equal(decode_bmp(encode_bmp(arr)), arr)
+    with pytest.raises(ValueError, match="magic"):
+        decode_bmp(b"JUNK" * 20)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(payload[:-10])
+
+
+def test_wav_codec_and_validation():
+    import numpy as np
+    import pytest
+
+    from spark_skew_join_spark.operators.multimodal import decode_wav
+
+    samples, payload = _make_wav(4000)
+    got, sr, nch = decode_wav(payload)
+    assert sr == 8000 and nch == 1
+    assert np.array_equal(got[:, 0], samples)
+    with pytest.raises(ValueError, match="WAV"):
+        decode_wav(b"not audio at all")
+
+
+def test_real_bmp_features_through_spark(spark):
+    import numpy as np
+
+    from spark_skew_join_spark.operators.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+    )
+
+    arrs, rows = [], []
+    for i in range(4):
+        arr, payload = _make_bmp(16 + i, 9, seed=i)
+        arrs.append(arr)
+        rows.append((i, bytearray(payload)))
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = {r["doc_id"]: r for r in extract_features(df, decoder="bmp").collect()}
+    for i, arr in enumerate(arrs):
+        f = out[i]["features"]
+        assert len(f) == FEATURE_DIM
+        # feature 0-2: per-channel means from the REAL pixels
+        for c in range(3):
+            assert abs(f[c] - arr[:, :, c].mean() / 255.0) < 1e-9
+        # dims features carry the decoded geometry
+        assert f[13] == 16.0 + i and f[14] == 9.0
+
+
+def test_real_wav_features_through_spark(spark):
+    from spark_skew_join_spark.operators.multimodal import extract_features
+
+    _, payload = _make_wav(8000)  # exactly 1 s at 8 kHz
+    df = spark.createDataFrame(
+        [(0, bytearray(payload))], "doc_id long, content binary"
+    )
+    f = extract_features(df, decoder="wav").collect()[0]["features"]
+    assert abs(f[0] - 1.0) < 1e-9          # duration_s
+    assert 0.40 < f[1] < 0.46              # rms = A/sqrt(2) of a 0.61 sine
+    assert abs(f[2] - 20000 / 32768) < 0.01  # peak
+    assert 0.05 < f[3] < 0.2               # zcr ~ 2*440/8000
+
+
+def test_real_bmp_resize_through_spark(spark):
+    import numpy as np
+
+    from spark_skew_join_spark.operators.multimodal import (
+        decode_bmp,
+        resize_images,
+    )
+
+    arr, payload = _make_bmp(20, 10, seed=9)
+    df = spark.createDataFrame(
+        [(0, bytearray(payload))], "doc_id long, content binary"
+    )
+    out = resize_images(df, 5, 4, decoder="bmp").collect()[0]
+    resized = decode_bmp(bytes(out["resized"]))
+    assert resized.shape == (4, 5, 3)
+    # nearest-neighbor: every output pixel is an exact source pixel
+    yi = (np.arange(4) * 10 // 4).clip(0, 9)
+    xi = (np.arange(5) * 20 // 5).clip(0, 19)
+    assert np.array_equal(resized, arr[yi][:, xi])

@@ -48,6 +48,9 @@ QUERIES = [
     "bm25_topk_docs",
     "gopher_quality_docs",
     "hilbert_layout_orders",
+    "theta_sketch_orders",
+    "record_linkage_customers",
+    "cluster_split_docs",
 ]
 
 
