@@ -40,6 +40,27 @@ def _block_sizes(df: DataFrame, keys: list[str]) -> DataFrame:
     return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
 
 
+def phonetic_key(col: str | F.Column, extra: F.Column | None = None) -> F.Column:
+    """Soundex-based blocking key (JVM codegen — ``F.soundex``): the
+    classic record-linkage block for person/organization names, robust
+    to the spelling variation Levenshtein scoring then resolves.
+    ``extra`` (e.g. a region/zip column) tightens blocks so one common
+    surname code cannot go hot; at 100 TB ALWAYS compose with a second
+    attribute — soundex alone has ~7k codes.
+
+    Usage::
+
+        left  = people.withColumn("blk", phonetic_key("name", F.col("zip")))
+        right = dirty.withColumn("blk", phonetic_key("name", F.col("zip")))
+        link_records(left, right, block_left=["blk"], block_right=["blk"], …)
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    key = F.soundex(F.upper(F.trim(c)))
+    if extra is not None:
+        key = F.concat_ws("|", key, extra.cast("string"))
+    return key
+
+
 def link_records(
     left: DataFrame,
     right: DataFrame,

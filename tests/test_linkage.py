@@ -142,3 +142,33 @@ def test_resolve_entities_transitive(spark):
     ent = {r["uid"]: r["entity_id"] for r in out}
     assert ent[1] == ent[2] == ent[3] == 1
     assert ent[4] == 4
+
+
+def test_phonetic_key_blocks_spelling_variants(spark):
+    from pyspark.sql import functions as F
+
+    from spark_skew_join_spark.operators.linkage import (
+        link_records,
+        phonetic_key,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "Robert Smith", "94110"), (2, "Catherine Jones", "02139")],
+        "id bigint, name string, zip string",
+    ).withColumn("blk", phonetic_key("name", F.col("zip")))
+    right = spark.createDataFrame(
+        [(11, "Rupert Smith", "94110"),     # same soundex R163, same zip
+         (12, "Katherine Jones", "02139"),  # C365 vs K365 — different code
+         (13, "Robert Smith", "10001")],    # same code, different zip
+        "id bigint, name string, zip string",
+    ).withColumn("blk", phonetic_key("name", F.col("zip")))
+    out = link_records(
+        left, right, left_id="id", right_id="id",
+        block_left=["blk"], block_right=["blk"],
+        compare=[("name", "name")], threshold=0.5, best_match=False,
+    )
+    pairs = {(r["id"], r[1]) for r in out.collect()}
+    assert (1, 11) in pairs       # phonetic variant, same zip → candidate
+    assert (1, 13) not in pairs   # zip component prevents cross-region block
+    # K/C initial is the documented soundex limitation: first letter kept
+    assert (2, 12) not in pairs
