@@ -5634,6 +5634,157 @@ ORDER BY c.c_nationkey
 """
 
 
+def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution (operators/linkage.py::
+    resolve_entities): every customer is linked against TWO
+    independently-dirtied copies (dashes stripped / dashes→dots, id
+    offsets +1M/+2M), the two best-match pair sets union into a link
+    graph, and pointer-jumping connected components folds each
+    original + its two variants into ONE entity — the >2-way merge a
+    pairwise matcher alone cannot express.  Output is the entity-size
+    histogram (all size 3 when no spurious cross-customer link forms).
+    Oracle replays both linkage runs and the transitive closure as a
+    recursive CTE."""
+    from .operators.linkage import link_records, resolve_entities
+
+    t = load_tables(spark, sf_dir)
+    customer = t["customer"]
+    phone = (
+        "concat(substring(md5(cast(c_custkey as string)), 1, 3), '-', "
+        "substring(md5(cast(c_custkey as string)), 4, 4), '-', "
+        "substring(md5(cast(c_custkey as string)), 8, 4))"
+    )
+    base = customer.select("c_custkey", F.expr(phone).alias("c_phone"))
+    left = base.select(
+        "c_custkey", "c_phone",
+        F.expr("right(replace(c_phone, '-', ''), 4)").alias("blk"),
+    )
+
+    def dirty(offset: int, repl: str):
+        return base.select(
+            (F.col("c_custkey") + offset).alias("d_id"),
+            F.expr(f"replace(c_phone, '-', '{repl}')").alias("d_phone"),
+        ).withColumn(
+            "blk", F.expr(f"right(replace(d_phone, '{repl}', ''), 4)")
+            if repl else F.expr("right(d_phone, 4)")
+        )
+
+    pair_sets = []
+    for offset, repl in ((1_000_000, ""), (2_000_000, ".")):
+        links = link_records(
+            left, dirty(offset, repl),
+            left_id="c_custkey", right_id="d_id",
+            block_left=["blk"], block_right=["blk"],
+            compare=[("c_phone", "d_phone")],
+            threshold=0.6, block_cap=10_000, best_match=True,
+        )
+        pair_sets.append(links.select(
+            F.col("c_custkey").alias("id_l"), F.col("d_id").alias("id_r")
+        ))
+    pairs = pair_sets[0].unionByName(pair_sets[1])
+    vertices = (
+        base.select(F.col("c_custkey").alias("vid"))
+        .unionByName(base.select((F.col("c_custkey") + 1_000_000).alias("vid")))
+        .unionByName(base.select((F.col("c_custkey") + 2_000_000).alias("vid")))
+    )
+    ents = resolve_entities(
+        pairs, vertices, id_col="vid", left_id="id_l", right_id="id_r"
+    )
+    return (
+        ents.groupBy("entity_id")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_entities"))
+        .orderBy("size")
+    )
+
+
+ENTITY_RESOLUTION_SQL = """
+WITH RECURSIVE ph AS (
+  SELECT c_custkey,
+         SUBSTRING(MD5(CAST(c_custkey AS VARCHAR)), 1, 3) || '-' ||
+         SUBSTRING(MD5(CAST(c_custkey AS VARCHAR)), 4, 4) || '-' ||
+         SUBSTRING(MD5(CAST(c_custkey AS VARCHAR)), 8, 4) AS c_phone
+  FROM customer
+),
+l AS (
+  SELECT c_custkey AS lid, c_phone,
+         right(replace(c_phone, '-', ''), 4) AS blk
+  FROM ph
+),
+ra AS (
+  SELECT c_custkey + 1000000 AS rid, replace(c_phone, '-', '') AS d_phone,
+         right(replace(c_phone, '-', ''), 4) AS blk
+  FROM ph
+),
+rb AS (
+  SELECT c_custkey + 2000000 AS rid, replace(c_phone, '-', '.') AS d_phone,
+         right(replace(replace(c_phone, '-', '.'), '.', ''), 4) AS blk
+  FROM ph
+),
+la AS (SELECT blk, COUNT(*) AS n FROM l GROUP BY blk),
+ra_n AS (SELECT blk, COUNT(*) AS n FROM ra GROUP BY blk),
+rb_n AS (SELECT blk, COUNT(*) AS n FROM rb GROUP BY blk),
+ok_a AS (SELECT la.blk FROM la JOIN ra_n ON ra_n.blk = la.blk
+         WHERE la.n * ra_n.n <= 10000),
+ok_b AS (SELECT la.blk FROM la JOIN rb_n ON rb_n.blk = la.blk
+         WHERE la.n * rb_n.n <= 10000),
+cand_a AS (
+  SELECT l.lid, r.rid,
+         1.0 - levenshtein(l.c_phone, r.d_phone)
+             / GREATEST(LENGTH(l.c_phone), LENGTH(r.d_phone), 1) AS score
+  FROM l JOIN ok_a ON ok_a.blk = l.blk JOIN ra r ON r.blk = l.blk
+),
+cand_b AS (
+  SELECT l.lid, r.rid,
+         1.0 - levenshtein(l.c_phone, r.d_phone)
+             / GREATEST(LENGTH(l.c_phone), LENGTH(r.d_phone), 1) AS score
+  FROM l JOIN ok_b ON ok_b.blk = l.blk JOIN rb r ON r.blk = l.blk
+),
+best_a AS (
+  SELECT lid, rid FROM (
+    SELECT lid, rid,
+           ROW_NUMBER() OVER (PARTITION BY lid
+                              ORDER BY score DESC, rid ASC) AS rk
+    FROM cand_a WHERE score >= 0.6
+  ) WHERE rk = 1
+),
+best_b AS (
+  SELECT lid, rid FROM (
+    SELECT lid, rid,
+           ROW_NUMBER() OVER (PARTITION BY lid
+                              ORDER BY score DESC, rid ASC) AS rk
+    FROM cand_b WHERE score >= 0.6
+  ) WHERE rk = 1
+),
+pr AS (SELECT lid AS id_a, rid AS id_b FROM best_a
+       UNION ALL SELECT lid, rid FROM best_b),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pr
+  UNION
+  SELECT id_b, id_a FROM pr
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+verts AS (
+  SELECT c_custkey AS vid FROM ph
+  UNION ALL SELECT c_custkey + 1000000 FROM ph
+  UNION ALL SELECT c_custkey + 2000000 FROM ph
+),
+ents AS (
+  SELECT v.vid,
+         LEAST(v.vid, COALESCE(MIN(r.dst), v.vid)) AS entity_id
+  FROM verts v LEFT JOIN reach r ON r.src = v.vid
+  GROUP BY v.vid
+),
+sizes AS (SELECT entity_id, COUNT(*) AS size FROM ents GROUP BY entity_id)
+SELECT size, COUNT(*) AS n_entities FROM sizes GROUP BY size ORDER BY size
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round 6: registry ROTATED (VERDICT r5 #1) — the driver
     # correctness-checks the FIRST 50 entries only. This window holds
@@ -5644,6 +5795,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r5-certified follows them.
     "theta_sketch_orders": theta_sketch_orders,
     "record_linkage_customers": record_linkage_customers,
+    "entity_resolution_customers": entity_resolution_customers,
     "cluster_split_docs": cluster_split_docs,
     "bm25_topk_docs": bm25_topk_docs,
     "bloom_membership_orders": bloom_membership_orders,
@@ -5691,12 +5843,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_join_left_outer": skew_join_left_outer,
     "skew_join_semi": skew_join_semi,
     "skew_join_anti": skew_join_anti,
-    "skew_join_cms_estimator": skew_join_cms_estimator,
-    # ^ end of the driver's first-50 check window (three round-6
+    # ^ end of the driver's first-50 check window (four round-6
     # debuts — theta_sketch_orders, record_linkage_customers,
-    # cluster_split_docs — entered at the head, displacing the agg/
-    # skew_agg entries below into the r7 front-of-line).
+    # entity_resolution_customers, cluster_split_docs — entered at the
+    # head, displacing the entries below into the r7 front-of-line).
     # --- unsampled leftovers: FIRST in line for the r7 window ---
+    "skew_join_cms_estimator": skew_join_cms_estimator,
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,
     "agg_distinct": agg_distinct,
@@ -5790,6 +5942,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "theta_sketch_orders": THETA_SKETCH_SQL,
     "record_linkage_customers": RECORD_LINKAGE_SQL,
+    "entity_resolution_customers": ENTITY_RESOLUTION_SQL,
     "cluster_split_docs": CLUSTER_SPLIT_STATS_SQL,
     "bm25_topk_docs": BM25_SQL,
     "gopher_quality_docs": GOPHER_QUALITY_SQL,
@@ -5935,6 +6088,7 @@ ORACLES: dict[str, str] = {
 EAGER_QUERIES = (
     "theta_sketch_orders",
     "cluster_split_docs",
+    "entity_resolution_customers",
     "bloom_membership_orders",
     "skew_join_lineitem_supplier",
     "kll_quantiles_orders",
