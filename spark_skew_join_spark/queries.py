@@ -5785,6 +5785,90 @@ SELECT size, COUNT(*) AS n_entities FROM sizes GROUP BY size ORDER BY size
 """
 
 
+def join_size_estimate_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS inner-product join-cardinality forecasting
+    (operators/joinest.py — Cormode–Muthukrishnan §4.2): predict the
+    output row count of an equi-join WITHOUT running it, from two
+    bounded (depth × width) bucket-count aggregates.  Two joins are
+    forecast: the many-to-many lineitem self-join on l_partkey (the
+    case where a planner must decide between shuffle and skew_join) and
+    the FK orders⋈customer join.  md5 bucketing makes the estimate
+    itself deterministic, so the oracle replays the full sketch —
+    estimates included — in SQL; ``within_bound`` additionally gates
+    the analytic contract (never undershoots, overshoot ≤ 6× expected
+    collision mass Na·Nb/width)."""
+    from .operators.joinest import join_size_report
+
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_partkey")
+    r1 = join_size_report(li, li, "l_partkey", "l_partkey").select(
+        F.lit("lineitem_self_partkey").alias("join_name"), "*"
+    )
+    r2 = join_size_report(
+        t["orders"].select("o_custkey"),
+        t["customer"].select("c_custkey"),
+        "o_custkey",
+        "c_custkey",
+    ).select(F.lit("orders_customer").alias("join_name"), "*")
+    return r1.unionByName(r2).orderBy("join_name")
+
+
+JOIN_SIZE_CMS_SQL = """
+WITH li AS (SELECT l_partkey AS k FROM lineitem WHERE l_partkey IS NOT NULL),
+a1 AS (
+  SELECT d,
+         CAST(('0x' || SUBSTRING(MD5(CAST(d AS VARCHAR) || chr(1)
+               || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 65536 AS bucket,
+         COUNT(*) AS n
+  FROM li, UNNEST([0, 1, 2, 3, 4]) AS u(d) GROUP BY 1, 2
+),
+est1 AS (SELECT MIN(dot) AS est FROM (
+  SELECT d, SUM(n * n) AS dot FROM a1 GROUP BY d)),
+tru1 AS (SELECT SUM(c * c) AS tru FROM (
+  SELECT COUNT(*) AS c FROM li GROUP BY k)),
+n1 AS (SELECT COUNT(*) AS n FROM li),
+o AS (SELECT o_custkey AS k FROM orders WHERE o_custkey IS NOT NULL),
+c AS (SELECT c_custkey AS k FROM customer WHERE c_custkey IS NOT NULL),
+a2 AS (
+  SELECT d,
+         CAST(('0x' || SUBSTRING(MD5(CAST(d AS VARCHAR) || chr(1)
+               || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 65536 AS bucket,
+         COUNT(*) AS n
+  FROM o, UNNEST([0, 1, 2, 3, 4]) AS u(d) GROUP BY 1, 2
+),
+b2 AS (
+  SELECT d,
+         CAST(('0x' || SUBSTRING(MD5(CAST(d AS VARCHAR) || chr(1)
+               || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 65536 AS bucket,
+         COUNT(*) AS m
+  FROM c, UNNEST([0, 1, 2, 3, 4]) AS u(d) GROUP BY 1, 2
+),
+est2 AS (SELECT MIN(dot) AS est FROM (
+  SELECT a2.d, SUM(a2.n * b2.m) AS dot
+  FROM a2 JOIN b2 ON b2.d = a2.d AND b2.bucket = a2.bucket GROUP BY a2.d)),
+tru2 AS (SELECT SUM(oc.n * cc.m) AS tru FROM
+  (SELECT k, COUNT(*) AS n FROM o GROUP BY k) oc JOIN
+  (SELECT k, COUNT(*) AS m FROM c GROUP BY k) cc ON cc.k = oc.k),
+n2a AS (SELECT COUNT(*) AS n FROM o),
+n2b AS (SELECT COUNT(*) AS n FROM c),
+rows_out AS (
+  SELECT 'lineitem_self_partkey' AS join_name,
+         CAST(tru AS BIGINT) AS true_join_rows,
+         CAST(est AS BIGINT) AS est_join_rows,
+         ROUND(CAST(est - tru AS DOUBLE) / GREATEST(tru, 1), 6) AS rel_err,
+         est >= tru AND est <= tru + 6.0 * n1.n * n1.n / 65536 AS within_bound
+  FROM est1, tru1, n1
+  UNION ALL
+  SELECT 'orders_customer',
+         CAST(tru AS BIGINT), CAST(est AS BIGINT),
+         ROUND(CAST(est - tru AS DOUBLE) / GREATEST(tru, 1), 6),
+         est >= tru AND est <= tru + 6.0 * n2a.n * n2b.n / 65536
+  FROM est2, tru2, n2a, n2b
+)
+SELECT * FROM rows_out ORDER BY join_name
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round 6: registry ROTATED (VERDICT r5 #1) — the driver
     # correctness-checks the FIRST 50 entries only. This window holds
@@ -5794,6 +5878,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # head the post-window region and rotate in next round; everything
     # r5-certified follows them.
     "theta_sketch_orders": theta_sketch_orders,
+    "join_size_estimate_cms": join_size_estimate_cms,
     "record_linkage_customers": record_linkage_customers,
     "entity_resolution_customers": entity_resolution_customers,
     "cluster_split_docs": cluster_split_docs,
@@ -5941,6 +6026,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "theta_sketch_orders": THETA_SKETCH_SQL,
+    "join_size_estimate_cms": JOIN_SIZE_CMS_SQL,
     "record_linkage_customers": RECORD_LINKAGE_SQL,
     "entity_resolution_customers": ENTITY_RESOLUTION_SQL,
     "cluster_split_docs": CLUSTER_SPLIT_STATS_SQL,
@@ -6087,6 +6173,7 @@ ORACLES: dict[str, str] = {
 # Any new iterative/pre-pass query must be added here (ADVICE r2 #1).
 EAGER_QUERIES = (
     "theta_sketch_orders",
+    "join_size_estimate_cms",
     "cluster_split_docs",
     "entity_resolution_customers",
     "bloom_membership_orders",

@@ -121,6 +121,20 @@ class CountMinSketch:
     def estimate(self, key: object) -> int:
         return int(self.table[np.arange(self.depth), self._cols(key)].min())
 
+    def inner_product(self, other: "CountMinSketch") -> int:
+        """Estimate of ``Σ_k f_self(k) · f_other(k)`` — the row count of
+        the inner equi-join between the two sketched key columns
+        (Cormode–Muthukrishnan §4.2).  Never undershoots; overshoots by
+        ≤ eps·N_self·N_other w.p. ≥ 1-delta.  Relational twin:
+        ``operators/joinest.py::join_size_estimate``."""
+        if (self.depth, self.width, self.seed) != (
+            other.depth,
+            other.width,
+            other.seed,
+        ):
+            raise ValueError("cannot inner-product CMS with different parameters")
+        return int((self.table * other.table).sum(axis=1).min())
+
     # -- monoid ------------------------------------------------------------
     def merge(self, other: "CountMinSketch") -> "CountMinSketch":
         if (self.depth, self.width, self.seed) != (
