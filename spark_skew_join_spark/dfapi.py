@@ -183,6 +183,27 @@ def _hilbert_key(self: DataFrame, cols, bits: int = 16,
     return hilbert_key(self, list(cols), bits, out_col, quantizer, map_bits)
 
 
+def _join_size_estimate(self: DataFrame, right: DataFrame, left_on: str,
+                        right_on: str, **kwargs) -> DataFrame:
+    from .operators.joinest import join_size_estimate
+
+    return join_size_estimate(self, right, left_on, right_on, **kwargs)
+
+
+def _dhash_images(self: DataFrame, id_col: str = "doc_id",
+                  content_col: str = "content",
+                  decoder: str = "bmp") -> DataFrame:
+    from .operators.multimodal import dhash_images
+
+    return dhash_images(self, id_col, content_col, decoder)
+
+
+def _phash_near_dup(self: DataFrame, **kwargs) -> DataFrame:
+    from .operators.multimodal import phash_near_dup
+
+    return phash_near_dup(self, **kwargs)
+
+
 def register_dataframe_api() -> None:
     """Attach the reference-parity method surface to DataFrame (idempotent).
     The extension operators ride along so a reference user migrating to
@@ -214,6 +235,9 @@ def register_dataframe_api() -> None:
         link_records=_link_records,
         zorder_key=_zorder_key,
         hilbert_key=_hilbert_key,
+        join_size_estimate=_join_size_estimate,
+        dhash_images=_dhash_images,
+        phash_near_dup=_phash_near_dup,
     )
     for name, fn in _METHODS.items():
         setattr(DataFrame, name, fn)

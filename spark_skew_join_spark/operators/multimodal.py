@@ -362,3 +362,166 @@ def sample_frames(
             )
 
     return df.select(id_col, content_col).mapInPandas(batches, FRAMES_SCHEMA)
+
+
+# -- perceptual hashing: image near-duplicate detection ----------------
+
+def dhash64(px: np.ndarray) -> int:
+    """64-bit difference hash of an RGB pixel array (the standard dHash:
+    luminance → 9×8 grid → horizontal-gradient sign bits, row-major).
+
+    Invariant under any strictly-monotonic brightness transform (the
+    bits are order comparisons between adjacent grid cells), which is
+    what makes it a NEAR-duplicate key where a byte hash is not.
+    Returned as a SIGNED 64-bit int so it fits a Spark LongType."""
+    lum = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h0, w0 = lum.shape
+    yi = (np.arange(8) * h0 // 8).clip(0, h0 - 1)
+    xi = (np.arange(9) * w0 // 9).clip(0, w0 - 1)
+    g = lum[yi][:, xi]
+    bits = (g[:, 1:] > g[:, :-1]).ravel()
+    out = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+    ]
+)
+
+
+def dhash_images(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    decoder: str = "bmp",
+) -> DataFrame:
+    """(id, dhash): Arrow-batched decode → dHash per image.
+
+    Only the 8-byte hash leaves this stage — image payloads are decoded
+    where they sit and never shuffled.  decoder="bmp" is the real
+    zero-dependency path; "stub" derives a deterministic fake hash from
+    md5(bytes) so the plumbing is testable without real payloads;
+    "pil" raises (compressed codecs need libraries absent here)."""
+    if decoder == "pil":
+        raise NotImplementedError(
+            "decoder='pil' requires media libraries not present in this "
+            "container; decoder='bmp' is the real zero-dependency path"
+        )
+    if decoder not in ("bmp", "stub"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+
+    def _stub_hash(b: bytes) -> int:
+        v = int.from_bytes(hashlib.md5(b).digest()[:8], "big")
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    fn = (lambda b: dhash64(decode_bmp(b))) if decoder == "bmp" else _stub_hash
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "dhash": pd.Series(
+                        [fn(bytes(b)) for b in pdf[content_col]], dtype="int64"
+                    ),
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(batches, DHASH_SCHEMA)
+
+
+def phash_near_dup(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    band_bucket_cap: int | None = 10_000,
+) -> DataFrame:
+    """Hamming-distance near-duplicate pairs over 64-bit perceptual
+    hashes, without an all-pairs stage.
+
+    Pigeonhole banding: the 64 bits split into ``n_bands`` equal bands;
+    any pair within Hamming distance ≤ n_bands − 1 differs in at most
+    n_bands − 1 bands, so it MATCHES EXACTLY on at least one — an
+    equi-join on (band_idx, band_value) yields every such pair
+    (``max_hamming`` must be < n_bands for the recall guarantee).
+    Candidates are then verified exactly with ``bit_count(a ⊕ b)`` in
+    whole-stage codegen.  Degenerate bands (e.g. flat images hashing
+    alike) are capped via the same hot-bucket star guard as LSH dedup
+    (operators/dedup.py::band_bucket_cap).
+
+    Scale: each image contributes ``n_bands`` rows of
+    (band_idx, band_value, id, hash) ≈ 28 bytes — the shuffle is hashes,
+    never pixels.  Returns (id_a, id_b, hamming) with id_a < id_b."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"recall guarantee needs max_hamming < n_bands "
+            f"(got {max_hamming} >= {n_bands})"
+        )
+    if 64 % n_bands:
+        raise ValueError(f"n_bands must divide 64 (got {n_bands})")
+    from .dedup import band_bucket_cap as _cap
+
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    h = F.col(hash_col)
+    bands = hashes.select(
+        F.col(id_col).alias("__id"),
+        h.alias("__h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned(h, i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("__id", "__h", "b.band_idx", "b.band_val")
+
+    if band_bucket_cap is not None:
+        bands, star = _cap(bands, "__id", ["band_idx", "band_val"], band_bucket_cap)
+        # star pairs lose their hash columns; rejoin to verify exactly
+        hl = hashes.select(F.col(id_col).alias("id_a"), F.col(hash_col).alias("__ha"))
+        hr = hashes.select(F.col(id_col).alias("id_b"), F.col(hash_col).alias("__hb"))
+        star_pairs = (
+            star.select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+            )
+            .join(hl, "id_a")
+            .join(hr, "id_b")
+            .select("id_a", "id_b", F.col("__ha").alias("ha"), F.col("__hb").alias("hb"))
+        )
+    else:
+        star_pairs = None
+
+    a = bands.select(
+        F.col("__id").alias("id_a"), F.col("__h").alias("ha"), "band_idx", "band_val"
+    )
+    b = bands.select(
+        F.col("__id").alias("id_b"), F.col("__h").alias("hb"), "band_idx", "band_val"
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+    )
+    if star_pairs is not None:
+        cand = cand.unionByName(star_pairs)
+    return (
+        cand.distinct()
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+    )

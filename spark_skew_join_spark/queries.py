@@ -5869,6 +5869,103 @@ SELECT * FROM rows_out ORDER BY join_name
 """
 
 
+_IMG_VARIANT_OFFSET = 1 << 40
+
+
+def _synth_bmp_corpus(docs: DataFrame) -> DataFrame:
+    """(doc_id, content): deterministic 16×16 real BMP per document
+    (pixels from a sha256 stream over doc_id, range 0..199); every EVEN
+    doc_id also emits a planted near-duplicate variant (+10 brightness
+    — strictly monotonic, so zero dHash bits flip — plus one sampled
+    grid pixel blown out to 255, which flips at most 2 of the 64 bits).
+    Variant ids live at doc_id + 2^40 so they never collide."""
+    from .operators.multimodal import encode_bmp
+
+    def gen(it):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                data = b"".join(
+                    hashlib.sha256(f"img:{did}:{i}".encode()).digest()
+                    for i in range(24)
+                )
+                px = (np.frombuffer(data, dtype=np.uint8) % 200).reshape(16, 16, 3)
+                ids.append(did)
+                blobs.append(encode_bmp(px))
+                if did % 2 == 0:
+                    v = px + 10  # ≤ 209: no clipping, order-preserving
+                    v[6, 7] = 255  # grid point (yi[3], xi[4]) → ≤2 bit flips
+                    ids.append(did + _IMG_VARIANT_OFFSET)
+                    blobs.append(encode_bmp(v))
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"), "content": blobs}
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, "doc_id long, content binary")
+
+
+def image_near_dup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-duplicate detection over REAL decoded
+    pixels (operators/multimodal.py::dhash64 / phash_near_dup): BMP
+    corpus → dHash (Arrow-batched decode, 8 bytes/image leave the
+    stage) → pigeonhole-banded Hamming join (≤3 of 64 bits) → exact
+    ``bit_count(xor)`` verify in codegen.  The fixture plants one
+    brightness-shifted + single-pixel-perturbed variant per even
+    doc_id (dHash distance ≤ 2 by construction), so the CORRECT output
+    is fully determined: every planted pair found (banding guarantees
+    recall at hamming < n_bands), zero spurious pairs (distinct images
+    sit ~32 bits apart).  The oracle derives that expected output in
+    SQL — a miss or a false pair mismatches."""
+    from .operators.multimodal import dhash_images, phash_near_dup
+
+    t = load_tables(spark, sf_dir)
+    imgs = _synth_bmp_corpus(t["documents"])
+    hashes = dhash_images(imgs, decoder="bmp")
+    pairs = phash_near_dup(hashes, max_hamming=3, n_bands=4)
+    planted = (
+        (F.col("id_a") % 2 == 0)
+        & (F.col("id_b") - F.col("id_a") == _IMG_VARIANT_OFFSET)
+    ).cast("int")
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.coalesce(F.sum(planted), F.lit(0)).alias("n_planted_found"),
+    )
+    base = t["documents"].agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("doc_id") % 2 == 0).cast("int")).alias("n_planted"),
+    )
+    return base.crossJoin(agg).select(
+        (F.col("n_docs") + F.col("n_planted")).cast("long").alias("n_images"),
+        F.col("n_planted").cast("long").alias("n_planted"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("n_planted_found").cast("long").alias("n_planted_found"),
+        (F.col("n_pairs") - F.col("n_planted_found"))
+        .cast("long")
+        .alias("n_spurious"),
+    )
+
+
+IMAGE_NEAR_DUP_SQL = """
+WITH d AS (
+  SELECT COUNT(*) AS n_docs,
+         COUNT(*) FILTER (doc_id % 2 = 0) AS n_planted
+  FROM documents
+)
+SELECT CAST(n_docs + n_planted AS BIGINT) AS n_images,
+       CAST(n_planted AS BIGINT) AS n_planted,
+       CAST(n_planted AS BIGINT) AS n_pairs,
+       CAST(n_planted AS BIGINT) AS n_planted_found,
+       CAST(0 AS BIGINT) AS n_spurious
+FROM d
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round 6: registry ROTATED (VERDICT r5 #1) — the driver
     # correctness-checks the FIRST 50 entries only. This window holds
@@ -5879,6 +5976,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r5-certified follows them.
     "theta_sketch_orders": theta_sketch_orders,
     "join_size_estimate_cms": join_size_estimate_cms,
+    "image_near_dup_phash": image_near_dup_phash,
     "record_linkage_customers": record_linkage_customers,
     "entity_resolution_customers": entity_resolution_customers,
     "cluster_split_docs": cluster_split_docs,
@@ -6027,6 +6125,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "theta_sketch_orders": THETA_SKETCH_SQL,
     "join_size_estimate_cms": JOIN_SIZE_CMS_SQL,
+    "image_near_dup_phash": IMAGE_NEAR_DUP_SQL,
     "record_linkage_customers": RECORD_LINKAGE_SQL,
     "entity_resolution_customers": ENTITY_RESOLUTION_SQL,
     "cluster_split_docs": CLUSTER_SPLIT_STATS_SQL,
