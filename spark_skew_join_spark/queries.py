@@ -5951,6 +5951,112 @@ def image_near_dup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_wav_corpus(docs: DataFrame) -> DataFrame:
+    """(doc_id, content): deterministic PCM-16 WAV per document — 8
+    sinusoids (one per fingerprint band, at that band's center bin) with
+    per-(frame, band) envelopes drawn from a sha256 stream, so every
+    band energy is signal-dominated (no noise-floor bits).  Every EVEN
+    doc_id also emits a planted near-duplicate: amplitude × 0.6 (awhash
+    is scale-invariant — zero bits flip) with ONE band's frame-4
+    envelope tripled (≤ 2 of the 64 frame-difference bits flip)."""
+    from .operators.multimodal import encode_wav
+
+    def gen(it):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        sr, n_frames, frame_len, n_bands = 8000, 9, 400, 8
+        t = np.arange(n_frames * frame_len) / sr
+        freqs = (25 * np.arange(n_bands) + 12) * (sr / frame_len)
+        waves = np.sin(2 * np.pi * freqs[None, :] * t[:, None])  # (n, 8)
+
+        def synth(did: int, variant: bool) -> bytes:
+            data = b"".join(
+                hashlib.sha256(f"wav:{did}:{i}".encode()).digest()
+                for i in range(3)
+            )
+            env = 0.2 + 0.8 * (
+                np.frombuffer(data[:72], dtype=np.uint8).astype(np.float64)
+                .reshape(n_frames, n_bands) / 255.0
+            )
+            if variant:
+                env = env.copy()
+                env[4, data[72] % n_bands] *= 3.0
+            gain = 0.6 if variant else 1.0
+            mono = (np.repeat(env, frame_len, axis=0) * waves).sum(axis=1)
+            return encode_wav(gain * mono / n_bands, sr)
+
+        for pdf in it:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                ids.append(did)
+                blobs.append(synth(did, False))
+                if did % 2 == 0:
+                    ids.append(did + _IMG_VARIANT_OFFSET)
+                    blobs.append(synth(did, True))
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"), "content": blobs}
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, "doc_id long, content binary")
+
+
+def audio_near_dup_awhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate detection over REAL decoded PCM samples
+    (operators/multimodal.py::awhash64 / awhash_audio): WAV corpus →
+    Haitsma–Kalker-style band-energy fingerprint (Arrow-batched decode,
+    8 bytes/clip leave the stage) → the SAME pigeonhole-banded Hamming
+    matcher as images (phash_near_dup is hash-agnostic).  The fixture
+    plants one amplitude-scaled + single-band-boosted variant per even
+    doc_id (fingerprint distance ≤ 2 by construction), so the correct
+    output is fully determined and the oracle derives it in SQL."""
+    from .operators.multimodal import awhash_audio, phash_near_dup
+
+    t = load_tables(spark, sf_dir)
+    clips = _synth_wav_corpus(t["documents"])
+    hashes = awhash_audio(clips)
+    pairs = phash_near_dup(hashes, hash_col="awhash", max_hamming=3, n_bands=4)
+    planted = (
+        (F.col("id_a") % 2 == 0)
+        & (F.col("id_b") - F.col("id_a") == _IMG_VARIANT_OFFSET)
+    ).cast("int")
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.coalesce(F.sum(planted), F.lit(0)).alias("n_planted_found"),
+    )
+    base = t["documents"].agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("doc_id") % 2 == 0).cast("int")).alias("n_planted"),
+    )
+    return base.crossJoin(agg).select(
+        (F.col("n_docs") + F.col("n_planted")).cast("long").alias("n_clips"),
+        F.col("n_planted").cast("long").alias("n_planted"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("n_planted_found").cast("long").alias("n_planted_found"),
+        (F.col("n_pairs") - F.col("n_planted_found"))
+        .cast("long")
+        .alias("n_spurious"),
+    )
+
+
+AUDIO_NEAR_DUP_SQL = """
+WITH d AS (
+  SELECT COUNT(*) AS n_docs,
+         COUNT(*) FILTER (doc_id % 2 = 0) AS n_planted
+  FROM documents
+)
+SELECT CAST(n_docs + n_planted AS BIGINT) AS n_clips,
+       CAST(n_planted AS BIGINT) AS n_planted,
+       CAST(n_planted AS BIGINT) AS n_pairs,
+       CAST(n_planted AS BIGINT) AS n_planted_found,
+       CAST(0 AS BIGINT) AS n_spurious
+FROM d
+"""
+
+
 IMAGE_NEAR_DUP_SQL = """
 WITH d AS (
   SELECT COUNT(*) AS n_docs,
@@ -5977,6 +6083,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theta_sketch_orders": theta_sketch_orders,
     "join_size_estimate_cms": join_size_estimate_cms,
     "image_near_dup_phash": image_near_dup_phash,
+    "audio_near_dup_awhash": audio_near_dup_awhash,
     "record_linkage_customers": record_linkage_customers,
     "entity_resolution_customers": entity_resolution_customers,
     "cluster_split_docs": cluster_split_docs,
@@ -6126,6 +6233,7 @@ ORACLES: dict[str, str] = {
     "theta_sketch_orders": THETA_SKETCH_SQL,
     "join_size_estimate_cms": JOIN_SIZE_CMS_SQL,
     "image_near_dup_phash": IMAGE_NEAR_DUP_SQL,
+    "audio_near_dup_awhash": AUDIO_NEAR_DUP_SQL,
     "record_linkage_customers": RECORD_LINKAGE_SQL,
     "entity_resolution_customers": ENTITY_RESOLUTION_SQL,
     "cluster_split_docs": CLUSTER_SPLIT_STATS_SQL,

@@ -129,3 +129,72 @@ def test_phash_plan_is_udf_free_after_hashing(spark):
                                "doc_id long, dhash long")
     plan = phash_near_dup(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# -- audio fingerprint ------------------------------------------------
+
+from spark_skew_join_spark.operators.multimodal import (  # noqa: E402
+    awhash64,
+    awhash_audio,
+    decode_wav,
+    encode_wav,
+)
+
+
+def _clip(seed: int, boost_band: int | None = None) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    sr, n_frames, frame_len, n_bands = 8000, 9, 400, 8
+    t = np.arange(n_frames * frame_len) / sr
+    freqs = (25 * np.arange(n_bands) + 12) * (sr / frame_len)
+    env = rng.uniform(0.2, 1.0, size=(n_frames, n_bands))
+    if boost_band is not None:
+        env[4, boost_band] *= 3.0
+    mono = (np.repeat(env, frame_len, axis=0)
+            * np.sin(2 * np.pi * freqs[None, :] * t[:, None])).sum(axis=1)
+    return mono / n_bands
+
+
+def test_awhash_amplitude_invariance_through_pcm():
+    mono = _clip(3)
+    h1 = awhash64(decode_wav(encode_wav(mono))[0])
+    h2 = awhash64(decode_wav(encode_wav(mono * 0.5))[0])
+    h3 = awhash64(decode_wav(encode_wav(mono * 0.05))[0])
+    assert h1 == h2 == h3
+
+
+def test_awhash_band_boost_is_local():
+    rng = random.Random(4)
+    for seed in range(5):
+        base = awhash64(decode_wav(encode_wav(_clip(seed)))[0])
+        b = rng.randint(0, 7)
+        var = awhash64(decode_wav(encode_wav(_clip(seed, boost_band=b) * 0.6))[0])
+        assert _hamming(base, var) <= 2
+
+
+def test_awhash_distinct_clips_far_apart():
+    hs = [awhash64(decode_wav(encode_wav(_clip(s)))[0]) for s in range(15)]
+    for i in range(len(hs)):
+        for j in range(i + 1, len(hs)):
+            assert _hamming(hs[i], hs[j]) > 10
+
+
+def test_awhash_rejects_bad_geometry():
+    with pytest.raises(ValueError):
+        awhash64(np.zeros(900), n_frames=10, n_bands=8)
+
+
+def test_awhash_spark_matcher_end_to_end(spark):
+    rows = []
+    for i in range(12):
+        rows.append((i, bytearray(encode_wav(_clip(i)))))
+        if i % 3 == 0:
+            rows.append((i + 500, bytearray(encode_wav(_clip(i, boost_band=i % 8) * 0.7))))
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    from spark_skew_join_spark.operators.multimodal import phash_near_dup
+
+    pairs = phash_near_dup(
+        awhash_audio(df), hash_col="awhash", max_hamming=3, n_bands=4
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {
+        (i, i + 500) for i in range(0, 12, 3)
+    }
