@@ -121,6 +121,16 @@ class CountMinSketch:
     def estimate(self, key: object) -> int:
         return int(self.table[np.arange(self.depth), self._cols(key)].min())
 
+    def estimate_hashed(self, h: int) -> int:
+        """Estimate from a precomputed Spark ``xxhash64`` value (signed
+        int64) — the lookup twin of ``add_hashed``, so callers that
+        already hold JVM hashes never re-hash in Python."""
+        h1 = _splitmix((h & _M) ^ (self.seed & _M))
+        h2 = _splitmix(h1) | 1
+        idx = (h1 + np.arange(self.depth, dtype=np.uint64) * np.uint64(h2)) & np.uint64(_M)
+        cols = (idx % np.uint64(self.width)).astype(np.int64)
+        return int(self.table[np.arange(self.depth), cols].min())
+
     def inner_product(self, other: "CountMinSketch") -> int:
         """Estimate of ``Σ_k f_self(k) · f_other(k)`` — the row count of
         the inner equi-join between the two sketched key columns

@@ -196,3 +196,97 @@ def streaming_theta(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_hot_keys(
+    events: DataFrame,
+    key_cols: list[str],
+    hot_threshold: int,
+    n_shards: int = 8,
+    eps: float = 0.005,
+    delta: float = 1e-8,
+    seed: int = 1,
+    max_hot_keys: int = 10_000,
+    emit_top: int = 100,
+) -> DataFrame:
+    """Hot-join-key detection ON A STREAM with the exact CMS the batch
+    ``skew_join`` builds (sketch/cms.py) — the missing half of running
+    a skewed join inside a long-lived pipeline: keys heat up over
+    hours, and the decision to salt must come from accumulated
+    frequency, not one micro-batch.
+
+    Keys are canonicalized and hashed JVM-side with the SAME
+    ``spark_key_expr``/xxhash64 path as the batch builder, sharded by
+    ``pmod(hash, n_shards)`` (each key always lands on one shard), and
+    each shard folds ONE CMS + a bounded hot-candidate map as grouped
+    state.  A key enters the hot map when a trigger sees it and its
+    accumulated CMS estimate crosses ``hot_threshold`` (estimates only
+    grow, so membership is monotone; the estimate shown is as-of the
+    key's last appearance).  Per trigger each shard emits one SUMMARY
+    row (key NULL, ``sketch`` = pickled CMS) plus its top ``emit_top``
+    hot keys (``sketch`` NULL).  Shard sketches are plain CMS monoids:
+    merging all shards' blobs equals the one-shot batch
+    ``cms_from_dataframe`` over the same rows BIT-FOR-BIT (binning is
+    linear), so stream state composes with offline sketches and can be
+    handed straight to ``SkewJoinConf``-driven planning.
+
+    State per shard is bounded: one (depth × width) table + ≤
+    ``max_hot_keys`` candidates — independent of stream length."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..sketch.cms import CountMinSketch, spark_key_expr
+
+    hashed = events.select(
+        spark_key_expr(key_cols).alias("__k"),
+    ).where(F.col("__k").isNotNull()).select(
+        "__k", F.xxhash64(F.col("__k")).alias("__h")
+    ).withColumn("__shard", F.pmod(F.col("__h"), F.lit(n_shards)).cast("int"))
+
+    out_schema = (
+        "shard int, key string, est_freq bigint, n_events bigint, "
+        "sketch binary"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            n, cms_blob, hot_blob = state.get
+            cms = pickle.loads(cms_blob)
+            hot = pickle.loads(hot_blob)
+        else:
+            n, cms, hot = 0, CountMinSketch(eps, delta, seed), {}
+        seen: dict[str, int] = {}
+        for pdf in pdfs:
+            n += len(pdf)
+            cms.add_hashed(pdf["__h"].to_numpy())
+            for k_str, h in zip(pdf["__k"], pdf["__h"]):
+                seen[k_str] = int(h)
+        for k_str, h in seen.items():
+            est = cms.estimate_hashed(h)
+            if est >= hot_threshold:
+                hot[k_str] = est
+        if len(hot) > max_hot_keys:
+            hot = dict(
+                sorted(hot.items(), key=lambda kv: (-kv[1], kv[0]))[:max_hot_keys]
+            )
+        state.update((n, pickle.dumps(cms), pickle.dumps(hot)))
+        shard = int(key[0])
+        top = sorted(hot.items(), key=lambda kv: (-kv[1], kv[0]))[:emit_top]
+        yield pd.DataFrame({
+            "shard": [shard] * (1 + len(top)),
+            "key": [None] + [k for k, _ in top],
+            "est_freq": pd.array(
+                [None] + [e for _, e in top], dtype="Int64"
+            ),
+            "n_events": [n] * (1 + len(top)),
+            "sketch": [pickle.dumps(cms)] + [None] * len(top),
+        })
+
+    return hashed.groupBy("__shard").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="n bigint, cms binary, hot binary",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -91,3 +91,19 @@ def test_add_hashed_matches_scalar_path():
     vec.add_hashed(hashes)
     assert (scalar.table == vec.table).all()
     assert scalar.total == vec.total
+
+
+def test_estimate_hashed_matches_estimate(spark):
+    """estimate_hashed(JVM xxhash64) ≡ estimate(key) — the streaming
+    hot-key path never re-hashes in Python."""
+    from pyspark.sql import functions as F
+
+    keys = [f"k{i}" for i in range(200)]
+    cms = CountMinSketch().add_all(keys * 3)
+    hashes = {
+        r["k"]: r["h"]
+        for r in spark.createDataFrame([(k,) for k in keys], "k string")
+        .select("k", F.xxhash64("k").alias("h")).collect()
+    }
+    for k in keys:
+        assert cms.estimate_hashed(hashes[k]) == cms.estimate(k) >= 3

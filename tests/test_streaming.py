@@ -847,3 +847,91 @@ def test_streaming_theta_state_equals_batch_sketch(spark, tmp_path):
     assert abs(est - true_inter) <= 6 * sa.rse() * true_inter + 5, (
         est, true_inter
     )
+
+
+def test_streaming_hot_keys_cms_state(spark, tmp_path):
+    """Streaming hot-key detector: (1) every key whose TRUE accumulated
+    frequency crosses the threshold is in the final hot set (CMS never
+    underestimates, and the estimate at a key's last appearance covers
+    all its occurrences); (2) merging the shards' final sketch blobs is
+    BIT-IDENTICAL to the one-shot batch cms_from_dataframe over the
+    same rows — stream state composes with offline skew planning."""
+    import os
+    import pickle
+    import random
+    import time
+
+    import numpy as np
+
+    from spark_skew_join_spark.sketch.cms import cms_from_dataframe
+    from spark_skew_join_spark.streaming.sketches import streaming_hot_keys
+
+    rng = random.Random(17)
+    rows = (
+        [("hot_a",)] * 900 + [("hot_b",)] * 400
+        + [(f"cold_{rng.randrange(500)}",) for _ in range(6_000)]
+    )
+    rng.shuffle(rows)
+    true_freq: dict[str, int] = {}
+    for (k,) in rows:
+        true_freq[k] = true_freq.get(k, 0) + 1
+    threshold = 300
+    true_hot = {k for k, c in true_freq.items() if c >= threshold}
+    assert true_hot == {"hot_a", "hot_b"}
+
+    src = str(tmp_path / "hotfeed")
+    os.makedirs(src)
+    third = len(rows) // 3
+    for b in range(3):
+        chunk = rows[b * third:(b + 1) * third] if b < 2 else rows[2 * third:]
+        spark.createDataFrame(chunk, "k string") \
+            .coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema("k string")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        streaming_hot_keys(stream, ["k"], hot_threshold=threshold, n_shards=4)
+        .writeStream.outputMode("update").format("memory")
+        .queryName("shot").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # final hot set per shard = the rows of the last emission (max n_events)
+    hot_rows = spark.sql(
+        "SELECT key, est_freq FROM ("
+        "  SELECT key, est_freq, n_events,"
+        "         max(n_events) OVER (PARTITION BY shard) AS n_max"
+        "  FROM shot WHERE key IS NOT NULL)"
+        " WHERE n_events = n_max"
+    ).collect()
+    hot = {r["key"]: r["est_freq"] for r in hot_rows}
+    assert true_hot <= set(hot), (true_hot, set(hot))
+    n = len(rows)
+    for k, est in hot.items():
+        assert est >= threshold
+        assert true_freq.get(k, 0) >= threshold - 0.005 * n  # eps*N slack
+
+    # merged shard sketches == one-shot batch build, bit for bit
+    blobs = spark.sql(
+        "SELECT sketch FROM ("
+        "  SELECT shard, sketch, n_events,"
+        "         max(n_events) OVER (PARTITION BY shard) AS n_max"
+        "  FROM shot WHERE key IS NULL)"
+        " WHERE n_events = n_max"
+    ).collect()
+    merged = None
+    for r in blobs:
+        s = pickle.loads(bytes(r["sketch"]))
+        merged = s if merged is None else merged.merge(s)
+    batch = cms_from_dataframe(
+        spark.createDataFrame(rows, "k string"), ["k"]
+    )
+    assert merged.total == batch.total == len(rows)
+    assert np.array_equal(merged.table, batch.table)
+    # and the merged sketch answers like the batch one
+    assert merged.estimate("hot_a") == batch.estimate("hot_a") >= 900
