@@ -5869,6 +5869,66 @@ SELECT * FROM rows_out ORDER BY join_name
 """
 
 
+def bpe_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (operators/bpe.py — Sennrich et al. 2016):
+    16 merges learned from the documents corpus.  The corpus is touched
+    ONCE (word-frequency aggregation); merge learning runs on the
+    bounded distinct-word table.  Deterministic tie-break (count DESC,
+    pair ASC) makes the merge list stable; rows-only entry — k merge
+    iterations are not expressible in one SQL oracle — with
+    driver-vs-distributed parity and the canonical-example merge order
+    pinned in tests/test_bpe.py."""
+    from .operators.bpe import train_bpe
+
+    t = load_tables(spark, sf_dir)
+    merges = train_bpe(t["documents"], 16, mode="driver")
+    return spark.createDataFrame(
+        [(r, a, b, a + b, n) for r, a, b, n in merges],
+        "rank int, left string, right string, merged string, pair_count long",
+    ).orderBy("rank")
+
+
+def bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE application (operators/bpe.py::apply_bpe): tokenize the
+    corpus with the 16 learned merges and SELF-CERTIFY losslessness in
+    the output — rebuilding each document from its tokens (concat, then
+    split on the end-of-word marker) must recover the lowercased words
+    exactly, so ``n_lossless`` must equal ``n_docs``.  rows-only entry
+    (token counts depend on the learned merges); the lossless gate and
+    compression ratio carry the correctness signal."""
+    from .operators.bpe import EOW, apply_bpe, train_bpe
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    merges = train_bpe(docs, 16, mode="driver")
+    toks = apply_bpe(docs, merges)
+    joined = toks.join(docs.select("doc_id", "text"), "doc_id")
+    expected = F.concat_ws(
+        "",
+        F.transform(
+            F.split(F.lower(F.col("text")), r"\s+"),
+            lambda w: F.when(w != "", F.concat(w, F.lit(EOW))).otherwise(""),
+        ),
+    )
+    per_doc = joined.select(
+        F.size("bpe_tokens").alias("n_toks"),
+        (F.concat_ws("", F.col("bpe_tokens")) == expected)
+        .cast("int")
+        .alias("lossless"),
+        (F.size(F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+                         lambda w: w != ""))).alias("n_words"),
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("lossless").alias("n_lossless"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.round(F.sum("n_toks") / F.sum("n_words"), 4).alias(
+            "tokens_per_word"
+        ),
+    )
+
+
 _IMG_VARIANT_OFFSET = 1 << 40
 
 
@@ -6084,6 +6144,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_size_estimate_cms": join_size_estimate_cms,
     "image_near_dup_phash": image_near_dup_phash,
     "audio_near_dup_awhash": audio_near_dup_awhash,
+    "bpe_train_docs": bpe_train_docs,
+    "bpe_tokenize_docs": bpe_tokenize_docs,
     "record_linkage_customers": record_linkage_customers,
     "entity_resolution_customers": entity_resolution_customers,
     "cluster_split_docs": cluster_split_docs,
@@ -6381,6 +6443,8 @@ ORACLES: dict[str, str] = {
 EAGER_QUERIES = (
     "theta_sketch_orders",
     "join_size_estimate_cms",
+    "bpe_train_docs",
+    "bpe_tokenize_docs",
     "cluster_split_docs",
     "entity_resolution_customers",
     "bloom_membership_orders",
