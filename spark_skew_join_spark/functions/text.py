@@ -124,3 +124,57 @@ def fingerprint(colname: str) -> Column:
     """Deterministic 128-bit document fingerprint (md5 hex) — the exact-dedup
     key. md5(string) matches DuckDB's md5()."""
     return F.md5(F.col(colname).cast("binary"))
+
+
+TRACKING_PARAMS = ("utm_", "gclid=", "fbclid=", "msclkid=")
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """Crawl-grade URL canonicalization, entirely in whole-stage codegen
+    (the dedup key for 'same page fetched many ways' — the first
+    normalization a CommonCrawl-scale pipeline applies before any
+    content hash):
+
+    * scheme and host lowercased; default port stripped (``:80`` for
+      http, ``:443`` for https);
+    * fragment dropped; trailing path slashes collapsed (bare host →
+      ``/``);
+    * tracking query params dropped (``utm_*``, ``gclid``, ``fbclid``,
+      ``msclkid``), remaining params sorted so parameter order never
+      splits a URL's identity.
+
+    Preconditions (documented, not detected): exactly one ``://``, at
+    most one ``?`` / ``#``.  Every step maps 1:1 onto ANSI SQL string
+    functions, so the registry oracle replays the full ladder."""
+    u = F.col(url) if isinstance(url, str) else url
+    no_frag = F.substring_index(u, "#", 1)
+    base = F.substring_index(no_frag, "?", 1)
+    query = F.when(
+        no_frag.contains("?"), F.substring_index(no_frag, "?", -1)
+    ).otherwise(F.lit(""))
+    scheme = F.lower(F.substring_index(base, "://", 1))
+    rest = F.substring_index(base, "://", -1)
+    hostport = F.lower(F.substring_index(rest, "/", 1))
+    host = (
+        F.when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .otherwise(hostport)
+    )
+    slash = F.instr(rest, "/")
+    path0 = F.when(
+        slash > 0, F.substring(rest, slash, F.length(rest))
+    ).otherwise(F.lit(""))
+    path1 = F.regexp_replace(path0, "/+$", "")
+    path = F.when(path1 == "", F.lit("/")).otherwise(path1)
+
+    def _keep(p: Column) -> Column:
+        cond = p != ""
+        for t in TRACKING_PARAMS:
+            cond = cond & ~p.startswith(t)
+        return cond
+
+    params = F.array_sort(F.filter(F.split(query, "&"), _keep))
+    qs = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.concat_ws("&", params))
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, path, qs)

@@ -5869,6 +5869,111 @@ SELECT * FROM rows_out ORDER BY join_name
 """
 
 
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl URL canonicalization (functions/text.py::canonicalize_url):
+    every order synthesizes the same page fetched two messy ways —
+    uppercase scheme/host + default :443 port + trailing slash +
+    fragment + shuffled/tracking query params vs the clean form — and
+    canonicalization must fold each pair to ONE key (the dedup step a
+    crawl pipeline runs before any content hash).  Pure codegen string
+    ladder; the oracle replays every step in ANSI SQL, so group counts
+    AND the canonical string format itself are EXACT-checked."""
+    from .functions.text import canonicalize_url
+
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].select(
+        (F.col("o_orderkey") % 50).cast("string").alias("s"),
+        F.col("o_orderkey").cast("string").alias("k"),
+    )
+    u1 = o.select(
+        F.concat(
+            F.lit("HTTPS://Shop"), F.col("s"), F.lit(".Example.COM:443/item/"),
+            F.col("k"), F.lit("/?utm_source=feed&b=2&a=1#frag"),
+        ).alias("url")
+    )
+    u2 = o.select(
+        F.concat(
+            F.lit("https://shop"), F.col("s"), F.lit(".example.com/item/"),
+            F.col("k"), F.lit("?a=1&b=2&utm_campaign=x"),
+        ).alias("url")
+    )
+    groups = (
+        u1.unionByName(u2)
+        .select(canonicalize_url("url").alias("canon"))
+        .groupBy("canon")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return groups.agg(
+        F.sum("n").cast("long").alias("n_urls"),
+        F.count(F.lit(1)).cast("long").alias("n_canonical"),
+        F.min("n").cast("long").alias("min_group"),
+        F.max("n").cast("long").alias("max_group"),
+        F.min("canon").alias("sample_canonical"),
+    )
+
+
+URL_CANONICAL_SQL = """
+WITH u AS (
+  SELECT 'HTTPS://Shop' || CAST(o_orderkey % 50 AS VARCHAR)
+         || '.Example.COM:443/item/' || CAST(o_orderkey AS VARCHAR)
+         || '/?utm_source=feed&b=2&a=1#frag' AS url
+  FROM orders
+  UNION ALL
+  SELECT 'https://shop' || CAST(o_orderkey % 50 AS VARCHAR)
+         || '.example.com/item/' || CAST(o_orderkey AS VARCHAR)
+         || '?a=1&b=2&utm_campaign=x'
+  FROM orders
+),
+c1 AS (
+  SELECT split_part(split_part(url, '#', 1), '?', 1) AS base,
+         CASE WHEN position('?' IN split_part(url, '#', 1)) > 0
+              THEN split_part(split_part(url, '#', 1), '?', 2)
+              ELSE '' END AS query
+  FROM u
+),
+c2 AS (
+  SELECT lower(split_part(base, '://', 1)) AS scheme,
+         split_part(base, '://', 2) AS rest, query
+  FROM c1
+),
+c3 AS (
+  SELECT scheme, query,
+         lower(split_part(rest, '/', 1)) AS hostport,
+         CASE WHEN position('/' IN rest) > 0
+              THEN substring(rest, position('/' IN rest))
+              ELSE '' END AS path0
+  FROM c2
+),
+c4 AS (
+  SELECT scheme,
+         CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+              WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+              ELSE hostport END AS host,
+         CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+              ELSE regexp_replace(path0, '/+$', '') END AS path,
+         list_sort(list_filter(string_split(query, '&'),
+           p -> p <> '' AND NOT starts_with(p, 'utm_')
+                AND NOT starts_with(p, 'gclid=')
+                AND NOT starts_with(p, 'fbclid=')
+                AND NOT starts_with(p, 'msclkid='))) AS params
+  FROM c3
+),
+c AS (
+  SELECT scheme || '://' || host || path ||
+         CASE WHEN len(params) > 0
+              THEN '?' || array_to_string(params, '&') ELSE '' END AS canon
+  FROM c4
+),
+g AS (SELECT canon, COUNT(*) AS n FROM c GROUP BY canon)
+SELECT CAST(SUM(n) AS BIGINT) AS n_urls,
+       CAST(COUNT(*) AS BIGINT) AS n_canonical,
+       CAST(MIN(n) AS BIGINT) AS min_group,
+       CAST(MAX(n) AS BIGINT) AS max_group,
+       MIN(canon) AS sample_canonical
+FROM g
+"""
+
+
 def bpe_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training (operators/bpe.py — Sennrich et al. 2016):
     16 merges learned from the documents corpus.  The corpus is touched
@@ -6146,6 +6251,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_near_dup_awhash": audio_near_dup_awhash,
     "bpe_train_docs": bpe_train_docs,
     "bpe_tokenize_docs": bpe_tokenize_docs,
+    "url_canonical_dedup": url_canonical_dedup,
     "record_linkage_customers": record_linkage_customers,
     "entity_resolution_customers": entity_resolution_customers,
     "cluster_split_docs": cluster_split_docs,
@@ -6190,16 +6296,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "subquery_above_avg": subquery_above_avg,
     "exists_high_value_lineitem": exists_high_value_lineitem,
     "skew_join_orders_customer": skew_join_orders_customer,
+    # ^ end of the driver's first-50 check window (nine round-6 debuts
+    # — theta_sketch_orders, join_size_estimate_cms,
+    # image_near_dup_phash, audio_near_dup_awhash, bpe_train_docs,
+    # bpe_tokenize_docs, record_linkage_customers,
+    # entity_resolution_customers, cluster_split_docs — entered at the
+    # head, displacing the entries below into the r7 front-of-line).
+    # --- unsampled leftovers: FIRST in line for the r7 window ---
     "skew_join_lineitem_supplier": skew_join_lineitem_supplier,
     "skew_join_multicol": skew_join_multicol,
     "skew_join_left_outer": skew_join_left_outer,
     "skew_join_semi": skew_join_semi,
     "skew_join_anti": skew_join_anti,
-    # ^ end of the driver's first-50 check window (four round-6
-    # debuts — theta_sketch_orders, record_linkage_customers,
-    # entity_resolution_customers, cluster_split_docs — entered at the
-    # head, displacing the entries below into the r7 front-of-line).
-    # --- unsampled leftovers: FIRST in line for the r7 window ---
     "skew_join_cms_estimator": skew_join_cms_estimator,
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,
@@ -6296,6 +6404,7 @@ ORACLES: dict[str, str] = {
     "join_size_estimate_cms": JOIN_SIZE_CMS_SQL,
     "image_near_dup_phash": IMAGE_NEAR_DUP_SQL,
     "audio_near_dup_awhash": AUDIO_NEAR_DUP_SQL,
+    "url_canonical_dedup": URL_CANONICAL_SQL,
     "record_linkage_customers": RECORD_LINKAGE_SQL,
     "entity_resolution_customers": ENTITY_RESOLUTION_SQL,
     "cluster_split_docs": CLUSTER_SPLIT_STATS_SQL,
