@@ -1,0 +1,172 @@
+"""Single-pass table profiling and schema-drift detection (the Deequ /
+Great-Expectations "profile" half; the constraint half lives in
+operators/dq.py).
+
+``profile_table`` computes per-column stats — count, nulls, exact
+distincts, numeric min/max/mean, string min/max — in ONE aggregation
+job: all columns' aggregates are planned together, so the table is
+scanned once regardless of how many columns are profiled (at 100 TB the
+scan IS the cost; per-column jobs would multiply it).  The single
+wide row is then unpivoted driver-side into per-column rows (the
+unpivot touches one row — no second job over the data).
+
+Determinism contract (the registry oracle hash-compares values):
+numeric means go through exact DECIMAL sums divided by counts, so the
+double result is accumulation-order independent; min/max are exact
+values, never formatted through engine-specific float→string casts
+(numerics surface in ``min_num/max_num`` DOUBLE columns, strings in
+``min_str/max_str``).
+
+``schema_drift`` diffs two profiles: added/removed columns, dtype
+changes, null-rate and distinct-count drift beyond thresholds — the
+check a warehouse runs between snapshot versions before trusting a
+refresh.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+_DEC = "decimal(30,8)"
+
+
+def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Per-column stats rows: (column, dtype, n, n_null, n_distinct,
+    min_num, max_num, mean, min_str, max_str).  One scan for all
+    columns; exact distincts (Spark plans the multi-distinct with one
+    expand, still a single pass over the data)."""
+    cols = list(cols) if cols is not None else [f.name for f in df.schema.fields]
+    aggs = []
+    kinds: dict[str, bool] = {}
+    for c in cols:
+        dt = df.schema[c].dataType
+        numeric = isinstance(dt, _NUMERIC)
+        kinds[c] = numeric
+        col = F.col(c)
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(col.isNull().cast("long")).alias(f"{c}__null"),
+            F.count_distinct(col).alias(f"{c}__dist"),
+        ]
+        if numeric:
+            aggs += [
+                F.min(col).cast("double").alias(f"{c}__min"),
+                F.max(col).cast("double").alias(f"{c}__max"),
+                F.round(
+                    F.sum(col.cast(_DEC)).cast("double")
+                    / F.count(col),
+                    6,
+                ).alias(f"{c}__mean"),
+            ]
+        else:
+            aggs += [
+                F.min(col.cast("string")).alias(f"{c}__smin"),
+                F.max(col.cast("string")).alias(f"{c}__smax"),
+            ]
+    wide = df.agg(*aggs)
+    parts = []
+    for c in cols:
+        dt = df.schema[c].dataType.simpleString()
+        if kinds[c]:
+            parts.append(
+                F.struct(
+                    F.lit(c).alias("column"), F.lit(dt).alias("dtype"),
+                    F.col(f"{c}__n").alias("n"),
+                    F.col(f"{c}__null").alias("n_null"),
+                    F.col(f"{c}__dist").alias("n_distinct"),
+                    F.col(f"{c}__min").alias("min_num"),
+                    F.col(f"{c}__max").alias("max_num"),
+                    F.col(f"{c}__mean").alias("mean"),
+                    F.lit(None).cast("string").alias("min_str"),
+                    F.lit(None).cast("string").alias("max_str"),
+                )
+            )
+        else:
+            parts.append(
+                F.struct(
+                    F.lit(c).alias("column"), F.lit(dt).alias("dtype"),
+                    F.col(f"{c}__n").alias("n"),
+                    F.col(f"{c}__null").alias("n_null"),
+                    F.col(f"{c}__dist").alias("n_distinct"),
+                    F.lit(None).cast("double").alias("min_num"),
+                    F.lit(None).cast("double").alias("max_num"),
+                    F.lit(None).cast("double").alias("mean"),
+                    F.col(f"{c}__smin").alias("min_str"),
+                    F.col(f"{c}__smax").alias("max_str"),
+                )
+            )
+    return wide.select(F.explode(F.array(*parts)).alias("p")).select("p.*")
+
+
+def schema_drift(
+    old: DataFrame,
+    new: DataFrame,
+    cols_old: list[str] | None = None,
+    cols_new: list[str] | None = None,
+    null_rate_tol: float = 0.05,
+    distinct_ratio_tol: float = 0.5,
+) -> DataFrame:
+    """Drift report between two table versions: one row per detected
+    change — ``column_added`` / ``column_removed`` / ``dtype_changed``
+    / ``null_rate_drift`` (absolute delta > ``null_rate_tol``) /
+    ``distinct_drift`` (relative change > ``distinct_ratio_tol``).
+    Costs one profiling scan per side; the diff itself joins two
+    ≤#columns-row frames."""
+    po = profile_table(old, cols_old).select(
+        F.col("column"),
+        F.col("dtype").alias("dtype_old"),
+        (F.col("n_null") / F.greatest(F.col("n"), F.lit(1))).alias("nr_old"),
+        F.col("n_distinct").alias("nd_old"),
+    )
+    pn = profile_table(new, cols_new).select(
+        F.col("column"),
+        F.col("dtype").alias("dtype_new"),
+        (F.col("n_null") / F.greatest(F.col("n"), F.lit(1))).alias("nr_new"),
+        F.col("n_distinct").alias("nd_new"),
+    )
+    j = po.join(pn, "column", "full_outer")
+    added = j.where(F.col("dtype_old").isNull()).select(
+        "column", F.lit("column_added").alias("change"),
+        F.col("dtype_new").alias("detail"),
+    )
+    removed = j.where(F.col("dtype_new").isNull()).select(
+        "column", F.lit("column_removed").alias("change"),
+        F.col("dtype_old").alias("detail"),
+    )
+    both = j.where(F.col("dtype_old").isNotNull() & F.col("dtype_new").isNotNull())
+    dtype_chg = both.where(F.col("dtype_old") != F.col("dtype_new")).select(
+        "column", F.lit("dtype_changed").alias("change"),
+        F.concat(F.col("dtype_old"), F.lit(" -> "), F.col("dtype_new")).alias("detail"),
+    )
+    null_drift = both.where(
+        F.abs(F.col("nr_new") - F.col("nr_old")) > null_rate_tol
+    ).select(
+        "column", F.lit("null_rate_drift").alias("change"),
+        F.concat(
+            F.round(F.col("nr_old"), 4).cast("string"), F.lit(" -> "),
+            F.round(F.col("nr_new"), 4).cast("string"),
+        ).alias("detail"),
+    )
+    dist_drift = both.where(
+        F.abs(F.col("nd_new") - F.col("nd_old"))
+        > distinct_ratio_tol * F.greatest(F.col("nd_old"), F.lit(1))
+    ).select(
+        "column", F.lit("distinct_drift").alias("change"),
+        F.concat(
+            F.col("nd_old").cast("string"), F.lit(" -> "),
+            F.col("nd_new").cast("string"),
+        ).alias("detail"),
+    )
+    return (
+        added.unionByName(removed)
+        .unionByName(dtype_chg)
+        .unionByName(null_drift)
+        .unionByName(dist_drift)
+        .orderBy("column", "change")
+    )
