@@ -89,18 +89,26 @@ def join_size_estimate(
     estimate of ``COUNT(*)`` of the inner equi-join — computed without
     executing the join.
 
-    Plan shape: two bounded groupBys (≤ depth×width cells each) → an
-    equi-join OF THE CELL TABLES on (d, bucket) → per-depth dot product
-    → min.  For a self-join estimate pass the same DataFrame twice."""
+    Plan shape: two bounded groupBys (≤ depth×width NONZERO cells each
+    — widening the sketch costs nothing beyond the distinct-key count,
+    so width should be generous) → an equi-join OF THE CELL TABLES on
+    (d, bucket) → per-depth dot product → min.  A self-join estimate
+    (same DataFrame and column twice) is detected and built from ONE
+    cell table."""
     a = bucket_counts(left, left_on, depth, width, hash_fn)
-    b = bucket_counts(right, right_on, depth, width, hash_fn).withColumnsRenamed(
-        {"n": "m"}
-    )
-    per_depth = (
-        a.join(b, ["d", "bucket"])
-        .groupBy("d")
-        .agg(F.sum(F.col("n") * F.col("m")).alias("dot"))
-    )
+    if left is right and left_on == right_on:
+        per_depth = a.groupBy("d").agg(
+            F.sum(F.col("n") * F.col("n")).alias("dot")
+        )
+    else:
+        b = bucket_counts(
+            right, right_on, depth, width, hash_fn
+        ).withColumnsRenamed({"n": "m"})
+        per_depth = (
+            a.join(b, ["d", "bucket"])
+            .groupBy("d")
+            .agg(F.sum(F.col("n") * F.col("m")).alias("dot"))
+        )
     return per_depth.agg(F.min("dot").cast("long").alias("est_join_rows"))
 
 
@@ -143,11 +151,50 @@ def join_size_report(
     looser).  In production you would skip ``true_join_size`` — it is
     here so the report is self-certifying."""
     est = join_size_estimate(left, right, left_on, right_on, depth, width, hash_fn)
-    tru = true_join_size(left, right, left_on, right_on)
-    na = left.where(F.col(left_on).isNotNull()).count()
-    nb = right.where(F.col(right_on).isNotNull()).count()
-    budget = slack * na * nb / width
-    return tru.crossJoin(est).select(
+    ka = left.where(F.col(left_on).isNotNull()).groupBy(
+        F.col(left_on).alias("k")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    if left is right and left_on == right_on:
+        # self-join: ground truth Σn², Na and Nb all fold out of ONE
+        # aggregation over one per-key count table
+        sides = ka.agg(
+            F.coalesce(F.sum(F.col("n") * F.col("n")), F.lit(0))
+            .cast("long")
+            .alias("true_join_rows"),
+            F.coalesce(F.sum("n"), F.lit(0)).alias("na"),
+            F.coalesce(F.sum("n"), F.lit(0)).alias("nb"),
+        )
+        return sides.crossJoin(est).select(
+            "true_join_rows",
+            "est_join_rows",
+            F.round(
+                (F.col("est_join_rows") - F.col("true_join_rows"))
+                / F.greatest(F.col("true_join_rows"), F.lit(1)),
+                6,
+            ).alias("rel_err"),
+            (
+                (F.col("est_join_rows") >= F.col("true_join_rows"))
+                & (
+                    F.col("est_join_rows")
+                    <= F.col("true_join_rows")
+                    + F.lit(slack) * F.col("na") * F.col("nb") / F.lit(width)
+                )
+            ).alias("within_bound"),
+        )
+    kb = right.where(F.col(right_on).isNotNull()).groupBy(
+        F.col(right_on).alias("k")
+    ).agg(F.count(F.lit(1)).alias("m"))
+    tru = ka.join(kb, "k").agg(
+        F.coalesce(F.sum(F.col("n") * F.col("m")), F.lit(0))
+        .cast("long")
+        .alias("true_join_rows")
+    )
+    # na/nb fold from the same per-key aggregates; AQE's runtime
+    # exchange reuse dedupes the repeated ka/kb subtrees, and the whole
+    # report stays LAZY (no driver-side count jobs)
+    na = ka.agg(F.coalesce(F.sum("n"), F.lit(0)).alias("na"))
+    nb = kb.agg(F.coalesce(F.sum("m"), F.lit(0)).alias("nb"))
+    return tru.crossJoin(est).crossJoin(na).crossJoin(nb).select(
         "true_join_rows",
         "est_join_rows",
         F.round(
@@ -157,6 +204,10 @@ def join_size_report(
         ).alias("rel_err"),
         (
             (F.col("est_join_rows") >= F.col("true_join_rows"))
-            & (F.col("est_join_rows") <= F.col("true_join_rows") + F.lit(budget))
+            & (
+                F.col("est_join_rows")
+                <= F.col("true_join_rows")
+                + F.lit(slack) * F.col("na") * F.col("nb") / F.lit(width)
+            )
         ).alias("within_bound"),
     )

@@ -5796,12 +5796,12 @@ def join_size_estimate_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself deterministic, so the oracle replays the full sketch —
     estimates included — in SQL; ``within_bound`` additionally gates
     the analytic contract (never undershoots, overshoot ≤ 6× expected
-    collision mass Na·Nb/width)."""
+    collision mass Na·Nb/width; width 2^20 — nonzero cells are bounded by distinct keys, so a wide sketch is free)."""
     from .operators.joinest import join_size_report
 
     t = load_tables(spark, sf_dir)
     li = t["lineitem"].select("l_partkey")
-    r1 = join_size_report(li, li, "l_partkey", "l_partkey").select(
+    r1 = join_size_report(li, li, "l_partkey", "l_partkey", width=1 << 20).select(
         F.lit("lineitem_self_partkey").alias("join_name"), "*"
     )
     r2 = join_size_report(
@@ -5809,6 +5809,7 @@ def join_size_estimate_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["customer"].select("c_custkey"),
         "o_custkey",
         "c_custkey",
+        width=1 << 20,
     ).select(F.lit("orders_customer").alias("join_name"), "*")
     return r1.unionByName(r2).orderBy("join_name")
 
@@ -5818,7 +5819,7 @@ WITH li AS (SELECT l_partkey AS k FROM lineitem WHERE l_partkey IS NOT NULL),
 a1 AS (
   SELECT d,
          CAST(('0x' || SUBSTRING(MD5(CAST(d AS VARCHAR) || chr(1)
-               || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 65536 AS bucket,
+               || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 1048576 AS bucket,
          COUNT(*) AS n
   FROM li, UNNEST([0, 1, 2, 3, 4]) AS u(d) GROUP BY 1, 2
 ),
@@ -5832,14 +5833,14 @@ c AS (SELECT c_custkey AS k FROM customer WHERE c_custkey IS NOT NULL),
 a2 AS (
   SELECT d,
          CAST(('0x' || SUBSTRING(MD5(CAST(d AS VARCHAR) || chr(1)
-               || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 65536 AS bucket,
+               || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 1048576 AS bucket,
          COUNT(*) AS n
   FROM o, UNNEST([0, 1, 2, 3, 4]) AS u(d) GROUP BY 1, 2
 ),
 b2 AS (
   SELECT d,
          CAST(('0x' || SUBSTRING(MD5(CAST(d AS VARCHAR) || chr(1)
-               || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 65536 AS bucket,
+               || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 1048576 AS bucket,
          COUNT(*) AS m
   FROM c, UNNEST([0, 1, 2, 3, 4]) AS u(d) GROUP BY 1, 2
 ),
@@ -5856,16 +5857,134 @@ rows_out AS (
          CAST(tru AS BIGINT) AS true_join_rows,
          CAST(est AS BIGINT) AS est_join_rows,
          ROUND(CAST(est - tru AS DOUBLE) / GREATEST(tru, 1), 6) AS rel_err,
-         est >= tru AND est <= tru + 6.0 * n1.n * n1.n / 65536 AS within_bound
+         est >= tru AND est <= tru + 6.0 * n1.n * n1.n / 1048576 AS within_bound
   FROM est1, tru1, n1
   UNION ALL
   SELECT 'orders_customer',
          CAST(tru AS BIGINT), CAST(est AS BIGINT),
          ROUND(CAST(est - tru AS DOUBLE) / GREATEST(tru, 1), 6),
-         est >= tru AND est <= tru + 6.0 * n2a.n * n2b.n / 65536
+         est >= tru AND est <= tru + 6.0 * n2a.n * n2b.n / 1048576
   FROM est2, tru2, n2a, n2b
 )
 SELECT * FROM rows_out ORDER BY join_name
+"""
+
+
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profiling (operators/profile.py): per-column
+    count / nulls / exact distincts / numeric min-max-mean / string
+    min-max over five orders columns, all planned into ONE aggregation
+    (the scan is the cost at 100 TB — per-column jobs would multiply
+    it).  Means go through exact decimal sums so the doubles are
+    accumulation-order independent; numeric and string extrema surface
+    in separate typed columns (never engine-specific float→string
+    casts)."""
+    from .operators.profile import profile_table
+
+    t = load_tables(spark, sf_dir)
+    return profile_table(
+        t["orders"],
+        ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority",
+         "o_orderstatus"],
+    ).orderBy("column")
+
+
+PROFILE_ORDERS_SQL = """
+SELECT 'o_custkey' AS "column", 'bigint' AS dtype,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       COUNT(DISTINCT o_custkey) AS n_distinct,
+       CAST(MIN(o_custkey) AS DOUBLE) AS min_num,
+       CAST(MAX(o_custkey) AS DOUBLE) AS max_num,
+       ROUND(CAST(SUM(CAST(o_custkey AS DECIMAL(30,8))) AS DOUBLE)
+             / COUNT(o_custkey), 6) AS mean,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM orders
+UNION ALL
+SELECT 'o_orderkey', 'bigint', COUNT(*),
+       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT o_orderkey),
+       CAST(MIN(o_orderkey) AS DOUBLE), CAST(MAX(o_orderkey) AS DOUBLE),
+       ROUND(CAST(SUM(CAST(o_orderkey AS DECIMAL(30,8))) AS DOUBLE)
+             / COUNT(o_orderkey), 6),
+       NULL, NULL
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', 'string', COUNT(*),
+       CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT o_orderpriority),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       MIN(o_orderpriority), MAX(o_orderpriority)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', 'string', COUNT(*),
+       CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT o_orderstatus),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       MIN(o_orderstatus), MAX(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', 'double', COUNT(*),
+       CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT o_totalprice),
+       CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE),
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
+             / COUNT(o_totalprice), 6),
+       NULL, NULL
+FROM orders
+ORDER BY "column"
+"""
+
+
+def schema_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift detection (operators/profile.py::schema_drift)
+    between orders and an in-query mutated v2 — a column added
+    (o_channel), one removed (o_orderstatus), one retyped (o_custkey
+    bigint→string), one with injected nulls (o_totalprice, ~30% where
+    o_orderkey%10<3 — null-rate drift), one collapsed to a constant
+    (o_orderpriority 5→1 distincts — distinct drift).  The oracle
+    recomputes both versions' stats and derives the same report."""
+    from .operators.profile import schema_drift
+
+    t = load_tables(spark, sf_dir)
+    old = t["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority",
+        "o_orderstatus",
+    )
+    new = t["orders"].select(
+        "o_orderkey",
+        F.col("o_custkey").cast("string").alias("o_custkey"),
+        F.when(F.col("o_orderkey") % 10 < 3, F.lit(None))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.lit("1-URGENT").alias("o_orderpriority"),
+        F.lit(1).alias("o_channel"),
+    )
+    return schema_drift(old, new)
+
+
+SCHEMA_DRIFT_SQL = """
+WITH stats AS (
+  SELECT COUNT(*) AS n,
+         COUNT(DISTINCT o_orderpriority) AS nd_prio_old,
+         SUM(CASE WHEN o_orderkey % 10 < 3 THEN 1 ELSE 0 END) AS n_nulled
+  FROM orders
+)
+SELECT 'o_channel' AS "column", 'column_added' AS change, 'int' AS detail
+FROM stats
+UNION ALL
+SELECT 'o_custkey', 'dtype_changed', 'bigint -> string' FROM stats
+UNION ALL
+SELECT 'o_orderpriority', 'distinct_drift',
+       CAST(nd_prio_old AS VARCHAR) || ' -> 1'
+FROM stats
+UNION ALL
+SELECT 'o_orderstatus', 'column_removed', 'string' FROM stats
+UNION ALL
+SELECT 'o_totalprice', 'null_rate_drift',
+       '0.0 -> ' || CAST(ROUND(CAST(n_nulled AS DOUBLE) / n, 4) AS VARCHAR)
+FROM stats
+ORDER BY "column", change
 """
 
 
@@ -6118,12 +6237,15 @@ def image_near_dup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _synth_wav_corpus(docs: DataFrame) -> DataFrame:
     """(doc_id, content): deterministic PCM-16 WAV per document — 8
-    sinusoids (one per fingerprint band, at that band's center bin) with
-    per-(frame, band) envelopes drawn from a sha256 stream, so every
-    band energy is signal-dominated (no noise-floor bits).  Every EVEN
-    doc_id also emits a planted near-duplicate: amplitude × 0.6 (awhash
-    is scale-invariant — zero bits flip) with ONE band's frame-4
-    envelope tripled (≤ 2 of the 64 frame-difference bits flip)."""
+    sinusoids (one per fingerprint band, at that band's center bin)
+    with per-(frame, band) envelopes on a LADDER of 8 levels
+    (0.2 … 0.9) where adjacent frames always sit on different levels,
+    so every frame-difference comparison carries a ≥27% energy margin
+    that PCM-16 quantization cannot flip.  Every EVEN doc_id also
+    emits a planted near-duplicate: amplitude × 0.6 (awhash is
+    scale-invariant — zero bits flip) with ONE band's frame-4 envelope
+    forced above the ladder (1.2 > 0.9), flipping EXACTLY the ≤ 2
+    comparisons adjacent to frame 4 in that band."""
     from .operators.multimodal import encode_wav
 
     def gen(it):
@@ -6132,9 +6254,9 @@ def _synth_wav_corpus(docs: DataFrame) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        sr, n_frames, frame_len, n_bands = 8000, 9, 400, 8
+        sr, n_frames, frame_len, n_bands = 4000, 9, 200, 8
         t = np.arange(n_frames * frame_len) / sr
-        freqs = (25 * np.arange(n_bands) + 12) * (sr / frame_len)
+        freqs = (12 * np.arange(n_bands) + 6) * (sr / frame_len)
         waves = np.sin(2 * np.pi * freqs[None, :] * t[:, None])  # (n, 8)
 
         def synth(did: int, variant: bool) -> bytes:
@@ -6142,13 +6264,17 @@ def _synth_wav_corpus(docs: DataFrame) -> DataFrame:
                 hashlib.sha256(f"wav:{did}:{i}".encode()).digest()
                 for i in range(3)
             )
-            env = 0.2 + 0.8 * (
-                np.frombuffer(data[:72], dtype=np.uint8).astype(np.float64)
-                .reshape(n_frames, n_bands) / 255.0
+            raw = np.frombuffer(data[:72], dtype=np.uint8).reshape(
+                n_frames, n_bands
             )
+            lvl = np.empty((n_frames, n_bands), dtype=np.int64)
+            lvl[0] = raw[0] % 8
+            for f in range(1, n_frames):
+                lvl[f] = (lvl[f - 1] + 1 + raw[f] % 7) % 8
+            env = 0.2 + 0.1 * lvl.astype(np.float64)
             if variant:
                 env = env.copy()
-                env[4, data[72] % n_bands] *= 3.0
+                env[4, data[72] % n_bands] = 1.2
             gain = 0.6 if variant else 1.0
             mono = (np.repeat(env, frame_len, axis=0) * waves).sum(axis=1)
             return encode_wav(gain * mono / n_bands, sr)
@@ -6252,6 +6378,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_train_docs": bpe_train_docs,
     "bpe_tokenize_docs": bpe_tokenize_docs,
     "url_canonical_dedup": url_canonical_dedup,
+    "profile_orders": profile_orders,
+    "schema_drift_orders": schema_drift_orders,
     "record_linkage_customers": record_linkage_customers,
     "entity_resolution_customers": entity_resolution_customers,
     "cluster_split_docs": cluster_split_docs,
@@ -6405,6 +6533,8 @@ ORACLES: dict[str, str] = {
     "image_near_dup_phash": IMAGE_NEAR_DUP_SQL,
     "audio_near_dup_awhash": AUDIO_NEAR_DUP_SQL,
     "url_canonical_dedup": URL_CANONICAL_SQL,
+    "profile_orders": PROFILE_ORDERS_SQL,
+    "schema_drift_orders": SCHEMA_DRIFT_SQL,
     "record_linkage_customers": RECORD_LINKAGE_SQL,
     "entity_resolution_customers": ENTITY_RESOLUTION_SQL,
     "cluster_split_docs": CLUSTER_SPLIT_STATS_SQL,
@@ -6551,7 +6681,6 @@ ORACLES: dict[str, str] = {
 # Any new iterative/pre-pass query must be added here (ADVICE r2 #1).
 EAGER_QUERIES = (
     "theta_sketch_orders",
-    "join_size_estimate_cms",
     "bpe_train_docs",
     "bpe_tokenize_docs",
     "cluster_split_docs",
