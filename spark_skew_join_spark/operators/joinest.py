@@ -61,18 +61,31 @@ def bucket_counts(
     hash_fn: str = "md5",
 ) -> DataFrame:
     """Per-(depth, bucket) frequency table — the relational form of one
-    CMS.  Output is at most ``depth * width`` rows regardless of input
-    size; the groupBy is map-side combined, so the shuffle carries cell
-    aggregates, never keys.  Null keys are skipped (they never
-    equi-match)."""
-    rows = df.where(F.col(key_col).isNotNull()).select(
-        F.col(key_col).alias("k"),
+    CMS.  Output is at most ``depth × width`` NONZERO cells (bounded by
+    the distinct-key count — widening the sketch is free, and width
+    should be ≳ the expected distinct keys for a tight estimate).
+
+    The input is reduced to per-key counts FIRST (map-side combined, so
+    the shuffle carries ≤ |distinct keys| aggregates, never rows), and
+    only the distinct-key table is exploded ×depth and hashed — at
+    100M rows over 1M keys that is 5M hashes instead of 500M.  Null
+    keys are skipped (they never equi-match)."""
+    per_key = (
+        df.where(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).alias("k"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rows = per_key.select(
+        "k", "cnt",
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
     )
     return (
-        rows.select("d", _bucket(F.col("k"), F.col("d"), width, hash_fn).alias("bucket"))
+        rows.select(
+            "d", "cnt",
+            _bucket(F.col("k"), F.col("d"), width, hash_fn).alias("bucket"),
+        )
         .groupBy("d", "bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("cnt").alias("n"))
     )
 
 

@@ -7,7 +7,7 @@ undershoot and stay within the 6x expected-collision budget; the timing
 contrast (sketch passes vs count-join) is the operator's reason to
 exist at 100 TB.
 
-Usage: python tools/stress_joinest.py [n_left] [n_right] [hash_fn]
+Usage: python tools/stress_joinest.py [n_left] [n_right] [hash_fn] [width]
 """
 
 from __future__ import annotations
@@ -29,7 +29,9 @@ N = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000_000
 M = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
 HASH_FN = sys.argv[3] if len(sys.argv) > 3 else "xxhash64"
 KEYS = 1_000_000
-WIDTH = 65536
+# width should be generous vs distinct keys: nonzero cells are bounded by
+# the key count, so a wide sketch costs nothing extra
+WIDTH = int(sys.argv[4]) if len(sys.argv) > 4 else 1 << 22
 
 
 def main():
