@@ -5870,6 +5870,97 @@ SELECT * FROM rows_out ORDER BY join_name
 """
 
 
+def adaptive_join_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evidence-based join planning (operators/adaptive.py): three join
+    shapes probe into the three strategies — supplier is small enough
+    to BROADCAST (capped right-side count), orders⋈lineitem has no hot
+    key so it stays on Catalyst's plain SHUFFLE, and a synthetically
+    hot-keyed lineitem (40% of rows on one key) routes through
+    skew_join (SKEW).  Each row carries the decision inputs AND the
+    executed join's row count, so the oracle — which replays the capped
+    counts, hot-key probe, CASE logic, and plain-join counts in SQL —
+    certifies both the decision and the execution."""
+    from .operators.adaptive import adaptive_join, plan_equi_join
+
+    t = load_tables(spark, sf_dir)
+    conf = SkewJoinConf(replication_factor=0.01, hot_threshold=200)
+    li, orders, supplier = t["lineitem"], t["orders"], t["supplier"]
+    hot_li = li.select(
+        F.when(F.col("l_linenumber") >= 4, F.lit(-999))
+        .otherwise(F.col("l_orderkey"))
+        .alias("k"),
+        "l_linenumber",
+    )
+    cases = [
+        ("broadcast_supplier", li, supplier, [("l_suppkey", "s_suppkey")]),
+        ("shuffle_orders", li, orders, [("l_orderkey", "o_orderkey")]),
+        ("skew_hot_key", hot_li, orders, [("k", "o_orderkey")]),
+    ]
+    out = None
+    for name, left, right, on in cases:
+        plan = plan_equi_join(left, right, on, conf, broadcast_rows=1000)
+        joined = adaptive_join(left, right, on, "inner", conf, broadcast_rows=1000)
+        row = joined.agg(F.count(F.lit(1)).alias("join_rows")).select(
+            F.lit(name).alias("case_name"),
+            F.lit(plan["strategy"]).alias("strategy"),
+            F.lit(plan["n_right_capped"]).cast("long").alias("n_right_capped"),
+            F.lit(plan["n_hot_keys"]).cast("long").alias("n_hot_keys"),
+            F.lit(plan["max_key_freq"]).cast("long").alias("max_key_freq"),
+            F.col("join_rows"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("case_name")
+
+
+ADAPTIVE_JOIN_SQL = """
+WITH sup AS (SELECT LEAST(COUNT(*), 1001) AS nr FROM supplier),
+ord AS (SELECT LEAST(COUNT(*), 1001) AS nr FROM orders),
+f_sup AS (
+  SELECT COUNT(*) FILTER (n >= 200) AS hot, MAX(n) AS mx FROM (
+    SELECT COUNT(*) AS n FROM lineitem GROUP BY l_suppkey)
+),
+f_ord AS (
+  SELECT COUNT(*) FILTER (n >= 200) AS hot, MAX(n) AS mx FROM (
+    SELECT COUNT(*) AS n FROM lineitem GROUP BY l_orderkey)
+),
+f_hot AS (
+  SELECT COUNT(*) FILTER (n >= 200) AS hot, MAX(n) AS mx FROM (
+    SELECT COUNT(*) AS n FROM lineitem
+    GROUP BY CASE WHEN l_linenumber >= 4 THEN -999 ELSE l_orderkey END)
+),
+j_sup AS (SELECT COUNT(*) AS jr FROM lineitem l
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey),
+j_ord AS (SELECT COUNT(*) AS jr FROM lineitem l
+          JOIN orders o ON o.o_orderkey = l.l_orderkey),
+j_hot AS (SELECT COUNT(*) AS jr FROM lineitem l
+          JOIN orders o ON o.o_orderkey =
+            CASE WHEN l.l_linenumber >= 4 THEN -999 ELSE l.l_orderkey END)
+SELECT 'broadcast_supplier' AS case_name,
+       CASE WHEN sup.nr <= 1000 THEN 'broadcast'
+            WHEN f_sup.hot > 0 THEN 'skew' ELSE 'shuffle' END AS strategy,
+       CAST(sup.nr AS BIGINT) AS n_right_capped,
+       CAST(f_sup.hot AS BIGINT) AS n_hot_keys,
+       CAST(f_sup.mx AS BIGINT) AS max_key_freq,
+       CAST(j_sup.jr AS BIGINT) AS join_rows
+FROM sup, f_sup, j_sup
+UNION ALL
+SELECT 'shuffle_orders',
+       CASE WHEN ord.nr <= 1000 THEN 'broadcast'
+            WHEN f_ord.hot > 0 THEN 'skew' ELSE 'shuffle' END,
+       CAST(ord.nr AS BIGINT), CAST(f_ord.hot AS BIGINT),
+       CAST(f_ord.mx AS BIGINT), CAST(j_ord.jr AS BIGINT)
+FROM ord, f_ord, j_ord
+UNION ALL
+SELECT 'skew_hot_key',
+       CASE WHEN ord.nr <= 1000 THEN 'broadcast'
+            WHEN f_hot.hot > 0 THEN 'skew' ELSE 'shuffle' END,
+       CAST(ord.nr AS BIGINT), CAST(f_hot.hot AS BIGINT),
+       CAST(f_hot.mx AS BIGINT), CAST(j_hot.jr AS BIGINT)
+FROM ord, f_hot, j_hot
+ORDER BY case_name
+"""
+
+
 def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass table profiling (operators/profile.py): per-column
     count / nulls / exact distincts / numeric min-max-mean / string
@@ -6380,6 +6471,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_canonical_dedup": url_canonical_dedup,
     "profile_orders": profile_orders,
     "schema_drift_orders": schema_drift_orders,
+    "adaptive_join_strategies": adaptive_join_strategies,
     "record_linkage_customers": record_linkage_customers,
     "entity_resolution_customers": entity_resolution_customers,
     "cluster_split_docs": cluster_split_docs,
@@ -6535,6 +6627,7 @@ ORACLES: dict[str, str] = {
     "url_canonical_dedup": URL_CANONICAL_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,
     "schema_drift_orders": SCHEMA_DRIFT_SQL,
+    "adaptive_join_strategies": ADAPTIVE_JOIN_SQL,
     "record_linkage_customers": RECORD_LINKAGE_SQL,
     "entity_resolution_customers": ENTITY_RESOLUTION_SQL,
     "cluster_split_docs": CLUSTER_SPLIT_STATS_SQL,
@@ -6681,6 +6774,7 @@ ORACLES: dict[str, str] = {
 # Any new iterative/pre-pass query must be added here (ADVICE r2 #1).
 EAGER_QUERIES = (
     "theta_sketch_orders",
+    "adaptive_join_strategies",
     "bpe_train_docs",
     "bpe_tokenize_docs",
     "cluster_split_docs",
