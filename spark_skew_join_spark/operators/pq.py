@@ -1,0 +1,213 @@
+"""Product-quantization ANN (Jégou, Douze & Schmid 2011: Product
+Quantization for Nearest Neighbor Search) — the billion-vector scale
+rung of the similarity ladder (brute → LSH → IVF → PQ):
+
+* ``train_pq`` — split the (L2-normalized) vector into ``m``
+  subspaces; k-means each subspace on a bounded hash-ordered sample
+  (driver numpy, deterministic — same recipe as the IVF quantizer).
+  Codebook size: m × ks × (dim/m) floats, kilobytes.
+* ``encode_pq`` — corpus vectors compress to ``m`` byte-sized codes
+  (8 bytes/vector at m=8): a 64-float embedding shrinks 32×, which is
+  what lets a billion vectors sit in cluster memory.  Arrow-batched
+  numpy argmin per subspace; only ids+codes leave the stage.
+* ``pq_topk`` — asymmetric distance computation: per query, one
+  lookup table of ``m × ks`` inner products; a candidate's score is m
+  table gathers + adds, NO float vector is ever read again.  The LUTs
+  are closure-captured (broadcast-equivalent, Q × m × ks floats).
+
+Quality contract: ADC scores approximate true inner products with
+per-subspace quantization error; the registry entry is rows-only
+(approximate by construction, like LSH/IVF) with recall vs brute-force
+pinned in tests and reported in-query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _sample_matrix(corpus, id_col, vec_col, sample_size):
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
+        .orderBy("h")
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.asarray([r.v for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    return x
+
+
+def train_pq(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ks: int = 16,
+    sample_size: int = 2048,
+    iters: int = 8,
+) -> list:
+    """Codebooks ``[m][ks][dim/m]`` from deterministic per-subspace
+    k-means (L2) on a bounded sample of normalized vectors."""
+    import numpy as np
+
+    x = _sample_matrix(corpus, id_col, vec_col, sample_size)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = []
+    for j in range(m):
+        xs = x[:, j * sub:(j + 1) * sub]
+        cent = xs[:ks].copy()  # hash-ordered rows = pseudo-random init
+        for _ in range(iters):
+            d = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(ks):
+                members = xs[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books.append([[float(v) for v in c] for c in cent])
+    return books
+
+
+def encode_pq(
+    corpus: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): m sub-quantizer assignments per vector.
+    Arrow-batched; the whole batch's subvectors argmin against each
+    codebook in one einsum-shaped numpy op."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        cents = [np.asarray(b, dtype=np.float64) for b in codebooks]
+        for pdf in it:
+            x = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for j in range(m):
+                xs = x[:, j * sub:(j + 1) * sub]
+                d = (
+                    (xs ** 2).sum(axis=1, keepdims=True)
+                    - 2.0 * xs @ cents[j].T
+                    + (cents[j] ** 2).sum(axis=1)[None, :]
+                )
+                codes[:, j] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "codes": [list(map(int, c)) for c in codes],
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        batches, f"{id_col} long, codes array<int>"
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_with: DataFrame | None = None,
+    refine_factor: int = 5,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank) by ADC score: the query builds one
+    m × ks inner-product lookup table; every candidate costs m gathers.
+    Queries are collected (bounded, the ANN query batch) and their LUTs
+    ride into the executors with the closure.
+
+    ``refine_with`` enables the standard ADC+R re-ranking (Jégou et al.
+    §V): ADC selects ``k × refine_factor`` candidates per query, then
+    ONLY those rows join back to the float vectors for exact cosine
+    re-scoring — the full-precision reads stay candidate-scoped
+    (Q × k × refine_factor rows), which is what makes PQ usable on
+    structure-poor data where quantization error rivals the true
+    similarity gaps."""
+    import numpy as np
+
+    m = len(codebooks)
+    qrows = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")).collect()
+    cents = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    sub = cents[0].shape[1]
+    luts = {}
+    for r in qrows:
+        q = np.asarray(r.qv, dtype=np.float64)
+        q /= max(np.linalg.norm(q), 1e-12)
+        luts[int(r.qid)] = np.stack(
+            [cents[j] @ q[j * sub:(j + 1) * sub] for j in range(m)]
+        )  # (m, ks)
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            cid = pdf[id_col].to_numpy()
+            cds = np.asarray(list(pdf["codes"]), dtype=np.int64)  # (B, m)
+            rows_q, rows_n, rows_s = [], [], []
+            for qid, lut in luts.items():
+                scores = lut[np.arange(m)[None, :], cds].sum(axis=1)
+                keep = cid != qid
+                rows_q.append(np.full(keep.sum(), qid, dtype=np.int64))
+                rows_n.append(cid[keep])
+                rows_s.append(scores[keep])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(rows_q),
+                    "neighbor_id": np.concatenate(rows_n),
+                    "score": np.concatenate(rows_s),
+                }
+            )
+
+    scored = codes.mapInPandas(
+        batches, "query_id long, neighbor_id long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    if refine_with is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(
+                "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank")
+            )
+        )
+    from .similarity import _cos
+
+    cand = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k * refine_factor)
+        .select("query_id", "neighbor_id")
+    )
+    nvec = refine_with.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    exact = (
+        cand.join(nvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select("query_id", "neighbor_id", _cos("__qv", "__cv", None).alias("sim"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )

@@ -2749,6 +2749,27 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, e.where(F.col("vec_id") < 5), k=10, n_centroids=16, n_probe=8)
 
 
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py — Jégou et al. 2011;
+    rows-only oracle, approximate by construction like LSH/IVF): the
+    64-dim embeddings compress to m=16 byte codes (16 bytes/vector),
+    then asymmetric-distance top-10 for five queries via per-query
+    lookup tables — candidates cost m table gathers, the float vectors
+    are never read after encoding.  Recall vs brute force pinned in
+    tests/test_pq.py; the near-orthogonal fixture is PQ's worst case
+    (no cluster structure for the sub-quantizers to exploit)."""
+    from .operators.pq import encode_pq, pq_topk, train_pq
+
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    books = train_pq(e, m=16, ks=32)
+    codes = encode_pq(e, books)
+    return pq_topk(
+        codes, e.where(F.col("vec_id") < 5), books, k=10,
+        refine_with=e, refine_factor=8,
+    )
+
+
 def skew_join_cms_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     """skew_join with the CMS estimator — same oracle as the exact path."""
     t = load_tables(spark, sf_dir)
@@ -6483,6 +6504,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_compaction_docs": incremental_compaction_docs,
     "q22_inactive_customers": q22_inactive_customers,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_pq_topk": ann_pq_topk,
     "bpe_token_stats": bpe_token_stats,
     "multimodal_frame_sample": multimodal_frame_sample,
     "salted_window_events": salted_window_events,
@@ -6775,6 +6797,7 @@ ORACLES: dict[str, str] = {
 EAGER_QUERIES = (
     "theta_sketch_orders",
     "adaptive_join_strategies",
+    "ann_pq_topk",
     "bpe_train_docs",
     "bpe_tokenize_docs",
     "cluster_split_docs",
