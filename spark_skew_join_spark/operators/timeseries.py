@@ -66,3 +66,84 @@ def resample_locf(events: DataFrame, id_col: str, ts_col: str,
         F.last("__dv", ignorenulls=True).over(w).alias("value"),
         F.col("__dv").isNull().alias("filled"),
     )
+
+
+def holt_winters(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    max_points: int | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-key Holt double exponential smoothing (level + linear trend):
+
+        l_1 = y_1,  b_1 = 0
+        l_t = α·y_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    The recurrence is inherently sequential IN TIME but embarrassingly
+    parallel ACROSS keys — the standard distributed shape: one shuffle
+    groups each key's points, ``array_sort`` orders them, and a single
+    ``aggregate`` higher-order-function pass folds the state entirely
+    in whole-stage codegen (no Python, no window over a global sort).
+    ``max_points`` bounds the folded prefix (and the oracle's recursion
+    depth); a key's full history at minute grain for a year is ~0.5M
+    points — one array per key, not a cross-key sort.
+
+    Output: (key, n_points, level, trend, forecast) where forecast is
+    the 1-step-ahead ``l + b``, all rounded to 6 digits (the recurrence
+    itself is bit-deterministic: fixed fold order, same literal
+    constants both engines)."""
+    tb = F.col(tiebreak_col) if tiebreak_col else F.lit(0)
+    pts = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("t"),
+                tb.alias("tb"),
+                F.col(value_col).cast("double").alias("y"),
+            )
+        )
+    )
+    if max_points is not None:
+        pts = F.slice(pts, 1, max_points)
+    a, b_ = float(alpha), float(beta)
+
+    def step(acc, p):
+        y = p["y"]
+        newl = F.lit(a) * y + F.lit(1.0 - a) * (acc["l"] + acc["b"])
+        return (
+            F.when(
+                acc["i"] == 0,
+                F.struct(
+                    y.alias("l"), F.lit(0.0).alias("b"),
+                    F.lit(1).cast("bigint").alias("i"),
+                ),
+            ).otherwise(
+                F.struct(
+                    newl.alias("l"),
+                    (F.lit(b_) * (newl - acc["l"]) + F.lit(1.0 - b_) * acc["b"])
+                    .alias("b"),
+                    (acc["i"] + F.lit(1).cast("bigint")).alias("i"),
+                )
+            )
+        )
+
+    init = F.expr(
+        "named_struct('l', CAST(0.0 AS DOUBLE), 'b', CAST(0.0 AS DOUBLE), "
+        "'i', CAST(0 AS BIGINT))"
+    )
+    state = F.aggregate(pts, init, step)
+    return (
+        df.groupBy(key_col)
+        .agg(state.alias("s"))
+        .select(
+            key_col,
+            F.col("s.i").alias("n_points"),
+            F.round("s.l", 6).alias("level"),
+            F.round("s.b", 6).alias("trend"),
+            F.round(F.col("s.l") + F.col("s.b"), 6).alias("forecast"),
+        )
+    )

@@ -2188,6 +2188,49 @@ FROM sess GROUP BY user_id, sid
 """
 
 
+def holt_winters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Holt double exponential smoothing over the first 300
+    events (operators/timeseries.py::holt_winters): the sequential
+    level/trend recurrence folds JVM-side via the aggregate HOF —
+    parallel across keys, codegen within a key — and the oracle replays
+    the exact recurrence as a recursive CTE (300 steps per type), so
+    level/trend/forecast are EXACT-compared, not just gated."""
+    from .operators.timeseries import holt_winters
+
+    t = load_tables(spark, sf_dir)
+    e = t["events"].withColumn("ts_us", F.expr("ts_ns div 1000"))
+    return holt_winters(
+        e, "event_type", "ts_us", "value",
+        alpha=0.5, beta=0.3, max_points=300, tiebreak_col="event_id",
+    ).orderBy("event_type")
+
+
+HOLT_WINTERS_SQL = """
+WITH RECURSIVE e AS (
+  SELECT event_type, event_id, CAST(value AS DOUBLE) AS y,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY EPOCH_US(ts), event_id) AS rn
+  FROM events
+),
+s AS (SELECT * FROM e WHERE rn <= 300),
+r AS (
+  SELECT event_type, rn, y AS l, CAST(0.0 AS DOUBLE) AS b
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.event_type, s.rn,
+         0.5 * s.y + 0.5 * (r.l + r.b) AS l,
+         0.3 * ((0.5 * s.y + 0.5 * (r.l + r.b)) - r.l) + 0.7 * r.b AS b
+  FROM r JOIN s ON s.event_type = r.event_type AND s.rn = r.rn + 1
+),
+last AS (SELECT event_type, MAX(rn) AS n FROM r GROUP BY event_type)
+SELECT r.event_type, CAST(r.rn AS BIGINT) AS n_points,
+       ROUND(r.l, 6) AS level, ROUND(r.b, 6) AS trend,
+       ROUND(r.l + r.b, 6) AS forecast
+FROM r JOIN last ON last.event_type = r.event_type AND r.rn = last.n
+ORDER BY r.event_type
+"""
+
+
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: tight filters + single aggregate (pushdown showcase)."""
     t = load_tables(spark, sf_dir)
@@ -6493,6 +6536,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_orders": profile_orders,
     "schema_drift_orders": schema_drift_orders,
     "adaptive_join_strategies": adaptive_join_strategies,
+    "holt_winters_events": holt_winters_events,
     "record_linkage_customers": record_linkage_customers,
     "entity_resolution_customers": entity_resolution_customers,
     "cluster_split_docs": cluster_split_docs,
@@ -6650,6 +6694,7 @@ ORACLES: dict[str, str] = {
     "profile_orders": PROFILE_ORDERS_SQL,
     "schema_drift_orders": SCHEMA_DRIFT_SQL,
     "adaptive_join_strategies": ADAPTIVE_JOIN_SQL,
+    "holt_winters_events": HOLT_WINTERS_SQL,
     "record_linkage_customers": RECORD_LINKAGE_SQL,
     "entity_resolution_customers": ENTITY_RESOLUTION_SQL,
     "cluster_split_docs": CLUSTER_SPLIT_STATS_SQL,

@@ -65,3 +65,60 @@ def test_resample_locf_fills_gaps_per_entity(spark):
                   (3, 7.0, False)]
     u2 = [(r.day, r.value, r.filled) for r in out if r.uid == 2]
     assert u2 == [(9, 1.5, False)]
+
+
+def test_holt_winters_matches_reference_loop(spark):
+    """Fold result equals the plain-Python recurrence, per key."""
+    from spark_skew_join_spark.operators.timeseries import holt_winters
+
+    series = {"a": [10.0, 12.0, 11.0, 15.0, 14.0], "b": [5.0, 5.0, 9.0]}
+    rows = [
+        (k, i, v) for k, vs in series.items() for i, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts long, v double")
+    out = {
+        r["k"]: r
+        for r in holt_winters(df, "k", "ts", "v", 0.5, 0.3).collect()
+    }
+    for k, vs in series.items():
+        l, b = vs[0], 0.0
+        for y in vs[1:]:
+            newl = 0.5 * y + 0.5 * (l + b)
+            b = 0.3 * (newl - l) + 0.7 * b
+            l = newl
+        assert out[k]["n_points"] == len(vs)
+        # Spark/DuckDB ROUND is HALF_UP, Python round() is half-even:
+        # compare at rounding granularity, not bit-exactly
+        assert abs(out[k]["level"] - l) < 1.01e-6
+        assert abs(out[k]["trend"] - b) < 1.01e-6
+        assert abs(out[k]["forecast"] - (l + b)) < 1.01e-6
+
+
+def test_holt_winters_max_points_and_single_point(spark):
+    from spark_skew_join_spark.operators.timeseries import holt_winters
+
+    df = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(10)] + [("solo", 0, 7.0)],
+        "k string, ts long, v double",
+    )
+    out = {
+        r["k"]: r
+        for r in holt_winters(df, "k", "ts", "v", max_points=3).collect()
+    }
+    assert out["a"]["n_points"] == 3  # prefix bounded
+    assert out["solo"]["n_points"] == 1
+    assert out["solo"]["level"] == 7.0 and out["solo"]["trend"] == 0.0
+    # linear series y=t: level tracks, trend approaches the slope
+    full = holt_winters(df.where("k = 'a'"), "k", "ts", "v").collect()[0]
+    assert 0.5 < full["trend"] <= 1.2
+
+
+def test_holt_winters_plan_is_codegen(spark):
+    from spark_skew_join_spark.operators.timeseries import holt_winters
+
+    df = spark.createDataFrame([("a", 1, 2.0)], "k string, ts long, v double")
+    plan = (
+        holt_winters(df, "k", "ts", "v")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
