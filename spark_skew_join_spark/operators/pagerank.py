@@ -78,3 +78,75 @@ def pagerank(edges: DataFrame, src_col: str, dst_col: str,
             )
         )
     return rank
+
+
+def triangle_count(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """One-row graph summary: (n_nodes, n_edges, n_wedges, n_triangles,
+    global_clustering) over an undirected simple graph (input edges are
+    canonicalized: self-loops dropped, (u,v)/(v,u)/duplicates folded).
+
+    Algorithm: degree-ordered compact-forward — rank every node by
+    (degree, id), orient each edge from lower to higher rank, and join
+    oriented wedges ``a→b, a→c (rank b < rank c)`` against the oriented
+    edge set.  Orientation bounds every node's out-degree by O(√|E|)
+    on skewed (power-law) graphs, so the wedge explosion a hub would
+    cause under naive ``a<b<c`` id-ordering cannot happen — the classic
+    trick that makes triangle counting feasible at billions of edges.
+    Global clustering = 3·triangles / wedges (wedges = Σ C(deg, 2)).
+    All joins are equi-joins on node ids; no Python."""
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n")).unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # rank = (degree, id) total order; orient low rank -> high rank
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    ranked = e.join(du, "u").join(dv, "v")
+    fwd = ranked.select(
+        F.when(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+            F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+        )
+        .otherwise(F.struct(F.col("v").alias("a"), F.col("u").alias("b")))
+        .alias("s")
+    ).select("s.a", "s.b")
+    w1 = fwd.select(F.col("a"), F.col("b").alias("x"))
+    w2 = fwd.select(F.col("a"), F.col("b").alias("y"))
+    wedges = w1.join(w2, "a").where(F.col("x") < F.col("y"))
+    # wedge endpoints are id-ordered, so the closing edge {x, y} is
+    # exactly one canonical row of e — each triangle counts once, at
+    # its lowest-rank apex
+    tris = wedges.join(
+        e, (F.col("x") == F.col("u")) & (F.col("y") == F.col("v"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("long").alias("n_wedges"),
+    )
+    ecount = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    tcount = tris.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return (
+        stats.crossJoin(ecount)
+        .crossJoin(tcount)
+        .select(
+            "n_nodes", "n_edges", "n_wedges", "n_triangles",
+            F.round(
+                3.0 * F.col("n_triangles")
+                / F.greatest(F.col("n_wedges"), F.lit(1)),
+                6,
+            ).alias("global_clustering"),
+        )
+    )

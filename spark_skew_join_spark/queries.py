@@ -2188,6 +2188,60 @@ FROM sess GROUP BY user_id, sid
 """
 
 
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + global clustering on the part co-purchase
+    graph (operators/pagerank.py::triangle_count): parts are linked
+    when they appear in the same order, and triangles are triads of
+    pairwise co-purchased parts.  The operator runs degree-ordered
+    compact-forward (oriented wedges bound hub fan-out at O(√E)); the
+    oracle counts the same triangles with the orientation-free a<b<c
+    triple self-join — equality certifies the orientation trick."""
+    from .operators.pagerank import triangle_count
+
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_partkey")
+    rhs = li.withColumnsRenamed({"l_partkey": "p2"})
+    edges = (
+        li.join(rhs, "l_orderkey")
+        .where(F.col("l_partkey") < F.col("p2"))
+        .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
+    )
+    return triangle_count(edges, "src", "dst")
+
+
+TRIANGLE_SQL = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b ON b.l_orderkey = a.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT n, COUNT(*) AS d FROM (
+    SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n
+),
+tri AS (
+  SELECT COUNT(*) AS t
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+agg AS (
+  SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+         (SELECT COUNT(*) FROM e) AS n_edges,
+         (SELECT CAST(SUM(d * (d - 1)) / 2 AS BIGINT) FROM deg) AS n_wedges,
+         (SELECT t FROM tri) AS n_triangles
+)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       n_wedges,
+       CAST(n_triangles AS BIGINT) AS n_triangles,
+       ROUND(3.0 * n_triangles / GREATEST(n_wedges, 1), 6)
+         AS global_clustering
+FROM agg
+"""
+
+
 def holt_winters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type Holt double exponential smoothing over the first 300
     events (operators/timeseries.py::holt_winters): the sequential
@@ -6537,6 +6591,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "schema_drift_orders": schema_drift_orders,
     "adaptive_join_strategies": adaptive_join_strategies,
     "holt_winters_events": holt_winters_events,
+    "triangle_count_copurchase": triangle_count_copurchase,
     "record_linkage_customers": record_linkage_customers,
     "entity_resolution_customers": entity_resolution_customers,
     "cluster_split_docs": cluster_split_docs,
@@ -6695,6 +6750,7 @@ ORACLES: dict[str, str] = {
     "schema_drift_orders": SCHEMA_DRIFT_SQL,
     "adaptive_join_strategies": ADAPTIVE_JOIN_SQL,
     "holt_winters_events": HOLT_WINTERS_SQL,
+    "triangle_count_copurchase": TRIANGLE_SQL,
     "record_linkage_customers": RECORD_LINKAGE_SQL,
     "entity_resolution_customers": ENTITY_RESOLUTION_SQL,
     "cluster_split_docs": CLUSTER_SPLIT_STATS_SQL,

@@ -52,3 +52,59 @@ def test_pagerank_dangling_mass_not_redistributed(spark):
     want = _ref_pagerank([(1, 2, 1.0)])
     for v in want:
         assert abs(got[v] - want[v]) < 1e-12
+
+
+# -- triangle counting -------------------------------------------------
+
+def test_triangle_count_known_graphs(spark):
+    from spark_skew_join_spark.operators.pagerank import triangle_count
+
+    # K4: 4 triangles, 6 edges, 12 wedges, clustering 1.0
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    row = triangle_count(
+        spark.createDataFrame(k4, "src int, dst int")
+    ).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_wedges"],
+            row["n_triangles"]) == (4, 6, 12, 4)
+    assert row["global_clustering"] == 1.0
+
+    # path graph: no triangles, 2 wedges
+    path = [(0, 1), (1, 2), (2, 3)]
+    row = triangle_count(
+        spark.createDataFrame(path, "src int, dst int")
+    ).collect()[0]
+    assert row["n_triangles"] == 0 and row["n_wedges"] == 2
+    assert row["global_clustering"] == 0.0
+
+
+def test_triangle_count_canonicalizes_input(spark):
+    from spark_skew_join_spark.operators.pagerank import triangle_count
+
+    # duplicates, reversed edges, and self-loops must fold away
+    messy = [(0, 1), (1, 0), (0, 1), (1, 2), (2, 0), (2, 2), (0, 0)]
+    row = triangle_count(
+        spark.createDataFrame(messy, "src int, dst int")
+    ).collect()[0]
+    assert (row["n_edges"], row["n_triangles"]) == (3, 1)
+
+
+def test_triangle_count_hub_graph_matches_naive(spark):
+    import itertools
+    import random
+
+    from spark_skew_join_spark.operators.pagerank import triangle_count
+
+    rng = random.Random(13)
+    edges = {(0, i) for i in range(1, 40)}  # hub
+    for _ in range(120):
+        a, b = rng.sample(range(1, 40), 2)
+        edges.add((min(a, b), max(a, b)))
+    naive = sum(
+        1
+        for a, b, c in itertools.combinations(range(40), 3)
+        if (a, b) in edges and (b, c) in edges and (a, c) in edges
+    )
+    row = triangle_count(
+        spark.createDataFrame(sorted(edges), "src int, dst int")
+    ).collect()[0]
+    assert row["n_triangles"] == naive and naive > 0
