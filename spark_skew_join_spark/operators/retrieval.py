@@ -27,7 +27,7 @@ query pins it EXACT against the same arithmetic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 20,
@@ -85,4 +85,60 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 20,
         # the top-k cut can never straddle a sub-1e-6 float divergence
         .orderBy(F.desc("score"), id_col)
         .limit(k)
+    )
+
+
+def rrf_fuse(
+    rankings: dict[str, DataFrame],
+    k: int = 10,
+    rrf_k: int = 60,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) of any
+    number of rankers: ``score(q, d) = Σ_r 1 / (rrf_k + rank_r(q, d))``
+    over the rankers that returned d — the standard way to combine a
+    lexical (BM25) and a vector (ANN) shortlist without score
+    calibration, since only RANKS enter the sum.
+
+    ``rankings`` maps ranker name → (query_id, doc_id, rank).  Each
+    candidate's contributions are folded in SORTED ranker-name order
+    (collect → array_sort → aggregate), so the double summation is
+    deterministic for any ranker count; the cut is on the ROUNDED
+    score with doc-id tiebreak.  Cost: one union + one grouped
+    aggregation over the shortlists (k·|queries|·|rankers| rows — the
+    corpus is never touched)."""
+    tagged = None
+    for name in sorted(rankings):
+        df = rankings[name].select(
+            F.col(query_col).alias("query_id"),
+            F.col(doc_col).alias("doc_id"),
+            F.lit(name).alias("ranker"),
+            F.col(rank_col).cast("int").alias("rank"),
+        )
+        tagged = df if tagged is None else tagged.unionByName(df)
+    grouped = tagged.groupBy("query_id", "doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("ranker"), F.col("rank")))
+        ).alias("rs")
+    )
+    score = F.aggregate(
+        F.col("rs"),
+        F.lit(0.0),
+        lambda acc, x: acc + F.lit(1.0) / (F.lit(float(rrf_k)) + x["rank"]),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id")
+    )
+    return (
+        grouped.select(
+            "query_id", "doc_id",
+            F.size("rs").alias("n_rankers"),
+            F.round(score, 6).alias("rrf_score"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "n_rankers", "rrf_score",
+                F.col("rank").cast("int").alias("rank"))
     )

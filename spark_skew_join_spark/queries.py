@@ -2188,6 +2188,120 @@ FROM sess GROUP BY user_id, sid
 """
 
 
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval fused by reciprocal rank
+    (operators/retrieval.py::rrf_fuse — Cormack et al. 2009): three
+    queries each run BM25 over documents (their own term pair) AND
+    brute-force cosine over the paired embeddings (vec_id ≡ doc_id),
+    and the two shortlists fuse by Σ 1/(60 + rank) — ranks only, no
+    score calibration.  The oracle replays the parameterized BM25, the
+    cosine ranking, and the fusion (full-outer join of the two rank
+    lists) in one SQL query, so fused scores AND the top-10 cut are
+    EXACT-checked."""
+    from .operators.retrieval import bm25_topk, rrf_fuse
+    from .operators.similarity import cosine_topk
+
+    t = load_tables(spark, sf_dir)
+    docs, emb = t["documents"], t["embeddings"]
+    terms = {0: ["spark", "join"], 1: ["window", "vector"],
+             2: ["stream", "query"]}
+    lex = None
+    for qid, ts in terms.items():
+        w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+        r = (
+            bm25_topk(docs, ts, k=25)
+            .select(
+                F.lit(qid).alias("query_id"), "doc_id",
+                F.row_number().over(w).alias("rank"),
+            )
+        )
+        lex = r if lex is None else lex.unionByName(r)
+    vec = cosine_topk(emb, emb.where(F.col("vec_id") < 3), k=25, dim=64).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse({"lex": lex, "vec": vec}, k=10).orderBy("query_id", "rank")
+
+
+HYBRID_RRF_SQL = """
+WITH qt AS (
+  SELECT * FROM (VALUES (0, 'spark'), (0, 'join'), (1, 'window'),
+                        (1, 'vector'), (2, 'stream'), (2, 'query'))
+  AS v(qid, term)
+),
+toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+corpus AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+  WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2
+),
+dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT q.qid, t.doc_id,
+         LN(1 + (c.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * (t.tf * (1.2 + 1.0))
+           / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / c.avgdl)) AS s
+  FROM qt q JOIN tf t USING (term) JOIN dft f ON f.term = t.term
+  JOIN dl d USING (doc_id) CROSS JOIN corpus c
+),
+lex AS (
+  SELECT qid, doc_id, rank FROM (
+    SELECT qid, doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY ROUND(SUM(s), 6) DESC, doc_id) AS INT) AS rank
+    FROM scored GROUP BY qid, doc_id) x
+  WHERE rank <= 25
+),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+vq AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 3),
+vscored AS (
+  SELECT vq.qid, v.vec_id AS doc_id,
+         CASE WHEN sqrt(list_sum(list_transform(vq.qe, x -> x * x))) = 0
+                OR sqrt(list_sum(list_transform(v.e, x -> x * x))) = 0 THEN 0.0
+              ELSE list_sum(list_transform(list_zip(vq.qe, v.e),
+                                           s -> s[1] * s[2]))
+                   / (sqrt(list_sum(list_transform(vq.qe, x -> x * x)))
+                      * sqrt(list_sum(list_transform(v.e, x -> x * x))))
+         END AS sim
+  FROM v CROSS JOIN vq
+  WHERE v.vec_id <> vq.qid
+),
+vec AS (
+  SELECT qid, doc_id, rank FROM (
+    SELECT qid, doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY sim DESC, doc_id) AS INT) AS rank
+    FROM vscored) x
+  WHERE rank <= 25
+),
+fused AS (
+  SELECT COALESCE(l.qid, p.qid) AS query_id,
+         COALESCE(l.doc_id, p.doc_id) AS doc_id,
+         (CASE WHEN l.rank IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN p.rank IS NOT NULL THEN 1 ELSE 0 END) AS n_rankers,
+         ROUND(COALESCE(1.0 / (60.0 + l.rank), 0.0)
+               + COALESCE(1.0 / (60.0 + p.rank), 0.0), 6) AS rrf_score
+  FROM lex l FULL OUTER JOIN vec p
+    ON p.qid = l.qid AND p.doc_id = l.doc_id
+)
+SELECT query_id, doc_id, CAST(n_rankers AS INT) AS n_rankers, rrf_score,
+       rank
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
+  FROM fused) x
+WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
 def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting + global clustering on the part co-purchase
     graph (operators/pagerank.py::triangle_count): parts are linked
@@ -6592,6 +6706,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "adaptive_join_strategies": adaptive_join_strategies,
     "holt_winters_events": holt_winters_events,
     "triangle_count_copurchase": triangle_count_copurchase,
+    "hybrid_retrieval_rrf": hybrid_retrieval_rrf,
     "record_linkage_customers": record_linkage_customers,
     "entity_resolution_customers": entity_resolution_customers,
     "cluster_split_docs": cluster_split_docs,
@@ -6751,6 +6866,7 @@ ORACLES: dict[str, str] = {
     "adaptive_join_strategies": ADAPTIVE_JOIN_SQL,
     "holt_winters_events": HOLT_WINTERS_SQL,
     "triangle_count_copurchase": TRIANGLE_SQL,
+    "hybrid_retrieval_rrf": HYBRID_RRF_SQL,
     "record_linkage_customers": RECORD_LINKAGE_SQL,
     "entity_resolution_customers": ENTITY_RESOLUTION_SQL,
     "cluster_split_docs": CLUSTER_SPLIT_STATS_SQL,

@@ -78,3 +78,42 @@ def test_absent_term_contributes_nothing(spark, docs_df):
 def test_empty_query_rejected(spark, docs_df):
     with pytest.raises(ValueError):
         bm25_topk(docs_df, [])
+
+
+# -- reciprocal-rank fusion -------------------------------------------
+
+def test_rrf_hand_computed(spark):
+    from spark_skew_join_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)], "query_id int, doc_id int, rank int"
+    )
+    vec = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2)], "query_id int, doc_id int, rank int"
+    )
+    out = {r["doc_id"]: r for r in
+           rrf_fuse({"lex": lex, "vec": vec}, k=10).collect()}
+    # doc 11: both rankers -> 1/62 + 1/61; doc 10: 1/61; doc 13: 1/62
+    assert out[11]["n_rankers"] == 2
+    assert abs(out[11]["rrf_score"] - round(1 / 62 + 1 / 61, 6)) < 1e-9
+    assert out[11]["rank"] == 1  # consensus beats either single ranker
+    assert out[10]["rank"] == 2 and out[10]["n_rankers"] == 1
+    assert out[13]["rank"] == 3
+
+
+def test_rrf_three_rankers_deterministic_and_k_cut(spark):
+    from spark_skew_join_spark.operators.retrieval import rrf_fuse
+
+    dfs = {
+        name: spark.createDataFrame(
+            [(0, d, r + 1) for r, d in enumerate(perm)],
+            "query_id int, doc_id int, rank int",
+        )
+        for name, perm in [
+            ("a", [1, 2, 3, 4]), ("b", [2, 1, 4, 3]), ("c", [3, 4, 1, 2]),
+        ]
+    }
+    out = rrf_fuse(dfs, k=2).collect()
+    assert len(out) == 2 and all(r["n_rankers"] == 3 for r in out)
+    again = rrf_fuse(dfs, k=2).collect()
+    assert out == again
