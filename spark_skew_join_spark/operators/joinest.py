@@ -197,17 +197,17 @@ def join_size_report(
     kb = right.where(F.col(right_on).isNotNull()).groupBy(
         F.col(right_on).alias("k")
     ).agg(F.count(F.lit(1)).alias("m"))
-    tru = ka.join(kb, "k").agg(
+    # ground truth, Na and Nb all fold out of ONE full-outer count
+    # join — each per-key aggregate is built exactly once and the
+    # whole report stays LAZY (no driver-side count jobs)
+    sides = ka.join(kb, "k", "full_outer").agg(
         F.coalesce(F.sum(F.col("n") * F.col("m")), F.lit(0))
         .cast("long")
-        .alias("true_join_rows")
+        .alias("true_join_rows"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("na"),
+        F.coalesce(F.sum("m"), F.lit(0)).alias("nb"),
     )
-    # na/nb fold from the same per-key aggregates; AQE's runtime
-    # exchange reuse dedupes the repeated ka/kb subtrees, and the whole
-    # report stays LAZY (no driver-side count jobs)
-    na = ka.agg(F.coalesce(F.sum("n"), F.lit(0)).alias("na"))
-    nb = kb.agg(F.coalesce(F.sum("m"), F.lit(0)).alias("nb"))
-    return tru.crossJoin(est).crossJoin(na).crossJoin(nb).select(
+    return sides.crossJoin(est).select(
         "true_join_rows",
         "est_join_rows",
         F.round(
