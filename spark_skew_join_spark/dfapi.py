@@ -217,6 +217,27 @@ def _profile(self: DataFrame, cols=None) -> DataFrame:
     return profile_table(self, cols)
 
 
+def _holt_winters(self: DataFrame, key_col: str, ts_col: str,
+                  value_col: str, **kwargs) -> DataFrame:
+    from .operators.timeseries import holt_winters
+
+    return holt_winters(self, key_col, ts_col, value_col, **kwargs)
+
+
+def _triangle_count(self: DataFrame, src_col: str = "src",
+                    dst_col: str = "dst") -> DataFrame:
+    from .operators.pagerank import triangle_count
+
+    return triangle_count(self, src_col, dst_col)
+
+
+def _canonicalize_urls(self: DataFrame, url_col: str,
+                       out_col: str = "canonical_url") -> DataFrame:
+    from .functions.text import canonicalize_url
+
+    return self.withColumn(out_col, canonicalize_url(url_col))
+
+
 def register_dataframe_api() -> None:
     """Attach the reference-parity method surface to DataFrame (idempotent).
     The extension operators ride along so a reference user migrating to
@@ -251,6 +272,9 @@ def register_dataframe_api() -> None:
         join_size_estimate=_join_size_estimate,
         adaptive_join=_adaptive_join,
         profile=_profile,
+        holt_winters=_holt_winters,
+        triangle_count=_triangle_count,
+        canonicalize_urls=_canonicalize_urls,
         dhash_images=_dhash_images,
         phash_near_dup=_phash_near_dup,
     )

@@ -7068,6 +7068,12 @@ SCALAR_BNL_OK = (
     "dsir_importance_docs",  # 1-row corpus/target gram-total broadcasts
     "dsir_resample_docs",  # same DSIR 1-row gram-total broadcasts
     "pipeline_train_mix",  # composes the DSIR scalar broadcasts
+    "join_size_estimate_cms",  # 1-row est/true/Na/Nb frames cross-joined
+    "image_near_dup_phash",  # 1-row pair-stats x corpus-stats cross-join
+    "audio_near_dup_awhash",  # same 1-row stats cross-join shape
+    "adaptive_join_strategies",  # 1-row per-case decision frames unioned
+    "triangle_count_copurchase",  # 1-row node/edge/triangle frames joined
+    "hybrid_retrieval_rrf",  # BM25's 1-row corpus-scalar broadcast x3
     "semdedup_embeddings",  # n_clusters-row centroid table broadcast:
     # each vector fans out exactly x n_clusters for scoring (the IVF
     # assignment shape), bounded by the quantizer size — never data x data
