@@ -44,8 +44,12 @@ def main():
         .select(
             (F.col("id") * 500 + F.col("doc_id")).alias("doc_id"),
             F.concat(
-                F.col("text"), F.lit(" salt"),
-                (F.col("id") % 1000).cast("string"),
+                F.col("text"), F.lit(" w"),
+                F.pmod(F.xxhash64("id", "doc_id"), F.lit(200_000))
+                .cast("string"),
+                F.lit(" w"),
+                F.pmod(F.xxhash64("doc_id", "id"), F.lit(200_000))
+                .cast("string"),
             ).alias("text"),
         )
         .repartition(64)
