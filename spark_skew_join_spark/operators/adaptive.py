@@ -98,7 +98,10 @@ def adaptive_join(
     """Execute the planned strategy.  Output ≡ ``left.join(right, on,
     how)`` with skew_join's USING-style column order on every branch
     (one copy of the key columns under the left names), so callers can
-    switch strategies without downstream schema churn."""
+    switch strategies without downstream schema churn.  For join
+    types where Spark cannot broadcast the right side (right/full
+    outer), a ``broadcast`` decision executes as the plain shuffle
+    join — the decision row still reports what the probe found."""
     conf = conf or SkewJoinConf()
     plan = plan_equi_join(left, right, on, conf, broadcast_rows)
     pairs = _normalize(on)

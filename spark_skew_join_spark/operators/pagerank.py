@@ -134,7 +134,9 @@ def triangle_count(
     )
     stats = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
-        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("long").alias("n_wedges"),
+        F.coalesce(
+            (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("long"), F.lit(0)
+        ).alias("n_wedges"),
     )
     ecount = e.agg(F.count(F.lit(1)).alias("n_edges"))
     tcount = tris.agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -150,6 +150,9 @@ def pq_topk(
             [cents[j] @ q[j * sub:(j + 1) * sub] for j in range(m)]
         )  # (m, ks)
 
+    if not luts:
+        raise ValueError("pq_topk: queries DataFrame is empty")
+
     def batches(it):
         import pandas as pd
 

@@ -136,6 +136,7 @@ def holt_winters(
         "'i', CAST(0 AS BIGINT))"
     )
     state = F.aggregate(pts, init, step)
+    df = df.where(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
     return (
         df.groupBy(key_col)
         .agg(state.alias("s"))
