@@ -148,3 +148,83 @@ def holt_winters(
             F.round(F.col("s.l") + F.col("s.b"), 6).alias("forecast"),
         )
     )
+
+
+def cusum_scan(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    slack: float = 0.0,
+    threshold: float = 0.0,
+    max_points: int | None = None,
+    tiebreak_col: str | None = None,
+    dec: str = "decimal(18,2)",
+) -> DataFrame:
+    """Per-key one-sided CUSUM change detection (Page 1954):
+
+        s_0 = 0,  s_t = max(0, s_{t−1} + (y_t − target − slack))
+
+    with ``target`` the key's own mean (computed through an EXACT
+    decimal sum, so it is accumulation-order independent — ``dec`` must
+    cover the value column's precision).  Same distributed shape as
+    ``holt_winters``: the scan is sequential in time but parallel
+    across keys, folded by one aggregate-HOF pass over the key's sorted
+    points in whole-stage codegen.  Emits the running maximum and its
+    1-based position — where the cumulative drift peaked — plus an
+    ``alarm`` flag against ``threshold``.
+
+    Output: (key, n_points, target, cusum_max, argmax_idx, alarm)."""
+    filtered = df.where(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    tb = F.col(tiebreak_col) if tiebreak_col else F.lit(0)
+    pts = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("t"),
+                tb.alias("tb"),
+                F.col(value_col).cast("double").alias("y"),
+            )
+        )
+    )
+    if max_points is not None:
+        pts = F.slice(pts, 1, max_points)
+    grouped = filtered.groupBy(key_col).agg(pts.alias("__pts"))
+    # target = mean of the SAME analyzed window, via an exact decimal
+    # fold over the sliced array (order-independent, engine-identical)
+    dec_sum = F.aggregate(
+        F.col("__pts"),
+        F.lit(0).cast("decimal(28,6)"),
+        lambda acc, p: (acc + p["y"].cast(dec)).cast("decimal(28,6)"),
+    )
+    grouped = grouped.withColumn(
+        "__mu", dec_sum.cast("double") / F.size("__pts")
+    )
+
+    def step(acc, p):
+        ns = F.greatest(
+            F.lit(0.0), acc["s"] + (p["y"] - F.col("__mu") - F.lit(float(slack)))
+        )
+        i2 = acc["i"] + F.lit(1).cast("bigint")
+        better = ns > acc["smax"]
+        return F.struct(
+            ns.alias("s"),
+            F.when(better, ns).otherwise(acc["smax"]).alias("smax"),
+            F.when(better, i2).otherwise(acc["imax"]).alias("imax"),
+            i2.alias("i"),
+        )
+
+    init = F.expr(
+        "named_struct('s', CAST(0.0 AS DOUBLE), 'smax', CAST(0.0 AS DOUBLE), "
+        "'imax', CAST(0 AS BIGINT), 'i', CAST(0 AS BIGINT))"
+    )
+    st = F.aggregate(F.col("__pts"), init, step)
+    return grouped.select(
+        key_col,
+        st["i"].alias("n_points"),
+        F.round("__mu", 6).alias("target"),
+        F.round(st["smax"], 6).alias("cusum_max"),
+        st["imax"].alias("argmax_idx"),
+        (st["smax"] > F.lit(float(threshold))).alias("alarm"),
+    )

@@ -2399,6 +2399,70 @@ ORDER BY r.event_type
 """
 
 
+def cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type one-sided CUSUM change detection over the first 300
+    events (operators/timeseries.py::cusum_scan — Page 1954): target is
+    the type's decimal-exact mean, the sequential max(0, s+(y−μ)) scan
+    folds via the aggregate HOF, and the oracle replays the recurrence
+    as a recursive CTE — cusum_max, its position, and the alarm flag
+    EXACT-compared."""
+    from .operators.timeseries import cusum_scan
+
+    t = load_tables(spark, sf_dir)
+    e = t["events"].withColumn("ts_us", F.expr("ts_ns div 1000"))
+    return cusum_scan(
+        e, "event_type", "ts_us", "value",
+        slack=0.0, threshold=100.0, max_points=300, tiebreak_col="event_id",
+    ).orderBy("event_type")
+
+
+CUSUM_SQL = """
+WITH RECURSIVE e AS (
+  SELECT event_type, event_id, CAST(value AS DOUBLE) AS y,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY EPOCH_US(ts), event_id) AS rn
+  FROM events
+),
+s AS (SELECT * FROM e WHERE rn <= 300),
+mu AS (
+  SELECT event_type,
+         CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) / COUNT(y) AS target
+  FROM s GROUP BY event_type
+),
+r AS (
+  SELECT s.event_type, s.rn,
+         GREATEST(CAST(0.0 AS DOUBLE), s.y - m.target) AS cs,
+         GREATEST(CAST(0.0 AS DOUBLE), s.y - m.target) AS smax,
+         CASE WHEN GREATEST(CAST(0.0 AS DOUBLE), s.y - m.target) > 0.0
+              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS imax
+  FROM s JOIN mu m USING (event_type) WHERE s.rn = 1
+  UNION ALL
+  SELECT s.event_type, s.rn,
+         GREATEST(CAST(0.0 AS DOUBLE), r.cs + (s.y - m.target)) AS cs,
+         CASE WHEN GREATEST(CAST(0.0 AS DOUBLE), r.cs + (s.y - m.target))
+                   > r.smax
+              THEN GREATEST(CAST(0.0 AS DOUBLE), r.cs + (s.y - m.target))
+              ELSE r.smax END,
+         CASE WHEN GREATEST(CAST(0.0 AS DOUBLE), r.cs + (s.y - m.target))
+                   > r.smax
+              THEN s.rn ELSE r.imax END
+  FROM r
+  JOIN s ON s.event_type = r.event_type AND s.rn = r.rn + 1
+  JOIN mu m ON m.event_type = r.event_type
+),
+last AS (SELECT event_type, MAX(rn) AS n FROM r GROUP BY event_type)
+SELECT r.event_type, CAST(r.rn AS BIGINT) AS n_points,
+       ROUND(m.target, 6) AS target,
+       ROUND(r.smax, 6) AS cusum_max,
+       r.imax AS argmax_idx,
+       r.smax > 100.0 AS alarm
+FROM r
+JOIN last ON last.event_type = r.event_type AND r.rn = last.n
+JOIN mu m ON m.event_type = r.event_type
+ORDER BY r.event_type
+"""
+
+
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: tight filters + single aggregate (pushdown showcase)."""
     t = load_tables(spark, sf_dir)
@@ -6705,6 +6769,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "schema_drift_orders": schema_drift_orders,
     "adaptive_join_strategies": adaptive_join_strategies,
     "holt_winters_events": holt_winters_events,
+    "cusum_events": cusum_events,
     "triangle_count_copurchase": triangle_count_copurchase,
     "hybrid_retrieval_rrf": hybrid_retrieval_rrf,
     "record_linkage_customers": record_linkage_customers,
@@ -6865,6 +6930,7 @@ ORACLES: dict[str, str] = {
     "schema_drift_orders": SCHEMA_DRIFT_SQL,
     "adaptive_join_strategies": ADAPTIVE_JOIN_SQL,
     "holt_winters_events": HOLT_WINTERS_SQL,
+    "cusum_events": CUSUM_SQL,
     "triangle_count_copurchase": TRIANGLE_SQL,
     "hybrid_retrieval_rrf": HYBRID_RRF_SQL,
     "record_linkage_customers": RECORD_LINKAGE_SQL,

@@ -122,3 +122,50 @@ def test_holt_winters_plan_is_codegen(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cusum_detects_planted_level_shift(spark):
+    from spark_skew_join_spark.operators.timeseries import cusum_scan
+
+    # flat at 10.0 for 50 points, then +5 shift for 50: cusum peaks at
+    # the END of the shifted region, argmax = 100
+    rows = [("a", i, 10.0 if i < 50 else 15.0) for i in range(100)]
+    rows += [("flat", i, 20.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "k string, ts long, v double")
+    out = {r["k"]: r for r in
+           cusum_scan(df, "k", "ts", "v", threshold=50.0).collect()}
+    a = out["a"]
+    # target = 12.5; drift accumulates at +2.5/point over the shifted half
+    assert a["target"] == 12.5
+    assert abs(a["cusum_max"] - 125.0) < 1e-6
+    assert a["argmax_idx"] == 100 and bool(a["alarm"]) is True
+    flat = out["flat"]
+    assert flat["cusum_max"] == 0.0 and bool(flat["alarm"]) is False
+    assert flat["argmax_idx"] == 0
+
+
+def test_cusum_matches_reference_loop(spark):
+    import random
+
+    from spark_skew_join_spark.operators.timeseries import cusum_scan
+
+    rng = random.Random(23)
+    vals = [round(rng.uniform(0, 50), 2) for _ in range(80)]
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(vals)], "k string, ts long, v double"
+    )
+    row = cusum_scan(df, "k", "ts", "v", slack=1.5).collect()[0]
+    mu = sum(vals) / len(vals)  # 2-decimal values sum exactly in binary? no —
+    # replicate the operator's decimal-exact mean instead
+    from decimal import Decimal
+
+    mu = float(sum(Decimal(str(v)) for v in vals)) / len(vals)
+    s = smax = 0.0
+    imax = 0
+    for i, y in enumerate(vals, 1):
+        s = max(0.0, s + (y - mu - 1.5))
+        if s > smax:
+            smax, imax = s, i
+    assert abs(row["cusum_max"] - smax) < 1.01e-6
+    assert row["argmax_idx"] == imax
+    assert abs(row["target"] - mu) < 1.01e-6
