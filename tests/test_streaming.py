@@ -935,3 +935,58 @@ def test_streaming_hot_keys_cms_state(spark, tmp_path):
     assert np.array_equal(merged.table, batch.table)
     # and the merged sketch answers like the batch one
     assert merged.estimate("hot_a") == batch.estimate("hot_a") >= 900
+
+
+def test_streaming_cusum_matches_batch_fold(spark, tmp_path):
+    """Stream-final CUSUM state ≡ the sequential fold over the same
+    delivery order, across micro-batch boundaries; the planted shift
+    alarms mid-stream."""
+    import os
+    import time
+
+    from spark_skew_join_spark.streaming.monitor import streaming_cusum
+
+    vals = [10.0] * 60 + [14.0] * 60  # shift of +4 against target 10
+    rows = [("svc", float(v)) for v in vals]
+    src = str(tmp_path / "cfeed")
+    os.makedirs(src)
+    third = len(rows) // 3
+    for b in range(3):
+        chunk = rows[b * third:(b + 1) * third] if b < 2 else rows[2 * third:]
+        spark.createDataFrame(chunk, "k string, v double") \
+            .coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema("k string, v double")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        streaming_cusum(stream, "k", "v", target=10.0, slack=1.0,
+                        threshold=50.0)
+        .writeStream.outputMode("update").format("memory")
+        .queryName("scusum").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = spark.sql(
+        "SELECT * FROM scusum ORDER BY n_events DESC LIMIT 1"
+    ).collect()[0]
+    # reference fold over the same order
+    s = smax = 0.0
+    imax = 0
+    for i, y in enumerate(vals, 1):
+        s = max(0.0, s + (y - 10.0 - 1.0))
+        if s > smax:
+            smax, imax = s, i
+    assert final["n_events"] == len(vals)
+    assert abs(final["cusum"] - s) < 1e-9
+    assert abs(final["cusum_max"] - smax) < 1e-9
+    assert final["argmax_idx"] == imax == 120
+    assert bool(final["alarm"]) is True
+    # files were appended in order; within-file order preserved by the
+    # single-partition write, so intermediate emissions are prefix folds
+    mids = spark.sql("SELECT n_events, alarm FROM scusum ORDER BY n_events").collect()
+    assert [m["n_events"] for m in mids] == [40, 80, 120]
+    assert [bool(m["alarm"]) for m in mids] == [False, True, True]

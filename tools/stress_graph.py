@@ -1,0 +1,47 @@
+"""Triangle-counting stress: power-law graph at millions of edges.
+
+Synthesizes a skewed multigraph (both endpoints ~ Zipf via pow(rand,
+alpha) — hubs with 10^5+ degree), canonicalizes, and times the
+degree-ordered compact-forward count.  The hub degrees are exactly the
+case where naive a<b<c id-ordering explodes (a hub as 'a' contributes
+C(deg, 2) wedges); orientation caps every out-degree near O(sqrt E).
+
+Usage: python tools/stress_graph.py [n_edges] [n_nodes]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from spark_skew_join_spark.operators.pagerank import triangle_count
+from spark_skew_join_spark.sources.tables import get_spark
+
+N_EDGES = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+N_NODES = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+
+
+def main():
+    spark = get_spark("stress-graph", cpus=32)
+    edges = spark.range(N_EDGES).select(
+        (F.pow(F.rand(3), 4.0) * N_NODES).cast("long").alias("src"),
+        (F.pow(F.rand(5), 4.0) * N_NODES).cast("long").alias("dst"),
+    )
+    t0 = time.time()
+    row = triangle_count(edges).collect()[0]
+    wall = time.time() - t0
+    print(
+        f"edges_in={N_EDGES:,} -> canonical={row['n_edges']:,} "
+        f"nodes={row['n_nodes']:,} wedges={row['n_wedges']:,} | "
+        f"triangles={row['n_triangles']:,} clustering="
+        f"{row['global_clustering']} | {wall:.1f}s "
+        f"({row['n_edges'] / wall / 1e6:.1f}M edges/s)"
+    )
+
+
+if __name__ == "__main__":
+    main()
