@@ -62,3 +62,92 @@ def read_table(spark: SparkSession, path: str, format: str = "parquet",
     if format == "csv":
         r = r.option("header", "true")
     return r.load(path)
+
+
+def list_data_files(spark: SparkSession, path: str, suffix: str = ".parquet"):
+    """[(path, bytes)] for the data files under ``path`` (Hadoop FS —
+    works for any supported filesystem, not just local)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    out = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().toString()
+        if name.endswith(suffix):
+            out.append((name, int(st.getLen())))
+    return out
+
+
+def compaction_report(files: list, target_bytes: int) -> dict:
+    """Pure planning half of compaction: given [(path, bytes)], how many
+    output files a size-targeted rewrite produces and the small-file
+    pressure it removes.  next-fit by listing order — deterministic."""
+    small = [(p, b) for p, b in files if b < target_bytes]
+    total = sum(b for _, b in files)
+    bins, acc = 0, 0
+    for _, b in sorted(files, key=lambda x: (-x[1], x[0])):
+        if acc + b > target_bytes and acc > 0:
+            bins += 1
+            acc = 0
+        acc += b
+    if acc:
+        bins += 1
+    return {
+        "n_files": len(files),
+        "n_small": len(small),
+        "total_bytes": total,
+        "planned_files": max(bins, 1) if files else 0,
+    }
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Rewrite a parquet directory into ~``target_bytes`` files — the
+    small-files fix every long-running CDC/streaming sink eventually
+    needs (thousands of KB-sized files make NameNode/listing and task
+    scheduling the bottleneck long before data volume does).
+
+    Shape: plan from the REAL file listing (Hadoop FS, no driver
+    guessing), rewrite once with ``repartition(planned_files)``
+    (row-preserving, no shuffle key needed — size is the only
+    objective), stage into ``path/_compact_tmp`` and atomically swap.
+    Returns the before/after report.  For partitioned layouts run per
+    partition directory; transactional table formats (Delta/Iceberg)
+    ship their own OPTIMIZE — this is the plain-parquet equivalent."""
+    import uuid
+
+    files = list_data_files(spark, path)
+    plan = compaction_report(files, target_bytes)
+    if plan["n_files"] <= plan["planned_files"]:
+        return {**plan, "rewritten": False, "n_files_after": plan["n_files"]}
+    df = spark.read.parquet(path)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    tmp = f"{path.rstrip('/')}_compact_{uuid.uuid4().hex[:8]}"
+    df.repartition(plan["planned_files"]).write.mode("overwrite").parquet(tmp)
+    # verify BEFORE the swap: the rewrite must carry every row
+    n_before = df.count()
+    n_after = spark.read.parquet(tmp).count()
+    if n_after != n_before:
+        raise RuntimeError(
+            f"compaction rewrite lost rows ({n_before} -> {n_after}); "
+            f"staging left at {tmp}"
+        )
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    old = jvm.org.apache.hadoop.fs.Path(path)
+    bak = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "_pre_compact")
+    fs.rename(old, bak)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), old)
+    fs.delete(bak, True)
+    after = list_data_files(spark, path)
+    return {
+        **plan,
+        "rewritten": True,
+        "n_files_after": len(after),
+    }

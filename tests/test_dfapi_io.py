@@ -244,3 +244,46 @@ def test_dfapi_extension_methods(spark):
         assert pts.hilbert_key(["x", "y"], bits=4).where("hval IS NULL").count() == 0
     finally:
         unregister_dataframe_api()
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    """50 tiny files → a handful at the size target, rows and content
+    preserved, source dir atomically swapped."""
+    from pyspark.sql import functions as F
+
+    from spark_skew_join_spark.sources.io import (
+        compact_parquet,
+        compaction_report,
+        list_data_files,
+    )
+
+    path = str(tmp_path / "smallfiles")
+    df = spark.range(50_000).select(
+        F.col("id"), (F.col("id") * 7 % 97).alias("v")
+    )
+    df.repartition(50).write.parquet(path)
+    before = list_data_files(spark, path)
+    assert len(before) == 50
+    target = sum(b for _, b in before) // 4  # aim for ~4-5 output files
+    plan = compaction_report(before, target)
+    assert plan["n_small"] == 50
+
+    fingerprint = spark.read.parquet(path).agg(
+        F.count(F.lit(1)), F.sum("id"), F.sum("v")
+    ).collect()[0]
+    rep = compact_parquet(spark, path, target_bytes=target)
+    assert rep["rewritten"] is True
+    assert rep["n_files_after"] < 10
+    after = spark.read.parquet(path).agg(
+        F.count(F.lit(1)), F.sum("id"), F.sum("v")
+    ).collect()[0]
+    assert tuple(after) == tuple(fingerprint)
+
+
+def test_compact_parquet_noop_when_already_large(spark, tmp_path):
+    from spark_skew_join_spark.sources.io import compact_parquet
+
+    path = str(tmp_path / "bigfile")
+    spark.range(10_000).coalesce(1).write.parquet(path)
+    rep = compact_parquet(spark, path, target_bytes=10)
+    assert rep["rewritten"] is False and rep["n_files_after"] == rep["n_files"]
