@@ -6578,7 +6578,13 @@ def _synth_bmp_corpus(docs: DataFrame) -> DataFrame:
                 {"doc_id": pd.Series(ids, dtype="int64"), "content": blobs}
             )
 
-    return docs.select("doc_id").mapInPandas(gen, "doc_id long, content binary")
+    # the documents scan is 1-2 partitions at test SFs — spread the
+    # synthesis/decode work before the Python stage (8 ways: enough
+    # parallelism to matter, few enough tasks that Arrow/worker
+    # round-trip overhead stays amortized at this corpus size)
+    return docs.select("doc_id").repartition(8).mapInPandas(
+        gen, "doc_id long, content binary"
+    )
 
 
 def image_near_dup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6679,7 +6685,9 @@ def _synth_wav_corpus(docs: DataFrame) -> DataFrame:
                 {"doc_id": pd.Series(ids, dtype="int64"), "content": blobs}
             )
 
-    return docs.select("doc_id").mapInPandas(gen, "doc_id long, content binary")
+    return docs.select("doc_id").repartition(8).mapInPandas(
+        gen, "doc_id long, content binary"
+    )
 
 
 def audio_near_dup_awhash(spark: SparkSession, sf_dir: str) -> DataFrame:
