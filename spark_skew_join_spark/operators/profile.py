@@ -25,7 +25,7 @@ refresh.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
 _NUMERIC = (
@@ -178,4 +178,78 @@ def schema_drift(
         )
         .select("column", "c.change", "c.detail")
         .orderBy("column", "change")
+    )
+
+
+def ks_drift(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str,
+    value_col: str,
+    alpha_c: float = 1.36,
+) -> DataFrame:
+    """Per-key two-sample Kolmogorov–Smirnov drift between two datasets
+    (reference vs candidate): D = max over values of |ECDF_a − ECDF_b|,
+    computed EXACTLY and fully relationally — per (key, value) counts,
+    one cumulative-sum window per side partitioned by key, max of the
+    gap.  No sort crosses keys; ties are handled exactly (ECDFs step at
+    each DISTINCT value by its full tie count).
+
+    ``drift`` flags D above the classic asymptotic threshold
+    ``alpha_c · sqrt((n_a + n_b) / (n_a · n_b))`` (1.36 ≈ α = 0.05).
+    Complements the drift family: schema_drift compares aggregates,
+    cusum_scan watches a series in time, ks_drift compares whole
+    DISTRIBUTIONS between two snapshots/slices.
+
+    Output: (key, n_a, n_b, ks_d, threshold, drift)."""
+    ca = (
+        a.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(key_col).alias("k"), F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).alias("na_v"))
+    )
+    cb = (
+        b.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(key_col).alias("k"), F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).alias("nb_v"))
+    )
+    merged = ca.join(cb, ["k", "v"], "full_outer").select(
+        "k", "v",
+        F.coalesce("na_v", F.lit(0)).alias("na_v"),
+        F.coalesce("nb_v", F.lit(0)).alias("nb_v"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = merged.select(
+        "k",
+        F.sum("na_v").over(w).alias("ca"),
+        F.sum("nb_v").over(w).alias("cb"),
+    )
+    totals = merged.groupBy("k").agg(
+        F.sum("na_v").alias("n_a"), F.sum("nb_v").alias("n_b")
+    )
+    gaps = cum.join(totals, "k").select(
+        "k", "n_a", "n_b",
+        F.abs(
+            F.col("ca") / F.col("n_a") - F.col("cb") / F.col("n_b")
+        ).alias("gap"),
+    )
+    thr = F.round(
+        F.lit(alpha_c)
+        * F.sqrt(
+            (F.col("n_a") + F.col("n_b")) / (F.col("n_a") * F.col("n_b"))
+        ),
+        6,
+    )
+    return (
+        gaps.groupBy("k", "n_a", "n_b")
+        .agg(F.round(F.max("gap"), 6).alias("ks_d"))
+        .select(
+            F.col("k").alias(key_col),
+            "n_a", "n_b", "ks_d",
+            thr.alias("threshold"),
+            (F.col("ks_d") > thr).alias("drift"),
+        )
     )

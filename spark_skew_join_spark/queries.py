@@ -2399,6 +2399,80 @@ ORDER BY r.event_type
 """
 
 
+def ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type two-sample KS drift (operators/profile.py::ks_drift):
+    two controlled comparisons at α = 0.01 (c = 1.63; at α = 0.05 one
+    of five types trips a legitimate false positive on this fixture) —
+    the even/odd event_id halves (same distribution: no type drifts)
+    and even vs odd×1.5 (a planted 50% scale shift: every type
+    drifts).  D is the exact max ECDF gap computed relationally
+    (per-key cumulative windows, no sort across keys); the oracle
+    replays ECDFs, thresholds, and both verdicts in SQL."""
+    from .operators.profile import ks_drift
+
+    t = load_tables(spark, sf_dir)
+    e = t["events"].select("event_type", "event_id", "value")
+    even = e.where(F.col("event_id") % 2 == 0)
+    odd = e.where(F.col("event_id") % 2 == 1)
+    same = ks_drift(even, odd, "event_type", "value", alpha_c=1.63).select(
+        F.lit("even_vs_odd").alias("case_name"), "*"
+    )
+    shifted = ks_drift(
+        even,
+        odd.withColumn("value", F.col("value") * 1.5),
+        "event_type",
+        "value",
+        alpha_c=1.63,
+    ).select(F.lit("even_vs_odd_scaled").alias("case_name"), "*")
+    return same.unionByName(shifted).orderBy("case_name", "event_type")
+
+
+KS_DRIFT_SQL = """
+WITH e AS (
+  SELECT event_type, event_id, CAST(value AS DOUBLE) AS value
+  FROM events WHERE value IS NOT NULL
+),
+cases AS (
+  SELECT 'even_vs_odd' AS case_name, event_type,
+         CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS side, value
+  FROM e
+  UNION ALL
+  SELECT 'even_vs_odd_scaled', event_type,
+         CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END,
+         CASE WHEN event_id % 2 = 0 THEN value ELSE value * 1.5 END
+  FROM e
+),
+cnt AS (
+  SELECT case_name, event_type, value,
+         COUNT(*) FILTER (side = 'a') AS na_v,
+         COUNT(*) FILTER (side = 'b') AS nb_v
+  FROM cases GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT case_name, event_type,
+         SUM(na_v) OVER w AS ca, SUM(nb_v) OVER w AS cb,
+         SUM(na_v) OVER t AS n_a, SUM(nb_v) OVER t AS n_b
+  FROM cnt
+  WINDOW w AS (PARTITION BY case_name, event_type ORDER BY value
+               ROWS UNBOUNDED PRECEDING),
+         t AS (PARTITION BY case_name, event_type)
+),
+d AS (
+  SELECT case_name, event_type, MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+         ROUND(MAX(ABS(CAST(ca AS DOUBLE) / n_a
+                       - CAST(cb AS DOUBLE) / n_b)), 6) AS ks_d
+  FROM cum GROUP BY 1, 2
+)
+SELECT case_name, event_type,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, ks_d,
+       ROUND(1.63 * SQRT(CAST(n_a + n_b AS DOUBLE) / (n_a * n_b)), 6)
+         AS threshold,
+       ks_d > ROUND(1.63 * SQRT(CAST(n_a + n_b AS DOUBLE) / (n_a * n_b)), 6)
+         AS drift
+FROM d ORDER BY case_name, event_type
+"""
+
+
 def cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type one-sided CUSUM change detection over the first 300
     events (operators/timeseries.py::cusum_scan — Page 1954): target is
@@ -6778,6 +6852,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "adaptive_join_strategies": adaptive_join_strategies,
     "holt_winters_events": holt_winters_events,
     "cusum_events": cusum_events,
+    "ks_drift_events": ks_drift_events,
     "triangle_count_copurchase": triangle_count_copurchase,
     "hybrid_retrieval_rrf": hybrid_retrieval_rrf,
     "record_linkage_customers": record_linkage_customers,
@@ -6939,6 +7014,7 @@ ORACLES: dict[str, str] = {
     "adaptive_join_strategies": ADAPTIVE_JOIN_SQL,
     "holt_winters_events": HOLT_WINTERS_SQL,
     "cusum_events": CUSUM_SQL,
+    "ks_drift_events": KS_DRIFT_SQL,
     "triangle_count_copurchase": TRIANGLE_SQL,
     "hybrid_retrieval_rrf": HYBRID_RRF_SQL,
     "record_linkage_customers": RECORD_LINKAGE_SQL,

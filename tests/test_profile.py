@@ -78,3 +78,52 @@ def test_schema_drift_distinct_collapse(spark):
         ("s", "distinct_drift")
     ]
     assert rows[0]["detail"] == "4 -> 1"
+
+
+def test_ks_drift_identical_and_shifted(spark):
+    from spark_skew_join_spark.operators.profile import ks_drift
+
+    import random
+
+    rng = random.Random(41)
+    rows_a = [("k", round(rng.gauss(50, 10), 2)) for _ in range(800)]
+    rows_b = [("k", round(rng.gauss(50, 10), 2)) for _ in range(800)]
+    a = spark.createDataFrame(rows_a, "g string, v double")
+    b = spark.createDataFrame(rows_b, "g string, v double")
+    same = ks_drift(a, b, "g", "v").collect()[0]
+    assert same["n_a"] == same["n_b"] == 800
+    assert bool(same["drift"]) is False  # same distribution
+    shifted = ks_drift(
+        a, b.withColumn("v", F.col("v") + 15.0), "g", "v"
+    ).collect()[0]
+    assert bool(shifted["drift"]) is True
+    assert shifted["ks_d"] > same["ks_d"]
+
+
+def test_ks_drift_matches_scipy_style_reference(spark):
+    from spark_skew_join_spark.operators.profile import ks_drift
+
+    va = [1.0, 2.0, 2.0, 3.0, 9.0]
+    vb = [2.0, 3.0, 4.0, 4.0]
+    a = spark.createDataFrame([("g", v) for v in va], "g string, v double")
+    b = spark.createDataFrame([("g", v) for v in vb], "g string, v double")
+    row = ks_drift(a, b, "g", "v").collect()[0]
+
+    def ecdf(vals, x):
+        return sum(1 for v in vals if v <= x) / len(vals)
+
+    expected = max(
+        abs(ecdf(va, x) - ecdf(vb, x)) for x in sorted(set(va + vb))
+    )
+    assert abs(row["ks_d"] - expected) < 1e-9
+    assert row["ks_d"] == 0.35  # hand-checkable: |3/5 - 1/4| at x=2
+
+
+def test_ks_drift_identical_input_is_zero(spark):
+    from spark_skew_join_spark.operators.profile import ks_drift
+
+    df = spark.createDataFrame(
+        [("g", float(i % 7)) for i in range(100)], "g string, v double"
+    )
+    row = ks_drift(df, df, "g", "v").collect()[0]
+    assert row["ks_d"] == 0.0 and bool(row["drift"]) is False
