@@ -1,0 +1,174 @@
+"""Exact set-similarity self-join with prefix filtering (AllPairs/PPJoin).
+
+Finds every document pair whose *word-set* Jaccard similarity meets a
+threshold — exactly, not approximately — without the all-pairs product.
+This is the deterministic sibling of the MinHash/LSH path in
+``operators/dedup.py``: LSH trades recall for speed; the prefix filter
+keeps 100% recall and prunes with two classic inequalities instead
+(Bayardo, Ma, Srikant, "Scaling Up All Pairs Similarity Search",
+WWW 2007; Xiao et al., PPJoin, WWW 2008):
+
+* **length filter** — Jaccard(A, B) >= t implies
+  t * |B| <= |A| <= |B| / t, so wildly different-sized sets never pair.
+* **prefix filter** — order every set by one global token ordering
+  (ascending document frequency, ties by token, so the *rarest* tokens
+  come first). If Jaccard(A, B) >= t then |A ∩ B| >= ceil(t * |A|), and
+  two sets meeting that overlap must share at least one token within
+  their first ``|X| - ceil(t * |X|) + 1`` tokens. Only those short,
+  rare-token prefixes are exploded and equi-joined, so the hot
+  stop-words that make a naive token join quadratic never enter the
+  candidate index.
+
+Candidates surviving both filters are verified with an exact
+``array_intersect`` on the full (distinct) token arrays.
+
+Scale shape (100 TB posture)
+----------------------------
+Everything is equi-join + groupBy — no cartesian, no Python UDFs:
+
+* token df counts: one map-side-combined groupBy over (doc, token);
+* the per-doc ordered array is built by ``sort_array(collect_list)``
+  *per doc id* — there is no global window, the global ordering is
+  encoded in the (df, token) sort key itself, so ordering work is
+  distributed across doc groups;
+* the candidate join shuffles only prefix tokens (a few rare words per
+  doc), never text; the verify join ships token arrays for candidate
+  pairs only.
+
+The reference library (anish749/spark-skew-join, Utils.scala:92-121)
+diagnoses hot join keys with a CMS; the prefix filter is the same idea
+turned inside out — hot tokens are *structurally excluded* from the
+join index by the rarest-first ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def word_ngrams(
+    docs: DataFrame,
+    n: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct lowercase word n-gram tokens per document: (id, token).
+
+    Documents in this corpus are single-space separated; the split is a
+    plain ``split(lower(text), ' ')`` so a SQL oracle can reproduce it
+    byte-for-byte (``string_split`` in DuckDB). ``n > 1`` shingles
+    adjacent words joined by one space — on a small-vocabulary corpus
+    single words are near-universal (every doc shares most of them) and
+    word *pairs* are what discriminates.
+    """
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda x: x != ""
+    )
+    words = docs.select(
+        F.col(id_col).alias("_ss_id"), arr.alias("_ss_arr")
+    )
+    arr_c = F.col("_ss_arr")
+    if n == 1:
+        grams = F.array_distinct(arr_c)
+    else:
+        grams = F.when(
+            F.size(arr_c) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(arr_c) - F.lit(n - 1)),
+                    lambda i: F.concat_ws(
+                        " ",
+                        *[F.element_at(arr_c, i + F.lit(k)) for k in range(n)],
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    return words.select("_ss_id", F.explode(grams).alias("token"))
+
+
+def set_similarity_join(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 1,
+) -> DataFrame:
+    """All pairs with word-n-gram-set Jaccard >= ``threshold``.
+
+    Returns (id_a, id_b, inter, size_a, size_b, jaccard), id_a < id_b.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    t = F.lit(float(threshold))
+
+    tok = word_ngrams(docs, ngram, id_col, text_col)
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+
+    # Per-doc token array sorted by the global (df asc, token asc) order.
+    # sort_array over structs sorts field-by-field, so the rarest tokens
+    # land first without any global window.
+    ordered = (
+        tok.join(dfreq, "token")
+        .groupBy("_ss_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("df", "token"))),
+                lambda s: s["token"],
+            ).alias("tokens"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+    # prefix length |x| - ceil(t*|x|) + 1  (>= 1 for every non-empty set)
+    prefix_len = (F.col("n") - F.ceil(t * F.col("n")) + F.lit(1)).cast("int")
+    prefix = ordered.select(
+        F.col("_ss_id"),
+        F.col("n"),
+        F.explode(F.slice("tokens", F.lit(1), prefix_len)).alias("token"),
+    )
+
+    pa = prefix.select(
+        F.col("_ss_id").alias("id_a"), F.col("n").alias("na"), "token"
+    )
+    pb = prefix.select(
+        F.col("_ss_id").alias("id_b"), F.col("n").alias("nb"), "token"
+    )
+    cand = (
+        pa.join(pb, "token")
+        .where(F.col("id_a") < F.col("id_b"))
+        # length filter: t*max <= min  <=>  both directions below
+        .where(
+            (F.col("na") >= F.ceil(t * F.col("nb")))
+            & (F.col("nb") >= F.ceil(t * F.col("na")))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    ta = ordered.select(
+        F.col("_ss_id").alias("id_a"),
+        F.col("tokens").alias("toks_a"),
+        F.col("n").alias("size_a"),
+    )
+    tb = ordered.select(
+        F.col("_ss_id").alias("id_b"),
+        F.col("tokens").alias("toks_b"),
+        F.col("n").alias("size_b"),
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    jacc = inter.cast("double") / (
+        F.col("size_a") + F.col("size_b") - inter
+    )
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            inter.cast("bigint").alias("inter"),
+            F.col("size_a").cast("bigint"),
+            F.col("size_b").cast("bigint"),
+            jacc.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= t)
+    )

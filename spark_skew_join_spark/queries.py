@@ -6832,6 +6832,49 @@ FROM d
 """
 
 
+# --------------------------------------------------------------------------
+# round 6 session 5: exact set-similarity join (prefix filter)
+# --------------------------------------------------------------------------
+
+def setsim_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-bigram Jaccard pairs >= 0.5 via the AllPairs/PPJoin
+    prefix filter (operators/setsim.py::set_similarity_join) — 100%
+    recall without an all-pairs product: candidates come from an
+    equi-join on each doc's few rarest bigrams, then exact
+    array_intersect verification. The oracle generates candidates by
+    *any* shared bigram (a superset of jaccard > 0), so it checks the
+    prefix filter's no-false-negative guarantee, not just the verify."""
+    from .operators.setsim import set_similarity_join
+
+    t = load_tables(spark, sf_dir)
+    return set_similarity_join(t["documents"], threshold=0.5, ngram=2)
+
+
+SETSIM_JOIN_SQL = """
+WITH arrs AS (
+  SELECT doc_id,
+         list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS arr
+  FROM documents
+),
+tok AS (
+  SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i + 1] AS token
+  FROM arrs, UNNEST(range(1, len(arr))) AS t(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, inter, sa.n AS size_a, sb.n AS size_b,
+       CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round 6: registry ROTATED (VERDICT r5 #1) — the driver
     # correctness-checks the FIRST 50 entries only. This window holds
@@ -6840,6 +6883,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (r3/r4-certified, no r5 driver row). The 30 unsampled leftovers
     # head the post-window region and rotate in next round; everything
     # r5-certified follows them.
+    "setsim_join_docs": setsim_join_docs,
     "theta_sketch_orders": theta_sketch_orders,
     "join_size_estimate_cms": join_size_estimate_cms,
     "image_near_dup_phash": image_near_dup_phash,
@@ -7004,6 +7048,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "setsim_join_docs": SETSIM_JOIN_SQL,
     "theta_sketch_orders": THETA_SKETCH_SQL,
     "join_size_estimate_cms": JOIN_SIZE_CMS_SQL,
     "image_near_dup_phash": IMAGE_NEAR_DUP_SQL,
