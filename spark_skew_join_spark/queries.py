@@ -6875,6 +6875,48 @@ WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
 """
 
 
+def assoc_rules_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise market-basket rules over parts co-ordered in one order
+    (operators/assoc.py::association_rules): support / confidence /
+    lift for part pairs seen together in >= 3 orders, both directions.
+    Apriori item pruning bounds the per-order pair fan-out before the
+    basket self-join shuffles anything."""
+    from .operators.assoc import association_rules
+
+    t = load_tables(spark, sf_dir)
+    return association_rules(
+        t["lineitem"], "l_orderkey", "l_partkey", min_pair_count=3
+    )
+
+
+ASSOC_RULES_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+n AS (SELECT COUNT(DISTINCT basket) AS n_baskets FROM items),
+icounts AS (SELECT item, COUNT(*) AS item_count FROM items GROUP BY item),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS pair_count
+  FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+),
+directed AS (
+  SELECT item_a AS antecedent, item_b AS consequent, pair_count FROM pairs
+  UNION ALL
+  SELECT item_b AS antecedent, item_a AS consequent, pair_count FROM pairs
+)
+SELECT antecedent, consequent, pair_count,
+       ca.item_count AS n_antecedent, cb.item_count AS n_consequent,
+       CAST(pair_count AS DOUBLE) / n.n_baskets AS support,
+       CAST(pair_count AS DOUBLE) / ca.item_count AS confidence,
+       CAST(pair_count * n.n_baskets AS DOUBLE)
+         / (ca.item_count * cb.item_count) AS lift
+FROM directed
+JOIN icounts ca ON ca.item = antecedent
+JOIN icounts cb ON cb.item = consequent
+CROSS JOIN n
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round 6: registry ROTATED (VERDICT r5 #1) — the driver
     # correctness-checks the FIRST 50 entries only. This window holds
@@ -6884,6 +6926,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # head the post-window region and rotate in next round; everything
     # r5-certified follows them.
     "setsim_join_docs": setsim_join_docs,
+    "assoc_rules_copurchase": assoc_rules_copurchase,
     "theta_sketch_orders": theta_sketch_orders,
     "join_size_estimate_cms": join_size_estimate_cms,
     "image_near_dup_phash": image_near_dup_phash,
@@ -7049,6 +7092,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "setsim_join_docs": SETSIM_JOIN_SQL,
+    "assoc_rules_copurchase": ASSOC_RULES_SQL,
     "theta_sketch_orders": THETA_SKETCH_SQL,
     "join_size_estimate_cms": JOIN_SIZE_CMS_SQL,
     "image_near_dup_phash": IMAGE_NEAR_DUP_SQL,
@@ -7248,6 +7292,7 @@ EAGER_QUERIES = (
 # its allowlist from this tuple (VERDICT r3 #2): any new scalar-broadcast
 # query MUST be added here or the plan gate fails.
 SCALAR_BNL_OK = (
+    "assoc_rules_copurchase",  # 1-row n_baskets broadcast for support/lift
     "knn_bruteforce",
     "q11_important_parts",
     "q15_top_supplier",
