@@ -253,3 +253,61 @@ def ks_drift(
             (F.col("ks_d") > thr).alias("drift"),
         )
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Per-key robust outlier detection via the median absolute deviation.
+
+    The robust z-score replaces (mean, stddev) with (median, MAD):
+    a point is an outlier when |x − median| > k·MAD (Hampel's rule;
+    k≈3 corresponds to ~4.5σ for Gaussian data via the 1.4826
+    consistency constant, which we fold into ``k`` rather than the
+    MAD).  Unlike mean/σ, the cutoff itself is not dragged by the
+    outliers it is trying to find.
+
+    Determinism: medians of doubles interpolate over *sorted* values —
+    no accumulation order — so Spark's ``percentile(x, 0.5)`` and an
+    oracle's ``quantile_cont`` agree bit-for-bit and the k·MAD
+    comparison is engine-stable (displayed median/MAD are rounded to 6
+    for the hash; the cutoff uses the raw values).
+
+    Scale shape: two key-partitioned aggregation passes (median, then
+    MAD of deviations) and two equi-joins back on the key — no windows,
+    no global sort; exact per-key medians at 100 TB are the point where
+    you'd swap in the KLL sketch (sketch/kll.py) for one pass, at a
+    bounded rank-error cost.
+
+    Output: (key, n, median, mad, n_outliers, outlier_frac).
+    """
+    med = df.groupBy(key_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("__med")
+    )
+    dev = df.join(med, key_col).withColumn(
+        "__dev", F.abs(F.col(value_col) - F.col("__med"))
+    )
+    madt = dev.groupBy(key_col).agg(
+        F.expr("percentile(__dev, 0.5)").alias("__mad")
+    )
+    return (
+        dev.join(madt, key_col)
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.first("__med"), 6).alias("median"),
+            F.round(F.first("__mad"), 6).alias("mad"),
+            F.sum(
+                (F.col("__dev") > F.lit(float(k)) * F.col("__mad")).cast(
+                    "bigint"
+                )
+            ).alias("n_outliers"),
+        )
+        .withColumn(
+            "outlier_frac",
+            F.col("n_outliers").cast("double") / F.col("n"),
+        )
+    )

@@ -6917,6 +6917,73 @@ CROSS JOIN n
 """
 
 
+def acf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type autocorrelation of value at lags 1..3, series
+    ordered by (ts, event_id) (operators/timeseries.py::acf). One
+    key-partitioned window computes all lags; no global sort."""
+    from .operators.timeseries import acf
+
+    t = load_tables(spark, sf_dir)
+    return acf(
+        t["events"], "event_type", ["ts", "event_id"], "value", max_lag=3
+    )
+
+
+ACF_SQL = """
+WITH lagged AS (
+  SELECT event_type, value,
+         LAG(value, 1) OVER w AS l1,
+         LAG(value, 2) OVER w AS l2,
+         LAG(value, 3) OVER w AS l3
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+),
+st AS (
+  SELECT event_type, 1 AS lag, value, l1 AS lv FROM lagged
+  UNION ALL SELECT event_type, 2, value, l2 FROM lagged
+  UNION ALL SELECT event_type, 3, value, l3 FROM lagged
+)
+SELECT event_type, lag, COUNT(*) AS n_pairs, ROUND(CORR(value, lv), 6) AS acf
+FROM st WHERE lv IS NOT NULL
+GROUP BY event_type, lag
+"""
+
+
+def mad_outliers_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel-rule robust outliers on l_extendedprice per return flag
+    (operators/profile.py::mad_outliers): |x − median| > 3·MAD, both
+    statistics exact interpolated medians (sort-based — bit-identical
+    across engines, unlike mean/σ)."""
+    from .operators.profile import mad_outliers
+
+    t = load_tables(spark, sf_dir)
+    return mad_outliers(t["lineitem"], "l_returnflag", "l_extendedprice", 3.0)
+
+
+MAD_OUTLIERS_SQL = """
+WITH med AS (
+  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+  FROM lineitem GROUP BY l_returnflag
+),
+dev AS (
+  SELECT l.l_returnflag, ABS(l_extendedprice - m.med) AS d, m.med
+  FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+),
+madt AS (
+  SELECT l_returnflag, quantile_cont(d, 0.5) AS mad FROM dev GROUP BY l_returnflag
+)
+SELECT dev.l_returnflag, COUNT(*) AS n,
+       ROUND(ANY_VALUE(dev.med), 6) AS median,
+       ROUND(ANY_VALUE(madt.mad), 6) AS mad,
+       CAST(SUM(CASE WHEN d > 3.0 * madt.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       CAST(SUM(CASE WHEN d > 3.0 * madt.mad THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS outlier_frac
+FROM dev JOIN madt ON dev.l_returnflag = madt.l_returnflag
+GROUP BY dev.l_returnflag
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round 6: registry ROTATED (VERDICT r5 #1) — the driver
     # correctness-checks the FIRST 50 entries only. This window holds
@@ -6927,6 +6994,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r5-certified follows them.
     "setsim_join_docs": setsim_join_docs,
     "assoc_rules_copurchase": assoc_rules_copurchase,
+    "acf_events": acf_events,
+    "mad_outliers_lineitem": mad_outliers_lineitem,
     "theta_sketch_orders": theta_sketch_orders,
     "join_size_estimate_cms": join_size_estimate_cms,
     "image_near_dup_phash": image_near_dup_phash,
@@ -7093,6 +7162,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "setsim_join_docs": SETSIM_JOIN_SQL,
     "assoc_rules_copurchase": ASSOC_RULES_SQL,
+    "acf_events": ACF_SQL,
+    "mad_outliers_lineitem": MAD_OUTLIERS_SQL,
     "theta_sketch_orders": THETA_SKETCH_SQL,
     "join_size_estimate_cms": JOIN_SIZE_CMS_SQL,
     "image_near_dup_phash": IMAGE_NEAR_DUP_SQL,

@@ -1,0 +1,83 @@
+"""ACF and MAD-outlier operators vs numpy/Python references."""
+
+from __future__ import annotations
+
+import math
+import random
+import statistics
+
+import pytest
+
+from spark_skew_join_spark.operators.profile import mad_outliers
+from spark_skew_join_spark.operators.timeseries import acf
+
+
+def _pearson(xs, ys):
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    cov = sum((a - mx) * (b - my) for a, b in zip(xs, ys))
+    vx = sum((a - mx) ** 2 for a in xs)
+    vy = sum((b - my) ** 2 for b in ys)
+    return cov / math.sqrt(vx * vy)
+
+
+def test_acf_matches_reference(spark):
+    rng = random.Random(11)
+    rows = []
+    series = {}
+    for key in ("a", "b"):
+        xs = [rng.gauss(0, 1) for _ in range(60)]
+        # AR(1)-ify key "a" so lag-1 ACF is clearly positive
+        if key == "a":
+            for i in range(1, 60):
+                xs[i] = 0.8 * xs[i - 1] + 0.2 * xs[i]
+        series[key] = xs
+        rows += [(key, i, xs[i]) for i in range(60)]
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    got = {
+        (r.k, r.lag): (r.n_pairs, r.acf)
+        for r in acf(df, "k", ["t"], "v", max_lag=2).collect()
+    }
+    for key, xs in series.items():
+        for lag in (1, 2):
+            want = _pearson(xs[lag:], xs[:-lag])
+            n, a = got[(key, lag)]
+            assert n == 60 - lag
+            assert a == pytest.approx(round(want, 6), abs=2e-6)
+    assert got[("a", 1)][1] > 0.5  # AR(1) signal visible
+
+
+def test_acf_short_series_drop_out(spark):
+    df = spark.createDataFrame(
+        [("k", 0, 1.0), ("k", 1, 2.0)], ["k", "t", "v"]
+    )
+    res = {(r.k, r.lag) for r in acf(df, "k", ["t"], "v", max_lag=3).collect()}
+    assert res == {("k", 1)}  # lags 2,3 have no pairs
+    with pytest.raises(ValueError):
+        acf(df, "k", ["t"], "v", max_lag=0)
+
+
+def test_mad_outliers_matches_reference(spark):
+    rng = random.Random(5)
+    base = [rng.uniform(10, 20) for _ in range(101)]
+    spikes = [1000.0, -500.0]
+    vals = base + spikes
+    df = spark.createDataFrame([("g", v) for v in vals], ["k", "v"])
+    (row,) = mad_outliers(df, "k", "v", 3.0).collect()
+    med = statistics.median(vals)
+    mad = statistics.median([abs(v - med) for v in vals])
+    n_out = sum(1 for v in vals if abs(v - med) > 3.0 * mad)
+    assert row.n == len(vals)
+    assert row.median == pytest.approx(round(med, 6))
+    assert row.mad == pytest.approx(round(mad, 6))
+    assert row.n_outliers == n_out
+    assert n_out >= 2  # spikes caught
+    assert row.outlier_frac == pytest.approx(n_out / len(vals))
+
+
+def test_mad_robust_to_heavy_contamination(spark):
+    # 10% contamination: mean/σ rule would widen, MAD cutoff must not
+    vals = [float(i % 7) for i in range(90)] + [1e6] * 10
+    df = spark.createDataFrame([("g", v) for v in vals], ["k", "v"])
+    (row,) = mad_outliers(df, "k", "v", 3.0).collect()
+    assert row.n_outliers == 10
