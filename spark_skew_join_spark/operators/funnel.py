@@ -53,3 +53,52 @@ def funnel_stages(events: DataFrame, id_col: str, type_col: str,
     )
     return out.select(id_col, reached.alias("reached"),
                       *[f"t_{s}" for s in stages])
+
+
+def markov_transitions(
+    events: DataFrame,
+    id_col: str,
+    order_cols: list[str],
+    state_col: str,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-entity event
+    sequences: for each entity, pair every event with its successor
+    (one LEAD window partitioned by the entity — no global sort), then
+    count (from_state, to_state) across all entities and normalize per
+    from_state.
+
+    The empirical transition probability P(to | from) is the MLE of the
+    chain's kernel; "what do users do after X" / next-event-prediction
+    baselines read straight off the modal row per from_state.
+
+    Scale: the window shuffles once on the entity key (sequences are
+    per-user short); the count is a map-side-combined groupBy over at
+    most |states|² rows; the per-from normalizer is a second tiny
+    groupBy joined back on from_state — never a driver action.
+
+    Output: (from_state, to_state, n_transitions, n_from, prob).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(*order_cols)
+    trans = (
+        events.select(
+            F.col(state_col).alias("from_state"),
+            F.lead(state_col).over(w).alias("to_state"),
+        )
+        .where(F.col("to_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    totals = trans.groupBy("from_state").agg(
+        F.sum("n_transitions").alias("n_from")
+    )
+    return trans.join(totals, "from_state").select(
+        "from_state",
+        "to_state",
+        "n_transitions",
+        "n_from",
+        (
+            F.col("n_transitions").cast("double") / F.col("n_from")
+        ).alias("prob"),
+    )

@@ -149,3 +149,54 @@ def write_sharded(
     out.repartition(n_shards, "shard").write.mode("overwrite").partitionBy(
         "shard"
     ).parquet(path)
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: keep the
+    ``k`` rows (per group, if ``group_col``) winning an exponential
+    race keyed by the row id (Efraimidis & Spirakis 2006, "Weighted
+    random sampling with a reservoir").
+
+    Each row draws e_i = −ln(u_i) / w_i with u_i uniform in (0, 1);
+    the k smallest e_i are EXACTLY a weighted sample without
+    replacement.  u_i comes from the row's md5 (first 8 hex digits →
+    integer → (v+1)/(2^32+1)), the repo's standing engine-portable
+    hash idiom — so the selected set is stable across runs, engines,
+    and partitionings, and a SQL oracle reproduces it bit-for-bit.
+    Rows with weight <= 0 never qualify.
+
+    Scale: a single shuffle keyed by the group column and a top-k
+    window per group (or a global ``orderBy ... limit k`` when
+    ungrouped — bounded output, the sort is over k survivors per
+    partition thanks to Spark's TakeOrdered).  Zero Python, no
+    driver-side randomness — the "sample 100k docs per source by
+    quality weight" step of a training-mix pipeline at any scale.
+
+    Output: input columns + ``es_key`` (the race variable, kept so
+    downstream re-draws can compose / audit)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    v = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    u = (v + F.lit(1)).cast("double") / F.lit(4294967297.0)
+    es = -F.log(u) / F.col(weight_col).cast("double")
+    out = df.where(F.col(weight_col) > 0).withColumn("es_key", es)
+    if group_col is None:
+        return out.orderBy("es_key").limit(k)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy("es_key", id_col)
+    return (
+        out.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )

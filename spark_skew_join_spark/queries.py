@@ -6984,6 +6984,99 @@ GROUP BY dev.l_returnflag
 """
 
 
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement
+    (operators/sampling.py::weighted_sample): 15 docs per source,
+    selection probability ∝ n_chars, deterministic md5-seeded race —
+    the 'sample by quality weight, reproducibly' training-mix step."""
+    from .operators.sampling import weighted_sample
+
+    t = load_tables(spark, sf_dir)
+    s = weighted_sample(
+        t["documents"], "doc_id", "n_chars", k=15, group_col="source"
+    )
+    return s.select(
+        "source", "doc_id", "n_chars", F.round("es_key", 6).alias("es_key")
+    )
+
+
+WEIGHTED_SAMPLE_SQL = """
+WITH w AS (
+  SELECT source, doc_id, n_chars,
+         -LN((CAST('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8)
+               AS BIGINT) + 1) / 4294967297.0) / n_chars AS es
+  FROM documents WHERE n_chars > 0
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY es, doc_id) AS rk
+  FROM w
+)
+SELECT source, doc_id, n_chars, ROUND(es, 6) AS es_key
+FROM r WHERE rk <= 15
+"""
+
+
+def markov_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical first-order Markov kernel of event types per user
+    (operators/funnel.py::markov_transitions): one LEAD window per
+    user ordered by (ts, event_id), then global transition counts and
+    per-from-state probabilities."""
+    from .operators.funnel import markov_transitions
+
+    t = load_tables(spark, sf_dir)
+    return markov_transitions(
+        t["events"], "user_id", ["ts", "event_id"], "event_type"
+    )
+
+
+MARKOV_SQL = """
+WITH seq AS (
+  SELECT event_type AS from_state,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS to_state
+  FROM events
+),
+trans AS (
+  SELECT from_state, to_state, COUNT(*) AS n_transitions
+  FROM seq WHERE to_state IS NOT NULL
+  GROUP BY 1, 2
+),
+totals AS (
+  SELECT from_state, CAST(SUM(n_transitions) AS BIGINT) AS n_from
+  FROM trans GROUP BY 1
+)
+SELECT t.from_state, t.to_state, t.n_transitions, tot.n_from,
+       CAST(t.n_transitions AS DOUBLE) / tot.n_from AS prob
+FROM trans t JOIN totals tot ON t.from_state = tot.from_state
+"""
+
+
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of parts — cheapest for their size (minimize
+    p_retailprice, maximize p_size) via the two-phase local/global
+    sweep (operators/skyline.py). The oracle is the quadratic
+    NOT EXISTS dominance self-join the operator avoids."""
+    from .operators.skyline import skyline
+
+    t = load_tables(spark, sf_dir)
+    return skyline(
+        t["part"].select("p_partkey", "p_retailprice", "p_size"),
+        minimize=["p_retailprice"],
+        maximize=["p_size"],
+    )
+
+
+SKYLINE_SQL = """
+SELECT p_partkey, p_retailprice, p_size FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round 6: registry ROTATED (VERDICT r5 #1) — the driver
     # correctness-checks the FIRST 50 entries only. This window holds
@@ -6996,6 +7089,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "assoc_rules_copurchase": assoc_rules_copurchase,
     "acf_events": acf_events,
     "mad_outliers_lineitem": mad_outliers_lineitem,
+    "weighted_sample_docs": weighted_sample_docs,
+    "markov_transitions_events": markov_transitions_events,
+    "skyline_parts": skyline_parts,
     "theta_sketch_orders": theta_sketch_orders,
     "join_size_estimate_cms": join_size_estimate_cms,
     "image_near_dup_phash": image_near_dup_phash,
@@ -7164,6 +7260,9 @@ ORACLES: dict[str, str] = {
     "assoc_rules_copurchase": ASSOC_RULES_SQL,
     "acf_events": ACF_SQL,
     "mad_outliers_lineitem": MAD_OUTLIERS_SQL,
+    "weighted_sample_docs": WEIGHTED_SAMPLE_SQL,
+    "markov_transitions_events": MARKOV_SQL,
+    "skyline_parts": SKYLINE_SQL,
     "theta_sketch_orders": THETA_SKETCH_SQL,
     "join_size_estimate_cms": JOIN_SIZE_CMS_SQL,
     "image_near_dup_phash": IMAGE_NEAR_DUP_SQL,
