@@ -152,3 +152,68 @@ def triangle_count(
             ).alias("global_clustering"),
         )
     )
+
+
+def kcore(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    k: int = 2,
+    rounds: int = 10,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Bounded-round k-core peel: repeatedly drop vertices of degree
+    < k (and their edges) for ``rounds`` synchronous rounds; return the
+    surviving vertices with their within-subgraph degree.
+
+    The k-core (Seidman 1983) is the maximal subgraph where every
+    vertex keeps degree >= k — the standard dense-region extractor
+    (spam/bot rings, community nuclei). Full convergence can need up to
+    |V| rounds on pathological paths; the fixed-round variant is the
+    distributed-friendly form (same shape as the fixed-iteration
+    pagerank above) and IS the k-core whenever a round removes nothing.
+    Peeling is idempotent after convergence, so early rounds to spare
+    are harmless.
+
+    Scale shape: each round is one degree groupBy plus two semi-joins
+    keyed by vertex id — all equi-joins, map-side-combined counts. The
+    edge set SHRINKS monotonically, so per-round cost falls. Each
+    round's survivor edges are localCheckpoint'ed (eager): without the
+    barrier, round r's plan references round r-1's THREE times (degree
+    + both semi-joins) and the lazy plan grows 3^rounds; with it, each
+    round is one linear pass over the materialized previous round —
+    registry entries using this must sit in EAGER_QUERIES.
+    """
+    if k < 1 or rounds < 1:
+        raise ValueError("k and rounds must be >= 1")
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+    )
+    if checkpoint:
+        e = e.localCheckpoint(eager=True)
+
+    def _deg(ed: DataFrame) -> DataFrame:
+        return (
+            ed.select(F.col("u").alias("n"))
+            .unionAll(ed.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+
+    for _ in range(rounds):
+        keep = _deg(e).where(F.col("d") >= k).select("n")
+        ku = keep.select(F.col("n").alias("u"))
+        kv = keep.select(F.col("n").alias("v"))
+        e = e.join(ku, "u", "left_semi").join(kv, "v", "left_semi")
+        if checkpoint:
+            e = e.localCheckpoint(eager=True)
+
+    return _deg(e).select(
+        F.col("n").alias("node"), F.col("d").alias("degree")
+    )

@@ -7077,6 +7077,101 @@ WHERE NOT EXISTS (
 """
 
 
+def pmi_collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-word-pair PMI collocations over the document corpus
+    (operators/colloc.py::pmi_collocations), pair_count >= 5 — the
+    multiword-expression miner of the text-analysis surface."""
+    from .operators.colloc import pmi_collocations
+
+    t = load_tables(spark, sf_dir)
+    return pmi_collocations(t["documents"], "text", min_count=5)
+
+
+PMI_SQL = """
+WITH arrs AS (
+  SELECT list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+uni AS (
+  SELECT t.word AS word, COUNT(*) AS cnt
+  FROM arrs, UNNEST(w) AS t(word) GROUP BY 1
+),
+pairs AS (
+  SELECT w[i] AS word_a, w[i + 1] AS word_b, COUNT(*) AS pair_count
+  FROM arrs, UNNEST(range(1, len(w))) AS t(i)
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 5
+),
+nw AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_words FROM uni),
+nb AS (
+  SELECT CAST(SUM(GREATEST(len(w) - 1, 0)) AS BIGINT) AS n_bigrams FROM arrs
+)
+SELECT word_a, word_b, pair_count, ca.cnt AS count_a, cb.cnt AS count_b,
+       ROUND(LN((CAST(pair_count AS DOUBLE) / nb.n_bigrams)
+                / ((CAST(ca.cnt AS DOUBLE) / nw.n_words)
+                   * (CAST(cb.cnt AS DOUBLE) / nw.n_words))), 6) AS pmi
+FROM pairs
+JOIN uni ca ON ca.word = word_a
+JOIN uni cb ON cb.word = word_b
+CROSS JOIN nw CROSS JOIN nb
+"""
+
+
+def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-round 80-core peel of the part co-purchase graph
+    (operators/pagerank.py::kcore) — converged on this data (round 9 ==
+    round 10), so the fixed-round output IS the 80-core. Construction
+    localCheckpoints each round's survivor edges (EAGER_QUERIES)."""
+    from .operators.pagerank import kcore
+
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_partkey")
+    rhs = li.withColumnsRenamed({"l_partkey": "p2"})
+    edges = (
+        li.join(rhs, "l_orderkey")
+        .where(F.col("l_partkey") < F.col("p2"))
+        .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
+    )
+    return kcore(edges, "src", "dst", k=80, rounds=10)
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Oracle generator mirroring kcore round for round. MATERIALIZED
+    breaks DuckDB's CTE inlining — each round references its
+    predecessor three times, and inlined the chain is 3^rounds (the
+    exact blowup the operator's per-round localCheckpoint prevents)."""
+    parts = [
+        """e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT n, COUNT(*) AS d FROM (
+    SELECT u AS n FROM e{p} UNION ALL SELECT v FROM e{p}) GROUP BY n),
+k{i} AS MATERIALIZED (SELECT n FROM d{i} WHERE d >= {k}),
+e{i} AS MATERIALIZED (
+  SELECT u, v FROM e{p}
+  WHERE u IN (SELECT n FROM k{i}) AND v IN (SELECT n FROM k{i}))"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT n AS node, CAST(d AS BIGINT) AS degree FROM (
+  SELECT n, COUNT(*) AS d FROM (
+    SELECT u AS n FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
+  GROUP BY n)"""
+    )
+
+
+KCORE_SQL = _kcore_sql(80, 10)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round 6: registry ROTATED (VERDICT r5 #1) — the driver
     # correctness-checks the FIRST 50 entries only. This window holds
@@ -7092,6 +7187,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample_docs": weighted_sample_docs,
     "markov_transitions_events": markov_transitions_events,
     "skyline_parts": skyline_parts,
+    "pmi_collocations_docs": pmi_collocations_docs,
+    "kcore_copurchase": kcore_copurchase,
     "theta_sketch_orders": theta_sketch_orders,
     "join_size_estimate_cms": join_size_estimate_cms,
     "image_near_dup_phash": image_near_dup_phash,
@@ -7263,6 +7360,8 @@ ORACLES: dict[str, str] = {
     "weighted_sample_docs": WEIGHTED_SAMPLE_SQL,
     "markov_transitions_events": MARKOV_SQL,
     "skyline_parts": SKYLINE_SQL,
+    "pmi_collocations_docs": PMI_SQL,
+    "kcore_copurchase": KCORE_SQL,
     "theta_sketch_orders": THETA_SKETCH_SQL,
     "join_size_estimate_cms": JOIN_SIZE_CMS_SQL,
     "image_near_dup_phash": IMAGE_NEAR_DUP_SQL,
@@ -7422,6 +7521,8 @@ ORACLES: dict[str, str] = {
 # Any new iterative/pre-pass query must be added here (ADVICE r2 #1).
 EAGER_QUERIES = (
     "theta_sketch_orders",
+    # per-round localCheckpoint at plan construction (3^rounds lineage guard)
+    "kcore_copurchase",
     "adaptive_join_strategies",
     "ann_pq_topk",
     "bpe_train_docs",
@@ -7463,6 +7564,7 @@ EAGER_QUERIES = (
 # query MUST be added here or the plan gate fails.
 SCALAR_BNL_OK = (
     "assoc_rules_copurchase",  # 1-row n_baskets broadcast for support/lift
+    "pmi_collocations_docs",  # 1-row n_words / n_bigrams total broadcasts
     "knn_bruteforce",
     "q11_important_parts",
     "q15_top_supplier",
