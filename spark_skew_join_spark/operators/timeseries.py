@@ -276,3 +276,78 @@ def acf(
             F.round(F.corr("__v", "__lv"), 6).alias("acf"),
         )
     )
+
+
+def theil_sen(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    order_cols: list[str] | None = None,
+    max_points: int = 300,
+) -> DataFrame:
+    """Per-key Theil–Sen robust trend line: slope = median of all
+    pairwise slopes (y_j − y_i)/(x_j − x_i), intercept = median of
+    (y_i − slope·x_i) (Theil 1950, Sen 1968). Breakdown point ~29% —
+    a level shift or a burst of outliers that would wreck an OLS fit
+    moves the median slope barely at all; pairs with equal x are
+    skipped (vertical).
+
+    The pair set is quadratic *per key*, so the analyzed window is
+    bounded: the first ``max_points`` rows per key in ``order_cols``
+    order (default: x, then y — deterministic and oracle-replayable via
+    ROW_NUMBER; the same bounded-window posture as holt_winters /
+    cusum_scan). Pairs are generated by a key-equi self-join of the
+    numbered rows (rn_i < rn_j) — shuffled once on the key, fan-out
+    max_points² per key, never corpus-quadratic. Medians are exact
+    sort-based interpolations (engine-stable); displayed slope and
+    intercept round to 6.
+
+    Output: (key, n_points, n_pairs, slope, intercept).
+    """
+    if max_points < 2:
+        raise ValueError("max_points must be >= 2")
+    order_cols = order_cols or [x_col, y_col]
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    pts = (
+        df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= max_points)
+        .select(
+            F.col(key_col).alias("__k"),
+            F.col(x_col).cast("double").alias("__x"),
+            F.col(y_col).cast("double").alias("__y"),
+            "__rn",
+        )
+    )
+    a = pts.select("__k", F.col("__x").alias("xa"), F.col("__y").alias("ya"),
+                   F.col("__rn").alias("ra"))
+    b = pts.select("__k", F.col("__x").alias("xb"), F.col("__y").alias("yb"),
+                   F.col("__rn").alias("rb"))
+    slopes = (
+        a.join(b, "__k")
+        .where((F.col("ra") < F.col("rb")) & (F.col("xa") != F.col("xb")))
+        .select(
+            "__k",
+            ((F.col("yb") - F.col("ya")) / (F.col("xb") - F.col("xa"))).alias(
+                "__s"
+            ),
+        )
+    )
+    med = slopes.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr("percentile(__s, 0.5)").alias("__m"),
+    )
+    resid = pts.join(med, "__k").groupBy("__k").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.first("n_pairs").alias("__np"),
+        F.first("__m").alias("__mm"),
+        F.expr("percentile(__y - __m * __x, 0.5)").alias("__b"),
+    )
+    return resid.select(
+        F.col("__k").alias(key_col),
+        "n_points",
+        F.col("__np").alias("n_pairs"),
+        F.round("__mm", 6).alias("slope"),
+        F.round("__b", 6).alias("intercept"),
+    )

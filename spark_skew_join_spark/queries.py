@@ -7172,6 +7172,55 @@ SELECT n AS node, CAST(d AS BIGINT) AS degree FROM (
 KCORE_SQL = _kcore_sql(80, 10)
 
 
+def theil_sen_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Theil-Sen robust trend of value over time
+    (operators/timeseries.py::theil_sen): median of pairwise slopes on
+    the first 300 points per type in (ts, event_id) order — the robust
+    sibling of an OLS drift fit, paired with mad_outliers/cusum in the
+    monitoring surface."""
+    from .operators.timeseries import theil_sen
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        "event_type",
+        F.col("ts").cast("double").alias("x"),
+        "value",
+        "event_id",
+    )
+    return theil_sen(
+        ev, "event_type", "x", "value",
+        order_cols=["x", "event_id"], max_points=300,
+    )
+
+
+THEIL_SEN_SQL = """
+WITH pts AS (
+  SELECT event_type, epoch(ts) AS x, value AS y,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY epoch(ts), event_id
+         ) AS rn
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+bounded AS (SELECT * FROM pts WHERE rn <= 300),
+slopes AS (
+  SELECT a.event_type, (b.y - a.y) / (b.x - a.x) AS s
+  FROM bounded a JOIN bounded b
+    ON a.event_type = b.event_type AND a.rn < b.rn AND a.x <> b.x
+),
+med AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         quantile_cont(s, 0.5) AS m
+  FROM slopes GROUP BY event_type
+)
+SELECT b.event_type, CAST(COUNT(*) AS BIGINT) AS n_points,
+       ANY_VALUE(med.n_pairs) AS n_pairs,
+       ROUND(ANY_VALUE(med.m), 6) AS slope,
+       ROUND(quantile_cont(b.y - med.m * b.x, 0.5), 6) AS intercept
+FROM bounded b JOIN med ON b.event_type = med.event_type
+GROUP BY b.event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round 6: registry ROTATED (VERDICT r5 #1) — the driver
     # correctness-checks the FIRST 50 entries only. This window holds
@@ -7189,6 +7238,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skyline_parts": skyline_parts,
     "pmi_collocations_docs": pmi_collocations_docs,
     "kcore_copurchase": kcore_copurchase,
+    "theil_sen_events": theil_sen_events,
     "theta_sketch_orders": theta_sketch_orders,
     "join_size_estimate_cms": join_size_estimate_cms,
     "image_near_dup_phash": image_near_dup_phash,
@@ -7362,6 +7412,7 @@ ORACLES: dict[str, str] = {
     "skyline_parts": SKYLINE_SQL,
     "pmi_collocations_docs": PMI_SQL,
     "kcore_copurchase": KCORE_SQL,
+    "theil_sen_events": THEIL_SEN_SQL,
     "theta_sketch_orders": THETA_SKETCH_SQL,
     "join_size_estimate_cms": JOIN_SIZE_CMS_SQL,
     "image_near_dup_phash": IMAGE_NEAR_DUP_SQL,

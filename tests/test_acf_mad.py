@@ -81,3 +81,37 @@ def test_mad_robust_to_heavy_contamination(spark):
     df = spark.createDataFrame([("g", v) for v in vals], ["k", "v"])
     (row,) = mad_outliers(df, "k", "v", 3.0).collect()
     assert row.n_outliers == 10
+
+
+def test_theil_sen_recovers_slope_under_contamination(spark):
+    from spark_skew_join_spark.operators.timeseries import theil_sen
+
+    # y = 2x + 1 with 20% wild outliers: the median pairwise slope is
+    # still an all-clean pair's slope, i.e. exactly 2.0
+    rows = []
+    for i in range(30):
+        y = 2.0 * i + 1.0
+        if i % 5 == 0:
+            y += 500.0  # 6 corrupted points
+        rows.append(("k", float(i), y))
+    df = spark.createDataFrame(rows, ["k", "x", "y"])
+    (r,) = theil_sen(df, "k", "x", "y", max_points=100).collect()
+    assert r.n_points == 30
+    assert r.n_pairs == 30 * 29 // 2
+    assert r.slope == pytest.approx(2.0, abs=1e-9)
+    assert r.intercept == pytest.approx(1.0, abs=1e-6)
+
+
+def test_theil_sen_skips_vertical_pairs_and_caps_points(spark):
+    from spark_skew_join_spark.operators.timeseries import theil_sen
+
+    df = spark.createDataFrame(
+        [("k", 1.0, 1.0), ("k", 1.0, 9.0), ("k", 2.0, 3.0), ("k", 3.0, 5.0)],
+        ["k", "x", "y"],
+    )
+    (r,) = theil_sen(df, "k", "x", "y", max_points=4).collect()
+    assert r.n_pairs == 5  # C(4,2)=6 minus the vertical (1.0, 1.0)x(1.0, 9.0)
+    (r2,) = theil_sen(df, "k", "x", "y", max_points=3).collect()
+    assert r2.n_points == 3
+    with pytest.raises(ValueError):
+        theil_sen(df, "k", "x", "y", max_points=1)
