@@ -172,3 +172,64 @@ def unigram_logprob(docs: DataFrame, id_col: str = "doc_id",
             ).alias("avg_nll"),
         )
     )
+
+
+def bigram_logprob(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   k_smooth: float = 0.5) -> DataFrame:
+    """Corpus-trained bigram LM score per document — the second-order
+    sibling of ``unigram_logprob``: fluency, not just vocabulary
+    rarity.  A doc of common words in an incoherent order scores fine
+    under a unigram LM; the bigram conditional catches it.
+
+    add-k smoothed conditional:  p(b|a) = (c(a,b) + k) / (c(a) + k·V)
+    with V the corpus vocabulary size; per-document score =
+    ``avg(-ln p(b|a))`` over its adjacent pairs, rounded to 6 (ln-ulp
+    posture as unigram_logprob).  Docs shorter than 2 tokens have no
+    bigrams and drop out.
+
+    Scale design mirrors unigram_logprob: bigram and unigram count
+    tables are keyed by ``xxhash64`` int64 keys (8/16-byte shuffles,
+    never text); V and nothing else rides a 1-row broadcast
+    (SCALAR_BNL_OK); all counts map-side combine.  Output:
+    (id_col, n_bigrams, avg_nll).
+    """
+    arr = F.split(F.col(text_col), " ")
+    grams = docs.where(F.size(arr) >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - F.lit(1)),
+                lambda i: F.struct(
+                    F.element_at(arr, i).alias("a"),
+                    F.element_at(arr, i + F.lit(1)).alias("b"),
+                ),
+            )
+        ).alias("g"),
+    ).select(
+        F.col(id_col),
+        F.xxhash64("g.a").alias("__ha"),
+        F.xxhash64("g.a", "g.b").alias("__hab"),
+    )
+    uni = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("__tok")
+    ).select(F.xxhash64("__tok").alias("__ha"))
+    ucnt = uni.groupBy("__ha").agg(F.count(F.lit(1)).alias("__ca"))
+    vocab = F.broadcast(
+        ucnt.agg(F.count(F.lit(1)).alias("__v"))
+    )
+    bcnt = grams.groupBy("__hab").agg(F.count(F.lit(1)).alias("__cab"))
+    k = F.lit(float(k_smooth))
+    p = (F.col("__cab") + k) / (
+        F.col("__ca") + k * F.col("__v")
+    )
+    return (
+        grams.join(bcnt, "__hab")
+        .join(ucnt, "__ha")
+        .crossJoin(vocab)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(-F.log(p)), 6).alias("avg_nll"),
+        )
+    )
