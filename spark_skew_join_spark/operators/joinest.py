@@ -107,7 +107,14 @@ def join_size_estimate(
     so width should be generous) → an equi-join OF THE CELL TABLES on
     (d, bucket) → per-depth dot product → min.  A self-join estimate
     (same DataFrame and column twice) is detected and built from ONE
-    cell table."""
+    cell table.
+
+    A depth whose cell tables share NO bucket has dot product 0, but
+    the inner cell join drops it entirely — so the final aggregate
+    checks the surviving depth count: any missing depth means some
+    depth's dot is exactly 0, and the min over depths is 0 (this also
+    covers fully-disjoint key sets, where the join is empty and a
+    bare ``min`` would return NULL)."""
     a = bucket_counts(left, left_on, depth, width, hash_fn)
     if left is right and left_on == right_on:
         per_depth = a.groupBy("d").agg(
@@ -122,7 +129,12 @@ def join_size_estimate(
             .groupBy("d")
             .agg(F.sum(F.col("n") * F.col("m")).alias("dot"))
         )
-    return per_depth.agg(F.min("dot").cast("long").alias("est_join_rows"))
+    return per_depth.agg(
+        F.when(F.count(F.lit(1)) == depth, F.min("dot"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("est_join_rows")
+    )
 
 
 def true_join_size(

@@ -303,7 +303,11 @@ def theil_sen(
     sort-based interpolations (engine-stable); displayed slope and
     intercept round to 6.
 
-    Output: (key, n_points, n_pairs, slope, intercept).
+    Output: (key, n_points, n_pairs, slope, intercept). A key whose
+    bounded window has all-equal x (every pairwise slope vertical) is
+    NOT dropped: it surfaces as (key, n_points, n_pairs=0, slope=NULL,
+    intercept=NULL) via a left join from the point set to the slope
+    medians (ADVICE r6 #5).
     """
     if max_points < 2:
         raise ValueError("max_points must be >= 2")
@@ -338,7 +342,7 @@ def theil_sen(
         F.count(F.lit(1)).alias("n_pairs"),
         F.expr("percentile(__s, 0.5)").alias("__m"),
     )
-    resid = pts.join(med, "__k").groupBy("__k").agg(
+    resid = pts.join(med, "__k", "left").groupBy("__k").agg(
         F.count(F.lit(1)).alias("n_points"),
         F.first("n_pairs").alias("__np"),
         F.first("__m").alias("__mm"),
@@ -347,7 +351,7 @@ def theil_sen(
     return resid.select(
         F.col("__k").alias(key_col),
         "n_points",
-        F.col("__np").alias("n_pairs"),
+        F.coalesce(F.col("__np"), F.lit(0)).alias("n_pairs"),
         F.round("__mm", 6).alias("slope"),
         F.round("__b", 6).alias("intercept"),
     )

@@ -7213,10 +7213,10 @@ med AS (
   FROM slopes GROUP BY event_type
 )
 SELECT b.event_type, CAST(COUNT(*) AS BIGINT) AS n_points,
-       ANY_VALUE(med.n_pairs) AS n_pairs,
+       COALESCE(ANY_VALUE(med.n_pairs), 0) AS n_pairs,
        ROUND(ANY_VALUE(med.m), 6) AS slope,
        ROUND(quantile_cont(b.y - med.m * b.x, 0.5), 6) AS intercept
-FROM bounded b JOIN med ON b.event_type = med.event_type
+FROM bounded b LEFT JOIN med ON b.event_type = med.event_type
 GROUP BY b.event_type
 """
 

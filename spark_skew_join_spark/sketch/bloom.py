@@ -53,9 +53,16 @@ class BloomFilter:
 
     # -- building ------------------------------------------------------
     def _positions(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
-        """(n, k) probe positions from the two xxhash64 columns."""
+        """(n, k) probe positions from the two xxhash64 columns.
+
+        The stride is forced odd (``h2 | 1``) per the standard
+        Kirsch–Mitzenmacher construction for power-of-two tables:
+        with m a power of two, an even h2 shares a factor with m and
+        collapses some of the k probes onto repeated positions (worst
+        case h2 % m == 0 puts ALL probes on one bit), locally
+        degrading the fp envelope (ADVICE r6 #4)."""
         a = h1.astype(np.int64).view(np.uint64)[:, None]
-        b = h2.astype(np.int64).view(np.uint64)[:, None]
+        b = h2.astype(np.int64).view(np.uint64)[:, None] | np.uint64(1)
         i = np.arange(self.k, dtype=np.uint64)[None, :]
         return ((a + i * b) % np.uint64(self.m)).astype(np.uint64)
 

@@ -144,7 +144,11 @@ def hll_by_group(df, group_col: str, key_cols: list[str], p: int = 14,
     Level 2 hash-partitions the (group, sketch) rows by group and
     merges within partitions, so the driver folds at most
     ``combine_partitions`` sketches per group. Returns
-    {group_value: HyperLogLog}."""
+    {group_value: HyperLogLog}; rows whose ``group_col`` is NULL form
+    their own group under the key ``None`` (the group is tagged with a
+    one-char prefix before the pandas fold, so NULL is never silently
+    dropped by pandas' default ``dropna`` and cannot collide with a
+    real value; ADVICE r6 #2)."""
     from pyspark.sql import functions as F
 
     from .cms import spark_key_expr
@@ -153,7 +157,7 @@ def hll_by_group(df, group_col: str, key_cols: list[str], p: int = 14,
     for c in key_cols:
         filtered = filtered.where(F.col(c).isNotNull())
     hashed = filtered.select(
-        F.col(group_col).cast("string").alias("g"),
+        _tagged_group(F, group_col).alias("g"),
         F.xxhash64(spark_key_expr(key_cols)).alias("h"),
     )
 
@@ -190,5 +194,19 @@ def hll_by_group(df, group_col: str, key_cols: list[str], p: int = 14,
     out: dict = {}
     for row in level2.collect():
         sk = pickle.loads(row["sketch"])
-        out[row["g"]] = sk if row["g"] not in out else out[row["g"]].merge(sk)
+        g = _untag_group(row["g"])
+        out[g] = sk if g not in out else out[g].merge(sk)
     return out
+
+
+def _tagged_group(F, group_col: str):
+    """NULL-safe string group key: ``"n"`` for NULL, ``"v" + value``
+    otherwise — survives pandas groupby (which drops NaN keys by
+    default) and cannot collide with any real value."""
+    return F.when(F.col(group_col).isNull(), F.lit("n")).otherwise(
+        F.concat(F.lit("v"), F.col(group_col).cast("string"))
+    )
+
+
+def _untag_group(g: str):
+    return None if g == "n" else g[1:]

@@ -216,11 +216,15 @@ def kll_by_group(df, group_col: str, value_col: str, k: int = 200,
     ever materializes a whole group's rows (the applyInPandas-per-group
     shape does exactly that; ADVICE r5 #4). Level 2 hash-partitions the
     (group, sketch) rows by group, so the driver folds at most
-    ``combine_partitions`` sketches per group. Returns {group: KLL}."""
+    ``combine_partitions`` sketches per group. Returns {group: KLL};
+    NULL groups survive under the key ``None`` via the same one-char
+    tag as hll_by_group (ADVICE r6 #2)."""
     from pyspark.sql import functions as F
 
+    from .hll import _tagged_group, _untag_group
+
     vals = df.where(F.col(value_col).isNotNull()).select(
-        F.col(group_col).cast("string").alias("g"),
+        _tagged_group(F, group_col).alias("g"),
         F.col(value_col).cast("double").alias("v"),
     )
 
@@ -257,5 +261,6 @@ def kll_by_group(df, group_col: str, value_col: str, k: int = 200,
     out: dict = {}
     for row in level2.collect():
         sk = pickle.loads(row["sketch"])
-        out[row["g"]] = sk if row["g"] not in out else out[row["g"]].merge(sk)
+        g = _untag_group(row["g"])
+        out[g] = sk if g not in out else out[g].merge(sk)
     return out

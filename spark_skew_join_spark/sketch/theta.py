@@ -220,16 +220,17 @@ def theta_by_group(df, group_col: str, key_cols: list[str], k: int = 1024,
     two-level fold as hll_by_group — each partition folds only ITS slice
     of each group, level 2 hash-partitions by group, and the driver
     folds ≤ combine_partitions sketches per group.  Returns
-    {group_value: ThetaSketch}."""
+    {group_value: ThetaSketch}; NULL groups survive under the key
+    ``None`` via the same one-char tag as hll_by_group (ADVICE r6 #2)."""
     from pyspark.sql import functions as F
+
+    from .hll import _tagged_group, _untag_group
 
     filtered = df
     for c in key_cols:
         filtered = filtered.where(F.col(c).isNotNull())
     hc, bits = _hash_col(key_cols, hash_fn)
-    hashed = filtered.select(
-        F.col(group_col).cast("string").alias("g"), hc.alias("h")
-    )
+    hashed = filtered.select(_tagged_group(F, group_col).alias("g"), hc.alias("h"))
 
     def build(batches):
         import pandas as pd
@@ -264,5 +265,6 @@ def theta_by_group(df, group_col: str, key_cols: list[str], k: int = 1024,
     out: dict = {}
     for row in level2.collect():
         sk = pickle.loads(row["sketch"])
-        out[row["g"]] = sk if row["g"] not in out else out[row["g"]].merge(sk)
+        g = _untag_group(row["g"])
+        out[g] = sk if g not in out else out[g].merge(sk)
     return out

@@ -116,10 +116,20 @@ def compact_parquet(
     Shape: plan from the REAL file listing (Hadoop FS, no driver
     guessing), rewrite once with ``repartition(planned_files)``
     (row-preserving, no shuffle key needed — size is the only
-    objective), stage into ``path/_compact_tmp`` and atomically swap.
-    Returns the before/after report.  For partitioned layouts run per
-    partition directory; transactional table formats (Delta/Iceberg)
-    ship their own OPTIMIZE — this is the plain-parquet equivalent."""
+    objective), stage into a sibling temp dir and swap.  Returns the
+    before/after report.  For partitioned layouts run per partition
+    directory; transactional table formats (Delta/Iceberg) ship their
+    own OPTIMIZE — this is the plain-parquet equivalent.
+
+    The swap is two renames and therefore NOT atomic (plain parquet
+    has no manifest to flip; that is exactly what Delta/Iceberg add):
+    a crash between them leaves ``path`` absent with the data intact
+    in ``path + "_pre_compact"`` (ADVICE r6 #3).  The window is
+    defended on every edge that can be: each rename's return value is
+    checked; a failed second rename rolls the backup straight back;
+    and the backup is only deleted after a post-swap validation
+    re-count of the NEW directory succeeds, so there is no moment
+    where the sole surviving copy is unverified."""
     import uuid
 
     files = list_data_files(spark, path)
@@ -142,8 +152,26 @@ def compact_parquet(
     fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     old = jvm.org.apache.hadoop.fs.Path(path)
     bak = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "_pre_compact")
-    fs.rename(old, bak)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), old)
+    if fs.exists(bak):
+        raise RuntimeError(
+            f"backup dir {bak} already exists (crashed prior compaction?); "
+            "recover or remove it before compacting"
+        )
+    if not fs.rename(old, bak):
+        raise RuntimeError(f"compaction swap: rename {path} -> {bak} failed")
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), old):
+        # roll the original straight back — nothing was lost
+        fs.rename(bak, old)
+        raise RuntimeError(
+            f"compaction swap: rename {tmp} -> {path} failed; original restored"
+        )
+    # validate the swapped-in directory BEFORE dropping the only backup
+    n_swapped = spark.read.parquet(path).count()
+    if n_swapped != n_before:
+        raise RuntimeError(
+            f"post-swap validation failed ({n_before} -> {n_swapped}); "
+            f"backup kept at {bak}"
+        )
     fs.delete(bak, True)
     after = list_data_files(spark, path)
     return {

@@ -115,3 +115,21 @@ def test_theil_sen_skips_vertical_pairs_and_caps_points(spark):
     assert r2.n_points == 3
     with pytest.raises(ValueError):
         theil_sen(df, "k", "x", "y", max_points=1)
+
+
+def test_theil_sen_all_equal_x_key_surfaces_null_slope(spark):
+    """ADVICE r6 #5: a key whose bounded window has all-equal x (every
+    pairwise slope vertical) must not vanish — it surfaces with
+    n_pairs=0 and NULL slope/intercept via the left join."""
+    from spark_skew_join_spark.operators.timeseries import theil_sen
+
+    rows = [("flat", 5.0, float(y)) for y in range(6)] + [
+        ("ok", float(x), 2.0 * x + 1.0) for x in range(6)
+    ]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    out = {r["k"]: r for r in theil_sen(df, "k", "x", "y").collect()}
+    assert set(out) == {"flat", "ok"}
+    f = out["flat"]
+    assert f["n_points"] == 6 and f["n_pairs"] == 0
+    assert f["slope"] is None and f["intercept"] is None
+    assert abs(out["ok"]["slope"] - 2.0) < 1e-9

@@ -85,3 +85,17 @@ def test_positions_match_numpy_reference():
         ua, ub = np.uint64(a).item(), np.uint64(b).item()
         for i in range(4):
             assert got[r, i] == (ua + i * ub) % (2**64) % bloom.m
+
+
+def test_positions_even_stride_forced_odd():
+    """ADVICE r6 #4: with m a power of two an even h2 collapses probe
+    positions (worst case h2 % m == 0 puts all k probes on one bit).
+    The stride is forced odd (h2 | 1) so the k probes stay distinct."""
+    bloom = BloomFilter(1 << 16, 4)
+    h1 = np.array([12345], dtype=np.int64)
+    h2 = np.array([1 << 16], dtype=np.int64)  # h2 % m == 0, worst case
+    got = bloom._positions(h1, h2)
+    assert len(set(got[0].tolist())) == 4  # all probes distinct
+    ua, ub = np.uint64(12345).item(), (np.uint64(1 << 16) | np.uint64(1)).item()
+    for i in range(4):
+        assert got[0, i] == (ua + i * ub) % (2**64) % bloom.m

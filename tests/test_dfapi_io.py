@@ -287,3 +287,20 @@ def test_compact_parquet_noop_when_already_large(spark, tmp_path):
     spark.range(10_000).coalesce(1).write.parquet(path)
     rep = compact_parquet(spark, path, target_bytes=10)
     assert rep["rewritten"] is False and rep["n_files_after"] == rep["n_files"]
+
+
+def test_compact_parquet_refuses_stale_backup(spark, tmp_path):
+    """ADVICE r6 #3: a leftover _pre_compact dir means a prior
+    compaction crashed mid-swap — compact_parquet must refuse to run
+    (and overwrite the only backup) until the operator recovers it."""
+    import os
+
+    import pytest
+
+    from spark_skew_join_spark.sources.io import compact_parquet
+
+    path = str(tmp_path / "withbak")
+    spark.range(10_000).repartition(8).write.parquet(path)
+    os.makedirs(path + "_pre_compact")
+    with pytest.raises(RuntimeError, match="_pre_compact"):
+        compact_parquet(spark, path, target_bytes=1 << 30)

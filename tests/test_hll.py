@@ -92,3 +92,21 @@ def test_hll_by_group_matches_per_group_builds(spark):
     for g in ("0", "1", "2"):
         solo = hll_from_dataframe(df.where(f"grp = '{g}'"), ["k"])
         assert np.array_equal(grouped[g].registers, solo.registers)
+
+
+def test_hll_by_group_null_group_not_dropped(spark):
+    """ADVICE r6 #2: rows whose group is NULL must form their own group
+    under key None (pandas groupby default dropna=True used to discard
+    them), and the tag must not collide with real values 'n'/'v...'."""
+    from spark_skew_join_spark.sketch.hll import hll_by_group, hll_from_dataframe
+
+    df = spark.createDataFrame(
+        [(None, str(i)) for i in range(400)]
+        + [("n", str(i)) for i in range(100)]
+        + [("va", str(i)) for i in range(50)],
+        "grp string, k string",
+    )
+    grouped = hll_by_group(df, "grp", ["k"])
+    assert set(grouped) == {None, "n", "va"}
+    solo = hll_from_dataframe(df.where("grp IS NULL"), ["k"])
+    assert np.array_equal(grouped[None].registers, solo.registers)

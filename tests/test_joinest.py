@@ -104,3 +104,25 @@ def test_bucket_counts_bounded_and_disjoint_join_is_zero(spark):
     assert bc.agg(F.sum("n")).collect()[0][0] == 3 * 2_000
     tru = true_join_size(left, right, "k", "k").collect()[0][0]
     assert tru == 0  # coalesce guard: empty count-join folds to 0, not null
+
+
+def test_estimate_disjoint_keys_is_zero_not_null(spark):
+    """ADVICE r6 #1: a depth whose cell tables share no bucket has dot
+    product 0 but vanished from the inner cell join — fully disjoint
+    key sets used to yield est_join_rows=NULL. The fixed aggregate
+    folds any missing depth to 0."""
+    left = spark.createDataFrame([(i,) for i in range(5)], "k int")
+    right = spark.createDataFrame([(i + 10_000,) for i in range(5)], "k int")
+    (row,) = join_size_estimate(left, right, "k", "k").collect()
+    assert row["est_join_rows"] == 0
+    rep = join_size_report(left, right, "k", "k").collect()[0]
+    assert rep["est_join_rows"] == 0 and rep["true_join_rows"] == 0
+    assert rep["within_bound"] is True
+    # larger disjoint sets may still collide into shared CMS buckets —
+    # the estimate must then be a NUMBER within the collision budget,
+    # never NULL (the pre-fix failure mode)
+    big_l = spark.createDataFrame([(i,) for i in range(500)], "k int")
+    big_r = spark.createDataFrame([(i + 10_000,) for i in range(500)], "k int")
+    (row2,) = join_size_estimate(big_l, big_r, "k", "k").collect()
+    assert row2["est_join_rows"] is not None
+    assert 0 <= row2["est_join_rows"] <= 500 * 500 * (5.0 / 65536)
