@@ -46,6 +46,17 @@ _DEC_MONEY = "decimal(18,2)"
 _DEC_PROD = "decimal(24,6)"
 
 
+def _null_first(keys) -> list:
+    """Sort a sketch-result key set that may mix ``None`` (the NULL
+    group, ADVICE r6 #2) with real values: None sorts first, the rest
+    by natural order. Plain ``sorted()`` raises TypeError on the mix
+    (ADVICE r7 #1)."""
+    ks = list(keys)
+    return [k for k in ks if k is None] + sorted(
+        k for k in ks if k is not None
+    )
+
+
 def _dsum(col_expr, dec: str = _DEC_MONEY):
     """CAST(SUM(CAST(x AS DECIMAL)) AS DOUBLE) — deterministic double sum."""
     return F.sum(col_expr.cast(dec)).cast("double")
@@ -4892,7 +4903,9 @@ def hll_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = {r["source"]: int(r["n"]) for r in exact_rows}
     rows = []
-    for name in sorted(per_source) + ["__union__"]:
+    # NULL groups survive as key None (ADVICE r6 #2); sort them first so
+    # a mixed None/str key set never hits TypeError (ADVICE r7 #1).
+    for name in _null_first(per_source) + ["__union__"]:
         est = (merged if name == "__union__" else per_source[name]).estimate()
         ex = exact[name]
         rows.append((name, float(round(est, 1)), ex,
@@ -5412,7 +5425,8 @@ def kll_quantiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     bound = KLL(k=200).rank_error_bound()
     rows = []
-    for p in sorted(sketches):
+    # None-first sort: NULL priority groups are a real key (ADVICE r7 #1)
+    for p in _null_first(sketches):
         s = sketches[p]
         n, ex50, ex90 = exact[p]
         # exact normalized rank of each estimate via the sketch's own
@@ -5777,10 +5791,12 @@ def theta_sketch_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t["orders"]
     sk = theta_by_group(orders, "o_orderpriority", ["o_custkey"], k=K,
                         hash_fn="md5")
+    # exact keeps NULL groups (the sketch does too, under key None —
+    # ADVICE r7 #1); only NULL key VALUES are dropped, matching
+    # theta_by_group's isNotNull filter on key_cols.
     exact = {
         r["o_orderpriority"]: r["n"]
         for r in orders.where(F.col("o_custkey").isNotNull())
-        .where(F.col("o_orderpriority").isNotNull())
         .groupBy("o_orderpriority")
         .agg(F.countDistinct("o_custkey").alias("n"))
         .collect()
@@ -5790,7 +5806,7 @@ def theta_sketch_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert abs(est - true) <= 4.0 * s.rse() * true + 1e-9, \
             f"theta estimate out of envelope: {g} est={est} true={true}"
     rows = []
-    for ta, tb in itertools.combinations(sorted(sk), 2):
+    for ta, tb in itertools.combinations(_null_first(sk), 2):
         a, b = sk[ta], sk[tb]
         eu = a.merge(b).estimate()
         ei = intersection_estimate(a, b)

@@ -34,6 +34,12 @@ import numpy as np
 _SEED1 = 0x51ED_CAFE
 _SEED2 = 0x0B10_0A17
 
+# Probe-layout version. v2 = odd stride (h2 | 1, ADVICE r6 #4); bump on
+# any change to _positions so a persisted filter built under one layout
+# is never probed under another (that silently voids the
+# no-false-negative guarantee — ADVICE r7 #5).
+_FORMAT_VERSION = 2
+
 
 class BloomFilter:
     """Bit-array Bloom filter with ``m_bits`` bits and ``k`` probes.
@@ -97,10 +103,17 @@ class BloomFilter:
         return (1.0 - math.exp(-self.k * n_keys / self.m)) ** self.k
 
     def __reduce__(self):
-        return (_rebuild_bloom, (self.m, self.k, self.bits))
+        return (_rebuild_bloom, (self.m, self.k, self.bits, _FORMAT_VERSION))
 
 
-def _rebuild_bloom(m, k, bits):
+def _rebuild_bloom(m, k, bits, version=1):
+    if version != _FORMAT_VERSION:
+        raise ValueError(
+            f"BloomFilter pickle format v{version} does not match this "
+            f"build's v{_FORMAT_VERSION} (probe layout changed); rebuild "
+            "the filter — probing across layouts loses the "
+            "no-false-negative guarantee"
+        )
     b = BloomFilter(m, k)
     b.bits = bits
     return b

@@ -126,10 +126,13 @@ def compact_parquet(
     a crash between them leaves ``path`` absent with the data intact
     in ``path + "_pre_compact"`` (ADVICE r6 #3).  The window is
     defended on every edge that can be: each rename's return value is
-    checked; a failed second rename rolls the backup straight back;
-    and the backup is only deleted after a post-swap validation
-    re-count of the NEW directory succeeds, so there is no moment
-    where the sole surviving copy is unverified."""
+    checked (including the rollback rename — ADVICE r7 #3); a failed
+    second rename rolls the backup straight back; a failed post-swap
+    validation quarantines the bad rewrite and restores the verified
+    original to ``path`` before raising (ADVICE r7 #2); and the backup
+    is only deleted after the post-swap re-count of the NEW directory
+    succeeds, so there is no moment where the sole surviving copy is
+    unverified or an unvalidated copy is left live."""
     import uuid
 
     files = list_data_files(spark, path)
@@ -139,6 +142,16 @@ def compact_parquet(
     df = spark.read.parquet(path)
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    old = jvm.org.apache.hadoop.fs.Path(path)
+    bak = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "_pre_compact")
+    # stale-backup guard FIRST: a leftover _pre_compact must not cost a
+    # full rewrite pass before being detected (ADVICE r7 #4)
+    if fs.exists(bak):
+        raise RuntimeError(
+            f"backup dir {bak} already exists (crashed prior compaction?); "
+            "recover or remove it before compacting"
+        )
     tmp = f"{path.rstrip('/')}_compact_{uuid.uuid4().hex[:8]}"
     df.repartition(plan["planned_files"]).write.mode("overwrite").parquet(tmp)
     # verify BEFORE the swap: the rewrite must carry every row
@@ -149,28 +162,49 @@ def compact_parquet(
             f"compaction rewrite lost rows ({n_before} -> {n_after}); "
             f"staging left at {tmp}"
         )
-    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-    old = jvm.org.apache.hadoop.fs.Path(path)
-    bak = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "_pre_compact")
-    if fs.exists(bak):
-        raise RuntimeError(
-            f"backup dir {bak} already exists (crashed prior compaction?); "
-            "recover or remove it before compacting"
-        )
     if not fs.rename(old, bak):
-        raise RuntimeError(f"compaction swap: rename {path} -> {bak} failed")
+        raise RuntimeError(
+            f"compaction swap: rename {path} -> {bak} failed; "
+            f"staging left at {tmp}"
+        )
     if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), old):
-        # roll the original straight back — nothing was lost
-        fs.rename(bak, old)
+        # roll the original straight back — nothing was lost — and
+        # CHECK that rollback too (ADVICE r7 #3): a failed rollback must
+        # not claim 'original restored' while path is absent
+        if not fs.rename(bak, old):
+            raise RuntimeError(
+                f"compaction swap: rename {tmp} -> {path} failed AND the "
+                f"rollback {bak} -> {path} failed; {path} is ABSENT, data "
+                f"intact at {bak} (and staging at {tmp}) — restore manually"
+            )
         raise RuntimeError(
             f"compaction swap: rename {tmp} -> {path} failed; original restored"
         )
     # validate the swapped-in directory BEFORE dropping the only backup
     n_swapped = spark.read.parquet(path).count()
     if n_swapped != n_before:
+        # swap the verified original back so readers of `path` never
+        # serve unvalidated data (ADVICE r7 #2): set the bad dir aside,
+        # restore bak -> path, then raise
+        quarantine = jvm.org.apache.hadoop.fs.Path(
+            f"{path.rstrip('/')}_compact_invalid_{uuid.uuid4().hex[:8]}"
+        )
+        if not fs.rename(old, quarantine):
+            raise RuntimeError(
+                f"post-swap validation failed ({n_before} -> {n_swapped}) "
+                f"and quarantining the bad dir failed; UNVALIDATED data is "
+                f"live at {path}, verified backup at {bak} — restore manually"
+            )
+        if not fs.rename(bak, old):
+            raise RuntimeError(
+                f"post-swap validation failed ({n_before} -> {n_swapped}); "
+                f"bad dir moved to {quarantine} but restoring {bak} -> "
+                f"{path} failed; {path} is ABSENT — restore manually"
+            )
         raise RuntimeError(
             f"post-swap validation failed ({n_before} -> {n_swapped}); "
-            f"backup kept at {bak}"
+            f"verified original restored at {path}, bad rewrite kept at "
+            f"{quarantine}"
         )
     fs.delete(bak, True)
     after = list_data_files(spark, path)

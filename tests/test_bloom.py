@@ -99,3 +99,21 @@ def test_positions_even_stride_forced_odd():
     ua, ub = np.uint64(12345).item(), (np.uint64(1 << 16) | np.uint64(1)).item()
     for i in range(4):
         assert got[0, i] == (ua + i * ub) % (2**64) % bloom.m
+
+
+def test_pickle_format_versioned():
+    """ADVICE r7 #5: the pickle carries the probe-layout version; a
+    blob from a different layout must be rejected, not silently probed."""
+    import pickle
+
+    import pytest
+
+    from spark_skew_join_spark.sketch.bloom import (
+        BloomFilter, _FORMAT_VERSION, _rebuild_bloom,
+    )
+
+    b = BloomFilter(1 << 10, 3)
+    rt = pickle.loads(pickle.dumps(b))
+    assert (rt.m, rt.k) == (b.m, b.k)
+    with pytest.raises(ValueError, match="probe layout"):
+        _rebuild_bloom(b.m, b.k, b.bits, _FORMAT_VERSION - 1)

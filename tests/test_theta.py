@@ -122,3 +122,41 @@ def test_md5_compat_unsaturated_exact(spark):
          for v in vals], dtype=np.uint64,
     ))
     assert np.array_equal(sk.values, expect)
+
+
+def test_null_group_caller_pattern(spark):
+    """ADVICE r7 #1: the query callers must survive a NULL group key —
+    None-first ordering instead of sorted() (TypeError on None/str mix)
+    and exact-dict alignment (exact must NOT filter the NULL group out
+    when the sketch keeps it)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from spark_skew_join_spark.queries import _null_first
+    from spark_skew_join_spark.sketch.theta import (
+        intersection_estimate, theta_by_group,
+    )
+
+    assert _null_first({"b": 1, None: 2, "a": 3}) == [None, "a", "b"]
+    assert _null_first(["z", "y"]) == ["y", "z"]
+
+    rows = ([(None, i) for i in range(300)]
+            + [("p1", i) for i in range(200)]
+            + [("p2", i + 100) for i in range(200)])
+    df = spark.createDataFrame(rows, "g string, k bigint")
+    sk = theta_by_group(df, "g", ["k"], k=256, hash_fn="md5")
+    assert set(sk) == {None, "p1", "p2"}
+    # the exact comparator mirrors queries.theta_sketch_orders: keep the
+    # NULL group, drop only NULL key values
+    exact = {
+        r["g"]: r["n"]
+        for r in df.where(F.col("k").isNotNull())
+        .groupBy("g").agg(F.countDistinct("k").alias("n")).collect()
+    }
+    for g, s in sk.items():
+        assert abs(s.estimate() - exact[g]) <= 4.0 * s.rse() * exact[g] + 1e-9
+    pairs = list(itertools.combinations(_null_first(sk), 2))
+    assert pairs[0][0] is None and len(pairs) == 3
+    for a, b in pairs:
+        assert intersection_estimate(sk[a], sk[b]) >= 0.0
