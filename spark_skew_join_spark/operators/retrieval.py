@@ -88,6 +88,80 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 20,
     )
 
 
+def bm25_topk_multi(docs: DataFrame, queries: dict[int, list[str]],
+                    k: int = 20, k1: float = 1.2, b: float = 0.75,
+                    id_col: str = "doc_id", text_col: str = "text"
+                    ) -> DataFrame:
+    """Per-query BM25 top-``k`` for MANY queries in ONE corpus pass.
+
+    ``queries`` maps query_id → term bag. A loop of ``bm25_topk`` calls
+    tokenizes and length-aggregates the corpus once PER QUERY; at 100 TB
+    that multiplier is the whole cost, so the batched form is the one a
+    pipeline should run: one tokenize, one dl/corpus aggregate, one
+    posting filter over the UNION of all query terms, then a broadcast
+    (query_id, term) attach fans postings out to the queries that asked
+    for each term. Scores are identical to the single-query operator
+    (same arithmetic, same rounded-score top-k cut); ranks come from a
+    per-query window over the ≤ |terms|·df shortlist, never the corpus.
+
+    Returns (query_id, id_col, dl, matched, score, rank), rank <= k.
+    """
+    if not queries or any(not ts for ts in queries.values()):
+        raise ValueError("queries must be non-empty term bags")
+    spark = docs.sparkSession
+    qt = spark.createDataFrame(
+        [(int(qid), t) for qid, ts in queries.items() for t in set(ts)],
+        "query_id int, term string",
+    )
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    corpus = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        toks.where(F.col("term").isin(all_terms))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (
+        F.col("tf") * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), id_col)
+    return (
+        tf.join(F.broadcast(qt), on="term")
+        .join(F.broadcast(df_t), on="term")
+        .join(dl, on=id_col)
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("query_id", id_col, "dl")
+        .agg(
+            F.count("*").alias("matched"),
+            F.sum(idf * tf_norm).alias("__score"),
+        )
+        .select(
+            "query_id",
+            id_col,
+            F.col("dl").cast("int").alias("dl"),
+            F.col("matched").cast("int").alias("matched"),
+            F.round("__score", 6).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "dl", "matched", "score",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def rrf_fuse(
     rankings: dict[str, DataFrame],
     k: int = 10,

@@ -2209,24 +2209,18 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine ranking, and the fusion (full-outer join of the two rank
     lists) in one SQL query, so fused scores AND the top-10 cut are
     EXACT-checked."""
-    from .operators.retrieval import bm25_topk, rrf_fuse
+    from .operators.retrieval import bm25_topk_multi, rrf_fuse
     from .operators.similarity import cosine_topk
 
     t = load_tables(spark, sf_dir)
     docs, emb = t["documents"], t["embeddings"]
     terms = {0: ["spark", "join"], 1: ["window", "vector"],
              2: ["stream", "query"]}
-    lex = None
-    for qid, ts in terms.items():
-        w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-        r = (
-            bm25_topk(docs, ts, k=25)
-            .select(
-                F.lit(qid).alias("query_id"), "doc_id",
-                F.row_number().over(w).alias("rank"),
-            )
-        )
-        lex = r if lex is None else lex.unionByName(r)
+    # ONE corpus pass for all three queries (VERDICT r7 #3 — the
+    # per-query bm25_topk loop tokenized the corpus three times)
+    lex = bm25_topk_multi(docs, terms, k=25).select(
+        "query_id", "doc_id", "rank"
+    )
     vec = cosine_topk(emb, emb.where(F.col("vec_id") < 3), k=25, dim=64).select(
         "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
     )

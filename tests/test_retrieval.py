@@ -117,3 +117,29 @@ def test_rrf_three_rankers_deterministic_and_k_cut(spark):
     assert len(out) == 2 and all(r["n_rankers"] == 3 for r in out)
     again = rrf_fuse(dfs, k=2).collect()
     assert out == again
+
+
+def test_bm25_multi_matches_single_per_query(spark, docs_df):
+    """bm25_topk_multi must reproduce a per-query bm25_topk loop exactly
+    (same arithmetic, same rounded-score cut) — it only batches the
+    corpus passes (VERDICT r7 #3)."""
+    from spark_skew_join_spark.operators.retrieval import (
+        bm25_topk, bm25_topk_multi,
+    )
+
+    queries = {0: ["spark", "join"], 1: ["data", "spark"]}
+    multi = bm25_topk_multi(docs_df, queries, k=5)
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["dl"], r["matched"],
+                                     r["score"])
+        for r in multi.collect()
+    }
+    for qid, ts in queries.items():
+        solo = bm25_topk(docs_df, ts, k=5).collect()
+        for rank, r in enumerate(solo, start=1):
+            assert got[(qid, rank)] == (
+                r["doc_id"], r["dl"], r["matched"], r["score"]
+            ), f"qid={qid} rank={rank}"
+    assert len(got) == sum(
+        min(5, bm25_topk(docs_df, ts, k=5).count()) for ts in queries.values()
+    )
