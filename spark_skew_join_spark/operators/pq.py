@@ -123,11 +123,21 @@ def pq_topk(
     vec_col: str = "embedding",
     refine_with: DataFrame | None = None,
     refine_factor: int = 5,
+    max_queries: int = 65536,
+    lut_chunk: int = 4096,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank) by ADC score: the query builds one
     m × ks inner-product lookup table; every candidate costs m gathers.
-    Queries are collected (bounded, the ANN query batch) and their LUTs
-    ride into the executors with the closure.
+
+    Driver-memory contract (VERDICT r7 #8): the query side is collected
+    to build LUTs, CAPPED at ``max_queries`` (the collect itself is
+    ``limit(max_queries + 1)``, so an oversized query set fails fast
+    instead of OOMing the driver). LUTs ship to executors as
+    ``lut_chunk``-sized sparkContext broadcasts — each broadcast is
+    bounded at lut_chunk · m · ks · 8 bytes (~64 MiB at the defaults
+    with ks=256, m=8), never the whole query set; chunks score in
+    independent corpus passes unioned into one plan, so callers with a
+    multi-chunk query batch should persist ``codes``.
 
     ``refine_with`` enables the standard ADC+R re-ranking (Jégou et al.
     §V): ADC selects ``k × refine_factor`` candidates per query, then
@@ -138,8 +148,19 @@ def pq_topk(
     similarity gaps."""
     import numpy as np
 
+    if max_queries <= 0 or lut_chunk <= 0:
+        raise ValueError("max_queries and lut_chunk must be positive")
     m = len(codebooks)
-    qrows = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")).collect()
+    qrows = (
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"pq_topk: query side exceeds max_queries={max_queries}; "
+            "raise the cap explicitly or batch the queries upstream"
+        )
     cents = [np.asarray(b, dtype=np.float64) for b in codebooks]
     sub = cents[0].shape[1]
     luts = {}
@@ -153,30 +174,96 @@ def pq_topk(
     if not luts:
         raise ValueError("pq_topk: queries DataFrame is empty")
 
-    def batches(it):
-        import pandas as pd
+    k_keep = k * (refine_factor if refine_with is not None else 1)
 
-        for pdf in it:
-            cid = pdf[id_col].to_numpy()
-            cds = np.asarray(list(pdf["codes"]), dtype=np.int64)  # (B, m)
-            rows_q, rows_n, rows_s = [], [], []
-            for qid, lut in luts.items():
-                scores = lut[np.arange(m)[None, :], cds].sum(axis=1)
-                keep = cid != qid
-                rows_q.append(np.full(keep.sum(), qid, dtype=np.int64))
-                rows_n.append(cid[keep])
-                rows_s.append(scores[keep])
-            yield pd.DataFrame(
-                {
-                    "query_id": np.concatenate(rows_q),
-                    "neighbor_id": np.concatenate(rows_n),
-                    "score": np.concatenate(rows_s),
-                }
-            )
+    def scorer(bc):
+        # Per-PARTITION partial top-k: emitting every (query, corpus-row)
+        # score made the post-scorer shuffle O(N·Q) rows — 20 B at the
+        # 100k-query stress, an Arrow OOM locally and a non-plan at
+        # 100 TB. Each task now keeps only the top k_keep candidates per
+        # query under the exact final order (score desc, id asc), so the
+        # window input is P·Q·k_keep rows and the global cut is
+        # unchanged (a per-partition top-k under a total order is a
+        # superset of the global top-k).
+        def batches(it):
+            import pandas as pd
 
-    scored = codes.mapInPandas(
-        batches, "query_id long, neighbor_id long, score double"
-    )
+            local = bc.value
+            qids_arr = np.fromiter(local.keys(), dtype=np.int64)
+            luts_arr = np.stack([local[q] for q in qids_arr])  # (Q, m, ks)
+            nq = len(qids_arr)
+            acc_q, acc_n, acc_s = [], [], []
+
+            def reduce_acc():
+                if not acc_q:
+                    return 0
+                aq = np.concatenate(acc_q)
+                an = np.concatenate(acc_n)
+                sc_ = np.concatenate(acc_s)
+                order = np.lexsort((an, -sc_, aq))  # qid, score desc, id
+                aq, an, sc_ = aq[order], an[order], sc_[order]
+                starts = np.flatnonzero(np.r_[True, aq[1:] != aq[:-1]])
+                counts = np.diff(np.r_[starts, len(aq)])
+                ranks = np.arange(len(aq)) - np.repeat(starts, counts)
+                keep = ranks < k_keep
+                acc_q[:] = [aq[keep]]
+                acc_n[:] = [an[keep]]
+                acc_s[:] = [sc_[keep]]
+                return len(acc_q[0])
+
+            pending = 0
+            for pdf in it:
+                cid = pdf[id_col].to_numpy()
+                cds = np.asarray(list(pdf["codes"]), dtype=np.int64)
+                nb = len(cid)
+                # sub-block the queries so the (q_block, B) score matrix
+                # stays ~tens of MB regardless of lut_chunk
+                for q0 in range(0, nq, 512):
+                    qs = qids_arr[q0:q0 + 512]
+                    lb = luts_arr[q0:q0 + 512]
+                    scores = lb[:, 0, :][:, cds[:, 0]]
+                    for j in range(1, m):
+                        scores += lb[:, j, :][:, cds[:, j]]
+                    # keep k_keep+1 by score (ties included via >=), so
+                    # dropping the self-match can never evict a true
+                    # top-k_keep candidate
+                    keep_n = k_keep + 1
+                    if nb > keep_n:
+                        kth = np.partition(
+                            scores, nb - keep_n, axis=1
+                        )[:, nb - keep_n]
+                        mask = scores >= kth[:, None]
+                    else:
+                        mask = np.ones_like(scores, dtype=bool)
+                    mask &= qs[:, None] != cid[None, :]
+                    qi, bi = np.nonzero(mask)
+                    acc_q.append(qs[qi])
+                    acc_n.append(cid[bi])
+                    acc_s.append(scores[qi, bi])
+                    pending += len(qi)
+                if pending > 2_000_000:
+                    pending = reduce_acc()
+            reduce_acc()
+            if acc_q and len(acc_q[0]):
+                yield pd.DataFrame(
+                    {
+                        "query_id": acc_q[0],
+                        "neighbor_id": acc_n[0],
+                        "score": acc_s[0],
+                    }
+                )
+
+        return batches
+
+    sc = codes.sparkSession.sparkContext
+    qids = sorted(luts)
+    scored = None
+    for i in range(0, len(qids), lut_chunk):
+        bc = sc.broadcast({q: luts[q] for q in qids[i:i + lut_chunk]})
+        part = codes.mapInPandas(
+            scorer(bc), "query_id long, neighbor_id long, score double"
+        )
+        scored = part if scored is None else scored.unionByName(part)
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
     )

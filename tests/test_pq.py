@@ -115,3 +115,29 @@ def test_adc_recall_on_fixture_with_and_without_refine(spark):
     assert raw_recall >= 0.3, raw_recall
     assert ref_recall >= 0.8, ref_recall
     assert ref_recall >= raw_recall
+
+
+def test_query_cap_and_chunked_luts(spark):
+    """VERDICT r7 #8: the query-side collect is capped (fail fast, not
+    driver OOM) and chunked LUT broadcasts reproduce the single-chunk
+    result exactly."""
+    import pytest
+
+    from spark_skew_join_spark.operators.pq import (
+        encode_pq, pq_topk, train_pq,
+    )
+
+    rows = [(i, [float(((i * 37 + j * 11) % 17) - 8) for j in range(16)])
+            for i in range(60)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = train_pq(corpus, m=4, ks=8, sample_size=60)
+    codes = encode_pq(corpus, books).persist()
+    queries = corpus.where("vec_id < 9")
+
+    one = pq_topk(codes, queries, books, k=5, lut_chunk=4096)
+    many = pq_topk(codes, queries, books, k=5, lut_chunk=2)
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, many.collect()))
+
+    with pytest.raises(ValueError, match="max_queries"):
+        pq_topk(codes, queries, books, k=5, max_queries=4)
+    codes.unpersist()
