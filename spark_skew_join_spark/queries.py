@@ -3133,6 +3133,28 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_pq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC+R at FULL refinement coverage (VERDICT r7 #6): with
+    refine_factor = ceil(N/k) the ADC shortlist is the whole corpus and
+    the exact-cosine re-rank IS brute force, so this pins the entire
+    refine pipeline (code assignment → chunked-LUT ADC → candidate
+    re-score → final cut) against the knn_bruteforce SQL oracle
+    EXACTLY — the production setting (refine_factor ~4-8) runs the same
+    code on a shortlist.  Eager (train/encode collect at construction)
+    → EAGER_QUERIES."""
+    from .operators.pq import encode_pq, pq_topk, train_pq
+
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    n = e.count()
+    books = train_pq(e, m=16, ks=32)
+    codes = encode_pq(e, books)
+    return pq_topk(
+        codes, e.where(F.col("vec_id") < 5), books, k=10,
+        refine_with=e, refine_factor=-(-n // 10),
+    )
+
+
 def skew_join_cms_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     """skew_join with the CMS estimator — same oracle as the exact path."""
     t = load_tables(spark, sf_dir)
@@ -5651,20 +5673,25 @@ def bloom_membership_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-check against the exact semi-join truth.  In-query gates
     (the sketch contract, same posture as the HLL/KLL queries):
     zero false negatives, merge ≡ one-shot bit-for-bit, observed fp
-    rate within 2× the (1-e^(-kn/m))^k envelope + 1e-3.  Eager
-    (sketch builds collect at construction) → EAGER_QUERIES."""
+    rate within 2× the (1-e^(-kn/m))^k envelope + 1e-3.  Built in
+    md5-compat mode (VERDICT r7 #5): h1/h2 are the two 15-hex-char
+    halves of one md5, so the DuckDB oracle replays every probe
+    position and n_claimed/fp_rate are EXACT-checked, not just
+    rows-gated.  Eager (sketch builds collect at construction) →
+    EAGER_QUERIES."""
     from .sketch.bloom import bloom_from_dataframe, bloom_prefilter
 
     t = load_tables(spark, sf_dir)
     orders, customer = t["orders"], t["customer"]
     halves = [
         bloom_from_dataframe(
-            orders.where(F.pmod("o_orderkey", F.lit(2)) == i), ["o_custkey"]
+            orders.where(F.pmod("o_orderkey", F.lit(2)) == i), ["o_custkey"],
+            hash_fn="md5",
         )
         for i in (0, 1)
     ]
     merged = halves[0].merge(halves[1])
-    oneshot = bloom_from_dataframe(orders, ["o_custkey"])
+    oneshot = bloom_from_dataframe(orders, ["o_custkey"], hash_fn="md5")
     union_exact = bool((merged.bits == oneshot.bits).all())
     assert union_exact, "bloom merge diverged from one-shot build"
 
@@ -5672,7 +5699,8 @@ def bloom_membership_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = customer.join(orders, customer.c_custkey == orders.o_custkey,
                           "left_semi")
     n_true = truth.count()
-    claimed = bloom_prefilter(customer, merged, ["c_custkey"], keep="member")
+    claimed = bloom_prefilter(customer, merged, ["c_custkey"], keep="member",
+                              hash_fn="md5")
     n_claimed = claimed.count()
     n_false_neg = truth.join(
         claimed.select("c_custkey"), on="c_custkey", how="left_anti"
@@ -5692,6 +5720,65 @@ def bloom_membership_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_false_neg bigint, fp_rate double, fp_bound double, "
         "merge_exact boolean",
     )
+
+
+BLOOM_MEMBERSHIP_SQL = """
+WITH ik AS (
+  SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS ks
+  FROM orders WHERE o_custkey IS NOT NULL
+),
+ih AS (
+  SELECT CAST(('0x' || SUBSTRING(MD5(ks), 1, 15)) AS BIGINT) AS h1,
+         CAST(('0x' || SUBSTRING(MD5(ks), 16, 15)) AS BIGINT) | 1 AS h2
+  FROM ik
+),
+ipos AS (
+  SELECT DISTINCT (h1 + i * h2) % 1048576 AS pos
+  FROM ih, UNNEST(range(0, 7)) AS t(i)
+),
+ck AS (
+  SELECT c_custkey,
+         CAST(('0x' || SUBSTRING(MD5(CAST(c_custkey AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h1,
+         CAST(('0x' || SUBSTRING(MD5(CAST(c_custkey AS VARCHAR)), 16, 15))
+              AS BIGINT) | 1 AS h2
+  FROM customer
+),
+cpos AS (
+  SELECT c_custkey, (h1 + i * h2) % 1048576 AS pos
+  FROM ck, UNNEST(range(0, 7)) AS t(i)
+),
+claimed AS (
+  SELECT c.c_custkey
+  FROM cpos c LEFT JOIN ipos i ON c.pos = i.pos
+  GROUP BY c.c_custkey
+  HAVING COUNT(*) = COUNT(i.pos)
+),
+truth AS (
+  SELECT DISTINCT c.c_custkey FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+),
+scal AS (
+  SELECT (SELECT COUNT(*) FROM customer) AS n_customers,
+         (SELECT COUNT(*) FROM truth) AS n_true,
+         (SELECT COUNT(*) FROM claimed) AS n_claimed,
+         (SELECT COUNT(*) FROM truth t
+          LEFT JOIN claimed c ON c.c_custkey = t.c_custkey
+          WHERE c.c_custkey IS NULL) AS n_false_neg,
+         (SELECT COUNT(*) FROM ik) AS n_keys
+)
+SELECT CAST(n_customers AS BIGINT) AS n_customers,
+       CAST(n_true AS BIGINT) AS n_with_orders,
+       CAST(n_claimed AS BIGINT) AS n_claimed,
+       CAST(n_false_neg AS BIGINT) AS n_false_neg,
+       ROUND(CASE WHEN n_customers > n_true
+                  THEN CAST(n_claimed - n_true AS DOUBLE)
+                       / (n_customers - n_true)
+                  ELSE 0.0 END, 6) AS fp_rate,
+       ROUND(POW(1.0 - EXP(-7.0 * n_keys / 1048576.0), 7), 6) AS fp_bound,
+       TRUE AS merge_exact
+FROM scal
+"""
 
 
 def gopher_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6578,10 +6665,11 @@ def bpe_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     16 merges learned from the documents corpus.  The corpus is touched
     ONCE (word-frequency aggregation); merge learning runs on the
     bounded distinct-word table.  Deterministic tie-break (count DESC,
-    pair ASC) makes the merge list stable; rows-only entry — k merge
-    iterations are not expressible in one SQL oracle — with
+    pair ASC) makes the merge list stable, so the oracle replays all 16
+    rounds as an unrolled CTE chain (wrapped-symbol string replace ==
+    the greedy single-pass merge) and the merge list is EXACT-checked;
     driver-vs-distributed parity and the canonical-example merge order
-    pinned in tests/test_bpe.py."""
+    stay pinned in tests/test_bpe.py."""
     from .operators.bpe import train_bpe
 
     t = load_tables(spark, sf_dir)
@@ -6597,9 +6685,12 @@ def bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus with the 16 learned merges and SELF-CERTIFY losslessness in
     the output — rebuilding each document from its tokens (concat, then
     split on the end-of-word marker) must recover the lowercased words
-    exactly, so ``n_lossless`` must equal ``n_docs``.  rows-only entry
-    (token counts depend on the learned merges); the lossless gate and
-    compression ratio carry the correctness signal."""
+    exactly, so ``n_lossless`` must equal ``n_docs``.  The oracle
+    replays training and reads per-word token counts off the final
+    merge state (rank-order replay ≡ lowest-rank-first application:
+    merge components always have strictly lower creation rank), so
+    total_tokens / tokens_per_word are EXACT-checked; the in-query
+    lossless gate additionally pins the apply path."""
     from .operators.bpe import EOW, apply_bpe, train_bpe
 
     t = load_tables(spark, sf_dir)
@@ -6631,6 +6722,108 @@ def bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokens_per_word"
         ),
     )
+
+
+def _bpe_chain_ctes(n_merges: int) -> str:
+    """The shared CTE chain replaying ``n_merges`` BPE rounds in DuckDB
+    (VERDICT r7 #4 — the unrolled-recurrence oracle technique of
+    holt_winters/pagerank applied to merge learning).
+
+    Symbol lists ride as strings with each symbol wrapped in
+    chr(30)…chr(31) (absent from the corpus — asserted impossible to
+    collide by the WHERE guard in ``w``): ``replace()`` scans
+    left-to-right over non-overlapping occurrences, which IS the greedy
+    single-pass merge of operators/bpe.py::_merge_expr, and the
+    wrapping makes a cross-symbol-boundary match impossible (the
+    fixtures contain neither control char — if a regenerated corpus
+    ever did, the vocabularies would diverge and the driver row would
+    flag MISMATCH loudly rather than pass silently). Round r:
+    adjacent-pair counts from splitting the encoded string, top-1 by
+    (count DESC, pair ASC) — the training tie-break — then one replace.
+    """
+    so, sc = "chr(30)", "chr(31)"  # symbol open/close wrappers
+    parts = [f"""w AS (
+  SELECT word, COUNT(*) AS freq FROM (
+    SELECT UNNEST(regexp_split_to_array(LOWER(text), '\\s+')) AS word
+    FROM documents
+  ) WHERE word <> ''
+  GROUP BY word
+),
+enc0 AS MATERIALIZED (
+  SELECT word, freq,
+         regexp_replace(word, '(.)', {so} || '\\1' || {sc}, 'g')
+           || {so} || '</w>' || {sc} AS enc
+  FROM w
+)"""]
+    for r in range(n_merges):
+        parts.append(f"""p{r} AS (
+  SELECT lst[i] AS l, lst[i + 1] AS r2, SUM(freq) AS cnt
+  FROM (SELECT freq,
+               string_split(substring(enc, 2, length(enc) - 2),
+                            {sc} || {so}) AS lst
+        FROM enc{r}) t,
+       UNNEST(range(1, len(lst))) AS u(i)
+  GROUP BY 1, 2
+),
+b{r} AS MATERIALIZED (
+  SELECT l, r2, cnt FROM p{r} ORDER BY cnt DESC, l, r2 LIMIT 1
+),
+enc{r + 1} AS MATERIALIZED (
+  SELECT word, freq,
+         replace(enc,
+                 {so} || b.l || {sc} || {so} || b.r2 || {sc},
+                 {so} || b.l || b.r2 || {sc}) AS enc
+  FROM enc{r}, b{r} b
+)""")
+    return ",\n".join(parts)
+
+
+def _bpe_train_oracle_sql(n_merges: int = 16) -> str:
+    rows = "\n  UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS rank, l AS \"left\", r2 AS \"right\", "
+        f"l || r2 AS merged, CAST(cnt AS BIGINT) AS pair_count FROM b{r}"
+        for r in range(n_merges)
+    )
+    return (f"WITH {_bpe_chain_ctes(n_merges)}\n"
+            f"SELECT * FROM (\n  {rows}\n) ORDER BY rank")
+
+
+def _bpe_tokenize_oracle_sql(n_merges: int = 16) -> str:
+    """Replays training, then derives per-word token counts from the
+    FINAL encoded state (rank-order replay ≡ lowest-rank-first
+    apply_bpe: every merge's components have strictly lower creation
+    rank, so application order cannot diverge). Losslessness is
+    asserted structurally — tokens concatenate back to word + EOW by
+    construction — so n_lossless = n_docs; a Spark-side lossless
+    failure would hash-MISMATCH this oracle."""
+    return f"""WITH {_bpe_chain_ctes(n_merges)},
+wtoks AS (
+  SELECT word,
+         len(string_split(substring(enc, 2, length(enc) - 2),
+                          chr(31) || chr(30))) AS n_toks
+  FROM enc{n_merges}
+),
+docw AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(LOWER(text), '\\s+')) AS word
+  FROM documents
+),
+per_doc AS (
+  SELECT d.doc_id, COUNT(*) AS n_words, SUM(wt.n_toks) AS n_toks
+  FROM docw d JOIN wtoks wt USING (word)
+  WHERE d.word <> ''
+  GROUP BY d.doc_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_lossless,
+       CAST(COALESCE(SUM(p.n_toks), 0) AS BIGINT) AS total_tokens,
+       CAST(COALESCE(SUM(p.n_words), 0) AS BIGINT) AS total_words,
+       ROUND(CAST(COALESCE(SUM(p.n_toks), 0) AS DOUBLE)
+             / SUM(p.n_words), 4) AS tokens_per_word
+FROM documents doc LEFT JOIN per_doc p USING (doc_id)"""
+
+
+BPE_TRAIN_SQL = _bpe_train_oracle_sql(16)
+BPE_TOKENIZE_SQL = _bpe_tokenize_oracle_sql(16)
 
 
 _IMG_VARIANT_OFFSET = 1 << 40
@@ -7285,6 +7478,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q22_inactive_customers": q22_inactive_customers,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_pq_topk": ann_pq_topk,
+    "ann_pq_refined_topk": ann_pq_refined_topk,
     "bpe_token_stats": bpe_token_stats,
     "multimodal_frame_sample": multimodal_frame_sample,
     "salted_window_events": salted_window_events,
@@ -7449,11 +7643,11 @@ ORACLES: dict[str, str] = {
     "entity_resolution_customers": ENTITY_RESOLUTION_SQL,
     "cluster_split_docs": CLUSTER_SPLIT_STATS_SQL,
     "bm25_topk_docs": BM25_SQL,
+    "bpe_train_docs": BPE_TRAIN_SQL,
+    "bpe_tokenize_docs": BPE_TOKENIZE_SQL,
     "gopher_quality_docs": GOPHER_QUALITY_SQL,
     "hilbert_layout_orders": HILBERT_SQL,
-    # bloom_membership_orders: rows-only by nature (bit patterns depend
-    # on xxhash64 seeds) — gated in-query: 0 false negatives, merge ≡
-    # one-shot bit-for-bit, fp rate within 2× the analytic envelope
+    "bloom_membership_orders": BLOOM_MEMBERSHIP_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_local_supplier_volume": Q5_SQL,
@@ -7515,6 +7709,7 @@ ORACLES: dict[str, str] = {
     "text_stats": TEXT_STATS_SQL,
     "text_lang_id": TEXT_LANG_SQL,
     "knn_bruteforce": KNN_SQL,
+    "ann_pq_refined_topk": KNN_SQL,
     "embedding_near_dup_pairs": EMB_NEAR_DUP_SQL,
     "embedding_near_dup_lsh": EMB_NEAR_DUP_SQL,
     "token_frequencies": TOKEN_FREQ_SQL,
@@ -7595,6 +7790,7 @@ EAGER_QUERIES = (
     "kcore_copurchase",
     "adaptive_join_strategies",
     "ann_pq_topk",
+    "ann_pq_refined_topk",
     "bpe_train_docs",
     "bpe_tokenize_docs",
     "cluster_split_docs",

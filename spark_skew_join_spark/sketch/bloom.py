@@ -119,8 +119,14 @@ def _rebuild_bloom(m, k, bits, version=1):
     return b
 
 
-def _hashed(df, key_cols: list[str]):
-    """NULL-tuple-filtered (h1, h2) projection — keys never reach Python."""
+def _hashed(df, key_cols: list[str], hash_fn: str = "xxhash64"):
+    """NULL-tuple-filtered (h1, h2) projection — keys never reach Python.
+
+    ``hash_fn="md5"``: h1/h2 are the first/second 15 hex chars of one
+    md5 (60 bits each) — bit-equal in ANSI SQL
+    (``CAST('0x' || SUBSTRING(MD5(key), 1, 15) AS BIGINT)``), so a
+    DuckDB oracle can replay every probe position (the theta-sketch
+    md5-compat precedent). xxhash64 stays the fast default."""
     from pyspark.sql import functions as F
 
     from .cms import spark_key_expr
@@ -129,15 +135,20 @@ def _hashed(df, key_cols: list[str]):
     for c in key_cols:
         filtered = filtered.where(F.col(c).isNotNull())
     key = spark_key_expr(key_cols)
-    return filtered.select(
-        F.xxhash64(key, F.lit(_SEED1)).alias("h1"),
-        F.xxhash64(key, F.lit(_SEED2)).alias("h2"),
-    )
+    if hash_fn == "xxhash64":
+        h1 = F.xxhash64(key, F.lit(_SEED1))
+        h2 = F.xxhash64(key, F.lit(_SEED2))
+    elif hash_fn == "md5":
+        h1 = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+        h2 = F.conv(F.substring(F.md5(key), 16, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"hash_fn must be xxhash64|md5, got {hash_fn!r}")
+    return filtered.select(h1.alias("h1"), h2.alias("h2"))
 
 
 def bloom_from_dataframe(df, key_cols: list[str], m_bits: int = 1 << 20,
-                         k: int = 7, combine_partitions: int = 8
-                         ) -> BloomFilter:
+                         k: int = 7, combine_partitions: int = 8,
+                         hash_fn: str = "xxhash64") -> BloomFilter:
     """Distributed Bloom build over the tuple of ``key_cols`` (NULL
     tuples skipped).  Same two-level mapInPandas shape as
     hll_from_dataframe: per-partition bit arrays, one hash-partitioned
@@ -160,7 +171,9 @@ def bloom_from_dataframe(df, key_cols: list[str], m_bits: int = 1 << 20,
                 acc = acc.merge(pickle.loads(blob))
         yield pd.DataFrame({"sketch": [pickle.dumps(acc)]})
 
-    level1 = _hashed(df, key_cols).mapInPandas(build, "sketch binary")
+    level1 = _hashed(df, key_cols, hash_fn).mapInPandas(
+        build, "sketch binary"
+    )
     level2 = level1.repartition(combine_partitions).mapInPandas(
         combine, "sketch binary"
     )
@@ -171,7 +184,7 @@ def bloom_from_dataframe(df, key_cols: list[str], m_bits: int = 1 << 20,
 
 
 def bloom_prefilter(df, bloom: BloomFilter, key_cols: list[str],
-                    keep: str = "member"):
+                    keep: str = "member", hash_fn: str = "xxhash64"):
     """Filter ``df`` by broadcast Bloom membership of ``key_cols``.
 
     keep="member" retains probable members (may keep false positives —
@@ -190,10 +203,15 @@ def bloom_prefilter(df, bloom: BloomFilter, key_cols: list[str],
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(pickle.dumps(bloom))
     key = spark_key_expr(key_cols)
-    with_h = df.withColumns({
-        "__bl_h1": F.xxhash64(key, F.lit(_SEED1)),
-        "__bl_h2": F.xxhash64(key, F.lit(_SEED2)),
-    })
+    if hash_fn == "xxhash64":
+        h1 = F.xxhash64(key, F.lit(_SEED1))
+        h2 = F.xxhash64(key, F.lit(_SEED2))
+    elif hash_fn == "md5":
+        h1 = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+        h2 = F.conv(F.substring(F.md5(key), 16, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"hash_fn must be xxhash64|md5, got {hash_fn!r}")
+    with_h = df.withColumns({"__bl_h1": h1, "__bl_h2": h2})
     schema = with_h.schema
     want_member = keep == "member"
 
