@@ -7434,84 +7434,14 @@ GROUP BY b.event_type
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # round 6: registry ROTATED (VERDICT r5 #1) — the driver
-    # correctness-checks the FIRST 50 entries only. This window holds
-    # ONLY previously-driver-unsampled entries: the 2 round-6 additions
-    # (debut round) + 48 of the 78 entries positions 51-128 held in r5
-    # (r3/r4-certified, no r5 driver row). The 30 unsampled leftovers
-    # head the post-window region and rotate in next round; everything
-    # r5-certified follows them.
-    "setsim_join_docs": setsim_join_docs,
-    "assoc_rules_copurchase": assoc_rules_copurchase,
-    "acf_events": acf_events,
-    "mad_outliers_lineitem": mad_outliers_lineitem,
-    "weighted_sample_docs": weighted_sample_docs,
-    "markov_transitions_events": markov_transitions_events,
-    "skyline_parts": skyline_parts,
-    "pmi_collocations_docs": pmi_collocations_docs,
-    "kcore_copurchase": kcore_copurchase,
-    "theil_sen_events": theil_sen_events,
-    "theta_sketch_orders": theta_sketch_orders,
-    "join_size_estimate_cms": join_size_estimate_cms,
-    "image_near_dup_phash": image_near_dup_phash,
-    "audio_near_dup_awhash": audio_near_dup_awhash,
-    "bpe_train_docs": bpe_train_docs,
-    "bpe_tokenize_docs": bpe_tokenize_docs,
-    "url_canonical_dedup": url_canonical_dedup,
-    "profile_orders": profile_orders,
-    "schema_drift_orders": schema_drift_orders,
-    "adaptive_join_strategies": adaptive_join_strategies,
-    "holt_winters_events": holt_winters_events,
-    "cusum_events": cusum_events,
-    "ks_drift_events": ks_drift_events,
-    "triangle_count_copurchase": triangle_count_copurchase,
-    "hybrid_retrieval_rrf": hybrid_retrieval_rrf,
-    "record_linkage_customers": record_linkage_customers,
-    "entity_resolution_customers": entity_resolution_customers,
-    "cluster_split_docs": cluster_split_docs,
-    "bm25_topk_docs": bm25_topk_docs,
-    "bloom_membership_orders": bloom_membership_orders,
-    "gopher_quality_docs": gopher_quality_docs,
-    "hilbert_layout_orders": hilbert_layout_orders,
-    "dsir_resample_docs": dsir_resample_docs,
-    "incremental_compaction_docs": incremental_compaction_docs,
-    "q22_inactive_customers": q22_inactive_customers,
-    "ann_ivf_topk": ann_ivf_topk,
-    "ann_pq_topk": ann_pq_topk,
+    # round 8: registry ROTATED (VERDICT r7 #1) — the driver
+    # correctness-checks the FIRST 50 entries only, so the whole dict
+    # is ordered by driver-staleness (never-sampled debuts first, then
+    # oldest last-sampled round, ties by prior position). This window:
+    # 1 round-8 debut (ann_pq_refined_topk) + 49 entries whose last
+    # driver row is CORRECTNESS_r03. Everything below the marker is
+    # r3-r7-certified and already sorted for the r9 rotation.
     "ann_pq_refined_topk": ann_pq_refined_topk,
-    "bpe_token_stats": bpe_token_stats,
-    "multimodal_frame_sample": multimodal_frame_sample,
-    "salted_window_events": salted_window_events,
-    "prefilter_join_orders": prefilter_join_orders,
-    "heavy_hitter_suppliers": heavy_hitter_suppliers,
-    "contamination_check_docs": contamination_check_docs,
-    "shard_export_stats": shard_export_stats,
-    "quota_sample_sources": quota_sample_sources,
-    "tfidf_top_terms": tfidf_top_terms,
-    "embedding_centroids": embedding_centroids,
-    "doc_fingerprint_winnow": doc_fingerprint_winnow,
-    "winnow_overlap_pairs": winnow_overlap_pairs_docs,
-    "repetition_signals": repetition_signals_docs,
-    "redact_events_props": redact_events_props,
-    "zorder_layout_orders": zorder_layout_orders,
-    "chunk_dedup_docs": chunk_dedup_docs,
-    "unigram_lm_quality": unigram_lm_quality,
-    "merge_upsert_orders": merge_upsert_orders,
-    "snapshot_diff_orders": snapshot_diff_orders,
-    "scd2_user_event_history": scd2_user_event_history,
-    "funnel_events": funnel_events,
-    "resample_locf_events": resample_locf_events,
-    "cohort_retention_events": cohort_retention_events,
-    "pagerank_nations": pagerank_nations,
-    # ^ end of the driver's first-50 check window: 23 round-6 debuts
-    # (positions 0-22 and ann_pq_topk) entered at/near the head, the
-    # rest are previously-unsampled r5 holdovers. Everything displaced
-    # below — dq_audit onward, the TPC-H block, the skew_join family —
-    # is judge/selfcheck-certified this round and heads the r7
-    # rotation queue.
-    # --- unsampled leftovers: FIRST in line for the r7 window ---
-    "ivm_refresh_orders": ivm_refresh_orders,
-    "dq_audit_orders": dq_audit_orders,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -7561,8 +7491,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "embedding_near_dup_lsh": embedding_near_dup_lsh_pairs,
     "token_frequencies": token_frequencies,
+    # ^ end of the r8 driver check window (first 50). Below:
+    # staleness-ascending queue — r9 should simply take the next
+    # 50 (last driver rows: r3 onward).
     "multimodal_binary_meta": multimodal_binary_meta,
-    # --- driver-certified in CORRECTNESS_r05 (46 EXACT + 4 no-oracle) ---
+    "redact_events_props": redact_events_props,
+    "zorder_layout_orders": zorder_layout_orders,
+    "chunk_dedup_docs": chunk_dedup_docs,
+    "unigram_lm_quality": unigram_lm_quality,
+    "merge_upsert_orders": merge_upsert_orders,
+    "snapshot_diff_orders": snapshot_diff_orders,
+    "scd2_user_event_history": scd2_user_event_history,
+    "funnel_events": funnel_events,
+    "resample_locf_events": resample_locf_events,
+    "cohort_retention_events": cohort_retention_events,
+    "pagerank_nations": pagerank_nations,
+    "ivm_refresh_orders": ivm_refresh_orders,
+    "dq_audit_orders": dq_audit_orders,
     "rolling_avg_events": rolling_avg_events,
     "corr_stats_lineitem": corr_stats_lineitem,
     "window_funcs_orders": window_funcs_orders,
@@ -7613,6 +7558,56 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q18_large_volume_customers": q18_large_volume_customers,
     "q20_part_promotion_suppliers": q20_part_promotion_suppliers,
     "q21_waiting_suppliers": q21_waiting_suppliers,
+    "setsim_join_docs": setsim_join_docs,
+    "assoc_rules_copurchase": assoc_rules_copurchase,
+    "acf_events": acf_events,
+    "mad_outliers_lineitem": mad_outliers_lineitem,
+    "weighted_sample_docs": weighted_sample_docs,
+    "markov_transitions_events": markov_transitions_events,
+    "skyline_parts": skyline_parts,
+    "pmi_collocations_docs": pmi_collocations_docs,
+    "kcore_copurchase": kcore_copurchase,
+    "theil_sen_events": theil_sen_events,
+    "theta_sketch_orders": theta_sketch_orders,
+    "join_size_estimate_cms": join_size_estimate_cms,
+    "image_near_dup_phash": image_near_dup_phash,
+    "audio_near_dup_awhash": audio_near_dup_awhash,
+    "bpe_train_docs": bpe_train_docs,
+    "bpe_tokenize_docs": bpe_tokenize_docs,
+    "url_canonical_dedup": url_canonical_dedup,
+    "profile_orders": profile_orders,
+    "schema_drift_orders": schema_drift_orders,
+    "adaptive_join_strategies": adaptive_join_strategies,
+    "holt_winters_events": holt_winters_events,
+    "cusum_events": cusum_events,
+    "ks_drift_events": ks_drift_events,
+    "triangle_count_copurchase": triangle_count_copurchase,
+    "hybrid_retrieval_rrf": hybrid_retrieval_rrf,
+    "record_linkage_customers": record_linkage_customers,
+    "entity_resolution_customers": entity_resolution_customers,
+    "cluster_split_docs": cluster_split_docs,
+    "bm25_topk_docs": bm25_topk_docs,
+    "bloom_membership_orders": bloom_membership_orders,
+    "gopher_quality_docs": gopher_quality_docs,
+    "hilbert_layout_orders": hilbert_layout_orders,
+    "dsir_resample_docs": dsir_resample_docs,
+    "incremental_compaction_docs": incremental_compaction_docs,
+    "q22_inactive_customers": q22_inactive_customers,
+    "ann_ivf_topk": ann_ivf_topk,
+    "ann_pq_topk": ann_pq_topk,
+    "bpe_token_stats": bpe_token_stats,
+    "multimodal_frame_sample": multimodal_frame_sample,
+    "salted_window_events": salted_window_events,
+    "prefilter_join_orders": prefilter_join_orders,
+    "heavy_hitter_suppliers": heavy_hitter_suppliers,
+    "contamination_check_docs": contamination_check_docs,
+    "shard_export_stats": shard_export_stats,
+    "quota_sample_sources": quota_sample_sources,
+    "tfidf_top_terms": tfidf_top_terms,
+    "embedding_centroids": embedding_centroids,
+    "doc_fingerprint_winnow": doc_fingerprint_winnow,
+    "winnow_overlap_pairs": winnow_overlap_pairs_docs,
+    "repetition_signals": repetition_signals_docs,
 }
 
 ORACLES: dict[str, str] = {

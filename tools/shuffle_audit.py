@@ -51,6 +51,19 @@ QUERIES = [
     "theta_sketch_orders",
     "record_linkage_customers",
     "cluster_split_docs",
+    # round-8 additions (VERDICT r7 #9): every >2 s bench line among the
+    # 10 newest queries gets shuffle-bytes evidence
+    "setsim_join_docs",
+    "kcore_copurchase",
+    "triangle_count_copurchase",
+    "hybrid_retrieval_rrf",
+    "assoc_rules_copurchase",
+    "mad_outliers_lineitem",
+    "theil_sen_events",
+    "acf_events",
+    "pmi_collocations_docs",
+    "markov_transitions_events",
+    "ann_pq_refined_topk",
 ]
 
 
