@@ -399,10 +399,15 @@ def setops_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL EXCEPT has set semantics: a row present on the right at all is
     dropped, regardless of left multiplicity — subtract(), not
     exceptAll().distinct() (which keeps rows whose left count merely
-    exceeds their right count)."""
+    exceeds their right count).  The right side is date-restricted so
+    the difference is NON-EMPTY at sf0.01 (every customer has some
+    order in the fixture — the unrestricted form was a vacuous n=0
+    green, the skew_join_anti problem of VERDICT r7 #7)."""
     t = load_tables(spark, sf_dir)
     c = t["customer"].select(F.col("c_custkey").alias("custkey"))
-    o = t["orders"].select(F.col("o_custkey").alias("custkey"))
+    o = t["orders"].where(
+        F.col("o_orderdate").between("1995-01-01", "1995-12-31")
+    ).select(F.col("o_custkey").alias("custkey"))
     return c.distinct().subtract(o)
 
 
@@ -410,6 +415,7 @@ SETOPS_EXCEPT_SQL = """
 SELECT c_custkey AS custkey FROM customer
 EXCEPT
 SELECT o_custkey AS custkey FROM orders
+WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
 """
 
 
