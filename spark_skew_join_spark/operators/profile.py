@@ -311,3 +311,106 @@ def mad_outliers(
             F.col("n_outliers").cast("double") / F.col("n"),
         )
     )
+
+
+def psi_drift(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str,
+    value_col: str,
+    bins: int = 10,
+    eps: float = 1e-6,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Per-key Population Stability Index between a reference ``a`` and
+    a candidate ``b`` — the model-monitoring industry's standard drift
+    score next to KS: bin the value range, compare bin SHARES:
+
+        PSI = Σ_bins (p_i − q_i) · ln(p_i / q_i)
+
+    with ``eps``-floored shares so empty bins stay finite.  Bins are
+    ``bins`` equal-width intervals over the REFERENCE side's per-key
+    [min, max] (the deployed-scorecard convention: the reference fixes
+    the grid, candidates clamp into the edge bins), so the whole
+    computation is exact relational algebra a SQL oracle replays:
+    per-key min/max broadcast back, one groupBy per side, a generated
+    bin spine (no bin silently missing), and the PSI fold.
+
+    Rule-of-thumb verdict: < 0.1 stable, 0.1–0.2 moderate, ≥ 0.2
+    (default ``threshold``) significant shift.
+
+    Scale shape: two map-side-combined groupBys over (key, bin) + one
+    tiny stats join — the corpus never sorts and nothing is collected;
+    the spine is |keys| × bins rows.
+
+    Complements the family: schema_drift compares aggregates, cusum a
+    series in time, ks_drift whole ECDFs, psi_drift binned shares (the
+    one that stays meaningful under heavy ties and reports a
+    magnitude, not just a verdict).
+
+    Output: (key, n_a, n_b, psi, drift).
+    """
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    av = a.where(F.col(value_col).isNotNull()).select(
+        F.col(key_col).alias("k"), F.col(value_col).cast("double").alias("v")
+    )
+    bv = b.where(F.col(value_col).isNotNull()).select(
+        F.col(key_col).alias("k"), F.col(value_col).cast("double").alias("v")
+    )
+    stats = av.groupBy("k").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+
+    def binned(side: DataFrame, name: str) -> DataFrame:
+        width = (F.col("mx") - F.col("mn")) / F.lit(float(bins))
+        bin_ = F.when(
+            F.col("mx") > F.col("mn"),
+            F.least(
+                F.greatest(
+                    F.floor((F.col("v") - F.col("mn")) / width).cast("int"),
+                    F.lit(0),
+                ),
+                F.lit(bins - 1),
+            ),
+        ).otherwise(F.lit(0))
+        return (
+            side.join(F.broadcast(stats), "k")
+            .select("k", bin_.alias("bin"))
+            .groupBy("k", "bin")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    ac = binned(av, "na_bin")
+    bc = binned(bv, "nb_bin")
+    spine = stats.select(
+        "k", F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).alias("bin")
+    )
+    counts = (
+        spine.join(ac, ["k", "bin"], "left")
+        .join(bc, ["k", "bin"], "left")
+        .select(
+            "k", "bin",
+            F.coalesce("na_bin", F.lit(0)).alias("na_bin"),
+            F.coalesce("nb_bin", F.lit(0)).alias("nb_bin"),
+        )
+    )
+    totals = counts.groupBy("k").agg(
+        F.sum("na_bin").alias("n_a"), F.sum("nb_bin").alias("n_b")
+    )
+    e = F.lit(float(eps))
+    p = F.greatest(F.col("na_bin") / F.col("n_a"), e)
+    q = F.greatest(F.col("nb_bin") / F.col("n_b"), e)
+    return (
+        counts.join(totals, "k")
+        .groupBy("k")
+        .agg(
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+            F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
+        )
+        .select(
+            F.col("k").alias(key_col), "n_a", "n_b", "psi",
+            (F.col("psi") >= F.lit(float(threshold))).alias("drift"),
+        )
+    )

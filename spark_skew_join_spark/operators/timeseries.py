@@ -355,3 +355,60 @@ def theil_sen(
         F.round("__mm", 6).alias("slope"),
         F.round("__b", 6).alias("intercept"),
     )
+
+
+def ols_trend(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-key ordinary-least-squares trend line in ONE aggregation
+    pass — the parametric sibling of ``theil_sen`` (which pays a
+    per-key quadratic pair join for robustness; OLS is the cheap
+    full-data fit a monitoring surface runs everywhere, falling back
+    to Theil–Sen on keys it flags):
+
+        slope     = Σ(x−x̄)(y−ȳ) / Σ(x−x̄)²
+        intercept = ȳ − slope·x̄
+        r2        = corr(x, y)²
+
+    computed from the raw moments (n, Σx, Σy, Σxy, Σx², Σy²) so the
+    whole fit is a single map-side-combined groupBy — no window, no
+    self-join, no second pass; exactly the shape that scales to any
+    key cardinality at 100 TB.  Degenerate keys are kept explicit:
+    all-equal x → slope/intercept/r2 NULL (vertical); var(y) = 0 under
+    nonzero var(x) → slope 0 with r2 NULL (corr undefined).
+
+    Output: (key, n_points, slope, intercept, r2), rounded to 6.
+    """
+    pts = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("__k"),
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    )
+    agg = pts.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("sx"),
+        F.sum("__y").alias("sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("syy"),
+    )
+    ssxx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    ssyy = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    ssxy = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    slope = F.when(ssxx > 0, ssxy / ssxx)
+    intercept = F.when(
+        ssxx > 0, (F.col("sy") - ssxy / ssxx * F.col("sx")) / F.col("n")
+    )
+    r2 = F.when((ssxx > 0) & (ssyy > 0), ssxy * ssxy / (ssxx * ssyy))
+    return agg.select(
+        F.col("__k").alias(key_col),
+        F.col("n").alias("n_points"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )

@@ -2493,6 +2493,92 @@ FROM d ORDER BY case_name, event_type
 """
 
 
+def psi_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Population Stability Index drift
+    (operators/profile.py::psi_drift) — the binned-shares drift score
+    that reports a MAGNITUDE: the same two controlled comparisons as
+    ks_drift_events (even/odd event halves: stable; even vs odd×1.5: a
+    planted 50% scale shift), 10 equal-width bins fixed by the
+    reference side's per-type [min, max].  Every share, floor, and the
+    PSI fold is replayed by the SQL oracle, so psi itself is
+    EXACT-checked to 6 decimals."""
+    from .operators.profile import psi_drift
+
+    t = load_tables(spark, sf_dir)
+    e = t["events"].select("event_type", "event_id", "value")
+    even = e.where(F.col("event_id") % 2 == 0)
+    odd = e.where(F.col("event_id") % 2 == 1)
+    same = psi_drift(even, odd, "event_type", "value").select(
+        F.lit("even_vs_odd").alias("case_name"), "*"
+    )
+    shifted = psi_drift(
+        even, odd.withColumn("value", F.col("value") * 1.5),
+        "event_type", "value",
+    ).select(F.lit("even_vs_odd_scaled").alias("case_name"), "*")
+    return same.unionByName(shifted).orderBy("case_name", "event_type")
+
+
+PSI_DRIFT_SQL = """
+WITH e AS (
+  SELECT event_type, event_id, CAST(value AS DOUBLE) AS value
+  FROM events WHERE value IS NOT NULL
+),
+cases AS (
+  SELECT 'even_vs_odd' AS case_name, event_type,
+         CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS side, value
+  FROM e
+  UNION ALL
+  SELECT 'even_vs_odd_scaled', event_type,
+         CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END,
+         CASE WHEN event_id % 2 = 0 THEN value ELSE value * 1.5 END
+  FROM e
+),
+stats AS (
+  SELECT case_name, event_type, MIN(value) AS mn, MAX(value) AS mx
+  FROM cases WHERE side = 'a' GROUP BY 1, 2
+),
+binned AS (
+  SELECT c.case_name, c.event_type, c.side,
+         CASE WHEN s.mx > s.mn
+              THEN LEAST(GREATEST(CAST(FLOOR((c.value - s.mn)
+                         / ((s.mx - s.mn) / 10.0)) AS INT), 0), 9)
+              ELSE 0 END AS bin
+  FROM cases c JOIN stats s USING (case_name, event_type)
+),
+spine AS (
+  SELECT case_name, event_type, i AS bin
+  FROM stats, UNNEST(range(0, 10)) AS t(i)
+),
+counts AS (
+  SELECT sp.case_name, sp.event_type, sp.bin,
+         COALESCE(SUM(CASE WHEN b.side = 'a' THEN 1 END), 0) AS na_bin,
+         COALESCE(SUM(CASE WHEN b.side = 'b' THEN 1 END), 0) AS nb_bin
+  FROM spine sp
+  LEFT JOIN binned b USING (case_name, event_type, bin)
+  GROUP BY 1, 2, 3
+),
+tot AS (
+  SELECT case_name, event_type,
+         SUM(na_bin) AS n_a, SUM(nb_bin) AS n_b
+  FROM counts GROUP BY 1, 2
+),
+psi AS (
+  SELECT c.case_name, c.event_type, t.n_a, t.n_b,
+         ROUND(SUM(
+           (GREATEST(CAST(c.na_bin AS DOUBLE) / t.n_a, 1e-6)
+            - GREATEST(CAST(c.nb_bin AS DOUBLE) / t.n_b, 1e-6))
+           * LN(GREATEST(CAST(c.na_bin AS DOUBLE) / t.n_a, 1e-6)
+                / GREATEST(CAST(c.nb_bin AS DOUBLE) / t.n_b, 1e-6))
+         ), 6) AS psi
+  FROM counts c JOIN tot t USING (case_name, event_type)
+  GROUP BY 1, 2, t.n_a, t.n_b
+)
+SELECT case_name, event_type, CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b, psi, psi >= 0.2 AS drift
+FROM psi ORDER BY case_name, event_type
+"""
+
+
 def cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type one-sided CUSUM change detection over the first 300
     events (operators/timeseries.py::cusum_scan — Page 1954): target is
@@ -7411,6 +7497,51 @@ def theil_sen_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ols_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of value over time
+    (operators/timeseries.py::ols_trend): slope/intercept/R² from raw
+    moments in ONE map-side-combined aggregation — the cheap parametric
+    fit next to theil_sen_events' robust quadratic one. Every moment,
+    the normal-equation arithmetic, and the rounding replay in SQL, so
+    the fit is EXACT-checked."""
+    from .operators.timeseries import ols_trend
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        "event_type", F.col("ts").cast("double").alias("x"), "value"
+    )
+    return ols_trend(ev, "event_type", "x", "value").orderBy("event_type")
+
+
+OLS_TREND_SQL = """
+WITH pts AS (
+  SELECT event_type, CAST(epoch(ts) AS DOUBLE) AS x,
+         CAST(value AS DOUBLE) AS y
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+m AS (
+  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM pts GROUP BY event_type
+),
+d AS (
+  SELECT event_type, n,
+         sxx - sx * sx / n AS ssxx,
+         syy - sy * sy / n AS ssyy,
+         sxy - sx * sy / n AS ssxy,
+         sx, sy
+  FROM m
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_points,
+       ROUND(CASE WHEN ssxx > 0 THEN ssxy / ssxx END, 6) AS slope,
+       ROUND(CASE WHEN ssxx > 0
+                  THEN (sy - ssxy / ssxx * sx) / n END, 6) AS intercept,
+       ROUND(CASE WHEN ssxx > 0 AND ssyy > 0
+                  THEN ssxy * ssxy / (ssxx * ssyy) END, 6) AS r2
+FROM d ORDER BY event_type
+"""
+
+
 THEIL_SEN_SQL = """
 WITH pts AS (
   SELECT event_type, epoch(ts) AS x, value AS y,
@@ -7448,6 +7579,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # driver row is CORRECTNESS_r03. Everything below the marker is
     # r3-r7-certified and already sorted for the r9 rotation.
     "ann_pq_refined_topk": ann_pq_refined_topk,
+    "psi_drift_events": psi_drift_events,
+    "ols_trend_events": ols_trend_events,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -7638,6 +7771,8 @@ ORACLES: dict[str, str] = {
     "holt_winters_events": HOLT_WINTERS_SQL,
     "cusum_events": CUSUM_SQL,
     "ks_drift_events": KS_DRIFT_SQL,
+    "psi_drift_events": PSI_DRIFT_SQL,
+    "ols_trend_events": OLS_TREND_SQL,
     "triangle_count_copurchase": TRIANGLE_SQL,
     "hybrid_retrieval_rrf": HYBRID_RRF_SQL,
     "record_linkage_customers": RECORD_LINKAGE_SQL,

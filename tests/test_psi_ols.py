@@ -1,0 +1,104 @@
+"""psi_drift and ols_trend unit tests (round-8 monitoring additions)."""
+import math
+
+import pytest
+
+from spark_skew_join_spark.operators.profile import psi_drift
+from spark_skew_join_spark.operators.timeseries import ols_trend
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "k string, v double")
+
+
+def test_psi_identical_distributions_is_zero(spark):
+    rows = [("a", float(i % 20)) for i in range(400)]
+    a, b = _mk(spark, rows), _mk(spark, rows)
+    out = psi_drift(a, b, "k", "v").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["psi"] == 0.0 and not r["drift"]
+    assert r["n_a"] == r["n_b"] == 400
+
+
+def test_psi_matches_python_replay_and_flags_shift(spark):
+    # reference uniform on [0, 9.75]; candidate concentrated in [8, 9.9]
+    av = [(i % 40) * 0.25 for i in range(400)]
+    bv = [8.0 + (i % 20) / 10.0 for i in range(200)]
+    a = _mk(spark, [("a", v) for v in av])
+    b = _mk(spark, [("a", v) for v in bv])
+    r = psi_drift(a, b, "k", "v", bins=10, eps=1e-6).collect()[0]
+
+    # exact Python replay of the operator's arithmetic
+    mn, mx = min(av), max(av)
+    width = (mx - mn) / 10.0
+
+    def bin_of(v):
+        return min(max(int(math.floor((v - mn) / width)), 0), 9)
+
+    na = [0] * 10
+    nb = [0] * 10
+    for v in av:
+        na[bin_of(v)] += 1
+    for v in bv:
+        nb[bin_of(v)] += 1
+    psi = sum(
+        (max(na[i] / 400.0, 1e-6) - max(nb[i] / 200.0, 1e-6))
+        * math.log(max(na[i] / 400.0, 1e-6) / max(nb[i] / 200.0, 1e-6))
+        for i in range(10)
+    )
+    assert r["psi"] == round(psi, 6)
+    assert r["drift"]
+
+
+def test_psi_degenerate_reference_single_value(spark):
+    a = _mk(spark, [("a", 5.0)] * 50)
+    b = _mk(spark, [("a", 5.0)] * 30 + [("a", 9.0)] * 10)
+    r = psi_drift(a, b, "k", "v").collect()[0]
+    # max == min: everything lands in bin 0 on both sides -> psi 0
+    assert r["psi"] == 0.0 and r["n_b"] == 40
+
+
+def test_psi_candidate_out_of_range_clamps(spark):
+    a = _mk(spark, [("a", float(i)) for i in range(10)])
+    b = _mk(spark, [("a", -100.0), ("a", 100.0)])
+    r = psi_drift(a, b, "k", "v").collect()[0]
+    assert r["n_b"] == 2  # nothing dropped — clamped into edge bins
+
+
+def test_ols_recovers_exact_line(spark):
+    rows = [("a", float(x), 2.5 * x + 1.0) for x in range(50)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    r = ols_trend(df, "k", "x", "y").collect()[0]
+    assert r["slope"] == 2.5 and r["intercept"] == 1.0 and r["r2"] == 1.0
+    assert r["n_points"] == 50
+
+
+def test_ols_matches_numpy_on_noisy_data(spark):
+    import numpy as np
+
+    rng = [(i * 37 % 101) / 10.0 for i in range(80)]
+    xs = [float(i) for i in range(80)]
+    ys = [0.7 * x + 3.0 + n for x, n in zip(xs, rng)]
+    df = spark.createDataFrame(
+        [("a", x, y) for x, y in zip(xs, ys)], "k string, x double, y double"
+    )
+    r = ols_trend(df, "k", "x", "y").collect()[0]
+    slope, intercept = np.polyfit(xs, ys, 1)
+    cc = np.corrcoef(xs, ys)[0, 1]
+    assert r["slope"] == pytest.approx(slope, abs=1e-6)
+    assert r["intercept"] == pytest.approx(intercept, abs=1e-6)
+    assert r["r2"] == pytest.approx(cc * cc, abs=1e-6)
+
+
+def test_ols_degenerate_keys(spark):
+    rows = (
+        [("vertical", 1.0, float(i)) for i in range(5)]       # all-equal x
+        + [("flat", float(i), 7.0) for i in range(5)]          # var(y)=0
+    )
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    got = {r["k"]: r for r in ols_trend(df, "k", "x", "y").collect()}
+    v = got["vertical"]
+    assert v["slope"] is None and v["intercept"] is None and v["r2"] is None
+    f = got["flat"]
+    assert f["slope"] == 0.0 and f["intercept"] == 7.0 and f["r2"] is None

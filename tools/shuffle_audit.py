@@ -89,6 +89,9 @@ def main() -> None:
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("shuffle-audit")
         .config("spark.sql.shuffle.partitions", str(cpus))
+        # match get_spark's heap — the default 1g OOMs on the cached
+        # setsim/dedup family tables at sf0.1
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
