@@ -217,3 +217,82 @@ def kcore(
     return _deg(e).select(
         F.col("n").alias("node"), F.col("d").alias("degree")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int = 5,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Bounded-round SYNCHRONOUS label propagation (Raghavan et al.
+    2007) for community detection: every vertex starts as its own
+    label; each round, every vertex adopts the most frequent label
+    among its neighbors, ties broken by the SMALLEST label — fully
+    deterministic, so the fixed-round output is SQL-replayable round
+    for round (unlike the classic asynchronous sweep, whose result
+    depends on visit order).
+
+    Scale shape (the kcore/pagerank posture): one round = an edge ⋈
+    label join (shuffle keyed by vertex id), a (vertex, label) count,
+    and an argmax-by-(count DESC, label ASC) via ``max(struct)`` — no
+    window over the corpus, no Python. Labels localCheckpoint per
+    round (each round's plan references the previous labels twice) —
+    registry entries land in EAGER_QUERIES. Isolated vertices keep
+    their own label.
+
+    Synchronous LPA can oscillate 2-cycles on bipartite cores — the
+    bounded-round contract reports the round-``rounds`` state, exactly
+    what the oracle replays; pick even/odd rounds consciously if you
+    chase a fixpoint.
+
+    Output: (node, label, community_size).
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+    )
+    if checkpoint:
+        und = und.localCheckpoint(eager=True)
+    both = und.unionAll(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )  # (u=vertex, v=neighbor), each edge in both directions
+    labels = (
+        und.select(F.col("u").alias("n"))
+        .unionAll(und.select(F.col("v").alias("n")))
+        .distinct()
+        .select("n", F.col("n").alias("label"))
+    )
+    if checkpoint:
+        labels = labels.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        nbr = both.join(
+            labels.withColumnsRenamed({"n": "v", "label": "nl"}), "v"
+        ).select(F.col("u").alias("n"), "nl")
+        counted = nbr.groupBy("n", "nl").agg(F.count(F.lit(1)).alias("c"))
+        # argmax by (count DESC, label ASC) == min of the (-count,
+        # label) struct — negating the count (not the label) keeps the
+        # tie-break exact for any label domain
+        best = counted.groupBy("n").agg(
+            F.min(F.struct((-F.col("c")).alias("nc"),
+                           F.col("nl").alias("l"))).alias("b")
+        ).select("n", F.col("b.l").alias("label"))
+        # vertices with no neighbor rows cannot occur (every vertex has
+        # degree >= 1 by construction), so best covers all of labels
+        labels = best
+        if checkpoint:
+            labels = labels.localCheckpoint(eager=True)
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("community_size")
+    )
+    return labels.join(sizes, "label").select(
+        F.col("n").alias("node"), "label", "community_size"
+    )

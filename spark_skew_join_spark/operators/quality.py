@@ -233,3 +233,45 @@ def bigram_logprob(docs: DataFrame, id_col: str = "doc_id",
             F.round(F.avg(-F.log(p)), 6).alias("avg_nll"),
         )
     )
+
+
+def char_entropy(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Per-doc Shannon entropy of the CHARACTER distribution (bits) —
+    the cheapest gibberish/boilerplate detector in the quality family:
+    natural language sits ~3.5–4.5 bits/char; base64 blobs, minified
+    code, and key-mashing push past 5; single-char spam collapses
+    toward 0. Used as a pre-filter band next to gopher signals.
+
+    H(d) = −Σ_c (n_c/n) · log2(n_c/n) over the doc's characters —
+    computed relationally: posexplode-free split to chars, one
+    (doc, char) groupBy, one per-doc fold. Shuffles (doc_id, char)
+    pairs — bounded by alphabet size per doc, not text length — and
+    replays exactly in SQL.
+
+    Output: (id, n_chars, n_distinct, entropy_bits), entropy rounded 6;
+    empty docs surface with entropy 0.
+    """
+    chars = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "")).alias("__c"),
+    ).where(F.col("__c") != "")
+    counts = chars.groupBy(id_col, "__c").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    tot = counts.groupBy(id_col).agg(
+        F.sum("__n").alias("n_chars"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    p = F.col("__n") / F.col("n_chars")
+    ent = counts.join(tot, id_col).groupBy(id_col).agg(
+        F.first("n_chars").alias("n_chars"),
+        F.first("n_distinct").alias("n_distinct"),
+        F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"),
+    )
+    return docs.select(id_col).join(ent, id_col, "left").select(
+        id_col,
+        F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
+        F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+        F.coalesce("entropy_bits", F.lit(0.0)).alias("entropy_bits"),
+    )

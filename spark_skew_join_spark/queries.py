@@ -2579,6 +2579,46 @@ FROM psi ORDER BY case_name, event_type
 """
 
 
+def char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc character Shannon entropy
+    (operators/quality.py::char_entropy) — the cheapest
+    gibberish/boilerplate band in the quality family: one (doc, char)
+    groupBy + a per-doc fold, shuffle bounded by alphabet size per doc.
+    Counts, distincts, and the -Σ p·log2 p fold replay in SQL, so
+    entropy is EXACT-checked to 6 decimals."""
+    from .operators.quality import char_entropy
+
+    t = load_tables(spark, sf_dir)
+    return char_entropy(t["documents"]).orderBy("doc_id")
+
+
+CHAR_ENTROPY_SQL = """
+WITH chars AS (
+  SELECT doc_id, UNNEST(string_split(text, '')) AS c FROM documents
+),
+counts AS (
+  SELECT doc_id, c, COUNT(*) AS n FROM chars WHERE c <> '' GROUP BY 1, 2
+),
+tot AS (
+  SELECT doc_id, SUM(n) AS n_chars, COUNT(*) AS n_distinct
+  FROM counts GROUP BY 1
+),
+ent AS (
+  SELECT c.doc_id, MAX(t.n_chars) AS n_chars,
+         MAX(t.n_distinct) AS n_distinct,
+         ROUND(-SUM((CAST(c.n AS DOUBLE) / t.n_chars)
+               * LOG2(CAST(c.n AS DOUBLE) / t.n_chars)), 6) AS entropy_bits
+  FROM counts c JOIN tot t USING (doc_id) GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(e.n_chars, 0) AS BIGINT) AS n_chars,
+       CAST(COALESCE(e.n_distinct, 0) AS BIGINT) AS n_distinct,
+       COALESCE(e.entropy_bits, 0.0) AS entropy_bits
+FROM documents d LEFT JOIN ent e USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type one-sided CUSUM change detection over the first 300
     events (operators/timeseries.py::cusum_scan — Page 1954): target is
@@ -7439,6 +7479,72 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(edges, "src", "dst", k=80, rounds=10)
 
 
+def label_propagation_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-round synchronous label-propagation communities on the part
+    co-purchase graph (operators/pagerank.py::label_propagation —
+    Raghavan 2007, the deterministic synchronous variant: most-frequent
+    neighbor label, ties to the smallest).  The oracle replays all four
+    rounds as an unrolled MATERIALIZED CTE chain (the kcore technique),
+    so every vertex's final label and community size are EXACT-checked.
+    Construction localCheckpoints per round (EAGER_QUERIES)."""
+    from .operators.pagerank import label_propagation
+
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_partkey")
+    rhs = li.withColumnsRenamed({"l_partkey": "p2"})
+    edges = (
+        li.join(rhs, "l_orderkey")
+        .where(F.col("l_partkey") < F.col("p2"))
+        .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
+    )
+    return label_propagation(edges, "src", "dst", rounds=4).orderBy("node")
+
+
+def _lpa_sql(rounds: int) -> str:
+    """Oracle generator mirroring label_propagation round for round
+    (MATERIALIZED per round — each round references its predecessor
+    once per direction, and the chain must not inline)."""
+    parts = ["""e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+bidir AS MATERIALIZED (
+  SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+),
+l0 AS MATERIALIZED (
+  SELECT n, n AS label FROM (
+    SELECT u AS n FROM e0 UNION SELECT v FROM e0
+  )
+)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f"""c{i} AS (
+  SELECT b.u AS n, l.label AS nl, COUNT(*) AS c
+  FROM bidir b JOIN l{i - 1} l ON l.n = b.v GROUP BY 1, 2
+),
+l{i} AS MATERIALIZED (
+  SELECT n, nl AS label FROM (
+    SELECT n, nl,
+           ROW_NUMBER() OVER (PARTITION BY n
+                              ORDER BY c DESC, nl ASC) AS rn
+    FROM c{i}
+  ) WHERE rn = 1
+)""")
+    return (
+        "WITH " + ",\n".join(parts) + f""",
+sizes AS (
+  SELECT label, COUNT(*) AS community_size FROM l{rounds} GROUP BY label
+)
+SELECT l.n AS node, l.label, CAST(s.community_size AS BIGINT)
+         AS community_size
+FROM l{rounds} l JOIN sizes s USING (label)
+ORDER BY node"""
+    )
+
+
+LPA_SQL = _lpa_sql(4)
+
+
 def _kcore_sql(k: int, rounds: int) -> str:
     """Oracle generator mirroring kcore round for round. MATERIALIZED
     breaks DuckDB's CTE inlining — each round references its
@@ -7581,6 +7687,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq_refined_topk": ann_pq_refined_topk,
     "psi_drift_events": psi_drift_events,
     "ols_trend_events": ols_trend_events,
+    "char_entropy_docs": char_entropy_docs,
+    "label_propagation_copurchase": label_propagation_copurchase,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -7773,6 +7881,8 @@ ORACLES: dict[str, str] = {
     "ks_drift_events": KS_DRIFT_SQL,
     "psi_drift_events": PSI_DRIFT_SQL,
     "ols_trend_events": OLS_TREND_SQL,
+    "char_entropy_docs": CHAR_ENTROPY_SQL,
+    "label_propagation_copurchase": LPA_SQL,
     "triangle_count_copurchase": TRIANGLE_SQL,
     "hybrid_retrieval_rrf": HYBRID_RRF_SQL,
     "record_linkage_customers": RECORD_LINKAGE_SQL,
@@ -7924,6 +8034,7 @@ EAGER_QUERIES = (
     "theta_sketch_orders",
     # per-round localCheckpoint at plan construction (3^rounds lineage guard)
     "kcore_copurchase",
+    "label_propagation_copurchase",
     "adaptive_join_strategies",
     "ann_pq_topk",
     "ann_pq_refined_topk",

@@ -1,0 +1,57 @@
+"""label_propagation and char_entropy unit tests (round-8 additions)."""
+import math
+
+from spark_skew_join_spark.operators.pagerank import label_propagation
+from spark_skew_join_spark.operators.quality import char_entropy
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    # two 4-cliques joined by one bridge edge: communities must be the
+    # cliques, each labeled by its smallest member
+    c1 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges = spark.createDataFrame(
+        c1 + c2 + [(4, 10)], "src bigint, dst bigint"
+    )
+    out = {r["node"]: (r["label"], r["community_size"])
+           for r in label_propagation(edges, rounds=4).collect()}
+    assert len(out) == 8
+    assert {out[n][0] for n in (1, 2, 3)} == {1}
+    assert {out[n][0] for n in (11, 12, 13)} == {10}
+
+
+def test_lpa_deterministic_tiebreak_smallest_label(spark):
+    # star: center 5 sees leaves {1,2,3} once each -> tie -> label 1
+    edges = spark.createDataFrame(
+        [(5, 1), (5, 2), (5, 3)], "src bigint, dst bigint"
+    )
+    out = {r["node"]: r["label"]
+           for r in label_propagation(edges, rounds=1).collect()}
+    assert out[5] == 1
+    # each leaf's only neighbor is 5
+    assert out[1] == out[2] == out[3] == 5
+
+
+def test_lpa_rejects_bad_rounds(spark):
+    import pytest
+
+    edges = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    with pytest.raises(ValueError):
+        label_propagation(edges, rounds=0)
+
+
+def test_char_entropy_known_values(spark):
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+    assert out[1]["entropy_bits"] == 0.0 and out[1]["n_chars"] == 4
+    assert out[2]["entropy_bits"] == 1.0  # two equiprobable symbols
+    assert out[3]["entropy_bits"] == 2.0  # four equiprobable symbols
+    assert out[4]["n_chars"] == 0 and out[4]["entropy_bits"] == 0.0
+    # a skewed distribution: 3 a's + 1 b
+    docs2 = spark.createDataFrame([(9, "aaab")], "doc_id bigint, text string")
+    r = char_entropy(docs2).collect()[0]
+    expect = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
+    assert r["entropy_bits"] == round(expect, 6)
