@@ -267,3 +267,40 @@ def zorder_bucket_stats(
         keyed.groupBy(bucket.alias("bucket"))
         .agg(*aggs)
     )
+
+
+def range_split_points(
+    df: DataFrame,
+    col: str,
+    n_partitions: int,
+) -> DataFrame:
+    """Equi-height range-partition boundaries for ``col``: the EXACT
+    (n_partitions − 1) interior percentiles that split the data into
+    partitions of equal row count — what a 100 TB sorted write / range
+    layout plans with BEFORE shuffling anything (Spark's own
+    repartitionByRange samples; this is the exact, auditable version
+    for when partition balance is a contract, e.g. shard manifests).
+
+    One aggregation pass: ``percentile(col, array(1/n .. (n-1)/n))``
+    (exact sort-based interpolation, engine-stable) plus min/max and
+    the row count, exploded to one row per boundary.  Replays in SQL
+    via quantile_cont.
+
+    Output: (split_idx, lower_pct, boundary) for idx 1..n-1, where
+    boundary = the exact percentile at idx/n, rounded to 6.
+    """
+    if n_partitions < 2:
+        raise ValueError("n_partitions must be >= 2")
+    qs = [i / n_partitions for i in range(1, n_partitions)]
+    qlit = ", ".join(repr(q) for q in qs)
+    agg = df.where(F.col(col).isNotNull()).agg(
+        F.expr(f"percentile({col}, array({qlit}))").alias("bs")
+    )
+    return agg.select(
+        F.posexplode("bs").alias("i", "b")
+    ).select(
+        (F.col("i") + 1).cast("int").alias("split_idx"),
+        F.round((F.col("i") + 1) / F.lit(float(n_partitions)), 6)
+        .alias("lower_pct"),
+        F.round("b", 6).alias("boundary"),
+    )

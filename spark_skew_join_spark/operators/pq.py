@@ -301,3 +301,151 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 16,
+    ks: int = 32,
+    sample_size: int = 2048,
+    kmeans_iters: int = 5,
+    refine_with: DataFrame | None = None,
+    refine_factor: int = 4,
+    max_queries: int = 65536,
+) -> DataFrame:
+    """IVF-PQ: the production ANN layout (Jégou et al. §VI; what FAISS
+    IndexIVFPQ runs) — an inverted-file restriction picks n_probe of
+    n_centroids lists per query, then PQ asymmetric-distance scores
+    ONLY those lists' code rows, optionally exact-refining the top
+    k·refine_factor.
+
+    Spark shape — and unlike ``pq_topk``'s numpy scorer, the ADC here
+    is PURE CODEGEN: per-query LUTs land in a broadcast (query_id,
+    flattened m·ks lut) DataFrame and the score is an ``aggregate``
+    HOF of ``element_at`` gathers, so the scoring stage is a
+    BroadcastHashJoin + whole-stage-codegen projection with zero
+    Python in the per-row path. Corpus vectors shuffle once onto
+    their centroid id (the persistable list layout); each query
+    touches ~n_probe/n_centroids of the corpus.
+
+    Query side is collected under the same ``max_queries`` fail-fast
+    cap as pq_topk. Output: (query_id, neighbor_id, rank). Approximate
+    by construction (rows-only oracle posture); with n_probe =
+    n_centroids the ADC ranking equals pq_topk's exactly (pinned in
+    tests).
+    """
+    from .similarity import _centroid_sims, _cos, _fit_centroids
+
+    if not 1 <= n_probe <= n_centroids:
+        raise ValueError("need 1 <= n_probe <= n_centroids")
+    spark = corpus.sparkSession
+    centroids = _fit_centroids(
+        corpus, id_col, vec_col, n_centroids, sample_size, kmeans_iters
+    )
+    books = train_pq(corpus, id_col, vec_col, m=m, ks=ks,
+                     sample_size=sample_size)
+    import numpy as np
+
+    cents = [np.asarray(b, dtype=np.float64) for b in books]
+    sub = cents[0].shape[1]
+
+    # corpus: PQ codes + centroid assignment (both codegen-side inputs)
+    c_sims = F.array(*_centroid_sims(vec_col, centroids))
+    assign = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        (F.array_position(c_sims, F.array_max(c_sims)) - 1)
+        .cast("int").alias("centroid_id"),
+    )
+    codes = encode_pq(corpus, books, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    ).join(assign, "neighbor_id")
+
+    # queries: bounded collect -> flattened LUT rows + probe lists
+    qrows = (
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"ivfpq_topk: query side exceeds max_queries={max_queries}"
+        )
+    if not qrows:
+        raise ValueError("ivfpq_topk: queries DataFrame is empty")
+    cent_mat = np.asarray(centroids, dtype=np.float64)
+    cent_norm = cent_mat / np.maximum(
+        np.linalg.norm(cent_mat, axis=1, keepdims=True), 1e-12
+    )
+    lut_rows = []
+    for r in qrows:
+        q = np.asarray(r.qv, dtype=np.float64)
+        qn = q / max(np.linalg.norm(q), 1e-12)
+        lut = np.concatenate(
+            [cents[j] @ qn[j * sub:(j + 1) * sub] for j in range(m)]
+        )
+        sims = cent_norm @ qn
+        probes = np.lexsort((np.arange(n_centroids), -sims))[:n_probe]
+        for cid in probes:
+            lut_rows.append((int(r.qid), int(cid),
+                             [float(v) for v in lut]))
+    ql = spark.createDataFrame(
+        lut_rows, "query_id long, centroid_id int, __lut array<double>"
+    )
+
+    # ADC: one broadcast equi-join on the probed list + a codegen fold
+    score = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc + F.element_at(
+            F.col("__lut"),
+            (j * ks + F.element_at(F.col("codes"), (j + 1).cast("int"))
+             + 1).cast("int"),
+        ),
+    )
+    scored = (
+        codes.join(F.broadcast(ql), "centroid_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", score.alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    if refine_with is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.col("rank").cast("int").alias("rank"))
+        )
+    cand = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k * refine_factor)
+        .select("query_id", "neighbor_id")
+    )
+    nvec = refine_with.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    exact = (
+        cand.join(nvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select("query_id", "neighbor_id",
+                _cos("__qv", "__cv", None).alias("sim"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.col("rank").cast("int").alias("rank"))
+    )

@@ -3287,6 +3287,27 @@ def ann_pq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (operators/pq.py::ivfpq_topk — the FAISS IndexIVFPQ
+    layout): inverted-file restriction (8 of 16 lists) + PURE-CODEGEN
+    asymmetric-distance scoring (broadcast LUT DataFrame + aggregate/
+    element_at fold — zero Python per candidate) + exact refine of the
+    top 4k.  Rows-only oracle like LSH/IVF/PQ (approximate by
+    construction); n_probe=n_centroids equality with pq_topk and
+    full-coverage recall 1.0 are pinned in tests/test_pq.py.  Eager
+    (centroid/codebook training collects at construction) →
+    EAGER_QUERIES."""
+    from .operators.pq import ivfpq_topk
+
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    return ivfpq_topk(
+        e, e.where(F.col("vec_id") < 5), k=10,
+        n_centroids=16, n_probe=8, m=16, ks=32,
+        refine_with=e, refine_factor=4,
+    )
+
+
 def skew_join_cms_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     """skew_join with the CMS estimator — same oracle as the exact path."""
     t = load_tables(spark, sf_dir)
@@ -7500,6 +7521,34 @@ def label_propagation_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges, "src", "dst", rounds=4).orderBy("node")
 
 
+def range_split_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-height range-partition boundaries for
+    orders.o_totalprice into 16 partitions
+    (operators/layout.py::range_split_points) — the auditable version
+    of repartitionByRange's sampled splits, one exact-percentile
+    aggregation pass. EXACT vs quantile_cont in SQL (same linear
+    interpolation), boundaries rounded to 6."""
+    from .operators.layout import range_split_points
+
+    t = load_tables(spark, sf_dir)
+    return range_split_points(t["orders"], "o_totalprice", 16)
+
+
+RANGE_SPLIT_SQL = """
+WITH b AS (
+  SELECT quantile_cont(o_totalprice,
+           [0.0625, 0.125, 0.1875, 0.25, 0.3125, 0.375, 0.4375, 0.5,
+            0.5625, 0.625, 0.6875, 0.75, 0.8125, 0.875, 0.9375]) AS bs
+  FROM orders WHERE o_totalprice IS NOT NULL
+)
+SELECT CAST(i AS INT) AS split_idx,
+       ROUND(i / 16.0, 6) AS lower_pct,
+       ROUND(bs[i], 6) AS boundary
+FROM b, UNNEST(range(1, 16)) AS t(i)
+ORDER BY split_idx
+"""
+
+
 def _lpa_sql(rounds: int) -> str:
     """Oracle generator mirroring label_propagation round for round
     (MATERIALIZED per round — each round references its predecessor
@@ -7689,6 +7738,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ols_trend_events": ols_trend_events,
     "char_entropy_docs": char_entropy_docs,
     "label_propagation_copurchase": label_propagation_copurchase,
+    "range_split_orders": range_split_orders,
+    "ann_ivfpq_topk": ann_ivfpq_topk,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -7883,6 +7934,7 @@ ORACLES: dict[str, str] = {
     "ols_trend_events": OLS_TREND_SQL,
     "char_entropy_docs": CHAR_ENTROPY_SQL,
     "label_propagation_copurchase": LPA_SQL,
+    "range_split_orders": RANGE_SPLIT_SQL,
     "triangle_count_copurchase": TRIANGLE_SQL,
     "hybrid_retrieval_rrf": HYBRID_RRF_SQL,
     "record_linkage_customers": RECORD_LINKAGE_SQL,
@@ -8038,6 +8090,7 @@ EAGER_QUERIES = (
     "adaptive_join_strategies",
     "ann_pq_topk",
     "ann_pq_refined_topk",
+    "ann_ivfpq_topk",
     "bpe_train_docs",
     "bpe_tokenize_docs",
     "cluster_split_docs",

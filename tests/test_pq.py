@@ -141,3 +141,66 @@ def test_query_cap_and_chunked_luts(spark):
     with pytest.raises(ValueError, match="max_queries"):
         pq_topk(codes, queries, books, k=5, max_queries=4)
     codes.unpersist()
+
+
+def _synth_corpus(spark, n=80, dim=16):
+    rows = [(i, [float(((i * 37 + j * 11) % 17) - 8) for j in range(dim)])
+            for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivfpq_full_probe_equals_pq_adc(spark):
+    """With n_probe = n_centroids the IVF restriction is a no-op, so the
+    codegen ADC ranking must equal pq_topk's numpy ADC ranking exactly
+    (same deterministic codebooks, same tie-break)."""
+    from spark_skew_join_spark.operators.pq import (
+        encode_pq, ivfpq_topk, pq_topk, train_pq,
+    )
+
+    corpus = _synth_corpus(spark)
+    queries = corpus.where("vec_id < 6")
+    got = ivfpq_topk(
+        corpus, queries, k=5, n_centroids=4, n_probe=4, m=4, ks=8,
+        sample_size=80,
+    )
+    books = train_pq(corpus, m=4, ks=8, sample_size=80)
+    codes = encode_pq(corpus, books)
+    want = pq_topk(codes, queries, books, k=5)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_ivfpq_plan_is_codegen_no_python_scoring(spark):
+    """The ADC scoring stage must stay JVM-side: the only Python in the
+    plan is the corpus ENCODING mapInPandas, never a per-candidate
+    scorer — the executed plan has exactly one Python eval node."""
+    from spark_skew_join_spark.operators.pq import ivfpq_topk
+
+    corpus = _synth_corpus(spark)
+    out = ivfpq_topk(corpus, corpus.where("vec_id < 3"), k=5,
+                     n_centroids=4, n_probe=2, m=4, ks=8, sample_size=80)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1  # encode_pq only
+
+
+def test_ivfpq_refined_recall_and_caps(spark):
+    import pytest
+
+    from spark_skew_join_spark.operators.pq import ivfpq_topk
+    from spark_skew_join_spark.operators.similarity import cosine_topk
+
+    corpus = _synth_corpus(spark)
+    queries = corpus.where("vec_id < 6")
+    got = ivfpq_topk(corpus, queries, k=5, n_centroids=4, n_probe=4,
+                     m=4, ks=8, sample_size=80,
+                     refine_with=corpus, refine_factor=16)
+    brute = cosine_topk(corpus, queries, k=5, dim=16)
+    g = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+    b = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    assert len(g & b) / len(b) == 1.0  # full probe + wide refine = recall 1
+
+    with pytest.raises(ValueError, match="max_queries"):
+        ivfpq_topk(corpus, queries, k=5, n_centroids=4, n_probe=2,
+                   m=4, ks=8, sample_size=80, max_queries=3)
+    with pytest.raises(ValueError, match="n_probe"):
+        ivfpq_topk(corpus, queries, k=5, n_centroids=4, n_probe=9,
+                   m=4, ks=8, sample_size=80)

@@ -205,3 +205,28 @@ def test_hilbert_approx_default_no_window_no_python(spark):
     assert "WindowExec" not in plan and "Window" not in plan, plan[:2000]
     assert "EvalPython" not in plan and "MapInPandas" not in plan, plan[:2000]
     assert keyed.count() == 5_000
+
+
+def test_range_split_points_exact_quartiles(spark):
+    """n=4 over 0..99: splits at exact 25/50/75th percentiles of the
+    linear-interpolation definition (rank q*(n-1))."""
+    from spark_skew_join_spark.operators.layout import range_split_points
+
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    out = {r["split_idx"]: r for r in range_split_points(df, "v", 4).collect()}
+    assert len(out) == 3
+    # numpy-style linear interpolation on 0..99: q*(100-1)
+    assert out[1]["boundary"] == round(0.25 * 99, 6)
+    assert out[2]["boundary"] == round(0.50 * 99, 6)
+    assert out[3]["boundary"] == round(0.75 * 99, 6)
+    assert out[1]["lower_pct"] == 0.25
+
+
+def test_range_split_points_rejects_bad_n(spark):
+    import pytest
+
+    from spark_skew_join_spark.operators.layout import range_split_points
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError):
+        range_split_points(df, "v", 1)
