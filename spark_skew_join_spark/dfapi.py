@@ -238,6 +238,49 @@ def _canonicalize_urls(self: DataFrame, url_col: str,
     return self.withColumn(out_col, canonicalize_url(url_col))
 
 
+def _psi_drift(self: DataFrame, candidate: DataFrame, key_col: str,
+               value_col: str, **kwargs) -> DataFrame:
+    from .operators.profile import psi_drift
+
+    return psi_drift(self, candidate, key_col, value_col, **kwargs)
+
+
+def _ols_trend(self: DataFrame, key_col: str, x_col: str,
+               y_col: str) -> DataFrame:
+    from .operators.timeseries import ols_trend
+
+    return ols_trend(self, key_col, x_col, y_col)
+
+
+def _char_entropy(self: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    from .operators.quality import char_entropy
+
+    return char_entropy(self, id_col, text_col)
+
+
+def _label_propagation(self: DataFrame, src_col: str = "src",
+                       dst_col: str = "dst", rounds: int = 5) -> DataFrame:
+    from .operators.pagerank import label_propagation
+
+    return label_propagation(self, src_col, dst_col, rounds)
+
+
+def _chunk_documents(self: DataFrame, chunk_tokens: int = 128,
+                     overlap: int = 32, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    from .functions.text import chunk_documents
+
+    return chunk_documents(self, chunk_tokens, overlap, id_col, text_col)
+
+
+def _range_split_points(self: DataFrame, col: str,
+                        n_partitions: int) -> DataFrame:
+    from .operators.layout import range_split_points
+
+    return range_split_points(self, col, n_partitions)
+
+
 def register_dataframe_api() -> None:
     """Attach the reference-parity method surface to DataFrame (idempotent).
     The extension operators ride along so a reference user migrating to
@@ -277,6 +320,12 @@ def register_dataframe_api() -> None:
         canonicalize_urls=_canonicalize_urls,
         dhash_images=_dhash_images,
         phash_near_dup=_phash_near_dup,
+        psi_drift=_psi_drift,
+        ols_trend=_ols_trend,
+        char_entropy=_char_entropy,
+        label_propagation=_label_propagation,
+        chunk_documents=_chunk_documents,
+        range_split_points=_range_split_points,
     )
     for name, fn in _METHODS.items():
         setattr(DataFrame, name, fn)

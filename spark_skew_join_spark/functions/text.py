@@ -178,3 +178,72 @@ def canonicalize_url(url: Column | str) -> Column:
         F.size(params) > 0, F.concat(F.lit("?"), F.concat_ws("&", params))
     ).otherwise(F.lit(""))
     return F.concat(scheme, F.lit("://"), host, path, qs)
+
+
+def chunk_documents(
+    docs,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Split documents into OVERLAPPING token-window chunks — the RAG /
+    embedding-pipeline primitive (context windows bound what an encoder
+    sees; overlap keeps boundary sentences retrievable from both
+    sides).  Stride = chunk_tokens − overlap; the final window is the
+    remainder (never empty, never duplicated: a doc shorter than one
+    chunk yields exactly one chunk).
+
+    Pure codegen: whitespace split → a generated sequence of window
+    starts → slice + concat_ws per window — no Python, no shuffle (the
+    explode is map-side; downstream groupBys shuffle chunk rows, which
+    is the point: chunks are the unit of work from here on).  Replays
+    in SQL via list slicing, so chunk text itself is EXACT-checkable.
+
+    Output: (id, chunk_idx, start_token, n_tokens, chunk_text).
+    """
+    from pyspark.sql import functions as F
+
+    if chunk_tokens < 1 or not 0 <= overlap < chunk_tokens:
+        raise ValueError("need chunk_tokens >= 1 and 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda x: x != ""
+    )
+    n = F.size("__toks")
+    # window starts: 1, 1+stride, ... while start <= n - overlap (so the
+    # last window reaches the end); a doc with n <= chunk_tokens gets
+    # exactly one start
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"), F.lit(1)
+    )
+    starts = F.sequence(F.lit(0), n_chunks - 1)
+    return (
+        docs.select(F.col(id_col), toks.alias("__toks"))
+        .where(F.size("__toks") > 0)
+        .select(
+            id_col,
+            F.size("__toks").alias("__n"),
+            F.explode(
+                F.transform(
+                    starts,
+                    lambda i: F.struct(
+                        i.cast("int").alias("idx"),
+                        (i * stride + 1).cast("int").alias("start"),
+                    ),
+                )
+            ).alias("__w"),
+            F.col("__toks"),
+        )
+        .select(
+            id_col,
+            F.col("__w.idx").alias("chunk_idx"),
+            F.col("__w.start").alias("start_token"),
+            F.least(
+                F.lit(chunk_tokens), F.col("__n") - F.col("__w.start") + 1
+            ).alias("n_tokens"),
+            F.concat_ws(
+                " ", F.slice("__toks", F.col("__w.start"), F.lit(chunk_tokens))
+            ).alias("chunk_text"),
+        )
+    )

@@ -2619,6 +2619,43 @@ ORDER BY d.doc_id
 """
 
 
+def chunk_docs_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking
+    (functions/text.py::chunk_documents — the RAG/embedding primitive):
+    12-token windows, 4-token overlap, final window = remainder.  Pure
+    codegen (split → generated starts → slice/concat_ws, no Python);
+    the oracle replays the window grid and the chunk TEXT itself via
+    DuckDB list slicing, so boundaries are EXACT-checked byte-for-byte."""
+    from .functions.text import chunk_documents
+
+    t = load_tables(spark, sf_dir)
+    return chunk_documents(
+        t["documents"], chunk_tokens=12, overlap=4
+    ).orderBy("doc_id", "chunk_idx")
+
+
+CHUNK_DOCS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+base AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+w AS (
+  SELECT doc_id, n, t, i AS chunk_idx, i * 8 + 1 AS start
+  FROM base,
+       UNNEST(range(0, GREATEST(
+         CAST(CEIL((n - 4) / CAST(8 AS DOUBLE)) AS INT), 1))) AS u(i)
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(start AS INT) AS start_token,
+       CAST(LEAST(12, n - start + 1) AS INT) AS n_tokens,
+       array_to_string(t[start:start + 11], ' ') AS chunk_text
+FROM w ORDER BY doc_id, chunk_idx
+"""
+
+
 def cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type one-sided CUSUM change detection over the first 300
     events (operators/timeseries.py::cusum_scan — Page 1954): target is
@@ -7740,6 +7777,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_propagation_copurchase": label_propagation_copurchase,
     "range_split_orders": range_split_orders,
     "ann_ivfpq_topk": ann_ivfpq_topk,
+    "chunk_docs_windows": chunk_docs_windows,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -7935,6 +7973,7 @@ ORACLES: dict[str, str] = {
     "char_entropy_docs": CHAR_ENTROPY_SQL,
     "label_propagation_copurchase": LPA_SQL,
     "range_split_orders": RANGE_SPLIT_SQL,
+    "chunk_docs_windows": CHUNK_DOCS_SQL,
     "triangle_count_copurchase": TRIANGLE_SQL,
     "hybrid_retrieval_rrf": HYBRID_RRF_SQL,
     "record_linkage_customers": RECORD_LINKAGE_SQL,

@@ -304,3 +304,30 @@ def test_compact_parquet_refuses_stale_backup(spark, tmp_path):
     os.makedirs(path + "_pre_compact")
     with pytest.raises(RuntimeError, match="_pre_compact"):
         compact_parquet(spark, path, target_bytes=1 << 30)
+
+
+def test_dfapi_round8_methods_attach_and_run(spark):
+    """The six round-8 dfapi methods exist and return working plans."""
+    from spark_skew_join_spark.dfapi import register_dataframe_api
+
+    register_dataframe_api()
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a a a a")], "doc_id bigint, text string"
+    )
+    assert docs.char_entropy().count() == 2
+    assert docs.chunk_documents(chunk_tokens=4, overlap=1).count() >= 2
+    vals = spark.createDataFrame(
+        [("k", float(i)) for i in range(40)], "g string, v double"
+    )
+    assert vals.psi_drift(vals, "g", "v").collect()[0]["psi"] == 0.0
+    pts = spark.createDataFrame(
+        [("k", float(i), 2.0 * i) for i in range(10)],
+        "g string, x double, y double",
+    )
+    assert pts.ols_trend("g", "x", "y").collect()[0]["slope"] == 2.0
+    assert vals.range_split_points("v", 4).count() == 3
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src bigint, dst bigint"
+    )
+    lp = edges.label_propagation(rounds=2).collect()
+    assert {r["label"] for r in lp} == {1}

@@ -55,3 +55,49 @@ def test_char_entropy_known_values(spark):
     r = char_entropy(docs2).collect()[0]
     expect = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
     assert r["entropy_bits"] == round(expect, 6)
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    from spark_skew_join_spark.functions.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(20))),  # 20 toks
+            (2, "a b c"),                               # shorter than chunk
+            (3, ""),                                    # empty -> no rows
+            (4, " ".join(f"x{i}" for i in range(12))),  # exactly one chunk
+        ],
+        "doc_id bigint, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=12, overlap=4)
+    rows = {(r["doc_id"], r["chunk_idx"]): r for r in out.collect()}
+    # doc 1: stride 8 -> starts 1, 9 (ceil((20-4)/8)=2 chunks)
+    assert {k for k in rows if k[0] == 1} == {(1, 0), (1, 1)}
+    assert rows[(1, 0)]["start_token"] == 1 and rows[(1, 0)]["n_tokens"] == 12
+    assert rows[(1, 1)]["start_token"] == 9 and rows[(1, 1)]["n_tokens"] == 12
+    assert rows[(1, 0)]["chunk_text"].split()[:2] == ["t0", "t1"]
+    assert rows[(1, 1)]["chunk_text"].split()[0] == "t8"  # 4-token overlap
+    # doc 2: one short chunk
+    assert rows[(2, 0)]["n_tokens"] == 3 and rows[(2, 0)]["chunk_text"] == "a b c"
+    # doc 3 absent, doc 4 exactly one full chunk
+    assert not any(k[0] == 3 for k in rows)
+    assert {k for k in rows if k[0] == 4} == {(4, 0)}
+    # every token of doc 1 is covered by some chunk
+    covered = set()
+    for k, r in rows.items():
+        if k[0] == 1:
+            covered |= set(range(r["start_token"],
+                                 r["start_token"] + r["n_tokens"]))
+    assert covered == set(range(1, 21))
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    import pytest
+
+    from spark_skew_join_spark.functions.text import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=8, overlap=8)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=0, overlap=0)
