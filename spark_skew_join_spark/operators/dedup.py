@@ -47,6 +47,25 @@ _CACHED_BANDS: list[DataFrame] = []
 _SPILL_TABLES: list[tuple] = []  # (SparkSession, table_name)
 _SPILL_THRESHOLD_BYTES = 4 << 30  # ~4 GiB of input scan → table mode
 _SPILL_SEQ = [0]
+_SPILL_TOKEN = __import__("uuid").uuid4().hex[:8]
+
+
+def _drop_orphan_location(spark, name: str) -> None:
+    """Delete a leftover managed-table directory for ``name`` (a killed
+    session drops nothing — saveAsTable then fails with
+    LOCATION_ALREADY_EXISTS even though the catalog has no such table)."""
+    try:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).replace("file:", "")
+        p = jvm.org.apache.hadoop.fs.Path(f"{wh}/{name.lower()}")
+        fs = p.getFileSystem(conf)
+        if fs.exists(p):
+            fs.delete(p, True)
+    except Exception:  # best-effort — saveAsTable will surface real errors
+        pass
 
 
 def _plan_size_estimate(df: DataFrame) -> int:
@@ -66,7 +85,14 @@ def _session_cache(df: DataFrame, mode=True) -> DataFrame:
     if mode == "table":
         spark = df.sparkSession
         _SPILL_SEQ[0] += 1
-        name = f"__sgsj_spill_{_SPILL_SEQ[0]}"
+        # process-unique name: a KILLED session can never drop its spill
+        # tables (the in-memory catalog dies with it, leaving orphaned
+        # warehouse directories), and a fixed name then fails every
+        # later session with LOCATION_ALREADY_EXISTS. Uniqueness avoids
+        # the collision; the defensive drop clears a same-name orphan.
+        name = f"__sgsj_spill_{_SPILL_TOKEN}_{_SPILL_SEQ[0]}"
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        _drop_orphan_location(spark, name)
         df.write.mode("overwrite").saveAsTable(name)
         _SPILL_TABLES.append((spark, name))
         return spark.table(name)

@@ -414,3 +414,70 @@ def psi_drift(
             (F.col("psi") >= F.lit(float(threshold))).alias("drift"),
         )
     )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    weight_col: str,
+    qs: list[float] = (0.5, 0.9),
+) -> DataFrame:
+    """Per-key EXACT weighted quantiles under the inverted-CDF
+    definition: the q-quantile is the smallest value whose cumulative
+    weight reaches q · total_weight — the estimator a sampling /
+    token-budget pipeline needs when rows carry unequal mass (docs
+    weighted by token count, orders by quantity) and "the median
+    document" must mean the median TOKEN, not the median row.  No
+    interpolation → deterministic and byte-replayable in SQL.
+
+    Shape: weights collapse onto distinct (key, value) first (ties
+    merged map-side), ONE cumulative window per key over that distinct
+    set, then every requested q reads off the same cumulative column —
+    the per-key sort cost is paid once regardless of len(qs).
+
+    Output: (key, q, value, total_weight), one row per key × q.
+    """
+    if not qs or any(not 0.0 < q <= 1.0 for q in qs):
+        raise ValueError("each q must be in (0, 1]")
+    vals = (
+        df.where(F.col(value_col).isNotNull() & F.col(weight_col).isNotNull())
+        .groupBy(F.col(key_col).alias("__k"), F.col(value_col).alias("__v"))
+        .agg(F.sum(F.col(weight_col).cast("double")).alias("__w"))
+    )
+    wspec = (
+        Window.partitionBy("__k")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = vals.select(
+        "__k", "__v",
+        F.sum("__w").over(wspec).alias("__cw"),
+        F.sum("__w").over(Window.partitionBy("__k")).alias("__tw"),
+    )
+    # all requested quantiles read off the cumulative column in ONE
+    # aggregation (a per-q filter+union would re-run the window per q)
+    aggs = [
+        F.min(
+            F.when(F.col("__cw") >= F.lit(float(q)) * F.col("__tw"),
+                   F.col("__v"))
+        ).alias(f"__q{i}")
+        for i, q in enumerate(qs)
+    ] + [F.round(F.max("__tw"), 6).alias("total_weight")]
+    one = cum.groupBy("__k").agg(*aggs)
+    stacked = one.select(
+        "__k", "total_weight",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(float(q)).alias("q"),
+                    F.col(f"__q{i}").alias("value"),
+                )
+                for i, q in enumerate(qs)
+            ])
+        ).alias("__s"),
+    )
+    return stacked.select(
+        F.col("__k").alias(key_col), F.col("__s.q").alias("q"),
+        F.col("__s.value").alias("value"), "total_weight",
+    )

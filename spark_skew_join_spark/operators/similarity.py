@@ -324,3 +324,59 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int | None = None,
+) -> DataFrame:
+    """Hard-negative mining for retriever/contrastive training: for
+    every anchor, the top-``k`` most-similar corpus vectors whose
+    ``label_col`` DIFFERS from the anchor's — the highest-loss
+    negatives, exactly the rows a contrastive batch wants (random
+    negatives are trivially separable; the near-misses carry the
+    gradient).
+
+    Shape: broadcast anchors × corpus with the label-mismatch filter
+    BEFORE scoring (same-label rows never cost a dot product), codegen
+    cosine when ``dim`` is given, per-anchor window cut.  Exact by
+    construction — swap the crossJoin for an LSH/IVF candidate join
+    (``lsh_topk``/``ivf_topk`` shapes) when the anchor set × corpus
+    product stops fitting the cluster; the mining semantics are
+    unchanged because the filter and cut commute with candidate
+    restriction.
+
+    Output: (query_id, query_label, neighbor_id, neighbor_label, rank).
+    """
+    q = anchors.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.col(label_col).alias("query_label"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(~F.col("neighbor_label").eqNullSafe(F.col("query_label")))
+        .select(
+            "query_id", "query_label", "neighbor_id", "neighbor_label",
+            _cos("__qv", "__cv", dim).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "query_label", "neighbor_id", "neighbor_label",
+                F.col("rank").cast("int").alias("rank"))
+    )

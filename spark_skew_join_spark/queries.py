@@ -3345,6 +3345,96 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.py::hard_negatives):
+    for 5 anchors, the top-10 most-cosine-similar vectors with a
+    DIFFERENT class label (the embeddings table's own label column) —
+    the contrastive-training batch builder.  The oracle replays cosine,
+    the null-safe label-mismatch filter, and the cut, so the mined set
+    is EXACT-checked."""
+    from .operators.similarity import hard_negatives
+
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    return hard_negatives(e, e.where(F.col("vec_id") < 5), k=10, dim=64)
+
+
+HARD_NEGATIVES_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev,
+         label
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, ev AS qe, label AS query_label
+      FROM v WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, q.query_label, v.vec_id AS neighbor_id,
+         v.label AS neighbor_label,
+         CASE WHEN sqrt(list_sum(list_transform(q.qe, x -> x * x))) = 0
+                OR sqrt(list_sum(list_transform(v.ev, x -> x * x))) = 0
+              THEN 0.0
+              ELSE list_sum(list_transform(list_zip(q.qe, v.ev),
+                                           s -> s[1] * s[2]))
+                   / (sqrt(list_sum(list_transform(q.qe, x -> x * x)))
+                      * sqrt(list_sum(list_transform(v.ev, x -> x * x))))
+         END AS sim
+  FROM v CROSS JOIN q
+  WHERE v.label IS DISTINCT FROM q.query_label
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label, rank FROM (
+  SELECT query_id, query_label, neighbor_id, neighbor_label,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id) AS INT)
+           AS rank
+  FROM scored) x
+WHERE rank <= 10
+"""
+
+
+def weighted_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag quantity-weighted price quantiles
+    (operators/profile.py::weighted_quantiles, inverted-CDF): the
+    median/p90 DOLLAR-OF-QUANTITY price, not the median row — one
+    cumulative window per key serves every q.  No interpolation, so
+    the oracle replays it byte-for-byte."""
+    from .operators.profile import weighted_quantiles
+
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("double").alias("price"),
+        "l_quantity",
+    )
+    return weighted_quantiles(
+        li, "l_returnflag", "price", "l_quantity", qs=[0.25, 0.5, 0.9]
+    ).orderBy("l_returnflag", "q")
+
+
+WEIGHTED_QUANTILES_SQL = """
+WITH vals AS (
+  SELECT l_returnflag AS k, CAST(l_extendedprice AS DOUBLE) AS v,
+         SUM(CAST(l_quantity AS DOUBLE)) AS w
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT k, v,
+         SUM(w) OVER (PARTITION BY k ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(w) OVER (PARTITION BY k) AS tw
+  FROM vals
+),
+qs AS (SELECT CAST(UNNEST([0.25, 0.5, 0.9]) AS DOUBLE) AS q)
+SELECT cum.k AS l_returnflag, qs.q,
+       MIN(CASE WHEN cw >= q * tw THEN v END) AS value,
+       ROUND(MAX(tw), 6) AS total_weight
+FROM cum CROSS JOIN qs
+GROUP BY 1, 2
+ORDER BY l_returnflag, q
+"""
+
+
 def skew_join_cms_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     """skew_join with the CMS estimator — same oracle as the exact path."""
     t = load_tables(spark, sf_dir)
@@ -7778,6 +7868,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_split_orders": range_split_orders,
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "chunk_docs_windows": chunk_docs_windows,
+    "hard_negatives_embeddings": hard_negatives_embeddings,
+    "weighted_quantiles_lineitem": weighted_quantiles_lineitem,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -7974,6 +8066,8 @@ ORACLES: dict[str, str] = {
     "label_propagation_copurchase": LPA_SQL,
     "range_split_orders": RANGE_SPLIT_SQL,
     "chunk_docs_windows": CHUNK_DOCS_SQL,
+    "hard_negatives_embeddings": HARD_NEGATIVES_SQL,
+    "weighted_quantiles_lineitem": WEIGHTED_QUANTILES_SQL,
     "triangle_count_copurchase": TRIANGLE_SQL,
     "hybrid_retrieval_rrf": HYBRID_RRF_SQL,
     "record_linkage_customers": RECORD_LINKAGE_SQL,

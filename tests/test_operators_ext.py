@@ -609,3 +609,30 @@ def test_real_bmp_resize_through_spark(spark):
     yi = (np.arange(4) * 10 // 4).clip(0, 9)
     xi = (np.arange(5) * 20 // 5).clip(0, 19)
     assert np.array_equal(resized, arr[yi][:, xi])
+
+
+def test_spill_orphan_location_recovery(spark, tmp_path):
+    """A killed session leaves managed-table directories no later
+    session can drop via the catalog; _session_cache must clear the
+    orphan instead of dying with LOCATION_ALREADY_EXISTS."""
+    import os
+
+    from spark_skew_join_spark.operators.dedup import (
+        _SPILL_SEQ, _SPILL_TOKEN, _drop_orphan_location, _session_cache,
+        clear_band_cache,
+    )
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    orphan_name = f"__sgsj_spill_{_SPILL_TOKEN}_{_SPILL_SEQ[0] + 1}"
+    orphan_dir = os.path.join(wh, orphan_name.lower())
+    os.makedirs(orphan_dir, exist_ok=True)
+    with open(os.path.join(orphan_dir, "junk"), "w") as f:
+        f.write("stale")
+    df = spark.range(10).selectExpr("id", "id * 2 AS v")
+    out = _session_cache(df, "table")  # must not raise
+    assert out.count() == 10
+    clear_band_cache()
+    assert not os.path.exists(orphan_dir)
+
+    # the helper is safe on a nonexistent path too
+    _drop_orphan_location(spark, "__sgsj_spill_nonexistent_999")

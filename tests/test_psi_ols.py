@@ -102,3 +102,74 @@ def test_ols_degenerate_keys(spark):
     assert v["slope"] is None and v["intercept"] is None and v["r2"] is None
     f = got["flat"]
     assert f["slope"] == 0.0 and f["intercept"] == 7.0 and f["r2"] is None
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from spark_skew_join_spark.operators.similarity import hard_negatives
+
+    rows = [(i, [1.0 if j == i % 4 else 0.1 for j in range(4)],
+             f"s{i % 2}") for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    out = hard_negatives(df, df.where("vec_id < 3"), k=5, dim=4)
+    got = out.collect()
+    assert all(r["query_label"] != r["neighbor_label"] for r in got)
+    assert {r["query_id"] for r in got} == {0, 1, 2}
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, 6)) for v in per_q.values())
+
+
+def test_hard_negatives_null_label_mismatch_semantics(spark):
+    """NULL labels: eqNullSafe — a NULL-labeled anchor treats NULL
+    neighbors as SAME (excluded) and labeled neighbors as different."""
+    from spark_skew_join_spark.operators.similarity import hard_negatives
+
+    rows = [(0, [1.0, 0.0], None), (1, [0.9, 0.1], None),
+            (2, [0.8, 0.2], "x")]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    out = hard_negatives(df, df.where("vec_id = 0"), k=5, dim=2).collect()
+    assert [r["neighbor_id"] for r in out] == [2]
+
+
+def test_weighted_quantiles_inverted_cdf(spark):
+    from spark_skew_join_spark.operators.profile import weighted_quantiles
+
+    # values 1..4 with weights 1, 1, 6, 2 (total 10)
+    rows = [("a", 1.0, 1.0), ("a", 2.0, 1.0), ("a", 3.0, 6.0),
+            ("a", 4.0, 2.0)]
+    df = spark.createDataFrame(rows, "k string, v double, w double")
+    out = {r["q"]: r for r in
+           weighted_quantiles(df, "k", "v", "w", qs=[0.2, 0.5, 0.8, 1.0])
+           .collect()}
+    # cum: 1->1, 2->2, 3->8, 4->10
+    assert out[0.2]["value"] == 2.0   # need cw >= 2
+    assert out[0.5]["value"] == 3.0   # need cw >= 5
+    assert out[0.8]["value"] == 3.0   # need cw >= 8 (exactly)
+    assert out[1.0]["value"] == 4.0
+    assert out[0.5]["total_weight"] == 10.0
+    # duplicate values merge their weights first
+    df2 = spark.createDataFrame(
+        [("a", 1.0, 4.0), ("a", 1.0, 4.0), ("a", 9.0, 2.0)],
+        "k string, v double, w double",
+    )
+    r = {x["q"]: x["value"]
+         for x in weighted_quantiles(df2, "k", "v", "w", qs=[0.8, 0.9])
+         .collect()}
+    assert r[0.8] == 1.0 and r[0.9] == 9.0
+
+
+def test_weighted_quantiles_rejects_bad_q(spark):
+    import pytest
+
+    from spark_skew_join_spark.operators.profile import weighted_quantiles
+
+    df = spark.createDataFrame([("a", 1.0, 1.0)], "k string, v double, w double")
+    with pytest.raises(ValueError):
+        weighted_quantiles(df, "k", "v", "w", qs=[0.0])
+    with pytest.raises(ValueError):
+        weighted_quantiles(df, "k", "v", "w", qs=[])
