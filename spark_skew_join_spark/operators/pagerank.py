@@ -245,7 +245,10 @@ def label_propagation(
     Synchronous LPA can oscillate 2-cycles on bipartite cores — the
     bounded-round contract reports the round-``rounds`` state, exactly
     what the oracle replays; pick even/odd rounds consciously if you
-    chase a fixpoint.
+    chase a fixpoint.  Labels spread ONE hop per round from singleton
+    initialization, so size ``rounds`` ≳ community diameter + margin:
+    tools/stress_lpa.py on 200 planted 5k-vertex blocks (diameter ~5)
+    recovers 6%/81%/98% of vertices at 4/8/12 rounds.
 
     Output: (node, label, community_size).
     """

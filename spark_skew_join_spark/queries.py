@@ -7910,6 +7910,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_docs": dedup_minhash_docs,
     "dedup_clusters_docs": dedup_clusters_docs,
     "dedup_fuzzy_survivors": dedup_fuzzy_survivors,
+    # ^ end of the r8 driver check window (first 50 = everything
+    # above): 10 round-8 debuts (ann_pq_refined, psi, ols, entropy,
+    # lpa, range_split, ivfpq, chunking, hard_negatives,
+    # weighted_quantiles) + 40 r3-stale entries. Everything below is
+    # staleness-ascending — r9 takes the next 50 (dedup_simhash_docs
+    # onward: the r3-stale entries the debuts displaced, then the
+    # r4/r5 block).
     "dedup_simhash_docs": dedup_simhash_docs,
     "pipeline_clean_corpus": pipeline_clean_corpus,
     "text_stats": text_stats,
@@ -7919,9 +7926,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "embedding_near_dup_lsh": embedding_near_dup_lsh_pairs,
     "token_frequencies": token_frequencies,
-    # ^ end of the r8 driver check window (first 50). Below:
-    # staleness-ascending queue — r9 should simply take the next
-    # 50 (last driver rows: r3 onward).
     "multimodal_binary_meta": multimodal_binary_meta,
     "redact_events_props": redact_events_props,
     "zorder_layout_orders": zorder_layout_orders,
