@@ -281,6 +281,13 @@ def _range_split_points(self: DataFrame, col: str,
     return range_split_points(self, col, n_partitions)
 
 
+def _token_budget_sample(self: DataFrame, budget: float, weight_col: str,
+                         order_col: str, **kwargs) -> DataFrame:
+    from .operators.sampling import token_budget_sample
+
+    return token_budget_sample(self, budget, weight_col, order_col, **kwargs)
+
+
 def register_dataframe_api() -> None:
     """Attach the reference-parity method surface to DataFrame (idempotent).
     The extension operators ride along so a reference user migrating to
@@ -326,6 +333,7 @@ def register_dataframe_api() -> None:
         label_propagation=_label_propagation,
         chunk_documents=_chunk_documents,
         range_split_points=_range_split_points,
+        token_budget_sample=_token_budget_sample,
     )
     for name, fn in _METHODS.items():
         setattr(DataFrame, name, fn)

@@ -12,7 +12,7 @@ quota-balancing a corpus by language/source.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def _hex_prefix(id_col: str | Column) -> Column:
@@ -199,4 +199,112 @@ def weighted_sample(
         out.withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") <= k)
         .drop("__rk")
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget: float,
+    weight_col: str,
+    order_col: str,
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Take rows in (``order_col`` DESC, ``id_col`` ASC) order until the
+    cumulative ``weight_col`` reaches ``budget`` — "fill a 1T-token
+    training budget from the highest-quality documents down", the
+    selection step every curated pretraining mix ends with.  A row is
+    included iff the total weight STRICTLY BEFORE it is < budget (so
+    the budget-crossing row is included and the cut is deterministic).
+
+    Scale shape — the naive form is a global-order cumulative window,
+    which in Spark means ALL rows on one partition; this implementation
+    never builds a global order.  Rows bucket by ``n_buckets``
+    equal-width ranges of ``order_col`` (range buckets are
+    order-consistent: every row of a higher bucket precedes every row
+    of a lower one), per-bucket weight totals cumulate on the driver
+    (n_buckets rows), whole buckets before the crossing are taken
+    as-is, buckets after are dropped unscanned, and ONLY the boundary
+    bucket runs a cumulative window — partitioned by bucket, so ~1/256
+    of the data sorts, not the corpus.  Degenerate case (all order
+    values equal → one bucket) degrades to the global window; pick
+    n_buckets ≥ the quality score's resolution.
+
+    Output: the selected rows (original columns), plus
+    ``__cum_before`` — the EXACT total weight preceding the row in the
+    global order (bucket offset from the driver cumulative + an
+    in-bucket window), so the cut is fully auditable and
+    SQL-replayable.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    base = df.where(
+        F.col(weight_col).isNotNull() & F.col(order_col).isNotNull()
+    )
+    stats = base.agg(
+        F.min(order_col).alias("mn"), F.max(order_col).alias("mx")
+    ).collect()[0]
+    mn, mx = stats["mn"], stats["mx"]
+    if mn is None:
+        return base.withColumn("__cum_before", F.lit(0.0)).limit(0)
+    # bucket 0 = highest order values (first in the take order)
+    if mx > mn:
+        width = (mx - mn) / n_buckets
+        bucket = F.least(
+            F.greatest(
+                F.floor((F.lit(mx) - F.col(order_col)) / F.lit(width))
+                .cast("int"),
+                F.lit(0),
+            ),
+            F.lit(n_buckets - 1),
+        )
+    else:
+        bucket = F.lit(0)
+    b = base.withColumn("__b", bucket)
+    totals = {
+        r["__b"]: r["w"]
+        for r in b.groupBy("__b")
+        .agg(F.sum(F.col(weight_col).cast("double")).alias("w"))
+        .collect()
+    }
+    # driver-side cumulative over the (tiny) bucket totals: buckets
+    # fully inside the budget + the boundary bucket are scanned, later
+    # buckets are dropped without a read; every selected bucket knows
+    # the exact weight preceding it (its offset)
+    cum = 0.0
+    offsets = []  # (bucket, weight_before_bucket)
+    for i in range(n_buckets):
+        w = totals.get(i)
+        if w is None:
+            continue
+        offsets.append((i, cum))
+        cum += w
+        if cum >= budget:
+            break
+    if not offsets:
+        return base.withColumn("__cum_before", F.lit(0.0)).limit(0)
+    off = F.broadcast(
+        df.sparkSession.createDataFrame(
+            offsets, "__b int, __off double"
+        )
+    )
+    wspec = (
+        Window.partitionBy("__b")
+        .orderBy(F.col(order_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        b.join(off, "__b")  # inner join drops post-boundary buckets
+        .withColumn(
+            "__cum_before",
+            F.col("__off")
+            + F.coalesce(
+                F.sum(F.col(weight_col).cast("double")).over(wspec),
+                F.lit(0.0),
+            ),
+        )
+        .where(F.col("__cum_before") < F.lit(float(budget)))
+        .drop("__b", "__off")
     )

@@ -3435,6 +3435,60 @@ ORDER BY l_returnflag, q
 """
 
 
+def token_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget selection
+    (operators/sampling.py::token_budget_sample): fill 60% of the
+    corpus token budget from the longest documents down — the final
+    cut of a curated pretraining mix.  NO global sort: range buckets
+    on the order column + a driver cumulative over 256 bucket totals;
+    only the boundary bucket runs a (bucket-partitioned) window.  The
+    oracle replays the global-order cumulative directly, so membership
+    AND each row's exact preceding-weight are hash-checked (integer
+    token weights — float-order effects cannot flip the cut).  Eager
+    (bucket totals collect at construction) → EAGER_QUERIES."""
+    from .operators.sampling import token_budget_sample
+
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id",
+        F.size(
+            F.filter(F.split("text", r"\s+"), lambda x: x != "")
+        ).cast("long").alias("n_tokens"),
+    )
+    total = toks.agg(F.sum("n_tokens").alias("s")).collect()[0]["s"]
+    out = token_budget_sample(
+        toks, budget=0.6 * float(total), weight_col="n_tokens",
+        order_col="n_tokens", id_col="doc_id",
+    )
+    return out.select(
+        "doc_id", "n_tokens",
+        F.round("__cum_before", 6).alias("cum_before"),
+    ).orderBy("doc_id")
+
+
+TOKEN_BUDGET_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x <> '')) AS n_tokens
+  FROM documents
+),
+tot AS (SELECT 0.6 * SUM(n_tokens) AS budget FROM base),
+ordered AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(CAST(n_tokens AS DOUBLE))
+                    OVER (ORDER BY n_tokens DESC, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0.0) AS cb
+  FROM base
+)
+SELECT o.doc_id, CAST(o.n_tokens AS BIGINT) AS n_tokens,
+       ROUND(o.cb, 6) AS cum_before
+FROM ordered o, tot WHERE o.cb < tot.budget
+ORDER BY o.doc_id
+"""
+
+
 def skew_join_cms_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     """skew_join with the CMS estimator — same oracle as the exact path."""
     t = load_tables(spark, sf_dir)
@@ -7870,6 +7924,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_docs_windows": chunk_docs_windows,
     "hard_negatives_embeddings": hard_negatives_embeddings,
     "weighted_quantiles_lineitem": weighted_quantiles_lineitem,
+    "token_budget_docs": token_budget_docs,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -8072,6 +8127,7 @@ ORACLES: dict[str, str] = {
     "chunk_docs_windows": CHUNK_DOCS_SQL,
     "hard_negatives_embeddings": HARD_NEGATIVES_SQL,
     "weighted_quantiles_lineitem": WEIGHTED_QUANTILES_SQL,
+    "token_budget_docs": TOKEN_BUDGET_SQL,
     "triangle_count_copurchase": TRIANGLE_SQL,
     "hybrid_retrieval_rrf": HYBRID_RRF_SQL,
     "record_linkage_customers": RECORD_LINKAGE_SQL,
@@ -8224,6 +8280,7 @@ EAGER_QUERIES = (
     # per-round localCheckpoint at plan construction (3^rounds lineage guard)
     "kcore_copurchase",
     "label_propagation_copurchase",
+    "token_budget_docs",
     "adaptive_join_strategies",
     "ann_pq_topk",
     "ann_pq_refined_topk",
@@ -8269,6 +8326,9 @@ SCALAR_BNL_OK = (
     "assoc_rules_copurchase",  # 1-row n_baskets broadcast for support/lift
     "pmi_collocations_docs",  # 1-row n_words / n_bigrams total broadcasts
     "knn_bruteforce",
+    "hard_negatives_embeddings",  # same shape as knn_bruteforce: the
+    # tiny anchor set broadcasts over the corpus (embarrassingly
+    # parallel, no shuffle); at scale swap in an LSH/IVF candidate join
     "q11_important_parts",
     "q15_top_supplier",
     "q22_inactive_customers",

@@ -173,3 +173,60 @@ def test_weighted_quantiles_rejects_bad_q(spark):
         weighted_quantiles(df, "k", "v", "w", qs=[0.0])
     with pytest.raises(ValueError):
         weighted_quantiles(df, "k", "v", "w", qs=[])
+
+
+def test_token_budget_sample_cut_semantics(spark):
+    from spark_skew_join_spark.operators.sampling import token_budget_sample
+
+    # weights in take order (w desc, id): 10, 8, 5, 3, 1 -> prefix
+    # 0, 10, 18, 23, 26; budget 20 selects prefix < 20 = first three
+    rows = [(1, 10.0), (2, 8.0), (3, 5.0), (4, 3.0), (5, 1.0)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w double")
+    out = token_budget_sample(df, 20.0, "w", "w", n_buckets=4)
+    got = {r["doc_id"]: r["__cum_before"] for r in out.collect()}
+    assert got == {1: 0.0, 2: 10.0, 3: 18.0}
+    # crossing row included: budget 11 -> prefixes 0, 10 < 11
+    out2 = token_budget_sample(df, 11.0, "w", "w", n_buckets=4)
+    assert {r["doc_id"] for r in out2.collect()} == {1, 2}
+    # budget beyond total takes everything
+    out3 = token_budget_sample(df, 1000.0, "w", "w", n_buckets=4)
+    assert out3.count() == 5
+    # degenerate: all order values equal (single bucket window)
+    df2 = spark.createDataFrame(
+        [(i, 5.0) for i in range(6)], "doc_id bigint, w double"
+    )
+    out4 = token_budget_sample(df2, 12.0, "w", "w", n_buckets=8)
+    assert sorted(r["doc_id"] for r in out4.collect()) == [0, 1, 2]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        token_budget_sample(df, 0.0, "w", "w")
+
+
+def test_token_budget_matches_global_window(spark):
+    """The bucketed implementation must equal the naive global-order
+    cumulative cut row for row, including __cum_before."""
+    from pyspark.sql import Window, functions as F
+
+    from spark_skew_join_spark.operators.sampling import token_budget_sample
+
+    rows = [(i, float((i * 37) % 50 + 1), float((i * 13) % 23))
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w double, q double")
+    budget = 2000.0
+    got = sorted(
+        (r["doc_id"], r["__cum_before"])
+        for r in token_budget_sample(df, budget, "w", "q",
+                                     n_buckets=16).collect()
+    )
+    wspec = (
+        Window.orderBy(F.col("q").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    naive = (
+        df.withColumn("cb", F.coalesce(F.sum("w").over(wspec), F.lit(0.0)))
+        .where(F.col("cb") < budget)
+    )
+    want = sorted((r["doc_id"], r["cb"]) for r in naive.collect())
+    assert got == want
