@@ -243,6 +243,59 @@ def main() -> None:
         )
     )
 
+    ss2 = q.QUERIES["setsim_join_docs"](spark, SF)
+    simpless2 = plan_string(ss2, "simple")
+    out.append(
+        section(
+            "setsim_join_docs — prefix-filter candidates on int64 token hashes (round 8)",
+            "\n".join(
+                (l[:140] + " …" if len(l) > 140 else l)
+                for l in simpless2.splitlines()
+                if "Join" in l or "Exchange" in l or "InMemory" in l
+            ),
+            "Tokens are xxhash64-hashed before ANY shuffle; the thrice-read\n"
+            "per-doc ordered array is one InMemoryTableScan (session cache)\n"
+            "instead of three aggregation subtrees; the candidate join is an\n"
+            "equi-join on 8-byte prefix hashes. 34.2 s -> ~6 s at sf0.1.",
+        )
+    )
+    q.clear_dedup_cache()
+
+    ivfpq = q.QUERIES["ann_ivfpq_topk"](spark, SF)
+    simpleivf = plan_string(ivfpq, "simple")
+    out.append(
+        section(
+            "ann_ivfpq_topk — IVF-PQ with pure-codegen ADC (round 8)",
+            "\n".join(
+                (l[:140] + " …" if len(l) > 140 else l)
+                for l in simpleivf.splitlines()
+                if "Join" in l or "Exchange" in l or "Python" in l
+                or "MapInPandas" in l
+            ),
+            "ONE Python node total (the corpus encoder); ADC scoring is a\n"
+            "BroadcastHashJoin on the probed centroid id against flattened\n"
+            "(query, LUT) rows + an aggregate/element_at codegen fold — zero\n"
+            "Python per candidate, unlike classic PQ scorers.",
+        )
+    )
+
+    tb = q.QUERIES["token_budget_docs"](spark, SF)
+    simpletb = plan_string(tb, "simple")
+    out.append(
+        section(
+            "token_budget_docs — budget cut without a global sort (round 8)",
+            "\n".join(
+                (l[:140] + " …" if len(l) > 140 else l)
+                for l in simpletb.splitlines()
+                if "Join" in l or "Exchange" in l or "Window" in l
+            ),
+            "The ONLY window is partitioned by the range bucket (no\n"
+            "global-order single-partition sort anywhere); post-boundary\n"
+            "buckets never pass the broadcast offsets join, so they are\n"
+            "filtered before any work.",
+        )
+    )
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print("PLANS.md written")
