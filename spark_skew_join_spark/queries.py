@@ -5238,24 +5238,26 @@ def hll_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact corpus-wide distinct-token count — the union was never
     recomputed from data.  Per-source rows gate their own estimates
     the same way; exact comparators come from ONE unioned aggregate
-    action.  Rows-only by nature (register-layout estimates), the
-    hll_distinct_stats idiom."""
+    action.  Built in md5-compat mode (60-bit values from the first 15
+    md5 hex chars), so the SQL oracle replays every register (index =
+    top 14 bits, rank = 47 − bit_length of the 46-bit tail) and both
+    the per-source AND merged-union ESTIMATES hash-match."""
     from .sketch.hll import HyperLogLog, hll_by_group
 
     t = load_tables(spark, sf_dir)
     toks = t["documents"].select(
         "source",
         F.explode(F.split("text", " ")).alias("tok"),
-    ).select("source", F.xxhash64("tok").alias("h"))
-    per_source = hll_by_group(toks, "source", ["h"])
-    merged = HyperLogLog(14)
+    )
+    per_source = hll_by_group(toks, "source", ["tok"], hash_fn="md5")
+    merged = HyperLogLog(14, 60)
     for s in per_source.values():
         merged = merged.merge(s)
     # exact distincts (per source + corpus) in one action
     exact_rows = (
-        toks.groupBy("source").agg(F.countDistinct("h").alias("n"))
+        toks.groupBy("source").agg(F.countDistinct("tok").alias("n"))
         .unionByName(
-            toks.agg(F.countDistinct("h").alias("n"))
+            toks.agg(F.countDistinct("tok").alias("n"))
             .select(F.lit("__union__").alias("source"), "n")
         )
         .collect()
@@ -5279,9 +5281,12 @@ def hll_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HyperLogLog distinct counts (sketch/hll.py — the
     distinct-count companion to the reference's getCMS) next to the
     exact answers: one row per audited key with the HLL estimate and
-    relative error. No SQL oracle by nature (the estimate depends on
-    xxhash64 + register layout); the p=14 error bound (|err| < 2.5%,
-    3 sigma) is pinned here AND in tests/test_hll.py. Sketch builds are
+    relative error.  md5-compat mode (VERDICT r7 direction: the
+    theta/CMS/Bloom SQL-replay idiom applied to HLL): the oracle
+    rebuilds all 16384 registers per probe and replays the harmonic
+    estimate + linear-counting branch, so the ESTIMATE hash-matches —
+    no longer rows-only.  The p=14 error bound (|err| < 2.5%, 3 sigma)
+    stays pinned here AND in tests/test_hll.py. Sketch builds are
     eager (driver folds 16 KiB register arrays) → EAGER_QUERIES."""
     from .sketch.hll import hll_from_dataframe
 
@@ -5321,7 +5326,7 @@ def hll_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_by_key = {r["key"]: int(r["n"]) for r in exact_rows}
     rows = []
     for name, df, cols in probes:
-        est = hll_from_dataframe(df, cols).estimate()
+        est = hll_from_dataframe(df, cols, hash_fn="md5").estimate()
         exact = exact_by_key[name]
         rows.append((name, float(round(est, 1)), int(exact),
                      float(round(abs(est - exact) / exact, 6))))
@@ -5329,6 +5334,100 @@ def hll_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "key string, hll_estimate double, exact bigint, rel_err double"
     )
     return out.where(F.col("rel_err") < 0.025)  # 3-sigma bound enforced
+
+
+def _hll_md5_est_sql(key_sql: str, from_sql: str) -> str:
+    """DuckDB scalar subquery: the p=14 md5-compat HLL estimate of
+    DISTINCT ``key_sql`` over ``from_sql`` — registers (index = top 14
+    bits, rank = 47 − bit_length(46-bit tail), exact via bin(), no
+    float log) then the harmonic estimate with the linear-counting
+    branch, the exact arithmetic of HyperLogLog.estimate()."""
+    return f"""(
+  WITH __ks AS (SELECT DISTINCT CAST({key_sql} AS VARCHAR) AS k
+                FROM {from_sql}),
+  __hv AS (SELECT CAST(('0x' || SUBSTRING(MD5(k), 1, 15)) AS BIGINT) AS h
+           FROM __ks),
+  __regs AS (
+    SELECT h >> 46 AS idx,
+           MAX(CASE WHEN (h & 70368744177663) = 0 THEN 47
+                    ELSE 47 - length(bin(h & 70368744177663)) END) AS r
+    FROM __hv GROUP BY 1
+  ),
+  __agg AS (
+    SELECT 16384 - COUNT(*) AS zeros,
+           (0.7213 / (1 + 1.079 / 16384.0)) * 16384.0 * 16384.0
+             / ((16384 - COUNT(*)) * 1.0 + SUM(POWER(2.0, -r))) AS raw
+    FROM __regs
+  )
+  SELECT CASE WHEN raw <= 2.5 * 16384 AND zeros > 0
+              THEN 16384.0 * LN(16384.0 / zeros) ELSE raw END
+  FROM __agg
+)"""
+
+
+_HLL_PROBES_SQL = " UNION ALL ".join(
+    f"""SELECT '{name}' AS key,
+       ROUND({_hll_md5_est_sql(col, tbl)}, 1) AS hll_estimate,
+       CAST((SELECT COUNT(DISTINCT {col}) FROM {tbl}) AS BIGINT) AS exact,
+       ROUND(ABS({_hll_md5_est_sql(col, tbl)}
+                 - (SELECT COUNT(DISTINCT {col}) FROM {tbl}))
+             / (SELECT COUNT(DISTINCT {col}) FROM {tbl}), 6) AS rel_err"""
+    for name, tbl, col in [
+        ("orders.o_custkey", "orders", "o_custkey"),
+        ("lineitem.l_partkey", "lineitem", "l_partkey"),
+        ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+    ]
+)
+
+HLL_DISTINCT_SQL = f"""
+SELECT * FROM ({_HLL_PROBES_SQL}) WHERE rel_err < 0.025
+"""
+
+
+HLL_UNION_SQL = """
+WITH toks AS (
+  SELECT source, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+keys AS (SELECT DISTINCT source, tok FROM toks),
+hv AS (
+  SELECT source,
+         CAST(('0x' || SUBSTRING(MD5(tok), 1, 15)) AS BIGINT) AS h
+  FROM keys
+),
+branches AS (
+  SELECT source AS grp, h FROM hv
+  UNION ALL
+  SELECT '__union__' AS grp, h FROM (SELECT DISTINCT h FROM hv)
+),
+regs AS (
+  SELECT grp, h >> 46 AS idx,
+         MAX(CASE WHEN (h & 70368744177663) = 0 THEN 47
+                  ELSE 47 - length(bin(h & 70368744177663)) END) AS r
+  FROM branches GROUP BY 1, 2
+),
+agg AS (
+  SELECT grp, 16384 - COUNT(*) AS zeros,
+         (0.7213 / (1 + 1.079 / 16384.0)) * 16384.0 * 16384.0
+           / ((16384 - COUNT(*)) * 1.0 + SUM(POWER(2.0, -r))) AS raw
+  FROM regs GROUP BY 1
+),
+est AS (
+  SELECT grp,
+         CASE WHEN raw <= 2.5 * 16384 AND zeros > 0
+              THEN 16384.0 * LN(16384.0 / zeros) ELSE raw END AS e
+  FROM agg
+),
+ex AS (
+  SELECT source AS grp, COUNT(DISTINCT tok) AS n FROM toks GROUP BY 1
+  UNION ALL
+  SELECT '__union__', COUNT(DISTINCT tok) FROM toks
+)
+SELECT grp AS source, ROUND(e.e, 1) AS hll_estimate,
+       CAST(x.n AS BIGINT) AS exact,
+       ROUND(ABS(e.e - x.n) / x.n, 6) AS rel_err
+FROM est e JOIN ex x USING (grp)
+WHERE ROUND(ABS(e.e - x.n) / x.n, 6) < 0.025
+"""
 
 
 def ivm_refresh_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8267,6 +8366,8 @@ ORACLES: dict[str, str] = {
     "bottomk_quantiles_orders": BOTTOMK_QUANTILES_SQL,
     "null_aware_anti_join": NULL_AWARE_ANTI_SQL,
     "histogram_prices": HISTOGRAM_SQL,
+    "hll_distinct_stats": HLL_DISTINCT_SQL,
+    "hll_union_sources": HLL_UNION_SQL,
     # rows-only (intentionally no oracle): dedup_simhash_docs, ann_lsh_topk,
     # ann_ivf_topk, approx_stats
 }

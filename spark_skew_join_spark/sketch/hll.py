@@ -30,21 +30,35 @@ import numpy as np
 
 class HyperLogLog:
     """Dense HLL with 2**p registers (p=14 → 16384 registers ≈ 0.81%
-    relative standard error, 16 KiB serialized)."""
+    relative standard error, 16 KiB serialized).
 
-    def __init__(self, p: int = 14):
+    ``hash_bits=60`` is the md5-compat mode (value = first 15 hex chars
+    of md5, the theta/CMS/Bloom precedent): index = top p bits, rank =
+    leading zeros of the remaining 60-p bits + 1 — every register and
+    therefore the ESTIMATE is replayable in ANSI SQL, so the registry
+    queries using it are hash-checked, not just error-gated."""
+
+    def __init__(self, p: int = 14, hash_bits: int = 64):
         if not 4 <= p <= 18:
             raise ValueError("p must be in [4, 18]")
+        if hash_bits not in (60, 64):
+            raise ValueError("hash_bits must be 60 (md5) or 64 (xxhash64)")
         self.p = p
         self.m = 1 << p
+        self.hash_bits = hash_bits
         self.registers = np.zeros(self.m, dtype=np.uint8)
 
     # -- building ------------------------------------------------------
     def add_hashed(self, hashes: np.ndarray) -> None:
         """Fold already-hashed int64 values (e.g. Spark xxhash64) in."""
+        b = self.hash_bits
         h = hashes.astype(np.int64).view(np.uint64)
-        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
-        rest = (h << np.uint64(self.p)) | np.uint64((1 << self.p) - 1)
+        idx = (h >> np.uint64(b - self.p)).astype(np.int64)
+        # tail = the low (b-p) bits, left-aligned into 64 with sentinel
+        # low bits so ranks cap at (b-p)+1 without a branch
+        shift = 64 - (b - self.p)
+        tail = h & np.uint64((1 << (b - self.p)) - 1)
+        rest = (tail << np.uint64(shift)) | np.uint64((1 << shift) - 1)
         # rank = leading zeros of the remaining 64-p bits, +1 — the
         # sentinel low bits cap ranks at 64-p+1 without a branch.
         # Integer clz (binary-search shifts), not float log2: a float64
@@ -60,9 +74,9 @@ class HyperLogLog:
 
     # -- merging -------------------------------------------------------
     def merge(self, other: "HyperLogLog") -> "HyperLogLog":
-        if self.p != other.p:
-            raise ValueError("cannot merge HLLs with different p")
-        out = HyperLogLog(self.p)
+        if (self.p, self.hash_bits) != (other.p, other.hash_bits):
+            raise ValueError("cannot merge HLLs with different p/hash_bits")
+        out = HyperLogLog(self.p, self.hash_bits)
         out.registers = np.maximum(self.registers, other.registers)
         return out
 
@@ -84,33 +98,36 @@ class HyperLogLog:
         return float(raw)
 
     def __reduce__(self):
-        return (_rebuild_hll, (self.p, self.registers))
+        return (_rebuild_hll, (self.p, self.registers, self.hash_bits))
 
 
-def _rebuild_hll(p, registers):
-    h = HyperLogLog(p)
+def _rebuild_hll(p, registers, hash_bits=64):
+    h = HyperLogLog(p, hash_bits)
     h.registers = registers
     return h
 
 
 def hll_from_dataframe(df, key_cols: list[str], p: int = 14,
-                       combine_partitions: int = 8) -> HyperLogLog:
+                       combine_partitions: int = 8,
+                       hash_fn: str = "xxhash64") -> HyperLogLog:
     """Distributed HLL over the tuple of ``key_cols`` (NULL tuples
     skipped, matching COUNT(DISTINCT) semantics). Same two-level
-    mapInPandas shape as cms_from_dataframe."""
+    mapInPandas shape as cms_from_dataframe. ``hash_fn="md5"`` builds
+    the 60-bit SQL-replayable variant."""
     from pyspark.sql import functions as F
 
-    from .cms import spark_key_expr
+    from .theta import _hash_col
 
     filtered = df
     for c in key_cols:
         filtered = filtered.where(F.col(c).isNotNull())
-    hashed = filtered.select(F.xxhash64(spark_key_expr(key_cols)).alias("h"))
+    hc, bits = _hash_col(key_cols, hash_fn)
+    hashed = filtered.select(hc.alias("h"))
 
     def build(batches):
         import pandas as pd
 
-        local = HyperLogLog(p)
+        local = HyperLogLog(p, bits)
         for pdf in batches:
             local.add_hashed(pdf["h"].to_numpy())
         yield pd.DataFrame({"sketch": [pickle.dumps(local)]})
@@ -118,7 +135,7 @@ def hll_from_dataframe(df, key_cols: list[str], p: int = 14,
     def combine(batches):
         import pandas as pd
 
-        acc = HyperLogLog(p)
+        acc = HyperLogLog(p, bits)
         for pdf in batches:
             for blob in pdf["sketch"]:
                 acc = acc.merge(pickle.loads(blob))
@@ -128,14 +145,15 @@ def hll_from_dataframe(df, key_cols: list[str], p: int = 14,
     level2 = level1.repartition(combine_partitions).mapInPandas(
         combine, "sketch binary"
     )
-    out = HyperLogLog(p)
+    out = HyperLogLog(p, bits)
     for row in level2.collect():
         out = out.merge(pickle.loads(row["sketch"]))
     return out
 
 
 def hll_by_group(df, group_col: str, key_cols: list[str], p: int = 14,
-                 combine_partitions: int = 8) -> dict:
+                 combine_partitions: int = 8,
+                 hash_fn: str = "xxhash64") -> dict:
     """One HLL per distinct ``group_col`` value, built with the SAME
     bounded-memory two-level mapInPandas fold as hll_from_dataframe —
     each partition folds only ITS slice of each group into a 16 KiB
@@ -151,14 +169,13 @@ def hll_by_group(df, group_col: str, key_cols: list[str], p: int = 14,
     real value; ADVICE r6 #2)."""
     from pyspark.sql import functions as F
 
-    from .cms import spark_key_expr
-
     filtered = df
     for c in key_cols:
         filtered = filtered.where(F.col(c).isNotNull())
+    hc, bits = _hash_col_by(key_cols, hash_fn)
     hashed = filtered.select(
         _tagged_group(F, group_col).alias("g"),
-        F.xxhash64(spark_key_expr(key_cols)).alias("h"),
+        hc.alias("h"),
     )
 
     def build(batches):
@@ -169,7 +186,7 @@ def hll_by_group(df, group_col: str, key_cols: list[str], p: int = 14,
             for g, sub in pdf.groupby("g", sort=False):
                 sk = local.get(g)
                 if sk is None:
-                    sk = local[g] = HyperLogLog(p)
+                    sk = local[g] = HyperLogLog(p, bits)
                 sk.add_hashed(sub["h"].to_numpy())
         yield pd.DataFrame(
             {"g": list(local), "sketch": [pickle.dumps(s) for s in local.values()]}
@@ -197,6 +214,12 @@ def hll_by_group(df, group_col: str, key_cols: list[str], p: int = 14,
         g = _untag_group(row["g"])
         out[g] = sk if g not in out else out[g].merge(sk)
     return out
+
+
+def _hash_col_by(key_cols, hash_fn):
+    from .theta import _hash_col
+
+    return _hash_col(key_cols, hash_fn)
 
 
 def _tagged_group(F, group_col: str):

@@ -110,3 +110,50 @@ def test_hll_by_group_null_group_not_dropped(spark):
     assert set(grouped) == {None, "n", "va"}
     solo = hll_from_dataframe(df.where("grp IS NULL"), ["k"])
     assert np.array_equal(grouped[None].registers, solo.registers)
+
+
+def test_md5_mode_registers_match_python_replay(spark):
+    """hash_bits=60 (md5-compat): registers must equal a driver-side
+    replay of index/rank from the same md5-derived 60-bit values — the
+    property the SQL oracle relies on."""
+    import hashlib
+
+    from spark_skew_join_spark.sketch.hll import HyperLogLog, hll_from_dataframe
+
+    vals = [str(v) for v in range(3000)]
+    df = spark.createDataFrame([(v,) for v in vals], "k string")
+    sk = hll_from_dataframe(df, ["k"], p=10, hash_fn="md5")
+    assert sk.hash_bits == 60
+
+    expect = HyperLogLog(10, 60)
+    import numpy as np
+
+    hs = np.array(
+        [int(hashlib.md5(v.encode()).hexdigest()[:15], 16) for v in vals],
+        dtype=np.uint64,
+    )
+    expect.add_hashed(hs)
+    assert np.array_equal(sk.registers, expect.registers)
+    # rank arithmetic replay (what the SQL does with bin()/length)
+    p = 10
+    regs = {}
+    for h in map(int, hs):
+        idx = h >> (60 - p)
+        tail = h & ((1 << (60 - p)) - 1)
+        rank = (60 - p) + 1 if tail == 0 else (60 - p) - tail.bit_length() + 1
+        regs[idx] = max(regs.get(idx, 0), rank)
+    for i, r in regs.items():
+        assert sk.registers[i] == r
+    # estimate within the p=10 envelope
+    assert abs(sk.estimate() - 3000) / 3000 < 0.11
+
+
+def test_md5_mode_merge_guard(spark):
+    import pytest
+
+    from spark_skew_join_spark.sketch.hll import HyperLogLog
+
+    with pytest.raises(ValueError, match="hash_bits"):
+        HyperLogLog(14, 60).merge(HyperLogLog(14, 64))
+    with pytest.raises(ValueError):
+        HyperLogLog(14, 61)
