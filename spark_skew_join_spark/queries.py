@@ -8006,71 +8006,23 @@ GROUP BY b.event_type
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # round 8: registry ROTATED (VERDICT r7 #1) — the driver
-    # correctness-checks the FIRST 50 entries only, so the whole dict
-    # is ordered by driver-staleness (never-sampled debuts first, then
-    # oldest last-sampled round, ties by prior position). This window:
-    # 1 round-8 debut (ann_pq_refined_topk) + 49 entries whose last
-    # driver row is CORRECTNESS_r03. Everything below the marker is
-    # r3-r7-certified and already sorted for the r9 rotation.
-    "ann_pq_refined_topk": ann_pq_refined_topk,
-    "psi_drift_events": psi_drift_events,
-    "ols_trend_events": ols_trend_events,
-    "char_entropy_docs": char_entropy_docs,
-    "label_propagation_copurchase": label_propagation_copurchase,
-    "range_split_orders": range_split_orders,
-    "ann_ivfpq_topk": ann_ivfpq_topk,
-    "chunk_docs_windows": chunk_docs_windows,
-    "hard_negatives_embeddings": hard_negatives_embeddings,
-    "weighted_quantiles_lineitem": weighted_quantiles_lineitem,
-    "token_budget_docs": token_budget_docs,
-    "q1_pricing_summary": q1_pricing_summary,
-    "q3_shipping_priority": q3_shipping_priority,
-    "q5_local_supplier_volume": q5_local_supplier_volume,
-    "q6_forecast_revenue": q6_forecast_revenue,
-    "subquery_above_avg": subquery_above_avg,
-    "exists_high_value_lineitem": exists_high_value_lineitem,
-    "skew_join_orders_customer": skew_join_orders_customer,
-    "skew_join_lineitem_supplier": skew_join_lineitem_supplier,
-    "skew_join_multicol": skew_join_multicol,
-    "skew_join_left_outer": skew_join_left_outer,
-    "skew_join_semi": skew_join_semi,
-    "skew_join_anti": skew_join_anti,
-    "skew_join_cms_estimator": skew_join_cms_estimator,
-    "agg_rollup": agg_rollup,
-    "agg_cube": agg_cube,
-    "agg_distinct": agg_distinct,
-    "median_stats": median_stats,
-    "approx_stats": approx_stats,
-    "skew_agg_distinct": skew_agg_distinct,
-    "skew_agg_salted_mean": skew_agg_salted_mean,
-    "grouping_sets_li": grouping_sets_li,
-    "json_props_events": json_props_events,
-    "vector_stats": vector_stats,
-    "window_top_orders": window_top_orders,
-    "topk_orders": topk_orders,
-    "setops_intersect": setops_intersect,
-    "setops_except": setops_except,
-    "scalar_funcs": scalar_funcs,
-    "date_rollup_orders": date_rollup_orders,
-    "q4_priority_late_ship": q4_priority_late_ship,
-    "q12_priority_by_returnflag": q12_priority_by_returnflag,
-    "q14_promo_revenue": q14_promo_revenue,
-    "q19_disjunctive_brand": q19_disjunctive_brand,
-    "udtf_sentence_stats": udtf_sentence_stats,
-    "udaf_weighted_price": udaf_weighted_price,
-    "dedup_exact_docs": dedup_exact_docs,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard,
-    "dedup_minhash_docs": dedup_minhash_docs,
-    "dedup_clusters_docs": dedup_clusters_docs,
+    # round 9: registry rotated again (VERDICT r8 #1). The driver
+    # correctness-checks the FIRST 50 entries only, so the dict is
+    # ordered by driver-staleness: round-9 debuts first (none at
+    # rotation time; debuts are inserted at the head as they land),
+    # then ascending last-driver-round, ties by prior position. The
+    # r9 window below = 11 entries whose last driver row is
+    # CORRECTNESS_r03 (dedup_fuzzy_survivors..multimodal_binary_meta;
+    # dedup_fuzzy_survivors was displaced from the r8 window when the
+    # 11th r8 debut, token_budget_docs, was inserted late) + 13
+    # r4-certified + 26 r5-certified entries. For the record, the r8
+    # window held 11 round-8 debuts (ann_pq_refined_topk, psi, ols,
+    # char_entropy, lpa, range_split, ivfpq, chunking, hard_negatives,
+    # weighted_quantiles, token_budget_docs) + 39 r3-stale holdovers
+    # (CORRECTNESS_r08.json is the ground truth: 50 rows ending at
+    # dedup_clusters_docs). Everything below the r9 end marker is
+    # staleness-ascending and pre-sorted for the r10 rotation.
     "dedup_fuzzy_survivors": dedup_fuzzy_survivors,
-    # ^ end of the r8 driver check window (first 50 = everything
-    # above): 10 round-8 debuts (ann_pq_refined, psi, ols, entropy,
-    # lpa, range_split, ivfpq, chunking, hard_negatives,
-    # weighted_quantiles) + 40 r3-stale entries. Everything below is
-    # staleness-ascending — r9 takes the next 50 (dedup_simhash_docs
-    # onward: the r3-stale entries the debuts displaced, then the
-    # r4/r5 block).
     "dedup_simhash_docs": dedup_simhash_docs,
     "pipeline_clean_corpus": pipeline_clean_corpus,
     "text_stats": text_stats,
@@ -8120,6 +8072,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_exact_dedup_docs": incremental_exact_dedup_docs,
     "incremental_minhash_docs": incremental_minhash_docs,
     "dsir_importance_docs": dsir_importance_docs,
+    # ^ end of the r9 driver check window (first 50 = everything
+    # above). Everything below is staleness-ascending for r10:
+    # the remaining r5 block, then r6, r7, r8.
     "pipeline_train_mix": pipeline_train_mix,
     "kll_quantiles_by_priority": kll_quantiles_by_priority,
     "multimodal_features": multimodal_features,
@@ -8194,6 +8149,56 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint_winnow": doc_fingerprint_winnow,
     "winnow_overlap_pairs": winnow_overlap_pairs_docs,
     "repetition_signals": repetition_signals_docs,
+    "ann_pq_refined_topk": ann_pq_refined_topk,
+    "psi_drift_events": psi_drift_events,
+    "ols_trend_events": ols_trend_events,
+    "char_entropy_docs": char_entropy_docs,
+    "label_propagation_copurchase": label_propagation_copurchase,
+    "range_split_orders": range_split_orders,
+    "ann_ivfpq_topk": ann_ivfpq_topk,
+    "chunk_docs_windows": chunk_docs_windows,
+    "hard_negatives_embeddings": hard_negatives_embeddings,
+    "weighted_quantiles_lineitem": weighted_quantiles_lineitem,
+    "token_budget_docs": token_budget_docs,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "subquery_above_avg": subquery_above_avg,
+    "exists_high_value_lineitem": exists_high_value_lineitem,
+    "skew_join_orders_customer": skew_join_orders_customer,
+    "skew_join_lineitem_supplier": skew_join_lineitem_supplier,
+    "skew_join_multicol": skew_join_multicol,
+    "skew_join_left_outer": skew_join_left_outer,
+    "skew_join_semi": skew_join_semi,
+    "skew_join_anti": skew_join_anti,
+    "skew_join_cms_estimator": skew_join_cms_estimator,
+    "agg_rollup": agg_rollup,
+    "agg_cube": agg_cube,
+    "agg_distinct": agg_distinct,
+    "median_stats": median_stats,
+    "approx_stats": approx_stats,
+    "skew_agg_distinct": skew_agg_distinct,
+    "skew_agg_salted_mean": skew_agg_salted_mean,
+    "grouping_sets_li": grouping_sets_li,
+    "json_props_events": json_props_events,
+    "vector_stats": vector_stats,
+    "window_top_orders": window_top_orders,
+    "topk_orders": topk_orders,
+    "setops_intersect": setops_intersect,
+    "setops_except": setops_except,
+    "scalar_funcs": scalar_funcs,
+    "date_rollup_orders": date_rollup_orders,
+    "q4_priority_late_ship": q4_priority_late_ship,
+    "q12_priority_by_returnflag": q12_priority_by_returnflag,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q19_disjunctive_brand": q19_disjunctive_brand,
+    "udtf_sentence_stats": udtf_sentence_stats,
+    "udaf_weighted_price": udaf_weighted_price,
+    "dedup_exact_docs": dedup_exact_docs,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_docs": dedup_minhash_docs,
+    "dedup_clusters_docs": dedup_clusters_docs,
 }
 
 ORACLES: dict[str, str] = {
