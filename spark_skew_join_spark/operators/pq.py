@@ -25,6 +25,28 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+# LUT broadcasts created by pq_topk, one per lut_chunk. They must stay
+# alive until the RETURNED (lazy) DataFrame's action runs, so pq_topk
+# cannot destroy them itself; callers release them via
+# clear_pq_broadcasts() once results are materialized (the dedup
+# clear_band_cache pattern — ADVICE r8 #4). queries.clear_dedup_cache
+# calls it, so the bench/selfcheck loops never accumulate them.
+_LUT_BROADCASTS: list = []
+
+
+def clear_pq_broadcasts() -> None:
+    """Destroy every LUT broadcast pq_topk has created (idempotent).
+
+    Call AFTER the top-k DataFrames returned by pq_topk have been
+    materialized — a destroyed broadcast fails any later action that
+    still references it."""
+    for bc in _LUT_BROADCASTS:
+        try:
+            bc.destroy()
+        except Exception:  # session already stopped — nothing to release
+            pass
+    _LUT_BROADCASTS.clear()
+
 
 def _sample_matrix(corpus, id_col, vec_col, sample_size):
     import numpy as np
@@ -260,6 +282,7 @@ def pq_topk(
     scored = None
     for i in range(0, len(qids), lut_chunk):
         bc = sc.broadcast({q: luts[q] for q in qids[i:i + lut_chunk]})
+        _LUT_BROADCASTS.append(bc)
         part = codes.mapInPandas(
             scorer(bc), "query_id long, neighbor_id long, score double"
         )

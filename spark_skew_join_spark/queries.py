@@ -801,6 +801,11 @@ def clear_dedup_cache() -> None:
             pass
     _DSIR_CACHE.clear()
     clear_band_cache()
+    # LUT broadcasts pq_topk left alive for its lazy result DataFrames
+    # (one per lut_chunk — ADVICE r8 #4)
+    from .operators.pq import clear_pq_broadcasts
+
+    clear_pq_broadcasts()
 
 
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8401,6 +8406,9 @@ EAGER_QUERIES = (
     "hll_union_sources",
     "skew_join_multicol",
     "q3_via_skew_join",
+    # _session_cache(ordered, "auto") at plan construction runs an eager
+    # saveAsTable when the spill threshold trips (ADVICE r8 #5)
+    "setsim_join_docs",
     "dedup_clusters_docs",
     "dedup_fuzzy_survivors",
     # broadcast-size guard materializes + counts the benchmark gram set

@@ -34,11 +34,14 @@ import numpy as np
 _SEED1 = 0x51ED_CAFE
 _SEED2 = 0x0B10_0A17
 
-# Probe-layout version. v2 = odd stride (h2 | 1, ADVICE r6 #4); bump on
-# any change to _positions so a persisted filter built under one layout
-# is never probed under another (that silently voids the
-# no-false-negative guarantee — ADVICE r7 #5).
-_FORMAT_VERSION = 2
+# Probe-layout version. v2 = odd stride (h2 | 1, ADVICE r6 #4); v3
+# records the hash function on the filter itself (ADVICE r8 #1) so a
+# filter built under md5 can never be probed under xxhash64 (or vice
+# versa). Bump on any change to _positions OR the hash contract so a
+# persisted filter built under one layout is never probed under
+# another (that silently voids the no-false-negative guarantee —
+# ADVICE r7 #5).
+_FORMAT_VERSION = 3
 
 
 class BloomFilter:
@@ -48,13 +51,22 @@ class BloomFilter:
     500k — sized for per-shard summaries that merge upward.
     """
 
-    def __init__(self, m_bits: int = 1 << 20, k: int = 7):
+    def __init__(self, m_bits: int = 1 << 20, k: int = 7,
+                 hash_fn: str = "xxhash64"):
         if m_bits <= 0 or m_bits % 64:
             raise ValueError("m_bits must be a positive multiple of 64")
         if not 1 <= k <= 16:
             raise ValueError("k must be in [1, 16]")
+        if hash_fn not in ("xxhash64", "md5"):
+            raise ValueError(f"hash_fn must be xxhash64|md5, got {hash_fn!r}")
         self.m = m_bits
         self.k = k
+        # The hash function that produced (h1, h2) for every inserted
+        # key. Probing with the OTHER hash function yields arbitrary
+        # bits — i.e. silent false negatives — so the filter records it
+        # and bloom_prefilter derives its probe hashes from this field
+        # (ADVICE r8 #1).
+        self.hash_fn = hash_fn
         self.bits = np.zeros(m_bits // 64, dtype=np.uint64)
 
     # -- building ------------------------------------------------------
@@ -88,9 +100,13 @@ class BloomFilter:
 
     # -- merging -------------------------------------------------------
     def merge(self, other: "BloomFilter") -> "BloomFilter":
-        if (self.m, self.k) != (other.m, other.k):
-            raise ValueError("cannot merge Bloom filters with different m/k")
-        out = BloomFilter(self.m, self.k)
+        if (self.m, self.k, self.hash_fn) != (
+            other.m, other.k, other.hash_fn
+        ):
+            raise ValueError(
+                "cannot merge Bloom filters with different m/k/hash_fn"
+            )
+        out = BloomFilter(self.m, self.k, self.hash_fn)
         out.bits = self.bits | other.bits
         return out
 
@@ -103,18 +119,19 @@ class BloomFilter:
         return (1.0 - math.exp(-self.k * n_keys / self.m)) ** self.k
 
     def __reduce__(self):
-        return (_rebuild_bloom, (self.m, self.k, self.bits, _FORMAT_VERSION))
+        return (_rebuild_bloom,
+                (self.m, self.k, self.bits, _FORMAT_VERSION, self.hash_fn))
 
 
-def _rebuild_bloom(m, k, bits, version=1):
+def _rebuild_bloom(m, k, bits, version=1, hash_fn="xxhash64"):
     if version != _FORMAT_VERSION:
         raise ValueError(
             f"BloomFilter pickle format v{version} does not match this "
-            f"build's v{_FORMAT_VERSION} (probe layout changed); rebuild "
-            "the filter — probing across layouts loses the "
-            "no-false-negative guarantee"
+            f"build's v{_FORMAT_VERSION} (probe layout or hash contract "
+            "changed); rebuild the filter — probing across layouts loses "
+            "the no-false-negative guarantee"
         )
-    b = BloomFilter(m, k)
+    b = BloomFilter(m, k, hash_fn)
     b.bits = bits
     return b
 
@@ -157,7 +174,7 @@ def bloom_from_dataframe(df, key_cols: list[str], m_bits: int = 1 << 20,
     def build(batches):
         import pandas as pd
 
-        local = BloomFilter(m_bits, k)
+        local = BloomFilter(m_bits, k, hash_fn)
         for pdf in batches:
             local.add_hashed(pdf["h1"].to_numpy(), pdf["h2"].to_numpy())
         yield pd.DataFrame({"sketch": [pickle.dumps(local)]})
@@ -165,7 +182,7 @@ def bloom_from_dataframe(df, key_cols: list[str], m_bits: int = 1 << 20,
     def combine(batches):
         import pandas as pd
 
-        acc = BloomFilter(m_bits, k)
+        acc = BloomFilter(m_bits, k, hash_fn)
         for pdf in batches:
             for blob in pdf["sketch"]:
                 acc = acc.merge(pickle.loads(blob))
@@ -177,14 +194,14 @@ def bloom_from_dataframe(df, key_cols: list[str], m_bits: int = 1 << 20,
     level2 = level1.repartition(combine_partitions).mapInPandas(
         combine, "sketch binary"
     )
-    out = BloomFilter(m_bits, k)
+    out = BloomFilter(m_bits, k, hash_fn)
     for row in level2.collect():
         out = out.merge(pickle.loads(row["sketch"]))
     return out
 
 
 def bloom_prefilter(df, bloom: BloomFilter, key_cols: list[str],
-                    keep: str = "member", hash_fn: str = "xxhash64"):
+                    keep: str = "member", hash_fn: str | None = None):
     """Filter ``df`` by broadcast Bloom membership of ``key_cols``.
 
     keep="member" retains probable members (may keep false positives —
@@ -193,9 +210,25 @@ def bloom_prefilter(df, bloom: BloomFilter, key_cols: list[str],
     a key the filter rejects was never inserted — the safe side for
     "drop already-seen" dedup).  The filter broadcasts once (m/8 bytes);
     rows never shuffle.
+
+    The probe hashes derive from the hash function RECORDED on the
+    filter at build time (ADVICE r8 #1) — probing an md5-built filter
+    with xxhash64 hashes (or vice versa) yields arbitrary bits, i.e.
+    silent false negatives. ``hash_fn`` stays only as an assertion
+    hook: passing a value that disagrees with the filter's record
+    raises instead of silently mismatching.
     """
     if keep not in ("member", "non_member"):
         raise ValueError("keep must be member|non_member")
+    recorded = getattr(bloom, "hash_fn", "xxhash64")
+    if hash_fn is None:
+        hash_fn = recorded
+    elif hash_fn != recorded:
+        raise ValueError(
+            f"filter was built with hash_fn={recorded!r} but the probe "
+            f"requested {hash_fn!r} — cross-hash probing voids the "
+            "no-false-negative guarantee"
+        )
     from pyspark.sql import functions as F
 
     from .cms import spark_key_expr

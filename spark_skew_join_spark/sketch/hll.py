@@ -27,6 +27,15 @@ import pickle
 
 import numpy as np
 
+# Hash-space version (the bloom.py _FORMAT_VERSION pattern, ADVICE r8
+# #2). v2 = the current contract: 64-bit mode hashes with SEEDED
+# xxhash64 (theta._XXH_SEED via theta._hash_col), 60-bit mode with the
+# first 15 hex chars of md5. v1 (implicit, pre-r8 pickles) hashed with
+# UNSEEDED xxhash64 — registers from that hash space merge cleanly on
+# (p, hash_bits) alone yet count a different key universe, silently
+# inflating union estimates. Bump on any change to the hash contract.
+_FORMAT_VERSION = 2
+
 
 class HyperLogLog:
     """Dense HLL with 2**p registers (p=14 → 16384 registers ≈ 0.81%
@@ -98,10 +107,18 @@ class HyperLogLog:
         return float(raw)
 
     def __reduce__(self):
-        return (_rebuild_hll, (self.p, self.registers, self.hash_bits))
+        return (_rebuild_hll,
+                (self.p, self.registers, self.hash_bits, _FORMAT_VERSION))
 
 
-def _rebuild_hll(p, registers, hash_bits=64):
+def _rebuild_hll(p, registers, hash_bits=64, version=1):
+    if version != _FORMAT_VERSION:
+        raise ValueError(
+            f"HyperLogLog pickle format v{version} does not match this "
+            f"build's v{_FORMAT_VERSION} (hash seed/space changed); "
+            "rebuild the sketch — merging registers from different hash "
+            "spaces silently inflates union estimates"
+        )
     h = HyperLogLog(p, hash_bits)
     h.registers = registers
     return h

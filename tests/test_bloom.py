@@ -117,3 +117,26 @@ def test_pickle_format_versioned():
     assert (rt.m, rt.k) == (b.m, b.k)
     with pytest.raises(ValueError, match="probe layout"):
         _rebuild_bloom(b.m, b.k, b.bits, _FORMAT_VERSION - 1)
+
+
+def test_hash_fn_recorded_and_enforced(spark):
+    """ADVICE r8 #1: the filter records which hash built it; merging or
+    probing across hash functions is rejected, and bloom_prefilter
+    derives its probe hashes from the record so a caller can't void the
+    no-false-negative guarantee with a mismatched parameter."""
+    import pickle
+
+    df = spark.createDataFrame([(k,) for k in range(2_000)], "k bigint")
+    md5f = bloom_from_dataframe(df, ["k"], hash_fn="md5")
+    assert md5f.hash_fn == "md5"
+    assert pickle.loads(pickle.dumps(md5f)).hash_fn == "md5"
+    with pytest.raises(ValueError, match="hash_fn"):
+        md5f.merge(bloom_from_dataframe(df, ["k"]))  # xxhash64 default
+    with pytest.raises(ValueError, match="no-false-negative"):
+        bloom_prefilter(df, md5f, ["k"], hash_fn="xxhash64")
+    # derived probing (no hash_fn argument): every inserted key claimed
+    kept = {r["k"] for r in bloom_prefilter(df, md5f, ["k"]).collect()}
+    assert kept == set(range(2_000))
+    # explicitly passing the MATCHING hash_fn still works
+    same = bloom_prefilter(df, md5f, ["k"], hash_fn="md5")
+    assert {r["k"] for r in same.collect()} == set(range(2_000))

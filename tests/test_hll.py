@@ -157,3 +157,20 @@ def test_md5_mode_merge_guard(spark):
         HyperLogLog(14, 60).merge(HyperLogLog(14, 64))
     with pytest.raises(ValueError):
         HyperLogLog(14, 61)
+
+
+def test_hll_pickle_version_guard():
+    """ADVICE r8 #2: the pickle carries the hash-space version (the
+    bloom.py pattern); a legacy blob built from the pre-seed hash space
+    must be rejected at load, never silently merged."""
+    import pickle
+
+    from spark_skew_join_spark.sketch.hll import _FORMAT_VERSION, _rebuild_hll
+
+    h = HyperLogLog(8)
+    h.add_hashed(_hashes(1_000, seed=7))
+    rt = pickle.loads(pickle.dumps(h))
+    assert (rt.p, rt.hash_bits) == (h.p, h.hash_bits)
+    assert (rt.registers == h.registers).all()
+    with pytest.raises(ValueError, match="hash seed/space"):
+        _rebuild_hll(h.p, h.registers, h.hash_bits, _FORMAT_VERSION - 1)
