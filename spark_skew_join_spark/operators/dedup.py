@@ -601,14 +601,62 @@ def simhash64(
     id_col: str = "doc_id",
     n: int = 5,
     shingle_df: DataFrame | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """(id, simhash bigint): sign-sum over the 64 bits of xxhash64(shingle).
+    """(id, simhash bigint): sign-sum over the 64 bits of hash(shingle).
 
     Pass ``shingle_df`` (columns: id, shingle) to reuse an already
-    materialized shingle set — the dedup query family shares one."""
-    sh = (shingle_df if shingle_df is not None else shingles(df, text_col, id_col, n)).withColumn(
-        "h", F.xxhash64(F.col("shingle"))
-    )
+    materialized shingle set — the dedup query family shares one.
+
+    ``hash_fn="md5"`` (VERDICT r8 #2, the HLL/Bloom/theta/CMS
+    precedent): the 64 hash bits come from the first 16 hex chars of
+    md5(raw n-char substring) as two 32-bit halves — each half is
+    ``conv(substring(md5(s), off, 8), 16, 10)``, bit-equal in ANSI SQL
+    (``CAST('0x' || SUBSTRING(MD5(s), off, 8) AS BIGINT)``) — so every
+    fingerprint bit, and therefore the Hamming distances, replay
+    exactly in a DuckDB oracle. SimHash is deterministic given the
+    hash, so this costs only the md5-vs-xxhash64 delta plus rebuilding
+    raw-substring shingles (the shared ``shingles()`` set is int64
+    xxhash64-hashed before its distinct, which no ANSI oracle can
+    replay); xxhash64 + ``shingle_df`` reuse stays the fast default."""
+    if hash_fn == "md5":
+        if shingle_df is not None:
+            raise ValueError(
+                "md5 mode rebuilds raw-substring shingles; shingle_df "
+                "(already int64-hashed) cannot be replayed in SQL"
+            )
+        c = F.col(text_col)
+        pos = F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length(c) - n + 1, F.lit(1)))
+        ).alias("pos")
+        m = F.md5(F.substring(F.col("__t"), F.col("pos").cast("int"), n))
+        sh = (
+            df.select(F.col(id_col), c.alias("__t"), pos)
+            .where(F.length("__t") >= n)
+            # distinct on the 64-bit md5 prefix ≡ distinct on the raw
+            # shingle up to a 2^-64 prefix collision (the EXACT gate
+            # would surface one as a count mismatch)
+            .select(
+                id_col,
+                F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("__hi"),
+                F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("__lo"),
+            )
+            .distinct()
+            # hi||lo as one long: the left shift wraps into the sign
+            # bit, which is exactly the 64-bit two's-complement pattern
+            # the per-bit extraction below expects
+            .withColumn(
+                "h", F.shiftleft(F.col("__hi"), 32).bitwiseOR(F.col("__lo"))
+            )
+        )
+    elif hash_fn == "xxhash64":
+        sh = (
+            shingle_df
+            if shingle_df is not None
+            else shingles(df, text_col, id_col, n)
+        ).withColumn("h", F.xxhash64(F.col("shingle")))
+    else:
+        raise ValueError(f"hash_fn must be xxhash64|md5, got {hash_fn!r}")
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

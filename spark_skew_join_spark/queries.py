@@ -1811,15 +1811,19 @@ GROUP BY source
 def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates: 64-bit fingerprints, pairs within
     Hamming distance 8 via 16-bit band blocking (a pair within distance 3
-    must share at least one of 4 bands). Rows-only check (bit-level hash
-    fingerprints are not reasonably SQL-expressible)."""
+    must share at least one of 4 bands). md5-compat fingerprint mode
+    (VERDICT r8 #2): SimHash is deterministic given the token hash, so
+    hashing shingles with md5 halves makes every fingerprint bit — and
+    therefore the band buckets and Hamming distances — SQL-replayable,
+    flipping this entry from rows-only to EXACT (the HLL/Bloom/theta
+    precedent). The fast xxhash64 default remains for non-oracle use."""
     from .operators.dedup import _session_cache, simhash64
 
     t = load_tables(spark, sf_dir)
-    # reuse the family's materialized shingle set (same n=8) and persist the
-    # 64-bit agg result — both self-join sides consume it
-    fam_sh, _ = _dedup_family(spark, sf_dir)
-    sh = _session_cache(simhash64(t["documents"], n=8, shingle_df=fam_sh))
+    # md5 mode can't reuse the family's int64-hashed shingle set — it
+    # rebuilds raw-substring shingles (same n=8); persist the 64-bit agg
+    # result since both self-join sides consume it
+    sh = _session_cache(simhash64(t["documents"], n=8, hash_fn="md5"))
     bands = sh.select(
         "doc_id",
         "simhash",
@@ -1850,10 +1854,81 @@ def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        cand.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int"),
+        )
         .where(F.col("hamming") <= 8)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# The oracle rebuilds the md5-mode fingerprints bit-for-bit: per-shingle
+# hash = hi||lo from the first 16 hex chars of md5 (the Spark side is
+# conv(substring(md5, off, 8), 16, 10) per half); per-doc bit b{i} is the
+# sign of the Σ±1 vote; the 64-bit code and the four 16-bit band chunks
+# reassemble from the votes (chunks from the votes directly — DuckDB
+# BIGINT shifts error on signed overflow, so the oracle never shifts the
+# assembled code). Blocking, pairing, and the Hamming cut then mirror the
+# Spark plan exactly.
+_SIMHASH_BIT_VOTES = ",\n    ".join(
+    f"SUM(CASE WHEN ({'lo' if i < 32 else 'hi'} >> {i % 32}) & 1 = 1 "
+    f"THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(64)
+)
+_SIMHASH_CODE = "\n      + ".join(
+    ["(CASE WHEN b63 > 0 THEN CAST(-9223372036854775808 AS BIGINT) "
+     "ELSE 0 END)"]
+    + [f"(CASE WHEN b{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END)"
+       for i in range(62, -1, -1)]
+)
+_SIMHASH_CHUNKS = ",\n    ".join(
+    " + ".join(
+        f"(CASE WHEN b{16 * b + j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(16)
+    )
+    + f" AS c{b}"
+    for b in range(4)
+)
+SIMHASH_SQL = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, SUBSTRING(text, CAST(pos AS INT), 8) AS shingle
+  FROM documents, UNNEST(range(1, GREATEST(LENGTH(text) - 8 + 1, 1) + 1)) AS t(pos)
+  WHERE LENGTH(text) >= 8
+),
+hs AS (
+  SELECT doc_id,
+         CAST('0x' || SUBSTRING(MD5(shingle), 1, 8) AS BIGINT) AS hi,
+         CAST('0x' || SUBSTRING(MD5(shingle), 9, 8) AS BIGINT) AS lo
+  FROM sh
+),
+votes AS (
+  SELECT doc_id,
+    {_SIMHASH_BIT_VOTES}
+  FROM hs GROUP BY doc_id
+),
+codes AS (
+  SELECT doc_id,
+    {_SIMHASH_CODE} AS simhash,
+    {_SIMHASH_CHUNKS}
+  FROM votes
+),
+bands AS (
+  SELECT doc_id, simhash, b.band,
+         CASE b.band WHEN 0 THEN c0 WHEN 1 THEN c1
+                     WHEN 2 THEN c2 ELSE c3 END AS chunk
+  FROM codes, (VALUES (0), (1), (2), (3)) AS b(band)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                  x.simhash AS ha, y.simhash AS hb
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= 8
+"""
 
 
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8378,7 +8453,9 @@ ORACLES: dict[str, str] = {
     "histogram_prices": HISTOGRAM_SQL,
     "hll_distinct_stats": HLL_DISTINCT_SQL,
     "hll_union_sources": HLL_UNION_SQL,
-    # rows-only (intentionally no oracle): dedup_simhash_docs, ann_lsh_topk,
+    # md5-mode fingerprints replay bit-for-bit (VERDICT r8 #2)
+    "dedup_simhash_docs": SIMHASH_SQL,
+    # rows-only (intentionally no oracle): ann_lsh_topk,
     # ann_ivf_topk, approx_stats
 }
 
