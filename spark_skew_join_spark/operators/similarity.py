@@ -334,6 +334,7 @@ def hard_negatives(
     vec_col: str = "embedding",
     label_col: str = "label",
     dim: int | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Hard-negative mining for retriever/contrastive training: for
     every anchor, the top-``k`` most-similar corpus vectors whose
@@ -342,14 +343,22 @@ def hard_negatives(
     negatives are trivially separable; the near-misses carry the
     gradient).
 
-    Shape: broadcast anchors × corpus with the label-mismatch filter
-    BEFORE scoring (same-label rows never cost a dot product), codegen
-    cosine when ``dim`` is given, per-anchor window cut.  Exact by
-    construction — swap the crossJoin for an LSH/IVF candidate join
-    (``lsh_topk``/``ivf_topk`` shapes) when the anchor set × corpus
-    product stops fitting the cluster; the mining semantics are
-    unchanged because the filter and cut commute with candidate
-    restriction.
+    Default shape: broadcast anchors × corpus with the label-mismatch
+    filter BEFORE scoring (same-label rows never cost a dot product),
+    codegen cosine when ``dim`` is given, per-anchor window cut —
+    exact by construction while the anchor set broadcasts.
+
+    ``candidates`` is the wired scale path (VERDICT r8 #3): pass a
+    (query_id, neighbor_id) DataFrame — the ``lsh_topk``/``ivf_topk``/
+    ``pq_topk`` output shape, extra columns ignored — and scoring
+    joins only those pairs instead of the full cross product, so 10⁵+
+    anchors against a 100 TB corpus cost O(candidates) dot products.
+    The label filter and the per-anchor cut commute with candidate
+    restriction, so the result equals the brute path whenever the
+    candidate set covers each anchor's true top-k differing-label
+    neighbors (equivalence pinned in tests; recall below full cover is
+    the ANN stage's, not this operator's). Both join sides are plain
+    equi-joins — AQE broadcasts whichever side is small.
 
     Output: (query_id, query_label, neighbor_id, neighbor_label, rank).
     """
@@ -363,8 +372,17 @@ def hard_negatives(
         F.col(vec_col).alias("__cv"),
         F.col(label_col).alias("neighbor_label"),
     )
+    if candidates is not None:
+        paired = (
+            candidates.select("query_id", "neighbor_id")
+            .distinct()
+            .join(c, "neighbor_id")
+            .join(q, "query_id")
+        )
+    else:
+        paired = c.crossJoin(F.broadcast(q))
     scored = (
-        c.crossJoin(F.broadcast(q))
+        paired
         .where(~F.col("neighbor_label").eqNullSafe(F.col("query_label")))
         .select(
             "query_id", "query_label", "neighbor_id", "neighbor_label",

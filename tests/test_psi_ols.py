@@ -230,3 +230,46 @@ def test_token_budget_matches_global_window(spark):
     )
     want = sorted((r["doc_id"], r["cb"]) for r in naive.collect())
     assert got == want
+
+
+def test_hard_negatives_candidate_path_equals_brute(spark):
+    """VERDICT r8 #3: the wired candidate path. With a candidate set
+    that covers each anchor's true differing-label top-k, the
+    candidate-joined result is IDENTICAL to the broadcast-crossJoin
+    brute path (the label filter and the per-anchor cut commute with
+    candidate restriction)."""
+    import random
+
+    from spark_skew_join_spark.operators.similarity import (
+        cosine_topk, hard_negatives,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(8)], f"s{i % 3}")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    anchors = df.where("vec_id < 4")
+    brute = hard_negatives(df, anchors, k=5, dim=8)
+    # cover: per anchor at most 20 same-label rows, so the overall
+    # top-25 neighbors contain the differing-label top-5
+    cand = cosine_topk(df, anchors, k=25, dim=8)
+    via_cand = hard_negatives(df, anchors, k=5, dim=8, candidates=cand)
+    key = lambda r: (r["query_id"], r["rank"])
+    a = sorted(brute.collect(), key=key)
+    b = sorted(via_cand.collect(), key=key)
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # an UNDER-covering candidate set still ranks densely 1..k over
+    # what it was given (the cut is over candidates, recall is the ANN
+    # stage's contract, not this operator's)
+    small = cosine_topk(df, anchors, k=7, dim=8)
+    out = hard_negatives(df, anchors, k=5, dim=8, candidates=small).collect()
+    per_q = {}
+    for r in out:
+        assert r["query_label"] != r["neighbor_label"]
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(v == sorted(v) == list(range(1, len(v) + 1))
+               for v in per_q.values())
