@@ -32,6 +32,39 @@ def test_lpa_deterministic_tiebreak_smallest_label(spark):
     assert out[1] == out[2] == out[3] == 5
 
 
+def test_lpa_track_convergence(spark):
+    """VERDICT r8 #8: with track_convergence, LPA reports per-round
+    changed counts and a converged flag, stops early at the fixpoint,
+    and the early-stopped labels equal the full-rounds result."""
+    c1 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges = spark.createDataFrame(
+        c1 + c2 + [(4, 10)], "src bigint, dst bigint"
+    )
+    out, info = label_propagation(edges, rounds=10, track_convergence=True)
+    assert info["converged"] is True
+    assert info["rounds_run"] < 10  # early stop at the fixpoint
+    assert info["changed_per_round"][-1] == 0
+    assert all(c >= 0 for c in info["changed_per_round"])
+    assert len(info["changed_per_round"]) == info["rounds_run"]
+    plain = label_propagation(edges, rounds=10)
+    key = lambda r: r["node"]
+    assert sorted(map(tuple, out.collect()), key=lambda t: t[0]) == \
+        sorted(map(tuple, plain.collect()), key=lambda t: t[0])
+
+
+def test_lpa_track_convergence_not_converged(spark):
+    # a path graph needs ~diameter rounds; 1 round cannot converge
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "src bigint, dst bigint"
+    )
+    out, info = label_propagation(edges, rounds=1, track_convergence=True)
+    assert info["converged"] is False
+    assert info["rounds_run"] == 1
+    assert info["changed_per_round"][0] > 0
+    assert out.count() == 9
+
+
 def test_lpa_rejects_bad_rounds(spark):
     import pytest
 

@@ -52,7 +52,12 @@ def main():
     )
     edges = intra.unionAll(noise)
     t0 = time.time()
-    out = label_propagation(edges, rounds=ROUNDS).persist()
+    per_round: list = []
+    out, info = label_propagation(
+        edges, rounds=ROUNDS, track_convergence=True,
+        round_timings=per_round,
+    )
+    out = out.persist()
     n = out.count()
     wall = time.time() - t0
     # majority label per true block, then agreement
@@ -70,9 +75,15 @@ def main():
     n_comms = out.select("label").distinct().count()
     print(
         f"vertices={n:,} blocks={N_BLOCKS} intra={N_INTRA:,} "
-        f"noise={NOISE:,} | {ROUNDS} rounds {wall:.1f}s | "
-        f"communities={n_comms:,} majority-agreement={agree:.4f}"
+        f"noise={NOISE:,} | {info['rounds_run']} rounds {wall:.1f}s | "
+        f"communities={n_comms:,} majority-agreement={agree:.4f} | "
+        f"converged={info['converged']}"
     )
+    # per-round decomposition (VERDICT r8 #7): where the wall actually
+    # goes round to round, and how many labels still move
+    print("round  wall_s  changed")
+    for i, (w, c) in enumerate(zip(per_round, info["changed_per_round"]), 1):
+        print(f"{i:>5}  {w:6.2f}  {c:,}")
 
 
 if __name__ == "__main__":
