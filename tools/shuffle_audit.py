@@ -64,6 +64,14 @@ QUERIES = [
     "pmi_collocations_docs",
     "markov_transitions_events",
     "ann_pq_refined_topk",
+    # round-9 additions (VERDICT r8 #4): the newest heavy lines
+    "label_propagation_copurchase",
+    "ann_ivfpq_topk",
+    "token_budget_docs",
+    "weighted_quantiles_lineitem",
+    "hll_distinct_stats",
+    "hll_union_sources",
+    "dedup_simhash_docs",
 ]
 
 
@@ -110,11 +118,24 @@ def main() -> None:
     app_id = _rest("applications")[0]["id"]
     rows = []
     for name in QUERIES:
-        df = q.QUERIES[name](spark, SF)
-        before = _totals(app_id)
-        t0 = time.perf_counter()
+        # EAGER_QUERIES do their real work (per-round checkpoints,
+        # sketch folds) at plan CONSTRUCTION — snapshot before it, as
+        # bench.py re-times them, so their shuffle bytes are attributed
+        # to their own row instead of vanishing between windows
+        # (VERDICT r8 #4)
+        eager = name in q.EAGER_QUERIES
+        if eager:
+            before = _totals(app_id)
+            t0 = time.perf_counter()
+            df = q.QUERIES[name](spark, SF)
+        else:
+            df = q.QUERIES[name](spark, SF)
+            before = _totals(app_id)
+            t0 = time.perf_counter()
         df.write.mode("overwrite").format("noop").save()
         wall = time.perf_counter() - t0
+        if eager:
+            name = name + "*"
         time.sleep(0.5)  # let the status store settle
         after = _totals(app_id)
         mb = lambda k: (after[k] - before[k]) / 1e6  # noqa: E731
@@ -131,10 +152,12 @@ def main() -> None:
         f.write(
             "# SHUFFLE_AUDIT — per-query bytes from the status REST API\n\n"
             f"sf_dir: `{SF}`, local[{cpus}]. Execution-phase deltas of\n"
-            "completed-stage input / shuffle-read / shuffle-write bytes\n"
-            "(eager plan-construction pre-passes are not inside the timed\n"
-            "window and appear in the NEXT row's delta if stages complete\n"
-            "late — read totals, not row-exact attribution).\n"
+            "completed-stage input / shuffle-read / shuffle-write bytes.\n"
+            "Rows marked `*` are EAGER_QUERIES: their window opens BEFORE\n"
+            "plan construction (per-round checkpoints / sketch folds do\n"
+            "the real work there), matching bench.py's timing semantics.\n"
+            "Stages completing late can still leak into the next row —\n"
+            "read totals, not row-exact attribution.\n"
             "Regenerate: `python tools/shuffle_audit.py`.\n\n"
             "| query | wall s | input MB | shuffle-read MB | shuffle-write MB |\n"
             "|---|---|---|---|---|\n"
