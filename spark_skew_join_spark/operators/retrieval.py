@@ -216,3 +216,173 @@ def rrf_fuse(
         .select("query_id", "doc_id", "n_rankers", "rrf_score",
                 F.col("rank").cast("int").alias("rank"))
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    ngram: int = 3,
+    max_df: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All document pairs with TF-IDF-weighted cosine >= ``threshold``
+    over word-``ngram`` phrase vectors — the cosine sibling of the
+    Jaccard set-similarity join (operators/setsim.py): Jaccard sees
+    only membership, TF-IDF cosine weights repeated rare phrases up
+    and boilerplate down, the classic text-reuse detector.
+
+    Vector space: terms are sliding word n-grams (whitespace split,
+    the BM25 tokenizer); weight = tf · ln(N/df); terms with df >
+    ``max_df`` are dropped from the vectors entirely (stop-phrase cap
+    — both the weights AND the norms exclude them, so the semantics
+    stay exact and scale-bounded).
+
+    Scale shape: one tokenize scan → (doc, term-hash) tf — terms are
+    xxhash64-hashed before any shuffle, the setsim trick (weights
+    depend only on term equality, so only 8-byte ints move); df and
+    the N scalar aggregate from it; the pair enumeration is the
+    inverted-index self-join on term-hash, whose fan-out per term is
+    capped at ``max_df``² — never an all-pairs product. Per-pair dot
+    is one map-side-combinable sum; norms join back per doc.
+
+    Output: (id_a, id_b, cosine) with id_a < id_b, cosine rounded to
+    6 (the threshold compares the ROUNDED value so an oracle replay
+    can never straddle a float-summation-order divergence).
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if ngram < 1 or max_df < 1:
+        raise ValueError("ngram and max_df must be >= 1")
+    w = F.split(F.col(text_col), " ")
+    # sequence(1, 0) would run DESCENDING — guard short docs to empty
+    idxs = F.when(
+        F.size(w) >= ngram, F.sequence(F.lit(1), F.size(w) - (ngram - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    terms = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.transform(idxs, lambda i: F.concat_ws(" ", F.slice(w, i, ngram)))
+        ).alias("__term"),
+    ).select("__id", F.xxhash64("__term").alias("__t"))
+    tf = terms.groupBy("__id", "__t").agg(F.count(F.lit(1)).alias("__tf"))
+    dfq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    weights = (
+        tf.join(dfq.where(F.col("__df") <= max_df), "__t")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "__id", "__t",
+            (F.col("__tf") * F.log(F.col("__n") / F.col("__df"))).alias("__w"),
+        )
+    )
+    norms = weights.groupBy("__id").agg(
+        F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__nm")
+    )
+    wa = weights.select(
+        F.col("__id").alias("id_a"), "__t", F.col("__w").alias("__wa")
+    )
+    wb = weights.select(
+        F.col("__id").alias("id_b"), "__t", F.col("__w").alias("__wb")
+    )
+    dots = (
+        wa.join(wb, "__t")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("__wa") * F.col("__wb")).alias("__dot"))
+    )
+    return (
+        dots.join(norms.withColumnsRenamed({"__id": "id_a", "__nm": "__na"}),
+                  "id_a")
+        .join(norms.withColumnsRenamed({"__id": "id_b", "__nm": "__nb"}),
+              "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(F.col("__dot") / (F.col("__na") * F.col("__nb")), 6)
+            .alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def ndcg_at_k(
+    run: DataFrame,
+    judgments: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """NDCG@k of a ranked retrieval ``run`` against graded relevance
+    ``judgments`` — the evaluation half of the retrieval family: a
+    pipeline that mines hard negatives or fuses rankers needs to SCORE
+    those rankers against labels, at corpus scale, inside the engine.
+
+    Standard burst-gain form: gain(rel) = 2^rel − 1, discount
+    log2(rank+1); DCG over the run's top-``k``; IDCG over the ideal
+    ordering of that query's judged-relevant docs (rel desc — tie
+    order cannot change the value, the doc-id tiebreak just keeps the
+    plan deterministic); NDCG = DCG/IDCG, 0 when a query has no
+    relevant doc. DCG/IDCG round to 6 and NDCG divides the ROUNDED
+    values, so an oracle replay never straddles a float-summation
+    divergence.
+
+    Scale shape: the run side is ≤ k rows per query by contract; the
+    judgments side takes one per-query window for the ideal top-k —
+    partitioned by query id, bounded by judgments per query (human or
+    derived labels, both far under corpus size). Two map-side-combined
+    sums; no driver participation.
+
+    Output: (query_col, dcg, idcg, ndcg).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    j = judgments.select(
+        query_col, doc_col, F.col(rel_col).cast("double").alias("__rel")
+    )
+    gain = lambda rel: F.pow(F.lit(2.0), rel) - F.lit(1.0)  # noqa: E731
+    dcg = (
+        run.where(F.col(rank_col) <= k)
+        .select(query_col, doc_col, rank_col)
+        .join(j, [query_col, doc_col], "left")
+        .select(
+            query_col,
+            (
+                gain(F.coalesce(F.col("__rel"), F.lit(0.0)))
+                / F.log2(F.col(rank_col) + F.lit(1.0))
+            ).alias("__g"),
+        )
+        .groupBy(query_col)
+        .agg(F.round(F.sum("__g"), 6).alias("dcg"))
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("__rel").desc(), F.col(doc_col)
+    )
+    ideal = (
+        j.where(F.col("__rel") > 0)
+        .withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= k)
+        .groupBy(query_col)
+        .agg(
+            F.round(
+                F.sum(gain(F.col("__rel")) / F.log2(F.col("__r") + F.lit(1.0))),
+                6,
+            ).alias("idcg")
+        )
+    )
+    return (
+        dcg.join(ideal, query_col, "left")
+        .select(
+            query_col,
+            "dcg",
+            F.coalesce(F.col("idcg"), F.lit(0.0)).alias("idcg"),
+            F.round(
+                F.when(
+                    F.coalesce(F.col("idcg"), F.lit(0.0)) > 0,
+                    F.col("dcg") / F.col("idcg"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("ndcg"),
+        )
+    )

@@ -4800,6 +4800,40 @@ def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(t["documents"], "doc_id", "text")
 
 
+def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-k-smoothed bigram-LM quality score per document
+    (operators/quality.py::bigram_logprob): the sequence-probability
+    rung above unigram_lm_quality — flags improbable word ORDER, not
+    just rare vocabulary. Textbook add-k conditional
+    p(b|a) = (c(a b)+k)/(c(a)+k·V), k=0.5, V = corpus vocabulary;
+    score = mean bigram NLL. The operator predates this round but was
+    never registered — this entry wires it to the correctness gate."""
+    from .operators.quality import bigram_logprob
+
+    t = load_tables(spark, sf_dir)
+    return bigram_logprob(t["documents"], "doc_id", "text", k_smooth=0.5)
+
+
+BIGRAM_LM_SQL = """
+WITH wl AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bg AS (
+  SELECT doc_id,
+         w[CAST(p AS INT)] || ' ' || w[CAST(p AS INT) + 1] AS bgm,
+         w[CAST(p AS INT)] AS ctx
+  FROM wl, UNNEST(range(1, GREATEST(len(w) - 1, 0) + 1)) AS r(p)
+),
+bc AS (SELECT bgm, COUNT(*) AS bc FROM bg GROUP BY 1),
+uc AS (SELECT tk, COUNT(*) AS ca
+       FROM (SELECT UNNEST(string_split(text, ' ')) AS tk FROM documents)
+       GROUP BY 1),
+v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uc)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(AVG(-LN((bc.bc + 0.5) / (uc.ca + 0.5 * v.v))), 6) AS avg_nll
+FROM bg JOIN bc USING (bgm) JOIN uc ON uc.tk = bg.ctx CROSS JOIN v
+GROUP BY doc_id
+"""
+
+
 UNIGRAM_LM_SQL = """
 WITH tok AS (
   SELECT doc_id, tk
@@ -6133,6 +6167,148 @@ FROM orders GROUP BY 1
 # --------------------------------------------------------------------------
 
 # --- round 6: retrieval + membership-sketch + quality-verdict queries ----
+
+
+def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation inside the engine
+    (operators/retrieval.py::ndcg_at_k): NDCG@10 of the batched BM25
+    run (bm25_topk_multi, one corpus pass for 3 query bags) against
+    graded relevance derived relationally from the corpus itself —
+    rel(q, d) = number of distinct q-terms present in d. The oracle
+    replays the BM25 ranking, the derived judgments, the ideal
+    ordering, and the burst-gain arithmetic, so DCG/IDCG/NDCG are all
+    hash-checked."""
+    from .operators.retrieval import bm25_topk_multi, ndcg_at_k
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    terms = {0: ["spark", "join"], 1: ["window", "vector"],
+             2: ["stream", "query"]}
+    run = bm25_topk_multi(docs, terms, k=10).select(
+        "query_id", "doc_id", "rank"
+    )
+    qt = spark.createDataFrame(
+        [(qid, tm) for qid, ts in terms.items() for tm in ts],
+        "query_id int, term string",
+    )
+    judgments = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .distinct()
+        .join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("rel"))
+    )
+    return ndcg_at_k(run, judgments, k=10)
+
+
+NDCG_EVAL_SQL = """
+WITH qt AS (
+  SELECT * FROM (VALUES (0, 'spark'), (0, 'join'), (1, 'window'),
+                        (1, 'vector'), (2, 'stream'), (2, 'query'))
+  AS v(qid, term)
+),
+toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+corpus AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+  WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2
+),
+dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT q.qid, t.doc_id,
+         LN(1 + (c.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * (t.tf * (1.2 + 1.0))
+           / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / c.avgdl)) AS s
+  FROM qt q JOIN tf t USING (term) JOIN dft f ON f.term = t.term
+  JOIN dl d USING (doc_id) CROSS JOIN corpus c
+),
+run AS (
+  SELECT qid, doc_id, rank FROM (
+    SELECT qid, doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY ROUND(SUM(s), 6) DESC, doc_id) AS INT) AS rank
+    FROM scored GROUP BY qid, doc_id) x
+  WHERE rank <= 10
+),
+judg AS (
+  SELECT q.qid, d.doc_id, CAST(COUNT(*) AS DOUBLE) AS rel
+  FROM (SELECT DISTINCT doc_id, term FROM toks) d JOIN qt q USING (term)
+  GROUP BY 1, 2
+),
+dcg AS (
+  SELECT r.qid, ROUND(SUM((POW(2.0, COALESCE(j.rel, 0.0)) - 1.0)
+                          / LOG2(r.rank + 1.0)), 6) AS dcg
+  FROM run r LEFT JOIN judg j ON j.qid = r.qid AND j.doc_id = r.doc_id
+  GROUP BY r.qid
+),
+ideal AS (
+  SELECT qid, ROUND(SUM((POW(2.0, rel) - 1.0) / LOG2(rk + 1.0)), 6) AS idcg
+  FROM (
+    SELECT qid, rel,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY rel DESC, doc_id) AS rk
+    FROM judg WHERE rel > 0) x
+  WHERE rk <= 10 GROUP BY qid
+)
+SELECT d.qid AS query_id, d.dcg,
+       COALESCE(i.idcg, 0.0) AS idcg,
+       ROUND(CASE WHEN COALESCE(i.idcg, 0.0) > 0
+                  THEN d.dcg / i.idcg ELSE 0.0 END, 6) AS ndcg
+FROM dcg d LEFT JOIN ideal i ON i.qid = d.qid
+"""
+
+
+def tfidf_cosine_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine text-reuse pairs
+    (operators/retrieval.py::tfidf_cosine_pairs): word-trigram phrase
+    vectors, tf·ln(N/df) weights, df>50 stop-phrases dropped from
+    vectors and norms alike, inverted-index pair enumeration (terms
+    xxhash64-hashed before shuffle — the setsim trick), cosine cut on
+    the ROUNDED value. Isolates the planted near-dup families (the
+    cosine counterpart of dedup_ngram_jaccard's Jaccard threshold);
+    the oracle replays the identical arithmetic on raw phrase
+    strings."""
+    from .operators.retrieval import tfidf_cosine_pairs
+
+    t = load_tables(spark, sf_dir)
+    return tfidf_cosine_pairs(
+        t["documents"], threshold=0.5, ngram=3, max_df=50
+    )
+
+
+TFIDF_COSINE_SQL = """
+WITH wl AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tri AS (
+  SELECT doc_id,
+         w[CAST(p AS INT)] || ' ' || w[CAST(p AS INT) + 1] || ' '
+           || w[CAST(p AS INT) + 2] AS term
+  FROM wl, UNNEST(range(1, GREATEST(len(w) - 2, 0) + 1)) AS r(p)
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tri GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+wt AS (
+  SELECT tf.doc_id, tf.term, tf.tf * ln(n.n_docs / dfq.df) AS w
+  FROM tf JOIN dfq USING (term) CROSS JOIN n
+  WHERE dfq.df <= 50
+),
+nrm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nm FROM wt GROUP BY doc_id),
+dot AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.w * b.w) AS d
+  FROM wt a JOIN wt b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, ROUND(d / (x.nm * y.nm), 6) AS cosine
+FROM dot JOIN nrm x ON x.doc_id = id_a JOIN nrm y ON y.doc_id = id_b
+WHERE ROUND(d / (x.nm * y.nm), 6) >= 0.5
+"""
 
 
 def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8102,6 +8278,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (CORRECTNESS_r08.json is the ground truth: 50 rows ending at
     # dedup_clusters_docs). Everything below the r9 end marker is
     # staleness-ascending and pre-sorted for the r10 rotation.
+    "tfidf_cosine_docs": tfidf_cosine_docs,  # round-9 debut
+    "bigram_lm_quality": bigram_lm_quality,  # round-9 debut
+    "ndcg_retrieval_eval": ndcg_retrieval_eval,  # round-9 debut
     "dedup_fuzzy_survivors": dedup_fuzzy_survivors,
     "dedup_simhash_docs": dedup_simhash_docs,
     "pipeline_clean_corpus": pipeline_clean_corpus,
@@ -8455,6 +8634,9 @@ ORACLES: dict[str, str] = {
     "hll_union_sources": HLL_UNION_SQL,
     # md5-mode fingerprints replay bit-for-bit (VERDICT r8 #2)
     "dedup_simhash_docs": SIMHASH_SQL,
+    "tfidf_cosine_docs": TFIDF_COSINE_SQL,
+    "bigram_lm_quality": BIGRAM_LM_SQL,
+    "ndcg_retrieval_eval": NDCG_EVAL_SQL,
     # rows-only (intentionally no oracle): ann_lsh_topk,
     # ann_ivf_topk, approx_stats
 }
@@ -8527,6 +8709,9 @@ SCALAR_BNL_OK = (
     "tfidf_top_terms",  # 1-row n_docs count broadcast for the IDF term
     "bm25_topk_docs",  # 1-row (n_docs, avgdl) corpus-scalar broadcast
     "unigram_lm_quality",  # 1-row total-token-count broadcast for ln(total)
+    "bigram_lm_quality",  # 1-row vocabulary-size broadcast for the k·V term
+    "tfidf_cosine_docs",  # 1-row n_docs broadcast for the IDF term
+    "ndcg_retrieval_eval",  # BM25's 1-row corpus-scalar broadcast
     "pagerank_nations",  # 1-row vertex-count broadcast per iteration (1/N term)
     "dq_audit_orders",  # 1-row metric frames combined by scalar cross-join
     "delete_propagation_stats",  # 1-row per-table count frames cross-joined

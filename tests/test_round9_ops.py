@@ -1,0 +1,114 @@
+"""Round-9 operator units: tfidf_cosine_pairs, ndcg_at_k, bigram LM."""
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from spark_skew_join_spark.operators.retrieval import (
+    ndcg_at_k,
+    tfidf_cosine_pairs,
+)
+
+
+def test_tfidf_cosine_identical_and_disjoint(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),  # identical → 1.0
+            (3, "one two three four five six"),           # disjoint  → none
+            (4, "x y"),                                    # < 3 words → no vector
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in tfidf_cosine_pairs(docs, threshold=0.3, ngram=3).collect()}
+    assert got == {(1, 2): 1.0}
+
+
+def test_tfidf_cosine_max_df_drops_stop_phrases(spark):
+    # the only shared-weight trigram between docs 1 and 2 has df=2
+    # (df=3 trigrams already weigh ln(3/3)=0); max_df=1 removes it from
+    # vectors AND norms, so the pair list collapses to 0 rows
+    docs = spark.createDataFrame(
+        [
+            (1, "common one two three private alpha beta gamma"),
+            (2, "common one two three private delta epsilon zeta"),
+            (3, "common one two three other words here now"),
+        ],
+        "doc_id bigint, text string",
+    )
+    loose = tfidf_cosine_pairs(docs, threshold=0.02, ngram=3, max_df=50)
+    strict = tfidf_cosine_pairs(docs, threshold=0.02, ngram=3, max_df=1)
+    assert loose.count() > strict.count()
+
+
+def test_tfidf_cosine_rejects_bad_params(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        tfidf_cosine_pairs(docs, threshold=0.0)
+    with pytest.raises(ValueError):
+        tfidf_cosine_pairs(docs, threshold=0.5, ngram=0)
+
+
+def test_ndcg_known_values(spark):
+    run = spark.createDataFrame(
+        [(0, 20, 1), (0, 10, 2), (0, 99, 3)],
+        "query_id int, doc_id bigint, rank int",
+    )
+    judg = spark.createDataFrame(
+        [(0, 10, 3), (0, 20, 2), (0, 30, 1)],
+        "query_id int, doc_id bigint, rel int",
+    )
+    out = ndcg_at_k(run, judg, k=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    dcg = (2**2 - 1) / math.log2(2) + (2**3 - 1) / math.log2(3) + 0.0
+    idcg = (2**3 - 1) / math.log2(2) + (2**2 - 1) / math.log2(3) \
+        + (2**1 - 1) / math.log2(4)
+    assert r["dcg"] == round(dcg, 6)
+    assert r["idcg"] == round(idcg, 6)
+    assert r["ndcg"] == round(round(dcg, 6) / round(idcg, 6), 6)
+
+
+def test_ndcg_no_relevant_docs(spark):
+    run = spark.createDataFrame(
+        [(7, 1, 1), (7, 2, 2)], "query_id int, doc_id bigint, rank int"
+    )
+    judg = spark.createDataFrame(
+        [(7, 9, 0)], "query_id int, doc_id bigint, rel int"
+    )
+    r = ndcg_at_k(run, judg, k=10).collect()[0]
+    assert (r["dcg"], r["idcg"], r["ndcg"]) == (0.0, 0.0, 0.0)
+
+
+def test_ndcg_ideal_run_scores_one(spark):
+    judg = spark.createDataFrame(
+        [(1, 5, 2), (1, 6, 1)], "query_id int, doc_id bigint, rel int"
+    )
+    run = spark.createDataFrame(
+        [(1, 5, 1), (1, 6, 2)], "query_id int, doc_id bigint, rank int"
+    )
+    assert ndcg_at_k(run, judg, k=5).collect()[0]["ndcg"] == 1.0
+
+
+def test_bigram_logprob_known_value(spark):
+    from spark_skew_join_spark.operators.quality import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b a"), (3, "x")],  # doc 3: no bigrams
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           bigram_logprob(docs, k_smooth=0.5).collect()}
+    assert 3 not in out
+    # corpus: unigram counts a=3, b=3, x=1, V=3
+    # bigram counts: (a b)=2, (b a)=2
+    V, k = 3, 0.5
+    p_ab = (2 + k) / (3 + k * V)
+    p_ba = (2 + k) / (3 + k * V)
+    d1 = -(math.log(p_ab) + math.log(p_ba) + math.log(p_ab)) / 3
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["avg_nll"] == round(d1, 6)
+    assert out[2]["n_bigrams"] == 1
+    assert out[2]["avg_nll"] == round(-math.log(p_ba), 6)
