@@ -296,6 +296,42 @@ def main() -> None:
         )
     )
 
+    tc = q.QUERIES["tfidf_cosine_docs"](spark, SF)
+    simpletc = plan_string(tc, "simple")
+    out.append(
+        section(
+            "tfidf_cosine_docs — inverted-index cosine on hashed phrases (round 9)",
+            "\n".join(
+                (l[:140] + " …" if len(l) > 140 else l)
+                for l in simpletc.splitlines()
+                if "Join" in l or "Exchange" in l or "Python" in l
+            ),
+            "Every shuffle keys on the xxhash64 phrase hash or a doc id —\n"
+            "the phrase STRING never moves; the pair enumeration is an\n"
+            "equi-join on the term hash (fan-out capped by max_df), never a\n"
+            "cartesian; the only BroadcastNestedLoopJoin is the 1-row n_docs\n"
+            "scalar (SCALAR_BNL_OK).",
+        )
+    )
+
+    nd = q.QUERIES["ndcg_retrieval_eval"](spark, SF)
+    simplend = plan_string(nd, "simple")
+    out.append(
+        section(
+            "ndcg_retrieval_eval — in-engine ranking evaluation (round 9)",
+            "\n".join(
+                (l[:140] + " …" if len(l) > 140 else l)
+                for l in simplend.splitlines()
+                if "Join" in l or "Exchange" in l or "Window" in l
+                or "Python" in l
+            ),
+            "The run side is <= k rows/query (TakeOrdered shortlist from\n"
+            "bm25_topk_multi); the only window partitions by query_id over\n"
+            "the judgments (label-table-bounded, never the corpus); no\n"
+            "Python nodes.",
+        )
+    )
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print("PLANS.md written")
