@@ -8264,15 +8264,17 @@ GROUP BY b.event_type
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round 9: registry rotated again (VERDICT r8 #1). The driver
     # correctness-checks the FIRST 50 entries only, so the dict is
-    # ordered by driver-staleness: round-9 debuts first (none at
-    # rotation time; debuts are inserted at the head as they land),
-    # then ascending last-driver-round, ties by prior position. The
-    # r9 window below = 11 entries whose last driver row is
-    # CORRECTNESS_r03 (dedup_fuzzy_survivors..multimodal_binary_meta;
+    # ordered by driver-staleness: round-9 debuts first (3 landed this
+    # round: tfidf_cosine_docs, bigram_lm_quality,
+    # ndcg_retrieval_eval), then ascending last-driver-round, ties by
+    # prior position. The r9 window below = 3 debuts + 11 entries
+    # whose last driver row is CORRECTNESS_r03
+    # (dedup_fuzzy_survivors..multimodal_binary_meta;
     # dedup_fuzzy_survivors was displaced from the r8 window when the
     # 11th r8 debut, token_budget_docs, was inserted late) + 13
-    # r4-certified + 26 r5-certified entries. For the record, the r8
-    # window held 11 round-8 debuts (ann_pq_refined_topk, psi, ols,
+    # r4-certified + 23 r5-certified entries (the debuts displaced the
+    # last 3 r5 rows to the r10 queue). For the record, the r8 window
+    # held 11 round-8 debuts (ann_pq_refined_topk, psi, ols,
     # char_entropy, lpa, range_split, ivfpq, chunking, hard_negatives,
     # weighted_quantiles, token_budget_docs) + 39 r3-stale holdovers
     # (CORRECTNESS_r08.json is the ground truth: 50 rows ending at
