@@ -194,22 +194,26 @@ def bigram_logprob(docs: DataFrame, id_col: str = "doc_id",
     (SCALAR_BNL_OK); all counts map-side combine.  Output:
     (id_col, n_bigrams, avg_nll).
     """
+    # explode POSITIONS then element_at, not transform() over structs:
+    # HOF lambdas fall out of whole-stage codegen (the contamination
+    # module's 5× lesson) — measured 4.4 s → 0.5 s at sf0.1 on this
+    # exact stage (BASELINE.md round 9)
     arr = F.split(F.col(text_col), " ")
-    grams = docs.where(F.size(arr) >= 2).select(
+    base = (
+        docs.where(F.size(arr) >= 2)
+        .select(F.col(id_col), arr.alias("__tk"))
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(1), F.size("__tk") - 1)).alias("__i"),
+            "__tk",
+        )
+    )
+    a = F.element_at(F.col("__tk"), F.col("__i"))
+    b = F.element_at(F.col("__tk"), F.col("__i") + F.lit(1))
+    grams = base.select(
         F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(arr) - F.lit(1)),
-                lambda i: F.struct(
-                    F.element_at(arr, i).alias("a"),
-                    F.element_at(arr, i + F.lit(1)).alias("b"),
-                ),
-            )
-        ).alias("g"),
-    ).select(
-        F.col(id_col),
-        F.xxhash64("g.a").alias("__ha"),
-        F.xxhash64("g.a", "g.b").alias("__hab"),
+        F.xxhash64(a).alias("__ha"),
+        F.xxhash64(a, b).alias("__hab"),
     )
     uni = docs.select(
         F.explode(F.split(F.col(text_col), " ")).alias("__tok")

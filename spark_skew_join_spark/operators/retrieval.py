@@ -254,17 +254,28 @@ def tfidf_cosine_pairs(
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     if ngram < 1 or max_df < 1:
         raise ValueError("ngram and max_df must be >= 1")
+    # explode POSITIONS then slice/array_join, not a transform() HOF:
+    # the lambda falls out of whole-stage codegen — measured 2.9 s →
+    # 1.7 s at sf0.1 (BASELINE.md round 9); short docs are filtered
+    # rather than guarded (sequence(1, 0) would run DESCENDING)
     w = F.split(F.col(text_col), " ")
-    # sequence(1, 0) would run DESCENDING — guard short docs to empty
-    idxs = F.when(
-        F.size(w) >= ngram, F.sequence(F.lit(1), F.size(w) - (ngram - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    terms = docs.select(
-        F.col(id_col).alias("__id"),
-        F.explode(
-            F.transform(idxs, lambda i: F.concat_ws(" ", F.slice(w, i, ngram)))
-        ).alias("__term"),
-    ).select("__id", F.xxhash64("__term").alias("__t"))
+    terms = (
+        docs.where(F.size(w) >= ngram)
+        .select(F.col(id_col).alias("__id"), w.alias("__w"))
+        .select(
+            "__id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("__w") - (ngram - 1))
+            ).alias("__i"),
+            "__w",
+        )
+        .select(
+            "__id",
+            F.xxhash64(
+                F.array_join(F.slice(F.col("__w"), F.col("__i"), ngram), " ")
+            ).alias("__t"),
+        )
+    )
     tf = terms.groupBy("__id", "__t").agg(F.count(F.lit(1)).alias("__tf"))
     dfq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
     n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("__n"))
