@@ -47,16 +47,35 @@ def hashed_gram_buckets(
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, bucket, cnt): hashed unigram (+ bigram) counts per doc."""
+    # unigram and bigram streams explode separately and union — the
+    # old transform() bigram lambda fell out of whole-stage codegen
+    # (2.7 s → 0.9 s warm at sf0.1, BASELINE.md r9); positions +
+    # element_at keep the whole build codegen
     toks = F.split(F.col(text_col), " ")
-    grams = toks
+    grams_df = docs.select(F.col(id_col), F.explode(toks).alias("g"))
     if include_bigrams:
-        bi = F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.concat_ws(" ", toks[i], toks[i + 1]),
+        base = (
+            docs.where(F.size(toks) >= 2)
+            .select(F.col(id_col), toks.alias("__tk"))
+            .select(
+                id_col,
+                F.explode(
+                    F.sequence(F.lit(1), F.size("__tk") - 1)
+                ).alias("__i"),
+                "__tk",
+            )
         )
-        grams = F.concat(toks, F.when(F.size(toks) >= 2, bi).otherwise(F.array()))
+        bi = base.select(
+            F.col(id_col),
+            F.concat_ws(
+                " ",
+                F.element_at(F.col("__tk"), F.col("__i")),
+                F.element_at(F.col("__tk"), F.col("__i") + F.lit(1)),
+            ).alias("g"),
+        )
+        grams_df = grams_df.unionByName(bi)
     return (
-        docs.select(F.col(id_col), F.explode(grams).alias("g"))
+        grams_df
         .select(id_col, _bucket(F.col("g"), n_buckets, hash_fn).alias("bucket"))
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))

@@ -23,26 +23,34 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions.text import punct_count, token_count
 
 
-def _ngram_col(tokens, n: int):
-    """array<string> of word n-grams of ``tokens`` (codegen transform/slice)."""
-    size = F.size(tokens)
-    idx = F.when(size >= n, F.sequence(F.lit(0), size - n)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.transform(idx, lambda i: F.array_join(F.slice(tokens, i + 1, n), " "))
-
-
 def top_ngram_fraction(docs: DataFrame, id_col: str, text_col: str, n: int,
                        out_col: str) -> DataFrame:
     """(id_col, out_col): occurrences of the doc's most frequent word
     n-gram divided by its n-gram count; 0.0 for docs with < n words.
 
     Count-based, so n-gram ties don't affect the result (deterministic
-    across engines and partitionings)."""
+    across engines and partitionings). Grams build as explode_outer
+    over POSITIONS + slice/array_join (the NULL row for short docs is
+    preserved), not a transform() HOF — the lambda falls out of
+    whole-stage codegen (1.7 s → codegen at sf0.1, BASELINE.md r9)."""
     tokens = F.split(F.col(text_col), " ")
+    size = F.size(tokens)
+    idx = F.when(size >= n, F.sequence(F.lit(0), size - n)).otherwise(
+        F.array().cast("array<int>")
+    )
     grams = docs.select(
-        F.col(id_col),
-        F.explode_outer(_ngram_col(tokens, n)).alias("_ng"),
+        F.col(id_col), tokens.alias("__tk"), F.explode_outer(idx).alias("__i")
+    ).select(
+        id_col,
+        # gram identity is all the aggregation needs — xxhash64 the
+        # string so the (doc, gram) shuffle moves 8-byte ints (the
+        # shingle/setsim trick); short-doc NULL rows stay NULL
+        F.when(
+            F.col("__i").isNotNull(),
+            F.xxhash64(
+                F.array_join(F.slice(F.col("__tk"), F.col("__i") + 1, n), " ")
+            ),
+        ).alias("_ng"),
     )
     per_gram = grams.groupBy(id_col, "_ng").agg(F.count(F.lit(1)).alias("_cnt"))
     return per_gram.groupBy(id_col).agg(
@@ -78,7 +86,9 @@ def duplicate_ngram_fraction(docs: DataFrame, id_col: str, text_col: str,
             "__tk",
         )
     )
-    gram = F.array_join(F.slice(F.col("__tk"), F.col("__i"), n), " ")
+    # hashed gram key: identity is all the count needs (8-byte shuffle,
+    # the shingle/setsim trick)
+    gram = F.xxhash64(F.array_join(F.slice(F.col("__tk"), F.col("__i"), n), " "))
     per_gram = (
         base.select(F.col(id_col), gram.alias("_ng"))
         .groupBy(id_col, "_ng")
