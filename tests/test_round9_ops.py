@@ -112,3 +112,97 @@ def test_bigram_logprob_known_value(spark):
     assert out[1]["avg_nll"] == round(d1, 6)
     assert out[2]["n_bigrams"] == 1
     assert out[2]["avg_nll"] == round(-math.log(p_ba), 6)
+
+
+# -- property tests vs Python references (the test_property.py posture:
+# tiny max_examples, every example runs Spark jobs) ------------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_PSETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+
+
+@given(seed=st.integers(0, 100), k=st.integers(1, 6))
+@settings(**_PSETTINGS)
+def test_ndcg_matches_python_reference(spark, seed, k):
+    import random
+
+    rng = random.Random(seed)
+    n_q, n_docs = 3, 12
+    run_rows, judg_rows = [], []
+    for q in range(n_q):
+        ranked = rng.sample(range(n_docs), rng.randint(1, 8))
+        run_rows += [(q, d, i + 1) for i, d in enumerate(ranked)]
+        judg_rows += [(q, d, rng.randint(0, 3)) for d in
+                      rng.sample(range(n_docs), rng.randint(0, n_docs))]
+    run = spark.createDataFrame(
+        run_rows, "query_id int, doc_id bigint, rank int")
+    judg = spark.createDataFrame(
+        judg_rows, "query_id int, doc_id bigint, rel int")
+    got = {r["query_id"]: r for r in ndcg_at_k(run, judg, k=k).collect()}
+
+    jmap = {(q, d): rel for q, d, rel in judg_rows}
+    for q in range(n_q):
+        ranked = [(d, r) for (qq, d, r) in run_rows if qq == q and r <= k]
+        dcg = sum((2 ** jmap.get((q, d), 0) - 1) / math.log2(r + 1)
+                  for d, r in ranked)
+        rels = sorted((rel for (qq, _), rel in jmap.items()
+                       if qq == q and rel > 0), reverse=True)[:k]
+        idcg = sum((2 ** rel - 1) / math.log2(i + 2)
+                   for i, rel in enumerate(rels))
+        r = got[q]
+        assert r["dcg"] == round(dcg, 6)
+        assert r["idcg"] == round(idcg, 6)
+        expect = round(round(dcg, 6) / round(idcg, 6), 6) if idcg > 0 else 0.0
+        assert r["ndcg"] == expect
+
+
+@given(seed=st.integers(0, 100))
+@settings(**_PSETTINGS)
+def test_tfidf_cosine_matches_python_reference(spark, seed):
+    import itertools
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"t{i}" for i in range(8)]
+    texts = {i: " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(1, 12)))
+             for i in range(8)}
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id bigint, text string")
+    n, max_df, thr = 2, 6, 0.3
+    got = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in tfidf_cosine_pairs(
+               docs, threshold=thr, ngram=n, max_df=max_df).collect()}
+
+    def grams(t):
+        w = t.split(" ")
+        out = {}
+        for i in range(len(w) - n + 1):
+            g = " ".join(w[i:i + n])
+            out[g] = out.get(g, 0) + 1
+        return out
+
+    tfs = {d: grams(t) for d, t in texts.items()}
+    dfc = {}
+    for g in set(itertools.chain.from_iterable(tfs.values())):
+        dfc[g] = sum(1 for t in tfs.values() if g in t)
+    N = len(texts)
+    w = {d: {g: tf * math.log(N / dfc[g])
+             for g, tf in t.items() if dfc[g] <= max_df}
+         for d, t in tfs.items()}
+    expect = {}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        na = math.sqrt(sum(x * x for x in w[a].values()))
+        nb = math.sqrt(sum(x * x for x in w[b].values()))
+        dot = sum(w[a][g] * w[b].get(g, 0.0) for g in w[a])
+        if na > 0 and nb > 0 and dot != 0:
+            c = round(dot / (na * nb), 6)
+            if c >= thr:
+                expect[(a, b)] = c
+    assert got == expect
