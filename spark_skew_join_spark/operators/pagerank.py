@@ -276,9 +276,19 @@ def label_propagation(
     Output: (node, label, community_size); with tracking, the
     (DataFrame, info) tuple above. ``round_timings`` (a caller list)
     receives per-round wall seconds, as in ``kcore``.
+
+    Tracking requires ``checkpoint=True``: the per-round changed-count
+    action would otherwise re-execute the ~3^r lazy plan every round
+    (the exact blowup the checkpoint exists to prevent), and
+    round_timings would stay empty while changed_per_round filled.
     """
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
+    if track_convergence and not checkpoint:
+        raise ValueError(
+            "track_convergence requires checkpoint=True — the per-round "
+            "count would re-execute the exponentially growing lazy plan"
+        )
     und = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("u"),

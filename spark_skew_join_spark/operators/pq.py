@@ -25,22 +25,33 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+import weakref
+
 # LUT broadcasts created by pq_topk, one per lut_chunk. They must stay
 # alive until the RETURNED (lazy) DataFrame's action runs, so pq_topk
 # cannot destroy them itself; callers release them via
 # clear_pq_broadcasts() once results are materialized (the dedup
 # clear_band_cache pattern — ADVICE r8 #4). queries.clear_dedup_cache
 # calls it, so the bench/selfcheck loops never accumulate them.
-_LUT_BROADCASTS: list = []
+# WEAK references: the scorer closure inside the returned DataFrame is
+# the strong ref, so a library user who drops the DataFrame without
+# ever calling the cleanup still gets normal GC + ContextCleaner
+# collection — the registry must not turn a collectible broadcast into
+# a process-lifetime leak (review r9 finding).
+_LUT_BROADCASTS: list = []  # list[weakref.ref]
 
 
 def clear_pq_broadcasts() -> None:
-    """Destroy every LUT broadcast pq_topk has created (idempotent).
+    """Destroy every still-live LUT broadcast pq_topk has created
+    (idempotent).
 
     Call AFTER the top-k DataFrames returned by pq_topk have been
     materialized — a destroyed broadcast fails any later action that
     still references it."""
-    for bc in _LUT_BROADCASTS:
+    for ref in _LUT_BROADCASTS:
+        bc = ref()
+        if bc is None:
+            continue  # already GC-collected — nothing to destroy
         try:
             bc.destroy()
         except Exception:  # session already stopped — nothing to release
@@ -282,7 +293,7 @@ def pq_topk(
     scored = None
     for i in range(0, len(qids), lut_chunk):
         bc = sc.broadcast({q: luts[q] for q in qids[i:i + lut_chunk]})
-        _LUT_BROADCASTS.append(bc)
+        _LUT_BROADCASTS.append(weakref.ref(bc))
         part = codes.mapInPandas(
             scorer(bc), "query_id long, neighbor_id long, score double"
         )

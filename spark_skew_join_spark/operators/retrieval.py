@@ -307,6 +307,12 @@ def tfidf_cosine_pairs(
                   "id_a")
         .join(norms.withColumnsRenamed({"__id": "id_b", "__nm": "__nb"}),
               "id_b")
+        # a doc whose kept terms all have zero IDF (df == N <= max_df,
+        # e.g. tiny corpora of shared boilerplate) has an all-zero
+        # vector: cosine is undefined, and the unguarded division
+        # raises DIVIDE_BY_ZERO under ANSI mode (NaN rows that pass the
+        # threshold filter with ANSI off) — drop zero-norm sides
+        .where((F.col("__na") > 0) & (F.col("__nb") > 0))
         .select(
             "id_a", "id_b",
             F.round(F.col("__dot") / (F.col("__na") * F.col("__nb")), 6)
@@ -335,9 +341,11 @@ def ndcg_at_k(
     ordering of that query's judged-relevant docs (rel desc — tie
     order cannot change the value, the doc-id tiebreak just keeps the
     plan deterministic); NDCG = DCG/IDCG, 0 when a query has no
-    relevant doc. DCG/IDCG round to 6 and NDCG divides the ROUNDED
-    values, so an oracle replay never straddles a float-summation
-    divergence.
+    relevant doc. A query with judged-relevant docs but NO run rows
+    still gets an output row (dcg=0, ndcg=0) — dropping it would
+    overstate a mean over the output. DCG/IDCG round to 6 and NDCG
+    divides the ROUNDED values, so an oracle replay never straddles a
+    float-summation divergence.
 
     Scale shape: the run side is ≤ k rows per query by contract; the
     judgments side takes one per-query window for the ideal top-k —
@@ -382,16 +390,20 @@ def ndcg_at_k(
             ).alias("idcg")
         )
     )
+    # FULL outer: a query with judged-relevant docs but zero run rows
+    # (the retriever returned nothing) must surface as ndcg=0 — a mean
+    # over the output would otherwise silently overstate the system
+    # (review r9 finding)
     return (
-        dcg.join(ideal, query_col, "left")
+        dcg.join(ideal, query_col, "full")
         .select(
             query_col,
-            "dcg",
+            F.coalesce(F.col("dcg"), F.lit(0.0)).alias("dcg"),
             F.coalesce(F.col("idcg"), F.lit(0.0)).alias("idcg"),
             F.round(
                 F.when(
                     F.coalesce(F.col("idcg"), F.lit(0.0)) > 0,
-                    F.col("dcg") / F.col("idcg"),
+                    F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg"),
                 ).otherwise(F.lit(0.0)),
                 6,
             ).alias("ndcg"),

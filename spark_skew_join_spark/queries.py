@@ -6191,12 +6191,16 @@ def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(qid, tm) for qid, ts in terms.items() for tm in ts],
         "query_id int, term string",
     )
+    # broadcast-join the 6 query terms BEFORE the distinct: only
+    # matching (doc, term) rows ever shuffle — a corpus-wide distinct
+    # over raw token strings first would move the whole vocabulary
+    # as text for nothing (review r9 finding)
     judgments = (
         docs.select(
             "doc_id", F.explode(F.split("text", " ")).alias("term")
         )
-        .distinct()
         .join(F.broadcast(qt), "term")
+        .distinct()
         .groupBy("query_id", "doc_id")
         .agg(F.count(F.lit(1)).alias("rel"))
     )
@@ -6257,11 +6261,12 @@ ideal AS (
     FROM judg WHERE rel > 0) x
   WHERE rk <= 10 GROUP BY qid
 )
-SELECT d.qid AS query_id, d.dcg,
+SELECT COALESCE(d.qid, i.qid) AS query_id,
+       COALESCE(d.dcg, 0.0) AS dcg,
        COALESCE(i.idcg, 0.0) AS idcg,
        ROUND(CASE WHEN COALESCE(i.idcg, 0.0) > 0
-                  THEN d.dcg / i.idcg ELSE 0.0 END, 6) AS ndcg
-FROM dcg d LEFT JOIN ideal i ON i.qid = d.qid
+                  THEN COALESCE(d.dcg, 0.0) / i.idcg ELSE 0.0 END, 6) AS ndcg
+FROM dcg d FULL OUTER JOIN ideal i ON i.qid = d.qid
 """
 
 
@@ -6307,7 +6312,8 @@ dot AS (
 )
 SELECT id_a, id_b, ROUND(d / (x.nm * y.nm), 6) AS cosine
 FROM dot JOIN nrm x ON x.doc_id = id_a JOIN nrm y ON y.doc_id = id_b
-WHERE ROUND(d / (x.nm * y.nm), 6) >= 0.5
+WHERE x.nm > 0 AND y.nm > 0
+  AND ROUND(d / (x.nm * y.nm), 6) >= 0.5
 """
 
 

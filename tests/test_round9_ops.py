@@ -206,3 +206,38 @@ def test_tfidf_cosine_matches_python_reference(spark, seed):
             if c >= thr:
                 expect[(a, b)] = c
     assert got == expect
+
+
+def test_tfidf_cosine_zero_norm_guard(spark):
+    """Review r9: identical boilerplate docs (every trigram df == N,
+    all weights ln(1)=0 → zero norms) must yield no pairs, not a
+    DIVIDE_BY_ZERO under ANSI mode."""
+    docs = spark.createDataFrame(
+        [(i, "a b c d") for i in range(3)], "doc_id bigint, text string"
+    )
+    assert tfidf_cosine_pairs(docs, threshold=0.1, ngram=3).count() == 0
+
+
+def test_lpa_tracking_requires_checkpoint(spark):
+    from spark_skew_join_spark.operators.pagerank import label_propagation
+
+    edges = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    with pytest.raises(ValueError, match="checkpoint"):
+        label_propagation(edges, rounds=2, track_convergence=True,
+                          checkpoint=False)
+
+
+def test_ndcg_query_missing_from_run_scores_zero(spark):
+    """Review r9: a query with relevant judgments but no run rows must
+    appear with ndcg=0, not vanish from the output."""
+    run = spark.createDataFrame(
+        [(0, 1, 1)], "query_id int, doc_id bigint, rank int"
+    )
+    judg = spark.createDataFrame(
+        [(0, 1, 2), (5, 9, 3)], "query_id int, doc_id bigint, rel int"
+    )
+    out = {r["query_id"]: r for r in ndcg_at_k(run, judg, k=3).collect()}
+    assert set(out) == {0, 5}
+    assert out[0]["ndcg"] == 1.0
+    assert (out[5]["dcg"], out[5]["ndcg"]) == (0.0, 0.0)
+    assert out[5]["idcg"] > 0

@@ -63,26 +63,47 @@ def main():
           f"same-label leaks={mixed}")
     assert sparse == 0 and mixed == 0
 
-    # spot equivalence: brute path on 50 anchors restricted to the SAME
-    # candidate pairs must reproduce the candidate-path rows exactly
+    # spot check vs an INDEPENDENT reference: numpy-rerank the exact
+    # candidate pairs for 50 anchors and verify the operator returned a
+    # valid top-k of them (ulp-tolerant at the k-th boundary — a brute
+    # hard_negatives run cut at global top-k can legitimately MISS
+    # low-ranked candidates, so it is not a sound reference here)
+    import numpy as np
+
     few = anchors.where(F.col("vec_id") < 50)
     cand_few = cand.where(F.col("query_id") < 50).persist()
     via = hard_negatives(corpus, few, k=k, dim=dim, candidates=cand_few)
-    cset = {(r["query_id"], r["neighbor_id"]) for r in cand_few.collect()}
-    brute = hard_negatives(corpus, few, k=len(cset), dim=dim)
-    brute_rows = [
-        r for r in brute.collect()
-        if (r["query_id"], r["neighbor_id"]) in cset
-    ]
-    rerank = {}
-    for r in sorted(brute_rows, key=lambda r: (r["query_id"], r["rank"])):
-        rerank.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    pairs = {(r["query_id"], r["neighbor_id"]) for r in cand_few.collect()}
+    ids = sorted({i for p in pairs for i in p})
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in corpus.where(F.col("vec_id").isin(ids)).collect()
+    }
+    label = lambda v: v % 4  # the generation rule above
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return 0.0 if na == 0 or nb == 0 else float(a @ b / (na * nb))
+
     got = {}
     for r in sorted(via.collect(), key=lambda r: (r["query_id"], r["rank"])):
         got.setdefault(r["query_id"], []).append(r["neighbor_id"])
-    expect = {q: ids[:k] for q, ids in rerank.items()}
-    assert got == expect, "candidate path diverged from restricted brute"
-    print("spot equivalence vs restricted brute on 50 anchors: identical")
+    for q, got_ids in got.items():
+        cands = [n for (qq, n) in pairs
+                 if qq == q and label(n) != label(q) and n != q]
+        ref = sorted(((cos(vecs[q], vecs[n]), n) for n in cands),
+                     key=lambda t: (-t[0], t[1]))
+        assert len(got_ids) == min(k, len(cands))
+        assert all(label(n) != label(q) for n in got_ids)
+        assert set(got_ids) <= set(cands)
+        if len(ref) >= k:
+            kth = ref[k - 1][0]
+            worst = min(cos(vecs[q], vecs[n]) for n in got_ids)
+            assert worst >= kth - 1e-9, (
+                f"anchor {q}: returned set below the true candidate "
+                f"top-{k} boundary"
+            )
+    print("spot check vs independent numpy rerank on 50 anchors: valid top-k")
     spark.stop()
 
 
