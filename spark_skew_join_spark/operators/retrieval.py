@@ -409,3 +409,73 @@ def ndcg_at_k(
             ).alias("ndcg"),
         )
     )
+
+
+def retrieval_metrics(
+    run: DataFrame,
+    judgments: DataFrame,
+    k: int = 10,
+    rel_threshold: int = 1,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Set-based companions to ``ndcg_at_k``: recall@k, precision@k,
+    and MRR of a ranked ``run`` against ``judgments``, with a doc
+    counted relevant when ``rel_col >= rel_threshold``.
+
+    recall@k = |top-k ∩ relevant| / |relevant|; precision@k =
+    |top-k ∩ relevant| / k (the fixed-denominator form — a query with
+    fewer than k retrievable docs is penalized, which is what a
+    system-level mean wants); MRR = 1 / rank of the first relevant
+    doc in the run (not capped at k — the standard definition), 0 if
+    none. Like ndcg_at_k, a query with relevant judgments but no run
+    rows surfaces with zeros instead of vanishing.
+
+    Scale shape: one broadcast-size-agnostic equi-join of the (≤ k +
+    tail)-row run side against the relevant-judgment side, two
+    map-side-combined aggregates, one full-outer stitch. Output:
+    (query_col, n_rel, hits, recall_at_k, precision_at_k, mrr).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    relevant = judgments.where(F.col(rel_col) >= rel_threshold).select(
+        query_col, doc_col
+    )
+    n_rel = relevant.groupBy(query_col).agg(
+        F.count(F.lit(1)).alias("n_rel")
+    )
+    matched = run.select(query_col, doc_col, rank_col).join(
+        relevant, [query_col, doc_col]
+    )
+    per_run = matched.groupBy(query_col).agg(
+        F.sum(F.when(F.col(rank_col) <= k, 1).otherwise(0)).alias("hits"),
+        F.min(rank_col).alias("__first"),
+    )
+    return (
+        n_rel.join(per_run, query_col, "full")
+        .select(
+            query_col,
+            F.coalesce(F.col("n_rel"), F.lit(0)).alias("n_rel"),
+            F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+            F.round(
+                F.when(
+                    F.coalesce(F.col("n_rel"), F.lit(0)) > 0,
+                    F.coalesce(F.col("hits"), F.lit(0))
+                    / F.col("n_rel").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("recall_at_k"),
+            F.round(
+                F.coalesce(F.col("hits"), F.lit(0)) / F.lit(float(k)), 6
+            ).alias("precision_at_k"),
+            F.round(
+                F.when(
+                    F.col("__first").isNotNull(),
+                    F.lit(1.0) / F.col("__first"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("mrr"),
+        )
+    )

@@ -6270,6 +6270,100 @@ FROM dcg d FULL OUTER JOIN ideal i ON i.qid = d.qid
 """
 
 
+def retrieval_metrics_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-based retrieval metrics
+    (operators/retrieval.py::retrieval_metrics): recall@10,
+    precision@10, and MRR of the batched BM25 run against the same
+    term-coverage judgments as ndcg_retrieval_eval (relevant = any
+    matched term). Completes the in-engine evaluation family: NDCG
+    grades the ORDER, these grade the SET."""
+    from .operators.retrieval import bm25_topk_multi, retrieval_metrics
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    terms = {0: ["spark", "join"], 1: ["window", "vector"],
+             2: ["stream", "query"]}
+    run = bm25_topk_multi(docs, terms, k=10).select(
+        "query_id", "doc_id", "rank"
+    )
+    qt = spark.createDataFrame(
+        [(qid, tm) for qid, ts in terms.items() for tm in ts],
+        "query_id int, term string",
+    )
+    judgments = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .join(F.broadcast(qt), "term")
+        .distinct()
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("rel"))
+    )
+    return retrieval_metrics(run, judgments, k=10, rel_threshold=1)
+
+
+RETRIEVAL_METRICS_SQL = """
+WITH qt AS (
+  SELECT * FROM (VALUES (0, 'spark'), (0, 'join'), (1, 'window'),
+                        (1, 'vector'), (2, 'stream'), (2, 'query'))
+  AS v(qid, term)
+),
+toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+corpus AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+  WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2
+),
+dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT q.qid, t.doc_id,
+         LN(1 + (c.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * (t.tf * (1.2 + 1.0))
+           / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / c.avgdl)) AS s
+  FROM qt q JOIN tf t USING (term) JOIN dft f ON f.term = t.term
+  JOIN dl d USING (doc_id) CROSS JOIN corpus c
+),
+run AS (
+  SELECT qid, doc_id, rank FROM (
+    SELECT qid, doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY ROUND(SUM(s), 6) DESC, doc_id) AS INT) AS rank
+    FROM scored GROUP BY qid, doc_id) x
+  WHERE rank <= 10
+),
+judg AS (
+  SELECT q.qid, d.doc_id, COUNT(*) AS rel
+  FROM (SELECT DISTINCT doc_id, term FROM toks) d JOIN qt q USING (term)
+  GROUP BY 1, 2
+),
+relv AS (SELECT qid, doc_id FROM judg WHERE rel >= 1),
+nrel AS (SELECT qid, COUNT(*) AS n_rel FROM relv GROUP BY 1),
+per_run AS (
+  SELECT r.qid,
+         CAST(SUM(CASE WHEN r.rank <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+           AS hits,
+         MIN(r.rank) AS first_rank
+  FROM run r JOIN relv v ON v.qid = r.qid AND v.doc_id = r.doc_id
+  GROUP BY r.qid
+)
+SELECT COALESCE(n.qid, p.qid) AS query_id,
+       COALESCE(n.n_rel, 0) AS n_rel,
+       COALESCE(p.hits, 0) AS hits,
+       ROUND(CASE WHEN COALESCE(n.n_rel, 0) > 0
+                  THEN COALESCE(p.hits, 0) / CAST(n.n_rel AS DOUBLE)
+                  ELSE 0.0 END, 6) AS recall_at_k,
+       ROUND(COALESCE(p.hits, 0) / 10.0, 6) AS precision_at_k,
+       ROUND(CASE WHEN p.first_rank IS NOT NULL
+                  THEN 1.0 / p.first_rank ELSE 0.0 END, 6) AS mrr
+FROM nrel n FULL OUTER JOIN per_run p ON p.qid = n.qid
+"""
+
+
 def tfidf_cosine_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF cosine text-reuse pairs
     (operators/retrieval.py::tfidf_cosine_pairs): word-trigram phrase
@@ -8270,16 +8364,16 @@ GROUP BY b.event_type
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round 9: registry rotated again (VERDICT r8 #1). The driver
     # correctness-checks the FIRST 50 entries only, so the dict is
-    # ordered by driver-staleness: round-9 debuts first (3 landed this
-    # round: tfidf_cosine_docs, bigram_lm_quality,
-    # ndcg_retrieval_eval), then ascending last-driver-round, ties by
-    # prior position. The r9 window below = 3 debuts + 11 entries
+    # ordered by driver-staleness: round-9 debuts first (4 landed this
+    # round: tfidf_cosine_docs, bigram_lm_quality, ndcg_retrieval_eval,
+    # retrieval_metrics_eval), then ascending last-driver-round, ties
+    # by prior position. The r9 window below = 4 debuts + 11 entries
     # whose last driver row is CORRECTNESS_r03
     # (dedup_fuzzy_survivors..multimodal_binary_meta;
     # dedup_fuzzy_survivors was displaced from the r8 window when the
     # 11th r8 debut, token_budget_docs, was inserted late) + 13
-    # r4-certified + 23 r5-certified entries (the debuts displaced the
-    # last 3 r5 rows to the r10 queue). For the record, the r8 window
+    # r4-certified + 22 r5-certified entries (the debuts displaced the
+    # last 4 r5 rows to the r10 queue). For the record, the r8 window
     # held 11 round-8 debuts (ann_pq_refined_topk, psi, ols,
     # char_entropy, lpa, range_split, ivfpq, chunking, hard_negatives,
     # weighted_quantiles, token_budget_docs) + 39 r3-stale holdovers
@@ -8289,6 +8383,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_cosine_docs": tfidf_cosine_docs,  # round-9 debut
     "bigram_lm_quality": bigram_lm_quality,  # round-9 debut
     "ndcg_retrieval_eval": ndcg_retrieval_eval,  # round-9 debut
+    "retrieval_metrics_eval": retrieval_metrics_eval,  # round-9 debut
     "dedup_fuzzy_survivors": dedup_fuzzy_survivors,
     "dedup_simhash_docs": dedup_simhash_docs,
     "pipeline_clean_corpus": pipeline_clean_corpus,
@@ -8645,6 +8740,7 @@ ORACLES: dict[str, str] = {
     "tfidf_cosine_docs": TFIDF_COSINE_SQL,
     "bigram_lm_quality": BIGRAM_LM_SQL,
     "ndcg_retrieval_eval": NDCG_EVAL_SQL,
+    "retrieval_metrics_eval": RETRIEVAL_METRICS_SQL,
     # rows-only (intentionally no oracle): ann_lsh_topk,
     # ann_ivf_topk, approx_stats
 }
@@ -8720,6 +8816,7 @@ SCALAR_BNL_OK = (
     "bigram_lm_quality",  # 1-row vocabulary-size broadcast for the k·V term
     "tfidf_cosine_docs",  # 1-row n_docs broadcast for the IDF term
     "ndcg_retrieval_eval",  # BM25's 1-row corpus-scalar broadcast
+    "retrieval_metrics_eval",  # same BM25 corpus-scalar broadcast
     "pagerank_nations",  # 1-row vertex-count broadcast per iteration (1/N term)
     "dq_audit_orders",  # 1-row metric frames combined by scalar cross-join
     "delete_propagation_stats",  # 1-row per-table count frames cross-joined

@@ -241,3 +241,72 @@ def test_ndcg_query_missing_from_run_scores_zero(spark):
     assert out[0]["ndcg"] == 1.0
     assert (out[5]["dcg"], out[5]["ndcg"]) == (0.0, 0.0)
     assert out[5]["idcg"] > 0
+
+
+def test_retrieval_metrics_known_values(spark):
+    from spark_skew_join_spark.operators.retrieval import retrieval_metrics
+
+    run = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        "query_id int, doc_id bigint, rank int",
+    )
+    judg = spark.createDataFrame(
+        # relevant for q0: 11, 12, 99 (99 never retrieved); rel 0 row ignored
+        [(0, 11, 1), (0, 12, 2), (0, 99, 1), (0, 10, 0), (7, 50, 3)],
+        "query_id int, doc_id bigint, rel int",
+    )
+    out = {r["query_id"]: r
+           for r in retrieval_metrics(run, judg, k=2).collect()}
+    r0 = out[0]
+    # top-2 = {10, 11}; hits = 1 (doc 11); first relevant rank = 2
+    assert (r0["n_rel"], r0["hits"]) == (3, 1)
+    assert r0["recall_at_k"] == round(1 / 3, 6)
+    assert r0["precision_at_k"] == 0.5
+    assert r0["mrr"] == 0.5
+    # judged-relevant query with no run rows surfaces with zeros
+    r7 = out[7]
+    assert (r7["n_rel"], r7["hits"], r7["recall_at_k"], r7["mrr"]) == \
+        (1, 0, 0.0, 0.0)
+
+
+@given(seed=st.integers(0, 100), k=st.integers(1, 5))
+@settings(**_PSETTINGS)
+def test_retrieval_metrics_matches_python_reference(spark, seed, k):
+    import random
+
+    from spark_skew_join_spark.operators.retrieval import retrieval_metrics
+
+    rng = random.Random(seed)
+    n_q, n_docs = 3, 10
+    run_rows, judg_rows = [], []
+    for q in range(n_q):
+        ranked = rng.sample(range(n_docs), rng.randint(0, 7))
+        run_rows += [(q, d, i + 1) for i, d in enumerate(ranked)]
+        judg_rows += [(q, d, rng.randint(0, 2)) for d in
+                      rng.sample(range(n_docs), rng.randint(0, n_docs))]
+    if not run_rows:
+        run_rows = [(0, 0, 1)]
+    run = spark.createDataFrame(
+        run_rows, "query_id int, doc_id bigint, rank int")
+    judg = spark.createDataFrame(
+        judg_rows, "query_id int, doc_id bigint, rel int") \
+        if judg_rows else spark.createDataFrame(
+            [], "query_id int, doc_id bigint, rel int")
+    got = {r["query_id"]: r
+           for r in retrieval_metrics(run, judg, k=k).collect()}
+
+    rel = {(q, d) for q, d, r in judg_rows if r >= 1}
+    qids = {q for q, _, _ in run_rows if any(
+        (q, d) in rel for _, d, _ in run_rows)} \
+        | {q for q, _ in rel}
+    for q in qids:
+        n_rel = sum(1 for (qq, _) in rel if qq == q)
+        matched = [(d, r) for (qq, d, r) in run_rows
+                   if qq == q and (q, d) in rel]
+        hits = sum(1 for _, r in matched if r <= k)
+        first = min((r for _, r in matched), default=None)
+        g = got[q]
+        assert g["n_rel"] == n_rel and g["hits"] == hits
+        assert g["recall_at_k"] == (round(hits / n_rel, 6) if n_rel else 0.0)
+        assert g["precision_at_k"] == round(hits / k, 6)
+        assert g["mrr"] == (round(1.0 / first, 6) if first else 0.0)
