@@ -72,6 +72,10 @@ QUERIES = [
     "hll_distinct_stats",
     "hll_union_sources",
     "dedup_simhash_docs",
+    "tfidf_cosine_docs",
+    "bigram_lm_quality",
+    "ndcg_retrieval_eval",
+    "retrieval_metrics_eval",
 ]
 
 
