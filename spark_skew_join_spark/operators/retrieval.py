@@ -225,6 +225,7 @@ def tfidf_cosine_pairs(
     max_df: int = 50,
     id_col: str = "doc_id",
     text_col: str = "text",
+    cache_weights: bool = True,
 ) -> DataFrame:
     """All document pairs with TF-IDF-weighted cosine >= ``threshold``
     over word-``ngram`` phrase vectors — the cosine sibling of the
@@ -287,6 +288,15 @@ def tfidf_cosine_pairs(
             (F.col("__tf") * F.log(F.col("__n") / F.col("__df"))).alias("__w"),
         )
     )
+    if cache_weights:
+        # the weight table feeds THREE subtrees (norms + both join
+        # sides) — without a cache each one re-runs tokenize + tf + df
+        # from the scan; lazy persist, released by
+        # operators.dedup.clear_band_cache (the setsim cache_ordered
+        # pattern)
+        from .dedup import _session_cache
+
+        weights = _session_cache(weights)
     norms = weights.groupBy("__id").agg(
         F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__nm")
     )
