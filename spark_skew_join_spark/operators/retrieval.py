@@ -357,6 +357,12 @@ def ndcg_at_k(
     divides the ROUNDED values, so an oracle replay never straddles a
     float-summation divergence.
 
+    ``judgments`` is deduped internally to one row per (query, doc)
+    keeping the MAX grade (ADVICE r9 #3 — duplicate judgment rows
+    would otherwise fan out the run join and double-count DCG gains);
+    callers passing an already-unique table pay one map-side-combined
+    aggregation.
+
     Scale shape: the run side is ≤ k rows per query by contract; the
     judgments side takes one per-query window for the ideal top-k —
     partitioned by query id, bounded by judgments per query (human or
@@ -367,8 +373,12 @@ def ndcg_at_k(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    j = judgments.select(
-        query_col, doc_col, F.col(rel_col).cast("double").alias("__rel")
+    j = (
+        judgments.select(
+            query_col, doc_col, F.col(rel_col).cast("double").alias("__rel")
+        )
+        .groupBy(query_col, doc_col)
+        .agg(F.max("__rel").alias("__rel"))
     )
     gain = lambda rel: F.pow(F.lit(2.0), rel) - F.lit(1.0)  # noqa: E731
     dcg = (
@@ -441,7 +451,10 @@ def retrieval_metrics(
     system-level mean wants); MRR = 1 / rank of the first relevant
     doc in the run (not capped at k — the standard definition), 0 if
     none. Like ndcg_at_k, a query with relevant judgments but no run
-    rows surfaces with zeros instead of vanishing.
+    rows surfaces with zeros instead of vanishing, and ``judgments``
+    is deduped internally to one (query, doc) row keeping the MAX
+    grade before the threshold (ADVICE r9 #3 — duplicates would
+    double-count hits and n_rel).
 
     Scale shape: one broadcast-size-agnostic equi-join of the (≤ k +
     tail)-row run side against the relevant-judgment side, two
@@ -450,8 +463,10 @@ def retrieval_metrics(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    relevant = judgments.where(F.col(rel_col) >= rel_threshold).select(
-        query_col, doc_col
+    relevant = (
+        judgments.where(F.col(rel_col) >= rel_threshold)
+        .select(query_col, doc_col)
+        .distinct()
     )
     n_rel = relevant.groupBy(query_col).agg(
         F.count(F.lit(1)).alias("n_rel")
