@@ -124,12 +124,25 @@ def lsh_topk(
     seed: int = 42,
     max_bucket_size: int | None = 1000,
     cache_bands: bool | str = "auto",
+    probe_codes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates share >=1 SimHash band bucket.
 
     The band join is an equi-join on (band, code) — hash-partitionable,
     skew-safe for roughly-uniform random hyperplanes; at 100 TB this replaces
     the O(|corpus| x |queries|) cross join with O(candidates).
+
+    ``probe_codes`` > 1 turns on MULTI-PROBE (Lv et al., VLDB 2007):
+    each query probes, per band, its own code plus the next
+    ``probe_codes - 1`` codes in Hamming-distance order (ties by code
+    value) — the neighboring buckets a near-miss most likely landed in.
+    Multiprobe buys recall without more bands: the corpus-side layout
+    (the expensive, persisted half at 100 TB) is untouched; only the
+    ≤|queries|·n_bands probe rows fan out, by a pure-codegen
+    sequence/bit_count/array_sort expansion. At ``probe_codes =
+    2**band_bits`` every bucket of every band is probed, the candidate
+    set is the whole corpus, and the exact re-rank IS brute force —
+    the certification setting (the IVF n_probe=n_centroids analog).
 
     ``max_bucket_size`` bounds corpus-side band-bucket fan-out (degenerate
     codes from near-constant embeddings would otherwise fan out by |bucket|
@@ -148,10 +161,33 @@ def lsh_topk(
     planes = [
         [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bands * band_bits)
     ]
+    if not 1 <= probe_codes <= 2 ** band_bits:
+        raise ValueError(
+            f"probe_codes must be in [1, 2**band_bits], got {probe_codes}"
+        )
     qb = _simhash_bands(
         queries.select(F.col(id_col).alias("query_id"), vec_col),
         "query_id", vec_col, planes, n_bands, band_bits,
     )
+    if probe_codes > 1:
+        # per-band probe sequence: all 2^band_bits codes ranked by
+        # Hamming distance from the query's own code (ties by code
+        # value), cut to probe_codes — pure codegen, fans out only the
+        # tiny query side
+        ranked = F.array_sort(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(2 ** band_bits - 1)),
+                lambda c: F.struct(
+                    F.bit_count(c.bitwiseXOR(F.col("code"))).alias("d"),
+                    c.cast("int").alias("c"),
+                ),
+            )
+        )
+        qb = qb.select(
+            "query_id",
+            "band",
+            F.explode(F.slice(ranked, 1, probe_codes)).alias("__p"),
+        ).select("query_id", "band", F.col("__p.c").alias("code"))
     cb = _simhash_bands(
         corpus.select(F.col(id_col).alias("neighbor_id"), vec_col),
         "neighbor_id", vec_col, planes, n_bands, band_bits,

@@ -3412,6 +3412,48 @@ def ann_pq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF at FULL probe coverage (VERDICT r9 #4 — the
+    ann_pq_refined_topk precedent): with n_probe = n_centroids every
+    inverted list is probed, the probe join scores the whole corpus,
+    and the result IS brute force — pinning the entire IVF pipeline
+    (sampled k-means centroid fit → argmax list assignment → per-query
+    probe-list explode → centroid-id equi-join → cosine score → window
+    cut) against the knn_bruteforce SQL oracle EXACTLY.  The
+    production setting (n_probe ≪ n_centroids) runs the same code on
+    fewer lists.  Eager (centroid training collects at construction)
+    → EAGER_QUERIES."""
+    from .operators.similarity import ivf_topk
+
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    return ivf_topk(
+        e, e.where(F.col("vec_id") < 5), k=10, n_centroids=16, n_probe=16
+    )
+
+
+def ann_lsh_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH (Lv et al. 2007) at FULL code coverage
+    (VERDICT r9 #4): probe_codes = 2^band_bits probes every bucket of
+    every band, so the candidate set is the whole corpus and the exact
+    cosine re-rank IS brute force — pinning the LSH pipeline (Arrow
+    band-code projection → multiprobe code expansion → (band, code)
+    bucket join → pair dedup → score → cut) against the
+    knn_bruteforce SQL oracle EXACTLY.  Production multiprobe
+    (probe_codes 2–4) runs the same code on Hamming-adjacent buckets
+    only.  max_bucket_size=None: bucket-cap sampling would break the
+    coverage guarantee (and every bucket is over-cap when all codes
+    are probed)."""
+    from .operators.similarity import lsh_topk
+
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    return lsh_topk(
+        e, e.where(F.col("vec_id") < 5), k=10,
+        probe_codes=16, max_bucket_size=None,
+    )
+
+
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN (operators/pq.py::ivfpq_topk — the FAISS IndexIVFPQ
     layout): inverted-file restriction (8 of 16 lists) + PURE-CODEGEN
@@ -8378,81 +8420,30 @@ GROUP BY b.event_type
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # round 9: registry rotated again (VERDICT r8 #1). The driver
-    # correctness-checks the FIRST 50 entries only, so the dict is
-    # ordered by driver-staleness: round-9 debuts first (4 landed this
-    # round: tfidf_cosine_docs, bigram_lm_quality, ndcg_retrieval_eval,
-    # retrieval_metrics_eval), then ascending last-driver-round, ties
-    # by prior position. The r9 window below = 4 debuts + 11 entries
-    # whose last driver row is CORRECTNESS_r03
-    # (dedup_fuzzy_survivors..multimodal_binary_meta;
-    # dedup_fuzzy_survivors was displaced from the r8 window when the
-    # 11th r8 debut, token_budget_docs, was inserted late) + 13
-    # r4-certified + 22 r5-certified entries (the debuts displaced the
-    # last 4 r5 rows to the r10 queue). For the record, the r8 window
-    # held 11 round-8 debuts (ann_pq_refined_topk, psi, ols,
-    # char_entropy, lpa, range_split, ivfpq, chunking, hard_negatives,
-    # weighted_quantiles, token_budget_docs) + 39 r3-stale holdovers
-    # (CORRECTNESS_r08.json is the ground truth: 50 rows ending at
-    # dedup_clusters_docs). Everything below the r9 end marker is
-    # staleness-ascending and pre-sorted for the r10 rotation.
-    "tfidf_cosine_docs": tfidf_cosine_docs,  # round-9 debut
-    "bigram_lm_quality": bigram_lm_quality,  # round-9 debut
-    "ndcg_retrieval_eval": ndcg_retrieval_eval,  # round-9 debut
-    "retrieval_metrics_eval": retrieval_metrics_eval,  # round-9 debut
-    "dedup_fuzzy_survivors": dedup_fuzzy_survivors,
+    # round 10: registry rotated for the driver's first-50 window
+    # (staleness-ascending; CORRECTNESS_r09.json stopped at entry #50 =
+    # sequence_packing_docs, so the 4 entries that sat just past it are
+    # still r5-stale — ADVICE r9 #1). Window composition: 2 never-checked
+    # debuts (full-coverage ANN certifications), then 4 r9-certified
+    # entries whose code changed THIS round (certification invalidated:
+    # retrieval_metrics_eval 25-deep run, ndcg judgments dedupe,
+    # bigram_lm pre-aggregated joins, dedup_simhash shingle cache), then
+    # all 28 r5-stale entries, then 16 r7-stale entries tie-broken to
+    # front-load (a) the 5 entries whose oracles flipped to SQL-replay
+    # AFTER their last driver sampling (theta/join_size_cms/bpe x2/
+    # bloom — VERDICT r9 #3) and (b) the 2 r7 entries changed this round
+    # (kcore cadence, hybrid_rrf leg materialization).
+    # 2 + 4 + 28 + 16 = 50.
+    "ann_ivf_refined_topk": ann_ivf_refined_topk,
+    "ann_lsh_refined_topk": ann_lsh_refined_topk,
+    "retrieval_metrics_eval": retrieval_metrics_eval,
+    "ndcg_retrieval_eval": ndcg_retrieval_eval,
+    "bigram_lm_quality": bigram_lm_quality,
     "dedup_simhash_docs": dedup_simhash_docs,
-    "pipeline_clean_corpus": pipeline_clean_corpus,
-    "text_stats": text_stats,
-    "text_lang_id": text_lang_id,
-    "knn_bruteforce": knn_bruteforce,
-    "ann_lsh_topk": ann_lsh_topk,
-    "embedding_near_dup_pairs": embedding_near_dup_pairs,
-    "embedding_near_dup_lsh": embedding_near_dup_lsh_pairs,
-    "token_frequencies": token_frequencies,
-    "multimodal_binary_meta": multimodal_binary_meta,
-    "redact_events_props": redact_events_props,
-    "zorder_layout_orders": zorder_layout_orders,
-    "chunk_dedup_docs": chunk_dedup_docs,
-    "unigram_lm_quality": unigram_lm_quality,
-    "merge_upsert_orders": merge_upsert_orders,
-    "snapshot_diff_orders": snapshot_diff_orders,
-    "scd2_user_event_history": scd2_user_event_history,
-    "funnel_events": funnel_events,
-    "resample_locf_events": resample_locf_events,
-    "cohort_retention_events": cohort_retention_events,
-    "pagerank_nations": pagerank_nations,
-    "ivm_refresh_orders": ivm_refresh_orders,
-    "dq_audit_orders": dq_audit_orders,
-    "rolling_avg_events": rolling_avg_events,
-    "corr_stats_lineitem": corr_stats_lineitem,
-    "window_funcs_orders": window_funcs_orders,
-    "outlier_stats_lineitem": outlier_stats_lineitem,
-    "quantize_embeddings_stats": quantize_embeddings_stats,
-    "pipeline_pretrain_prep": pipeline_pretrain_prep,
-    "setops_all_variants": setops_all_variants,
-    "temporal_join_events": temporal_join_events,
-    "q3_via_skew_join": q3_via_skew_join,
-    "delete_propagation_stats": delete_propagation_stats,
-    "bottomk_quantiles_orders": bottomk_quantiles_orders,
-    "null_aware_anti_join": null_aware_anti_join,
-    "histogram_prices": histogram_prices,
-    "hll_distinct_stats": hll_distinct_stats,
-    "dedup_containment_docs": dedup_containment_docs,
-    "near_dup_leakage_sources": near_dup_leakage_sources,
-    "dedup_exact_substr": dedup_exact_substr,
-    "substr_dedup_clean_docs": substr_dedup_clean_docs,
-    "semdedup_embeddings": semdedup_embeddings,
-    "kll_quantiles_orders": kll_quantiles_orders,
-    "temperature_mix_sources": temperature_mix_sources,
-    "sequence_packing_docs": sequence_packing_docs,
     "hll_union_sources": hll_union_sources,
     "incremental_exact_dedup_docs": incremental_exact_dedup_docs,
     "incremental_minhash_docs": incremental_minhash_docs,
     "dsir_importance_docs": dsir_importance_docs,
-    # ^ end of the r9 driver check window (first 50 = everything
-    # above). Everything below is staleness-ascending for r10:
-    # the remaining r5 block, then r6, r7, r8.
     "pipeline_train_mix": pipeline_train_mix,
     "kll_quantiles_by_priority": kll_quantiles_by_priority,
     "multimodal_features": multimodal_features,
@@ -8477,6 +8468,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q18_large_volume_customers": q18_large_volume_customers,
     "q20_part_promotion_suppliers": q20_part_promotion_suppliers,
     "q21_waiting_suppliers": q21_waiting_suppliers,
+    "theta_sketch_orders": theta_sketch_orders,
+    "join_size_estimate_cms": join_size_estimate_cms,
+    "bpe_train_docs": bpe_train_docs,
+    "bpe_tokenize_docs": bpe_tokenize_docs,
+    "bloom_membership_orders": bloom_membership_orders,
+    "kcore_copurchase": kcore_copurchase,
+    "hybrid_retrieval_rrf": hybrid_retrieval_rrf,
     "setsim_join_docs": setsim_join_docs,
     "assoc_rules_copurchase": assoc_rules_copurchase,
     "acf_events": acf_events,
@@ -8485,14 +8483,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "markov_transitions_events": markov_transitions_events,
     "skyline_parts": skyline_parts,
     "pmi_collocations_docs": pmi_collocations_docs,
-    "kcore_copurchase": kcore_copurchase,
     "theil_sen_events": theil_sen_events,
-    "theta_sketch_orders": theta_sketch_orders,
-    "join_size_estimate_cms": join_size_estimate_cms,
+    # ^^^ END of the r10 driver check window: exactly the 50 entries
+    # above (positions 1-50). Everything below is staleness-ascending
+    # for the r11 rotation: remaining r7 block, then r8, then r9.
     "image_near_dup_phash": image_near_dup_phash,
     "audio_near_dup_awhash": audio_near_dup_awhash,
-    "bpe_train_docs": bpe_train_docs,
-    "bpe_tokenize_docs": bpe_tokenize_docs,
     "url_canonical_dedup": url_canonical_dedup,
     "profile_orders": profile_orders,
     "schema_drift_orders": schema_drift_orders,
@@ -8501,12 +8497,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cusum_events": cusum_events,
     "ks_drift_events": ks_drift_events,
     "triangle_count_copurchase": triangle_count_copurchase,
-    "hybrid_retrieval_rrf": hybrid_retrieval_rrf,
     "record_linkage_customers": record_linkage_customers,
     "entity_resolution_customers": entity_resolution_customers,
     "cluster_split_docs": cluster_split_docs,
     "bm25_topk_docs": bm25_topk_docs,
-    "bloom_membership_orders": bloom_membership_orders,
     "gopher_quality_docs": gopher_quality_docs,
     "hilbert_layout_orders": hilbert_layout_orders,
     "dsir_resample_docs": dsir_resample_docs,
@@ -8577,6 +8571,52 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_docs": dedup_minhash_docs,
     "dedup_clusters_docs": dedup_clusters_docs,
+    "tfidf_cosine_docs": tfidf_cosine_docs,
+    "dedup_fuzzy_survivors": dedup_fuzzy_survivors,
+    "pipeline_clean_corpus": pipeline_clean_corpus,
+    "text_stats": text_stats,
+    "text_lang_id": text_lang_id,
+    "knn_bruteforce": knn_bruteforce,
+    "ann_lsh_topk": ann_lsh_topk,
+    "embedding_near_dup_pairs": embedding_near_dup_pairs,
+    "embedding_near_dup_lsh": embedding_near_dup_lsh_pairs,
+    "token_frequencies": token_frequencies,
+    "multimodal_binary_meta": multimodal_binary_meta,
+    "redact_events_props": redact_events_props,
+    "zorder_layout_orders": zorder_layout_orders,
+    "chunk_dedup_docs": chunk_dedup_docs,
+    "unigram_lm_quality": unigram_lm_quality,
+    "merge_upsert_orders": merge_upsert_orders,
+    "snapshot_diff_orders": snapshot_diff_orders,
+    "scd2_user_event_history": scd2_user_event_history,
+    "funnel_events": funnel_events,
+    "resample_locf_events": resample_locf_events,
+    "cohort_retention_events": cohort_retention_events,
+    "pagerank_nations": pagerank_nations,
+    "ivm_refresh_orders": ivm_refresh_orders,
+    "dq_audit_orders": dq_audit_orders,
+    "rolling_avg_events": rolling_avg_events,
+    "corr_stats_lineitem": corr_stats_lineitem,
+    "window_funcs_orders": window_funcs_orders,
+    "outlier_stats_lineitem": outlier_stats_lineitem,
+    "quantize_embeddings_stats": quantize_embeddings_stats,
+    "pipeline_pretrain_prep": pipeline_pretrain_prep,
+    "setops_all_variants": setops_all_variants,
+    "temporal_join_events": temporal_join_events,
+    "q3_via_skew_join": q3_via_skew_join,
+    "delete_propagation_stats": delete_propagation_stats,
+    "bottomk_quantiles_orders": bottomk_quantiles_orders,
+    "null_aware_anti_join": null_aware_anti_join,
+    "histogram_prices": histogram_prices,
+    "hll_distinct_stats": hll_distinct_stats,
+    "dedup_containment_docs": dedup_containment_docs,
+    "near_dup_leakage_sources": near_dup_leakage_sources,
+    "dedup_exact_substr": dedup_exact_substr,
+    "substr_dedup_clean_docs": substr_dedup_clean_docs,
+    "semdedup_embeddings": semdedup_embeddings,
+    "kll_quantiles_orders": kll_quantiles_orders,
+    "temperature_mix_sources": temperature_mix_sources,
+    "sequence_packing_docs": sequence_packing_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -8683,6 +8723,10 @@ ORACLES: dict[str, str] = {
     "text_lang_id": TEXT_LANG_SQL,
     "knn_bruteforce": KNN_SQL,
     "ann_pq_refined_topk": KNN_SQL,
+    # full-coverage certification variants ≡ brute force by
+    # construction (VERDICT r9 #4): same queries, k, tiebreak
+    "ann_ivf_refined_topk": KNN_SQL,
+    "ann_lsh_refined_topk": KNN_SQL,
     "embedding_near_dup_pairs": EMB_NEAR_DUP_SQL,
     "embedding_near_dup_lsh": EMB_NEAR_DUP_SQL,
     "token_frequencies": TOKEN_FREQ_SQL,
@@ -8778,6 +8822,14 @@ EAGER_QUERIES = (
     "ann_pq_topk",
     "ann_pq_refined_topk",
     "ann_ivfpq_topk",
+    # centroid training collects at construction (like ann_ivfpq;
+    # ann_ivf_topk had the same eager fit all along — bench now times
+    # its construction too instead of hiding the k-means collect)
+    "ann_ivf_topk",
+    "ann_ivf_refined_topk",
+    # corpus band table may spill via _session_cache("auto") at
+    # construction (the setsim precedent)
+    "ann_lsh_refined_topk",
     "bpe_train_docs",
     "bpe_tokenize_docs",
     "cluster_split_docs",

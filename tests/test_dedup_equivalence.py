@@ -163,6 +163,22 @@ def test_ivf_topk_recall_pin(spark):
     assert ivf == ivf2
 
 
+def test_ivf_full_probe_equals_bruteforce(spark):
+    """n_probe = n_centroids probes every inverted list, so IVF scores the
+    whole corpus and equals brute force exactly — the ann_ivf_refined_topk
+    certification setting (VERDICT r9 #4)."""
+    from spark_skew_join_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = load_tables(spark, SF)["embeddings"]
+    qs = emb.where(F.col("vec_id") < 5)
+    brute = sorted(tuple(r) for r in cosine_topk(emb, qs, k=10, dim=64).collect())
+    full = sorted(
+        tuple(r)
+        for r in ivf_topk(emb, qs, k=10, n_centroids=16, n_probe=16).collect()
+    )
+    assert full == brute
+
+
 # ------------------------------------------------- hot-shingle skew handling
 
 @pytest.fixture(scope="module")
