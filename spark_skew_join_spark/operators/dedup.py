@@ -610,44 +610,83 @@ def simhash64(
 
     ``hash_fn="md5"`` (VERDICT r8 #2, the HLL/Bloom/theta/CMS
     precedent): the 64 hash bits come from the first 16 hex chars of
-    md5(raw n-char substring) as two 32-bit halves — each half is
-    ``conv(substring(md5(s), off, 8), 16, 10)``, bit-equal in ANSI SQL
-    (``CAST('0x' || SUBSTRING(MD5(s), off, 8) AS BIGINT)``) — so every
-    fingerprint bit, and therefore the Hamming distances, replay
-    exactly in a DuckDB oracle. SimHash is deterministic given the
-    hash, so this costs only the md5-vs-xxhash64 delta plus rebuilding
-    raw-substring shingles (the shared ``shingles()`` set is int64
-    xxhash64-hashed before its distinct, which no ANSI oracle can
-    replay); xxhash64 + ``shingle_df`` reuse stays the fast default."""
+    md5(raw n-char substring) as two 32-bit halves — bit-equal in ANSI
+    SQL (``CAST('0x' || SUBSTRING(MD5(s), off, 8) AS BIGINT)``) — so
+    every fingerprint bit, and therefore the Hamming distances, replay
+    exactly in a DuckDB oracle. The md5 path runs as ONE Arrow
+    ``mapInPandas`` pass (VERDICT r9 #7, the CMS two-level precedent):
+    per-doc shingle-set → hashlib md5 → numpy bit votes, all local to
+    the input partition — ZERO shuffles, vs the expression form's
+    1.3M-row explode + global distinct + 64-sum hash aggregate (two
+    exchanges, measured 5.4 s vs <1 s at sf0.1). hashlib md5 is
+    bit-identical to Spark's ``F.md5``; the per-doc distinct is on the
+    64-bit md5 prefix ≡ distinct on the raw shingle up to a 2^-64
+    prefix collision (the EXACT gate would surface one), and the
+    pure-Python replay pin lives in
+    tests/test_operators_ext.py::test_simhash_md5_mode_python_replay.
+    xxhash64 + ``shingle_df`` reuse stays the fast default."""
     if hash_fn == "md5":
         if shingle_df is not None:
             raise ValueError(
                 "md5 mode rebuilds raw-substring shingles; shingle_df "
                 "(already int64-hashed) cannot be replayed in SQL"
             )
-        c = F.col(text_col)
-        pos = F.explode(
-            F.sequence(F.lit(1), F.greatest(F.length(c) - n + 1, F.lit(1)))
-        ).alias("pos")
-        m = F.md5(F.substring(F.col("__t"), F.col("pos").cast("int"), n))
-        sh = (
-            df.select(F.col(id_col), c.alias("__t"), pos)
-            .where(F.length("__t") >= n)
-            # distinct on the 64-bit md5 prefix ≡ distinct on the raw
-            # shingle up to a 2^-64 prefix collision (the EXACT gate
-            # would surface one as a count mismatch)
-            .select(
-                id_col,
-                F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("__hi"),
-                F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("__lo"),
-            )
-            .distinct()
-            # hi||lo as one long: the left shift wraps into the sign
-            # bit, which is exactly the 64-bit two's-complement pattern
-            # the per-bit extraction below expects
-            .withColumn(
-                "h", F.shiftleft(F.col("__hi"), 32).bitwiseOR(F.col("__lo"))
-            )
+        nn = int(n)
+        id_type = df.schema[id_col].dataType.simpleString()
+
+        def _md5_fingerprints(batches):
+            import hashlib
+
+            import numpy as np
+            import pandas as pd
+
+            shifts = np.arange(64, dtype=np.uint64)
+            for pdf in batches:
+                ids, codes = [], []
+                for did, txt in zip(pdf[id_col], pdf[text_col]):
+                    # mirrors the expression form's where(length >= n)
+                    if txt is None or len(txt) < nn:
+                        continue
+                    grams = {
+                        txt[i:i + nn] for i in range(len(txt) - nn + 1)
+                    }
+                    buf = b"".join(
+                        hashlib.md5(g.encode("utf-8")).digest()[:8]
+                        for g in grams
+                    )
+                    # big-endian first-8-bytes == (hi << 32) | lo of the
+                    # hex prefix; unique = the distinct-on-prefix step
+                    hs = np.unique(
+                        np.frombuffer(buf, dtype=">u8").astype(np.uint64)
+                    )
+                    ones = (
+                        (hs[:, None] >> shifts[None, :]) & np.uint64(1)
+                    ).sum(axis=0)
+                    # vote_i = 2*ones_i - n_shingles; bit set iff > 0
+                    bits = (2 * ones) > len(hs)
+                    code = 0
+                    for i in np.nonzero(bits)[0]:
+                        code |= 1 << int(i)
+                    ids.append(did)
+                    codes.append(
+                        code - (1 << 64) if code >= (1 << 63) else code
+                    )
+                yield pd.DataFrame({id_col: ids, "simhash": codes}).astype(
+                    {"simhash": "int64"}
+                )
+
+        src = df.select(id_col, text_col)
+        # the pass is embarrassingly parallel but a small single-file
+        # parquet scan arrives as ONE partition and serializes 1.4M md5
+        # calls onto one core (3.2 s vs 1.4 s at sf0.1); fan out when
+        # the scan is narrower than the cluster — the shuffle moves only
+        # (id, text), and a 100 TB corpus already has >> cores partitions
+        # so this never triggers at scale
+        par = df.sparkSession.sparkContext.defaultParallelism
+        if src.rdd.getNumPartitions() < max(2, par // 2):
+            src = src.repartition(par)
+        return src.mapInPandas(
+            _md5_fingerprints, f"{id_col} {id_type}, simhash long"
         )
     elif hash_fn == "xxhash64":
         sh = (

@@ -1821,8 +1821,11 @@ def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     # md5 mode can't reuse the family's int64-hashed shingle set — it
-    # rebuilds raw-substring shingles (same n=8); persist the 64-bit agg
-    # result since both self-join sides consume it
+    # rebuilds raw-substring shingles (same n=8) in one shuffle-free
+    # Arrow pass (VERDICT r9 #7: the expression form's explode +
+    # global distinct + 64-sum aggregate cost 5-7 s at sf0.1; the
+    # mapInPandas rebuild runs in ~1 s — see simhash64). Persist the
+    # 5000-row fingerprint table since both self-join sides consume it.
     sh = _session_cache(simhash64(t["documents"], n=8, hash_fn="md5"))
     bands = sh.select(
         "doc_id",

@@ -97,3 +97,39 @@ def test_kcore_matches_reference_peel(spark):
         assert got == _peel(edges, k, 10)
     with pytest.raises(ValueError):
         kcore(df, k=0)
+
+
+def test_kcore_cadence_and_early_stop_identical(spark):
+    """checkpoint_every > 1 and early_stop change materialization and
+    round count, never the result: peeling is idempotent after
+    convergence (VERDICT r9 #6)."""
+    rng = random.Random(29)
+    edges = {
+        (a, b)
+        for a, b in (
+            sorted(rng.sample(range(60), 2)) for _ in range(300)
+        )
+    }
+    df = spark.createDataFrame(list(edges), ["src", "dst"]).repartition(4)
+    base = {
+        r.node: r.degree
+        for r in kcore(df, k=3, rounds=12, early_stop=False).collect()
+    }
+    for every in (2, 5):
+        got = {
+            r.node: r.degree
+            for r in kcore(
+                df, k=3, rounds=12, checkpoint_every=every
+            ).collect()
+        }
+        assert got == base, f"cadence {every} diverged"
+    # early_stop stops before `rounds` boundaries on a converged graph
+    timings: list = []
+    got = {
+        r.node: r.degree
+        for r in kcore(df, k=3, rounds=12, round_timings=timings).collect()
+    }
+    assert got == base
+    assert len(timings) < 12  # 60-node graph converges well before 12
+    with pytest.raises(ValueError):
+        kcore(df, k=2, checkpoint_every=0)

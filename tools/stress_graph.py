@@ -63,6 +63,24 @@ def main():
         "per-round " + ", ".join(f"{w:.2f}s" for w in per_round)
     )
 
+    # checkpoint-cadence sweep (VERDICT r9 #6): cadence N materializes
+    # every N rounds — fewer cache writes/reads, but the lazy plan
+    # between barriers re-derives each round up to 3× per consumer.
+    # early_stop off so every cadence runs the same 8 rounds.
+    for every in (1, 2, 4):
+        t0 = time.time()
+        n = kcore(
+            edges, k=4, rounds=8, checkpoint_every=every, early_stop=False
+        ).count()
+        print(
+            f"kcore cadence={every}: {n:,} core vertices in "
+            f"{time.time() - t0:.1f}s"
+        )
+    # early-stop wall at the winning cadence (result identical)
+    t0 = time.time()
+    n = kcore(edges, k=4, rounds=8).count()
+    print(f"kcore early_stop default: {n:,} in {time.time() - t0:.1f}s")
+
 
 if __name__ == "__main__":
     main()
