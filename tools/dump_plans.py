@@ -305,12 +305,16 @@ def main() -> None:
                 (l[:140] + " …" if len(l) > 140 else l)
                 for l in simpletc.splitlines()
                 if "Join" in l or "Exchange" in l or "Python" in l
+                or "InMemory" in l
             ),
             "Every shuffle keys on the xxhash64 phrase hash or a doc id —\n"
             "the phrase STRING never moves; the pair enumeration is an\n"
             "equi-join on the term hash (fan-out capped by max_df), never a\n"
             "cartesian; the only BroadcastNestedLoopJoin is the 1-row n_docs\n"
-            "scalar (SCALAR_BNL_OK).",
+            "scalar (SCALAR_BNL_OK). The weight table's session cache shows\n"
+            "as the repeated InMemoryTableScan feeding the norms subtree and\n"
+            "both sides of the pair join (VERDICT r9 #8 — the filter\n"
+            "previously dropped InMemory* nodes, which read as NO cache).",
         )
     )
 

@@ -76,6 +76,10 @@ QUERIES = [
     "bigram_lm_quality",
     "ndcg_retrieval_eval",
     "retrieval_metrics_eval",
+    # round-10 additions: the two full-coverage ANN certification
+    # debuts (VERDICT r9 #4)
+    "ann_ivf_refined_topk",
+    "ann_lsh_refined_topk",
 ]
 
 
