@@ -80,9 +80,14 @@ def main() -> None:
     # heaviest line's spread had no stage attribution)
     start = time.perf_counter()
     sh, pairs = q._dedup_family(spark, sf_dir)
+    t_con = time.perf_counter()
+    # construction includes minhash_pairs' eager signature-table spill
+    # (_session_cache "auto" saveAsTable) — its own stage so the spill
+    # cost stops masquerading as shingle time
+    timings["dedup_family_stage_construct"] = round(t_con - start, 3)
     sh.count()
     t_sh = time.perf_counter()
-    timings["dedup_family_stage_shingles"] = round(t_sh - start, 3)
+    timings["dedup_family_stage_shingles"] = round(t_sh - t_con, 3)
     pairs.count()
     timings["dedup_family_stage_pairs"] = round(time.perf_counter() - t_sh, 3)
     # combined line kept for round-over-round continuity; the total

@@ -161,12 +161,19 @@ def shingles(
     merging two distinct shingles is the usual negligible trade
     (P ≈ d²/2⁶⁴; the SQL oracles shingle on the raw substring, so the
     driver gate would surface one as a count mismatch)."""
-    c = F.col(text_col)
+    from ..sources.tables import fan_out_narrow
+
+    t = F.col("__t")
     pos = F.explode(
-        F.sequence(F.lit(1), F.greatest(F.length(c) - n + 1, F.lit(1)))
+        F.sequence(F.lit(1), F.greatest(F.length(t) - n + 1, F.lit(1)))
     ).alias("pos")
     out = (
-        df.select(F.col(id_col), c.alias("__t"), pos)
+        # a narrow (single-row-group) scan serializes the explode+hash
+        # partial aggregate onto one core; fan out first (no-op at
+        # production partition counts — measured 8.8 s -> ~2 s on the
+        # family's sf0.1 materialization)
+        fan_out_narrow(df.select(F.col(id_col), F.col(text_col).alias("__t")))
+        .select(id_col, "__t", pos)
         .where(F.length("__t") >= n)
         .select(
             id_col,
@@ -675,17 +682,13 @@ def simhash64(
                     {"simhash": "int64"}
                 )
 
-        src = df.select(id_col, text_col)
-        # the pass is embarrassingly parallel but a small single-file
+        from ..sources.tables import fan_out_narrow
+
+        # the pass is embarrassingly parallel but a single-row-group
         # parquet scan arrives as ONE partition and serializes 1.4M md5
-        # calls onto one core (3.2 s vs 1.4 s at sf0.1); fan out when
-        # the scan is narrower than the cluster — the shuffle moves only
-        # (id, text), and a 100 TB corpus already has >> cores partitions
-        # so this never triggers at scale
-        par = df.sparkSession.sparkContext.defaultParallelism
-        if src.rdd.getNumPartitions() < max(2, par // 2):
-            src = src.repartition(par)
-        return src.mapInPandas(
+        # calls onto one core (3.2 s vs 1.4 s at sf0.1); no-op at
+        # production partition counts
+        return fan_out_narrow(df.select(id_col, text_col)).mapInPandas(
             _md5_fingerprints, f"{id_col} {id_type}, simhash long"
         )
     elif hash_fn == "xxhash64":

@@ -70,10 +70,13 @@ def kgram_hashes(
     """
     if rolling:
         return _kgram_hashes_rolling(df, k, text_col, id_col)
+    from ..sources.tables import fan_out_narrow
+
     c = F.col(text_col)
     base = (
-        df.where(F.length(c) >= k)
-        .select(F.col(id_col), c.alias("__txt"))
+        # narrow single-row-group scans would serialize the per-position
+        # md5 onto one core (no-op at production partition counts)
+        fan_out_narrow(df.where(F.length(c) >= k).select(F.col(id_col), c.alias("__txt")))
         .select(
             id_col,
             F.explode(

@@ -60,10 +60,17 @@ def token_windows(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", k: int = 16) -> DataFrame:
     """(id, pos, wkey): xxhash64 of every overlapping k-token window of
     the whitespace-tokenized document (0-based token position)."""
+    from ..sources.tables import fan_out_narrow
+
     toks = F.split(F.col(text_col), " ")
     return (
-        docs.select(F.col(id_col), toks.alias("__tk"))
-        .where(F.size("__tk") >= k)
+        # fan out a narrow scan before the per-window hashing (no-op at
+        # production partition counts)
+        fan_out_narrow(
+            docs.select(F.col(id_col), toks.alias("__tk")).where(
+                F.size("__tk") >= k
+            )
+        )
         .select(
             id_col,
             F.posexplode(

@@ -2032,6 +2032,81 @@ GROUP BY token ORDER BY n DESC, token LIMIT 50
 """
 
 
+def ngram_diversity_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source bigram diversity (operators/corpus_stats.py::
+    ngram_diversity): total/distinct bigrams, type-token ratio,
+    singleton share — the curation dashboard read before/after every
+    dedup or filter pass (diversity collapse = over-dedup or template
+    flooding). Grams cross the shuffle as xxhash64 int64s; the oracle
+    groups the raw phrase strings, so the count comparison doubles as
+    the collision check."""
+    from .operators.corpus_stats import ngram_diversity
+
+    t = load_tables(spark, sf_dir)
+    return ngram_diversity(t["documents"], n=2, group_col="source")
+
+
+NGRAM_DIVERSITY_SQL = """
+WITH wl AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT source,
+         w[CAST(p AS INT)] || ' ' || w[CAST(p AS INT) + 1] AS g
+  FROM wl, UNNEST(range(1, GREATEST(len(w) - 1, 0) + 1)) AS r(p)
+  WHERE len(w) >= 2
+),
+pg AS (SELECT source, g, COUNT(*) AS c FROM grams GROUP BY 1, 2)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS total_ngrams,
+       COUNT(*) AS distinct_ngrams,
+       ROUND(COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS type_token_ratio,
+       ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS singleton_share
+FROM pg GROUP BY source
+"""
+
+
+def zipf_vocab_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf/vocabulary fingerprint (operators/corpus_stats.py::
+    zipf_vocab_stats): token count, vocab size, singleton share,
+    top-100 mass, and the OLS Zipf slope over the top-100 rank-frequency
+    curve. Rank tiebreaks differ between engines (hash here, raw token
+    in SQL) and the output is still EXACT — tied counts make every
+    top-k aggregate tie-order invariant (see the operator docstring)."""
+    from .operators.corpus_stats import zipf_vocab_stats
+
+    t = load_tables(spark, sf_dir)
+    return zipf_vocab_stats(t["documents"], top_k=100)
+
+
+ZIPF_VOCAB_SQL = """
+WITH toks AS (SELECT UNNEST(string_split(text, ' ')) AS t FROM documents),
+cnt AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY 1),
+totals AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+         COUNT(*) AS vocab_size,
+         ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS singleton_share
+  FROM cnt
+),
+top AS (
+  SELECT c, r FROM (
+    SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS r FROM cnt) x
+  WHERE r <= 100
+),
+fit AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS topc,
+         ROUND((COUNT(*) * SUM(LN(r) * LN(c)) - SUM(LN(r)) * SUM(LN(c)))
+               / (COUNT(*) * SUM(LN(r) * LN(r)) - SUM(LN(r)) * SUM(LN(r))),
+               6) AS zipf_slope
+  FROM top
+)
+SELECT t.n_tokens, t.vocab_size, t.singleton_share,
+       ROUND(f.topc / CAST(t.n_tokens AS DOUBLE), 6) AS topk_coverage,
+       f.zipf_slope
+FROM totals t CROSS JOIN fit f
+"""
+
+
 def salted_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch evaluation of the streaming salted two-phase windowed agg
     (streaming/skew_agg.py): the oracle is the PLAIN windowed aggregation —
@@ -8426,17 +8501,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round 10: registry rotated for the driver's first-50 window
     # (staleness-ascending; CORRECTNESS_r09.json stopped at entry #50 =
     # sequence_packing_docs, so the 4 entries that sat just past it are
-    # still r5-stale — ADVICE r9 #1). Window composition: 2 never-checked
-    # debuts (full-coverage ANN certifications), then 4 r9-certified
+    # still r5-stale — ADVICE r9 #1). Window composition: 4 never-checked
+    # debuts (corpus diversity/Zipf stats + the two full-coverage ANN
+    # certifications), then 4 r9-certified
     # entries whose code changed THIS round (certification invalidated:
     # retrieval_metrics_eval 25-deep run, ndcg judgments dedupe,
     # bigram_lm pre-aggregated joins, dedup_simhash shingle cache), then
-    # all 28 r5-stale entries, then 16 r7-stale entries tie-broken to
+    # all 28 r5-stale entries, then 14 r7-stale entries tie-broken to
     # front-load (a) the 5 entries whose oracles flipped to SQL-replay
     # AFTER their last driver sampling (theta/join_size_cms/bpe x2/
     # bloom — VERDICT r9 #3) and (b) the 2 r7 entries changed this round
     # (kcore cadence, hybrid_rrf leg materialization).
-    # 2 + 4 + 28 + 16 = 50.
+    # 4 + 4 + 28 + 14 = 50.
+    "ngram_diversity_sources": ngram_diversity_sources,
+    "zipf_vocab_stats_docs": zipf_vocab_stats_docs,
     "ann_ivf_refined_topk": ann_ivf_refined_topk,
     "ann_lsh_refined_topk": ann_lsh_refined_topk,
     "retrieval_metrics_eval": retrieval_metrics_eval,
@@ -8485,11 +8563,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample_docs": weighted_sample_docs,
     "markov_transitions_events": markov_transitions_events,
     "skyline_parts": skyline_parts,
-    "pmi_collocations_docs": pmi_collocations_docs,
-    "theil_sen_events": theil_sen_events,
     # ^^^ END of the r10 driver check window: exactly the 50 entries
     # above (positions 1-50). Everything below is staleness-ascending
     # for the r11 rotation: remaining r7 block, then r8, then r9.
+    "pmi_collocations_docs": pmi_collocations_docs,
+    "theil_sen_events": theil_sen_events,
     "image_near_dup_phash": image_near_dup_phash,
     "audio_near_dup_awhash": audio_near_dup_awhash,
     "url_canonical_dedup": url_canonical_dedup,
@@ -8730,6 +8808,8 @@ ORACLES: dict[str, str] = {
     # construction (VERDICT r9 #4): same queries, k, tiebreak
     "ann_ivf_refined_topk": KNN_SQL,
     "ann_lsh_refined_topk": KNN_SQL,
+    "ngram_diversity_sources": NGRAM_DIVERSITY_SQL,
+    "zipf_vocab_stats_docs": ZIPF_VOCAB_SQL,
     "embedding_near_dup_pairs": EMB_NEAR_DUP_SQL,
     "embedding_near_dup_lsh": EMB_NEAR_DUP_SQL,
     "token_frequencies": TOKEN_FREQ_SQL,

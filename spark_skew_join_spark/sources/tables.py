@@ -34,6 +34,25 @@ TABLES = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.01"
 
 
+def fan_out_narrow(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
+    """Repartition a NARROW scan up to the cluster's parallelism.
+
+    The test fixtures are single-row-group parquet files, so every scan
+    arrives as ONE partition and any explode-heavy stage (shingling,
+    tokenization, md5 fingerprints) serializes onto one core until its
+    first exchange — `spark.sql.files.maxPartitionBytes` cannot help
+    because splits align to row groups. The guard repartitions only
+    when the scan is narrower than ``min_fraction`` of
+    defaultParallelism; a production corpus (many files / row groups,
+    100 TB) already exceeds it, so this is a no-op at scale and the
+    added exchange moves only the narrow input's rows (kilobytes to a
+    few MB here)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, int(par * min_fraction)):
+        return df.repartition(par)
+    return df
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Pin runtime confs required for deterministic, oracle-comparable runs.
 
