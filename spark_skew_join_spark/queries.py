@@ -1480,8 +1480,15 @@ def pipeline_train_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # selected carries log_weight through (dsir_resample returns the
     # weights rows unchanged), so the final join reads the 300-row
     # selection — NOT the full weights table, which would evaluate the
-    # DSIR gram aggregation a second time in the same graph
-    selected = dsir_resample(weights, k=300, method="gumbel")
+    # DSIR gram aggregation a second time in the same graph.
+    # Materialized EAGERLY (round 10): the selection feeds BOTH the
+    # packing semi-join and the final log_weight join, and the lazy
+    # plan evaluated the full DSIR gram aggregation once per consumer;
+    # checkpointing the 300-row result runs DSIR exactly once.
+    # → EAGER_QUERIES.
+    selected = dsir_resample(weights, k=300, method="gumbel").localCheckpoint(
+        eager=True
+    )
     packed = sequence_packing(
         cleaned.join(selected.select("doc_id"), on="doc_id", how="left_semi"),
         capacity=256, group_col="source",
@@ -3550,6 +3557,29 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, e.where(F.col("vec_id") < 5), k=10,
         n_centroids=16, n_probe=8, m=16, ks=32,
         refine_with=e, refine_factor=4,
+    )
+
+
+def ann_ivfpq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ at FULL coverage (VERDICT r9 #4 family, third flip):
+    n_probe = n_centroids makes the inverted-file restriction a no-op
+    AND refine_factor = ceil(N/k) re-ranks the whole ADC shortlist by
+    exact cosine, so the production IndexIVFPQ layout (centroid fit →
+    list assignment → codebook train → encode → codegen ADC → exact
+    refine → cut) is pinned against the knn_bruteforce SQL oracle
+    EXACTLY.  Production settings (n_probe ≪ n_centroids,
+    refine_factor ~4) run the same code on fewer lists and a shorter
+    shortlist.  Eager (centroid + codebook training collect at
+    construction) → EAGER_QUERIES."""
+    from .operators.pq import ivfpq_topk
+
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    n = e.count()
+    return ivfpq_topk(
+        e, e.where(F.col("vec_id") < 5), k=10,
+        n_centroids=16, n_probe=16, m=16, ks=32,
+        refine_with=e, refine_factor=-(-n // 10),
     )
 
 
@@ -8501,22 +8531,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round 10: registry rotated for the driver's first-50 window
     # (staleness-ascending; CORRECTNESS_r09.json stopped at entry #50 =
     # sequence_packing_docs, so the 4 entries that sat just past it are
-    # still r5-stale — ADVICE r9 #1). Window composition: 4 never-checked
-    # debuts (corpus diversity/Zipf stats + the two full-coverage ANN
+    # still r5-stale — ADVICE r9 #1). Window composition: 5 never-checked
+    # debuts (corpus diversity/Zipf stats + the three full-coverage ANN
     # certifications), then 4 r9-certified
     # entries whose code changed THIS round (certification invalidated:
     # retrieval_metrics_eval 25-deep run, ndcg judgments dedupe,
     # bigram_lm pre-aggregated joins, dedup_simhash shingle cache), then
-    # all 28 r5-stale entries, then 14 r7-stale entries tie-broken to
+    # all 28 r5-stale entries, then 13 r7-stale entries tie-broken to
     # front-load (a) the 5 entries whose oracles flipped to SQL-replay
     # AFTER their last driver sampling (theta/join_size_cms/bpe x2/
     # bloom — VERDICT r9 #3) and (b) the 2 r7 entries changed this round
     # (kcore cadence, hybrid_rrf leg materialization).
-    # 4 + 4 + 28 + 14 = 50.
+    # 5 + 4 + 28 + 13 = 50.
     "ngram_diversity_sources": ngram_diversity_sources,
     "zipf_vocab_stats_docs": zipf_vocab_stats_docs,
     "ann_ivf_refined_topk": ann_ivf_refined_topk,
     "ann_lsh_refined_topk": ann_lsh_refined_topk,
+    "ann_ivfpq_refined_topk": ann_ivfpq_refined_topk,
     "retrieval_metrics_eval": retrieval_metrics_eval,
     "ndcg_retrieval_eval": ndcg_retrieval_eval,
     "bigram_lm_quality": bigram_lm_quality,
@@ -8562,10 +8593,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mad_outliers_lineitem": mad_outliers_lineitem,
     "weighted_sample_docs": weighted_sample_docs,
     "markov_transitions_events": markov_transitions_events,
-    "skyline_parts": skyline_parts,
     # ^^^ END of the r10 driver check window: exactly the 50 entries
     # above (positions 1-50). Everything below is staleness-ascending
     # for the r11 rotation: remaining r7 block, then r8, then r9.
+    "skyline_parts": skyline_parts,
     "pmi_collocations_docs": pmi_collocations_docs,
     "theil_sen_events": theil_sen_events,
     "image_near_dup_phash": image_near_dup_phash,
@@ -8808,6 +8839,7 @@ ORACLES: dict[str, str] = {
     # construction (VERDICT r9 #4): same queries, k, tiebreak
     "ann_ivf_refined_topk": KNN_SQL,
     "ann_lsh_refined_topk": KNN_SQL,
+    "ann_ivfpq_refined_topk": KNN_SQL,
     "ngram_diversity_sources": NGRAM_DIVERSITY_SQL,
     "zipf_vocab_stats_docs": ZIPF_VOCAB_SQL,
     "embedding_near_dup_pairs": EMB_NEAR_DUP_SQL,
@@ -8900,6 +8932,9 @@ EAGER_QUERIES = (
     # shortlist legs localCheckpoint at construction (VERDICT r9 #2 —
     # the fused plan's codegen/JIT cold-compile swing)
     "hybrid_retrieval_rrf",
+    # 300-row DSIR selection localCheckpoints at construction (round
+    # 10: two consumers re-ran the gram aggregation once each)
+    "pipeline_train_mix",
     "token_budget_docs",
     "adaptive_join_strategies",
     "ann_pq_topk",
@@ -8910,6 +8945,7 @@ EAGER_QUERIES = (
     # its construction too instead of hiding the k-means collect)
     "ann_ivf_topk",
     "ann_ivf_refined_topk",
+    "ann_ivfpq_refined_topk",
     # corpus band table may spill via _session_cache("auto") at
     # construction (the setsim precedent)
     "ann_lsh_refined_topk",
@@ -8984,6 +9020,7 @@ SCALAR_BNL_OK = (
     "adaptive_join_strategies",  # 1-row per-case decision frames unioned
     "triangle_count_copurchase",  # 1-row node/edge/triangle frames joined
     "hybrid_retrieval_rrf",  # BM25's 1-row corpus-scalar broadcast x3
+    "zipf_vocab_stats_docs",  # 1-row totals x 1-row OLS-fit cross-join
     "semdedup_embeddings",  # n_clusters-row centroid table broadcast:
     # each vector fans out exactly x n_clusters for scoring (the IVF
     # assignment shape), bounded by the quantizer size — never data x data

@@ -76,10 +76,13 @@ QUERIES = [
     "bigram_lm_quality",
     "ndcg_retrieval_eval",
     "retrieval_metrics_eval",
-    # round-10 additions: the two full-coverage ANN certification
-    # debuts (VERDICT r9 #4)
+    # round-10 additions: the full-coverage ANN certification debuts
+    # (VERDICT r9 #4) and the corpus-health stats
     "ann_ivf_refined_topk",
     "ann_lsh_refined_topk",
+    "ann_ivfpq_refined_topk",
+    "ngram_diversity_sources",
+    "zipf_vocab_stats_docs",
 ]
 
 
