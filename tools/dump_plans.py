@@ -336,6 +336,43 @@ def main() -> None:
         )
     )
 
+    lshr = q.QUERIES["ann_lsh_refined_topk"](spark, SF)
+    simplelshr = plan_string(lshr, "simple")
+    out.append(
+        section(
+            "ann_lsh_refined_topk — multiprobe LSH at full code coverage (round 10)",
+            "\n".join(
+                (l[:140] + " …" if len(l) > 140 else l)
+                for l in simplelshr.splitlines()
+                if "Join" in l or "Exchange" in l or "Python" in l
+                or "Generate" in l or "InMemory" in l
+            ),
+            "The multiprobe expansion is the query-side Generate (explode of\n"
+            "the Hamming-sorted code slice) — pure codegen, fanning out only\n"
+            "|queries| x n_bands x probe_codes rows; the bucket probe stays\n"
+            "an equi-join on (band, code); the corpus-side band layout (the\n"
+            "persisted half at 100 TB) is untouched. The only Python nodes\n"
+            "are the two Arrow band-code projections.",
+        )
+    )
+
+    ngd = q.QUERIES["ngram_diversity_sources"](spark, SF)
+    simplengd = plan_string(ngd, "simple")
+    out.append(
+        section(
+            "ngram_diversity_sources — corpus diversity fold (round 10)",
+            "\n".join(
+                (l[:140] + " …" if len(l) > 140 else l)
+                for l in simplengd.splitlines()
+                if "Join" in l or "Exchange" in l or "Python" in l
+                or "HashAggregate" in l
+            ),
+            "Two hash aggregations, both map-side combined: (source,\n"
+            "xxhash64(gram)) counts then the per-source fold — the gram\n"
+            "STRING never reaches an exchange; no joins, no Python.",
+        )
+    )
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print("PLANS.md written")
