@@ -14,7 +14,7 @@ no shuffle, no UDF.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, functions as F
+from pyspark.sql import Column, Window, functions as F
 
 # languages scored by the stopword heuristic: language → distinctive tokens
 # (space-padded to approximate word boundaries; identical logic in the SQL
@@ -246,4 +246,92 @@ def chunk_documents(
                 " ", F.slice("__toks", F.col("__w.start"), F.lit(chunk_tokens))
             ).alias("chunk_text"),
         )
+    )
+
+
+def cdc_chunks(
+    docs,
+    gram: int = 4,
+    avg_tokens: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+):
+    """CONTENT-DEFINED chunking — the Rabin/FastCDC idea re-expressed
+    relationally: a chunk closes after token ``i`` when the hash of
+    the ``gram``-token window ENDING at i satisfies
+    ``hash % avg_tokens == 0`` (marker probability 1/avg_tokens →
+    expected chunk length ≈ avg_tokens tokens).
+
+    Why it matters at 100 TB: fixed windows (``chunk_documents``)
+    shift EVERY boundary after an insertion, so a one-sentence edit
+    re-embeds/re-dedups the whole document downstream; CDC boundaries
+    depend only on LOCAL content, so an edit perturbs at most the
+    chunks overlapping it and every other chunk keeps its identity
+    (and its dedup hash, its embedding, its cache entry). The shift
+    test is pinned in tests/test_corpus_stats.py.
+
+    Pure codegen: whitespace split → per-position window hash →
+    per-doc running boundary count (window partitioned by doc, bounded
+    by doc length) → per-chunk fold + one join back for the chunk
+    text. ``hash_fn="md5"`` makes the boundary rule SQL-replayable
+    (first-8-hex-chars of md5(space-joined window) — the SimHash/HLL
+    precedent); xxhash64 stays the fast default.
+
+    Output: (id, chunk_id, start_tok, n_tokens, chunk_text).
+    """
+    from ..sources.tables import fan_out_narrow
+
+    if gram < 1:
+        raise ValueError("gram must be >= 1")
+    if avg_tokens < 2:
+        raise ValueError("avg_tokens must be >= 2")
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"hash_fn must be xxhash64|md5, got {hash_fn!r}")
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    base = fan_out_narrow(
+        docs.select(F.col(id_col), toks.alias("__tk")).where(F.size(toks) > 0)
+    )
+    pos = base.select(
+        id_col,
+        F.explode(F.sequence(F.lit(1), F.size("__tk"))).alias("__i"),
+        "__tk",
+    )
+    win = F.concat_ws(
+        " ", F.slice("__tk", F.col("__i") - F.lit(gram - 1), F.lit(gram))
+    )
+    if hash_fn == "md5":
+        h = F.conv(F.substring(F.md5(win), 1, 8), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(win)
+    marker = F.when(
+        (F.col("__i") >= gram) & (F.pmod(h, F.lit(avg_tokens)) == 0), 1
+    ).otherwise(0)
+    w = Window.partitionBy(id_col).orderBy("__i")
+    chunked = (
+        pos.select(id_col, "__i", marker.alias("__m"))
+        .withColumn(
+            "chunk_id",
+            F.lit(1)
+            + F.coalesce(
+                F.sum("__m").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .groupBy(id_col, "chunk_id")
+        .agg(
+            F.min("__i").alias("start_tok"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    return chunked.join(base, id_col).select(
+        id_col,
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("start_tok").cast("int").alias("start_tok"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.concat_ws(
+            " ", F.slice("__tk", F.col("start_tok"), F.col("n_tokens"))
+        ).alias("chunk_text"),
     )

@@ -2807,6 +2807,63 @@ def chunk_docs_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_idx")
 
 
+def cdc_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (functions/text.py::cdc_chunks —
+    Rabin/FastCDC boundaries relationally): a chunk closes where the
+    md5-derived hash of the trailing 4-token window ≡ 0 mod 16, so an
+    edit perturbs only the chunks overlapping it while every other
+    chunk keeps its identity/dedup hash — the property fixed windows
+    (chunk_docs_windows) lack. md5 boundary mode → every boundary,
+    chunk extent, and the chunk TEXT replay byte-for-byte in SQL."""
+    from .functions.text import cdc_chunks
+
+    t = load_tables(spark, sf_dir)
+    return cdc_chunks(
+        t["documents"], gram=4, avg_tokens=16, hash_fn="md5"
+    ).orderBy("doc_id", "chunk_id")
+
+
+CDC_CHUNK_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+base AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+pos AS (
+  SELECT doc_id, n, i FROM base, UNNEST(range(1, n + 1)) AS u(i)
+),
+mark AS (
+  SELECT p.doc_id, p.i,
+         CASE WHEN p.i >= 4 AND
+              CAST('0x' || SUBSTRING(
+                MD5(array_to_string(b.t[p.i - 3 : p.i], ' ')), 1, 8)
+                AS BIGINT) % 16 = 0
+              THEN 1 ELSE 0 END AS m
+  FROM pos p JOIN base b USING (doc_id)
+),
+cid AS (
+  SELECT doc_id, i,
+         1 + COALESCE(SUM(m) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS chunk_id
+  FROM mark
+),
+ch AS (
+  SELECT doc_id, chunk_id, MIN(i) AS start_tok, COUNT(*) AS n_tokens
+  FROM cid GROUP BY 1, 2
+)
+SELECT c.doc_id, CAST(c.chunk_id AS INT) AS chunk_id,
+       CAST(c.start_tok AS INT) AS start_tok,
+       CAST(c.n_tokens AS INT) AS n_tokens,
+       array_to_string(b.t[c.start_tok : c.start_tok + c.n_tokens - 1],
+                       ' ') AS chunk_text
+FROM ch c JOIN base b USING (doc_id)
+ORDER BY c.doc_id, c.chunk_id
+"""
+
+
 CHUNK_DOCS_SQL = """
 WITH toks AS (
   SELECT doc_id,
@@ -3558,6 +3615,44 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=16, n_probe=8, m=16, ks=32,
         refine_with=e, refine_factor=4,
     )
+
+
+def embedding_covariance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle embedding covariance (operators/pca.py::
+    embedding_covariance) — the one-pass second-moment fold that
+    whitening/PCA/OPQ and drift monitors start from. Terms quantize to
+    fixed decimal scales and sum as DECIMAL (exact in any order — the
+    embedding_centroids precedent), so all 2080 covariance entries
+    hash-match the SQL replay bit-for-bit."""
+    from .operators.pca import embedding_covariance
+
+    t = load_tables(spark, sf_dir)
+    return embedding_covariance(t["embeddings"], dim=64)
+
+
+EMB_COV_SQL = """
+WITH v AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+pairs AS (
+  SELECT ii.i AS i, jj.j AS j,
+         CAST(ROUND(e[ii.i + 1], 6) AS DECIMAL(18,6)) AS x,
+         CAST(ROUND(e[jj.j + 1], 6) AS DECIMAL(18,6)) AS y,
+         -- exact decimal product (scale 12): no float rounding of a
+         -- product anywhere, so both engines agree bit-for-bit
+         CAST(ROUND(e[ii.i + 1], 6) AS DECIMAL(18,6))
+           * CAST(ROUND(e[jj.j + 1], 6) AS DECIMAL(18,6)) AS xy
+  FROM v, UNNEST(range(0, 64)) AS ii(i), UNNEST(range(0, 64)) AS jj(j)
+  WHERE jj.j >= ii.i
+)
+SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, COUNT(*) AS n_vecs,
+       -- + 0.0 canonicalizes IEEE negative zero (see the Spark side)
+       ROUND((CAST(SUM(xy) AS DOUBLE)
+              - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE) / COUNT(*))
+             / COUNT(*), 6) + 0.0 AS cov
+FROM pairs GROUP BY i, j
+"""
 
 
 def ann_ivfpq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8531,20 +8626,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round 10: registry rotated for the driver's first-50 window
     # (staleness-ascending; CORRECTNESS_r09.json stopped at entry #50 =
     # sequence_packing_docs, so the 4 entries that sat just past it are
-    # still r5-stale — ADVICE r9 #1). Window composition: 5 never-checked
-    # debuts (corpus diversity/Zipf stats + the three full-coverage ANN
-    # certifications), then 4 r9-certified
+    # still r5-stale — ADVICE r9 #1). Window composition: 7 never-checked
+    # debuts (corpus diversity/Zipf stats, CDC chunking, embedding
+    # covariance, the three full-coverage ANN certifications), then 4
+    # r9-certified
     # entries whose code changed THIS round (certification invalidated:
     # retrieval_metrics_eval 25-deep run, ndcg judgments dedupe,
     # bigram_lm pre-aggregated joins, dedup_simhash shingle cache), then
-    # all 28 r5-stale entries, then 13 r7-stale entries tie-broken to
+    # all 28 r5-stale entries, then 11 r7-stale entries tie-broken to
     # front-load (a) the 5 entries whose oracles flipped to SQL-replay
     # AFTER their last driver sampling (theta/join_size_cms/bpe x2/
     # bloom — VERDICT r9 #3) and (b) the 2 r7 entries changed this round
     # (kcore cadence, hybrid_rrf leg materialization).
-    # 5 + 4 + 28 + 13 = 50.
+    # 7 + 4 + 28 + 11 = 50.
     "ngram_diversity_sources": ngram_diversity_sources,
     "zipf_vocab_stats_docs": zipf_vocab_stats_docs,
+    "cdc_chunk_docs": cdc_chunk_docs,
+    "embedding_covariance_stats": embedding_covariance_stats,
     "ann_ivf_refined_topk": ann_ivf_refined_topk,
     "ann_lsh_refined_topk": ann_lsh_refined_topk,
     "ann_ivfpq_refined_topk": ann_ivfpq_refined_topk,
@@ -8591,11 +8689,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "assoc_rules_copurchase": assoc_rules_copurchase,
     "acf_events": acf_events,
     "mad_outliers_lineitem": mad_outliers_lineitem,
-    "weighted_sample_docs": weighted_sample_docs,
-    "markov_transitions_events": markov_transitions_events,
     # ^^^ END of the r10 driver check window: exactly the 50 entries
     # above (positions 1-50). Everything below is staleness-ascending
     # for the r11 rotation: remaining r7 block, then r8, then r9.
+    "weighted_sample_docs": weighted_sample_docs,
+    "markov_transitions_events": markov_transitions_events,
     "skyline_parts": skyline_parts,
     "pmi_collocations_docs": pmi_collocations_docs,
     "theil_sen_events": theil_sen_events,
@@ -8842,6 +8940,8 @@ ORACLES: dict[str, str] = {
     "ann_ivfpq_refined_topk": KNN_SQL,
     "ngram_diversity_sources": NGRAM_DIVERSITY_SQL,
     "zipf_vocab_stats_docs": ZIPF_VOCAB_SQL,
+    "cdc_chunk_docs": CDC_CHUNK_SQL,
+    "embedding_covariance_stats": EMB_COV_SQL,
     "embedding_near_dup_pairs": EMB_NEAR_DUP_SQL,
     "embedding_near_dup_lsh": EMB_NEAR_DUP_SQL,
     "token_frequencies": TOKEN_FREQ_SQL,

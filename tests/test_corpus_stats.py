@@ -67,6 +67,64 @@ def test_zipf_vocab_stats_hand_computed(spark):
         zipf_vocab_stats(docs, top_k=1)
 
 
+def test_cdc_chunks_shift_resistant_vs_fixed_windows(spark):
+    """The content-defined property: prepending text to a document
+    perturbs only the leading chunks; the tail chunks keep their exact
+    text (and therefore their dedup hashes / embeddings / cache
+    entries). Fixed windows shift EVERY boundary — the contrast this
+    operator exists for."""
+    import random
+
+    from spark_skew_join_spark.functions.text import cdc_chunks, chunk_documents
+
+    rng = random.Random(17)
+    body = " ".join(f"tok{rng.randrange(500)}" for _ in range(400))
+    docs = spark.createDataFrame(
+        [(1, body), (2, "inserted preamble goes here " + body)],
+        "doc_id bigint, text string",
+    )
+    cdc = cdc_chunks(docs, gram=4, avg_tokens=16).collect()
+    by_doc = {1: set(), 2: set()}
+    for r in cdc:
+        by_doc[r["doc_id"]].add(r["chunk_text"])
+    shared = by_doc[1] & by_doc[2]
+    # nearly all of doc 1's chunks survive the prefix edit verbatim
+    assert len(shared) >= 0.8 * len(by_doc[1]), (
+        len(shared), len(by_doc[1]))
+
+    fixed = chunk_documents(docs, chunk_tokens=16, overlap=0).collect()
+    fx = {1: set(), 2: set()}
+    for r in fixed:
+        fx[r["doc_id"]].add(r["chunk_text"])
+    # the 4-token prefix shifts every 16-token grid boundary
+    assert len(fx[1] & fx[2]) <= 0.1 * len(fx[1])
+
+
+def test_cdc_chunks_cover_and_validate(spark):
+    from spark_skew_join_spark.functions.text import cdc_chunks
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], "doc_id bigint, text string"
+    )
+    rows = sorted(
+        cdc_chunks(docs, gram=2, avg_tokens=2).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    # chunks tile the token range exactly: contiguous, complete
+    assert rows[0]["start_tok"] == 1
+    total = sum(r["n_tokens"] for r in rows)
+    assert total == 10
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["start_tok"] == prev["start_tok"] + prev["n_tokens"]
+    assert " ".join(r["chunk_text"] for r in rows) == "a b c d e f g h i j"
+    with pytest.raises(ValueError):
+        cdc_chunks(docs, gram=0)
+    with pytest.raises(ValueError):
+        cdc_chunks(docs, avg_tokens=1)
+    with pytest.raises(ValueError):
+        cdc_chunks(docs, hash_fn="sha1")
+
+
 def test_zipf_slope_near_minus_one_on_zipf_corpus(spark):
     """A synthetic corpus drawn from an exact Zipf pmf should fit
     s ≈ -1; a uniform corpus should fit s ≈ 0 — the separation the

@@ -1,0 +1,64 @@
+"""Embedding covariance + PCA projection (operators/pca.py)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+import pytest
+
+from spark_skew_join_spark.operators.pca import embedding_covariance, pca_project
+
+
+def _synth(spark, n=300, dim=8, seed=23):
+    rng = random.Random(seed)
+    # anisotropic cloud: dim 0 has 5x the spread of the rest, plus a
+    # correlated pair (2, 3) — gives PCA something real to find
+    rows = []
+    for i in range(n):
+        base = [rng.gauss(0, 1) for _ in range(dim)]
+        base[0] *= 5.0
+        base[3] = 0.8 * base[2] + 0.2 * base[3]
+        rows.append((i, [float(x) for x in base]))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_covariance_matches_numpy(spark):
+    df = _synth(spark)
+    rows = embedding_covariance(df, dim=8).collect()
+    assert len(rows) == 8 * 9 // 2
+    x = np.array([r["embedding"] for r in df.collect()], dtype=np.float64)
+    xq = np.round(x, 6)  # the operator's documented quantization
+    ref = np.cov(xq, rowvar=False, bias=True)  # /n, like the operator
+    for r in rows:
+        assert r["n_vecs"] == 300
+        assert math.isclose(
+            r["cov"], round(ref[r["i"], r["j"]], 6), abs_tol=2e-6
+        ), (r["i"], r["j"], r["cov"], ref[r["i"], r["j"]])
+    with pytest.raises(ValueError):
+        embedding_covariance(df, dim=1)
+
+
+def test_pca_project_matches_numpy_and_orders_variance(spark):
+    df = _synth(spark)
+    out, evr = pca_project(df, n_components=3, dim=8)
+    got = {r["vec_id"]: list(r["pc"]) for r in out.collect()}
+    assert len(got) == 300 and len(next(iter(got.values()))) == 3
+    # explained variance: descending, dominated by the 5x dimension
+    assert evr[0] > evr[1] > evr[2] > 0
+    assert evr[0] > 0.5
+    # projections' per-component variance matches the eigenvalue order
+    pcs = np.array([got[i] for i in range(300)])
+    v = pcs.var(axis=0)
+    assert v[0] > v[1] > v[2]
+    # component 1 is essentially dimension 0 (the 5x axis): |corr| ~ 1
+    x = np.array([r["embedding"] for r in df.collect()], dtype=np.float64)
+    corr = np.corrcoef(pcs[:, 0], x[:, 0])[0, 1]
+    assert abs(corr) > 0.95, corr
+    # deterministic across runs (sign fixed, same quantized covariance)
+    out2, evr2 = pca_project(df, n_components=3, dim=8)
+    got2 = {r["vec_id"]: list(r["pc"]) for r in out2.collect()}
+    assert got == got2 and evr == evr2
+    with pytest.raises(ValueError):
+        pca_project(df, n_components=0, dim=8)

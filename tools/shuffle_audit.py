@@ -83,6 +83,8 @@ QUERIES = [
     "ann_ivfpq_refined_topk",
     "ngram_diversity_sources",
     "zipf_vocab_stats_docs",
+    "cdc_chunk_docs",
+    "embedding_covariance_stats",
 ]
 
 
