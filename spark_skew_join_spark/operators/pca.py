@@ -97,6 +97,73 @@ def embedding_covariance(
     )
 
 
+def covariance_outer(
+    emb: DataFrame,
+    dim: int = 64,
+    vec_col: str = "embedding",
+):
+    """The HIGH-DIM scale path for the second-moment fold: per-partition
+    numpy ``X.T @ X`` partials (one Arrow pass, zero fan-out) reduced on
+    the driver — returns ``(n, mean vector, covariance matrix)`` as
+    numpy objects, the input ``pca_project`` needs.
+
+    ``embedding_covariance`` explodes dim·(dim+1)/2 terms per row to
+    buy DECIMAL exactness for the SQL oracle; that fan-out is fine at
+    embedding dims (64 → 2080/row) and absurd at dim 4096 (8.4M/row).
+    Here each partition contributes ONE (count, Σx, ΣxᵀX) partial —
+    d + d² floats, independent of row count — so the driver folds
+    #partitions · (d²+d+1) doubles (a _fit_centroids-scale collect,
+    bounded by cluster width, not data size). Float sums make it
+    order-dependent (~1e-12 relative run-to-run) — the exact decimal
+    path remains the oracle-checkable one; equivalence within 1e-9 is
+    pinned in tests/test_pca.py.
+    """
+    import numpy as np
+
+    if dim < 2:
+        raise ValueError("dim must be >= 2")
+
+    def _partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        n = 0
+        s = np.zeros(dim)
+        ss = np.zeros((dim, dim))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            n += len(x)
+            s += x.sum(axis=0)
+            ss += x.T @ x
+        yield pd.DataFrame(
+            {
+                "n": [n],
+                "s": [s.tolist()],
+                "ss": [ss.reshape(-1).tolist()],
+            }
+        )
+
+    parts = (
+        emb.select(vec_col)
+        .mapInPandas(_partials, "n long, s array<double>, ss array<double>")
+        .collect()
+    )
+    n = sum(p["n"] for p in parts)
+    if n == 0:
+        raise ValueError("empty input")
+    s = np.sum([np.asarray(p["s"]) for p in parts], axis=0)
+    ss = np.sum(
+        [np.asarray(p["ss"]).reshape(dim, dim) for p in parts], axis=0
+    )
+    mu = s / n
+    cov = ss / n - np.outer(mu, mu)
+    return n, mu, cov
+
+
 def pca_project(
     emb: DataFrame,
     n_components: int = 8,

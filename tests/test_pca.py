@@ -40,6 +40,27 @@ def test_covariance_matches_numpy(spark):
         embedding_covariance(df, dim=1)
 
 
+def test_covariance_outer_matches_decimal_path(spark):
+    """The Arrow outer-product fold (the dim-in-the-thousands scale
+    path: one d²-float partial per partition, no per-row fan-out) must
+    agree with the exact decimal path to float precision."""
+    from spark_skew_join_spark.operators.pca import covariance_outer
+
+    df = _synth(spark).repartition(7)
+    n, mu, cov = covariance_outer(df, dim=8)
+    assert n == 300
+    rows = embedding_covariance(df, dim=8).collect()
+    for r in rows:
+        # decimal path quantizes inputs to 6 decimals; 1e-5 absorbs it
+        assert math.isclose(
+            r["cov"], cov[r["i"], r["j"]], abs_tol=1e-5
+        ), (r["i"], r["j"])
+    with pytest.raises(ValueError):
+        covariance_outer(df, dim=1)
+    with pytest.raises(ValueError):
+        covariance_outer(df.where("vec_id < 0"), dim=8)
+
+
 def test_pca_project_matches_numpy_and_orders_variance(spark):
     df = _synth(spark)
     out, evr = pca_project(df, n_components=3, dim=8)
