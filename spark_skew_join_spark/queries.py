@@ -3632,24 +3632,25 @@ def embedding_covariance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EMB_COV_SQL = """
 WITH v AS (
-  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  -- quantized integer micro-units: round-to-6 as DECIMAL (the step
+  -- both engines agree on bit-for-bit) scaled exactly to BIGINT
+  SELECT list_transform(embedding,
+           x -> CAST(CAST(ROUND(CAST(x AS DOUBLE), 6) AS DECIMAL(18,6))
+                     * 1000000 AS BIGINT)) AS q
   FROM embeddings
 ),
 pairs AS (
   SELECT ii.i AS i, jj.j AS j,
-         CAST(ROUND(e[ii.i + 1], 6) AS DECIMAL(18,6)) AS x,
-         CAST(ROUND(e[jj.j + 1], 6) AS DECIMAL(18,6)) AS y,
-         -- exact decimal product (scale 12): no float rounding of a
-         -- product anywhere, so both engines agree bit-for-bit
-         CAST(ROUND(e[ii.i + 1], 6) AS DECIMAL(18,6))
-           * CAST(ROUND(e[jj.j + 1], 6) AS DECIMAL(18,6)) AS xy
+         q[ii.i + 1] AS x, q[jj.j + 1] AS y,
+         q[ii.i + 1] * q[jj.j + 1] AS xy
   FROM v, UNNEST(range(0, 64)) AS ii(i), UNNEST(range(0, 64)) AS jj(j)
   WHERE jj.j >= ii.i
 )
 SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, COUNT(*) AS n_vecs,
        -- + 0.0 canonicalizes IEEE negative zero (see the Spark side)
-       ROUND((CAST(SUM(xy) AS DOUBLE)
-              - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE) / COUNT(*))
+       ROUND((CAST(SUM(xy) AS DOUBLE) / 1e12
+              - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE)
+                / 1e12 / COUNT(*))
              / COUNT(*), 6) + 0.0 AS cov
 FROM pairs GROUP BY i, j
 """
