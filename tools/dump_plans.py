@@ -356,6 +356,44 @@ def main() -> None:
         )
     )
 
+    cdc = q.QUERIES["cdc_chunk_docs"](spark, SF)
+    simplecdc = plan_string(cdc, "simple")
+    out.append(
+        section(
+            "cdc_chunk_docs — content-defined chunk boundaries (round 10)",
+            "\n".join(
+                (l[:140] + " …" if len(l) > 140 else l)
+                for l in simplecdc.splitlines()
+                if "Join" in l or "Exchange" in l or "Window" in l
+                or "Python" in l
+            ),
+            "One window (partitioned by doc_id — bounded by doc length,\n"
+            "never a global sort) computes the running boundary count; the\n"
+            "per-position md5 is map-side; the only join re-attaches the\n"
+            "token array for chunk text, an equi-join on doc_id. No Python\n"
+            "nodes.",
+        )
+    )
+
+    cov = q.QUERIES["embedding_covariance_stats"](spark, SF)
+    simplecov = plan_string(cov, "simple")
+    out.append(
+        section(
+            "embedding_covariance_stats — integer micro-unit moment fold (round 10)",
+            "\n".join(
+                (l[:140] + " …" if len(l) > 140 else l)
+                for l in simplecov.splitlines()
+                if "Join" in l or "Exchange" in l or "Python" in l
+                or "HashAggregate" in l
+            ),
+            "One hash aggregation over the (i, j) pair fan-out: the partial\n"
+            "aggregate map-side-combines to <= d^2 rows per task, so the\n"
+            "exchange is constant-size regardless of corpus rows; sums are\n"
+            "exact long micro-units (order-independent), no joins, no\n"
+            "Python.",
+        )
+    )
+
     ngd = q.QUERIES["ngram_diversity_sources"](spark, SF)
     simplengd = plan_string(ngd, "simple")
     out.append(
