@@ -126,6 +126,25 @@ def fingerprint(colname: str) -> Column:
     return F.md5(F.col(colname).cast("binary"))
 
 
+def normalize_text(text: Column | str) -> Column:
+    """Canonical text form for normalization-aware dedup: lowercase,
+    every non-alphanumeric run collapsed to one space, trimmed — so
+    casing, punctuation, and whitespace variants of the same content
+    share one exact-dedup fingerprint (the C4/RefinedWeb pre-hash
+    step; raw exact dedup misses 'Hello, World!' vs 'hello world').
+
+    Pure codegen (lower + two regexp_replace + trim); the character
+    classes (``[^a-z0-9 ]``, `` +``) are dialect-portable between
+    Java regex and RE2, so a DuckDB oracle replays the normalization
+    byte-for-byte. ASCII-focused by design — extend the class, not
+    the mechanism, for other scripts."""
+    c = F.col(text) if isinstance(text, str) else text
+    collapsed = F.regexp_replace(
+        F.regexp_replace(F.lower(c), "[^a-z0-9 ]", " "), " +", " "
+    )
+    return F.trim(collapsed)
+
+
 TRACKING_PARAMS = ("utm_", "gclid=", "fbclid=", "msclkid=")
 
 

@@ -819,6 +819,37 @@ FROM documents GROUP BY MD5(text)
 """
 
 
+def dedup_normalized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup (functions/text.py::
+    normalize_text → operators/dedup.py::exact_dedup): casing,
+    punctuation, and whitespace variants of the same content collapse
+    to one md5 fingerprint — the C4/RefinedWeb canonical-form step raw
+    exact dedup misses. Same 16-byte-key shuffle posture as
+    dedup_exact_docs; the oracle replays the normalization
+    byte-for-byte (dialect-portable regex classes)."""
+    from .functions.text import normalize_text
+    from .operators.dedup import exact_dedup
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].withColumn(
+        "__norm", normalize_text(F.col("text"))
+    )
+    return exact_dedup(docs, text_col="__norm")
+
+
+DEDUP_NORMALIZED_SQL = """
+WITH n AS (
+  SELECT doc_id,
+         TRIM(REGEXP_REPLACE(
+           REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' ', 'g'),
+           ' +', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT MIN(doc_id) AS rep_id, MD5(norm) AS fp, COUNT(*) AS dup_count
+FROM n GROUP BY MD5(norm)
+"""
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_shingle_df drops stop-shingles (df > 50): the synthetic corpus has
     # a tiny vocabulary, so common 8-grams appear in most docs and the
@@ -8627,23 +8658,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round 10: registry rotated for the driver's first-50 window
     # (staleness-ascending; CORRECTNESS_r09.json stopped at entry #50 =
     # sequence_packing_docs, so the 4 entries that sat just past it are
-    # still r5-stale — ADVICE r9 #1). Window composition: 7 never-checked
+    # still r5-stale — ADVICE r9 #1). Window composition: 8 never-checked
     # debuts (corpus diversity/Zipf stats, CDC chunking, embedding
-    # covariance, the three full-coverage ANN certifications), then 4
-    # r9-certified
+    # covariance, normalized dedup, the three full-coverage ANN
+    # certifications), then 4 r9-certified
     # entries whose code changed THIS round (certification invalidated:
     # retrieval_metrics_eval 25-deep run, ndcg judgments dedupe,
     # bigram_lm pre-aggregated joins, dedup_simhash shingle cache), then
-    # all 28 r5-stale entries, then 11 r7-stale entries tie-broken to
+    # all 28 r5-stale entries, then 10 r7-stale entries tie-broken to
     # front-load (a) the 5 entries whose oracles flipped to SQL-replay
     # AFTER their last driver sampling (theta/join_size_cms/bpe x2/
     # bloom — VERDICT r9 #3) and (b) the 2 r7 entries changed this round
     # (kcore cadence, hybrid_rrf leg materialization).
-    # 7 + 4 + 28 + 11 = 50.
+    # 8 + 4 + 28 + 10 = 50.
     "ngram_diversity_sources": ngram_diversity_sources,
     "zipf_vocab_stats_docs": zipf_vocab_stats_docs,
     "cdc_chunk_docs": cdc_chunk_docs,
     "embedding_covariance_stats": embedding_covariance_stats,
+    "dedup_normalized_docs": dedup_normalized_docs,
     "ann_ivf_refined_topk": ann_ivf_refined_topk,
     "ann_lsh_refined_topk": ann_lsh_refined_topk,
     "ann_ivfpq_refined_topk": ann_ivfpq_refined_topk,
@@ -8689,10 +8721,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "setsim_join_docs": setsim_join_docs,
     "assoc_rules_copurchase": assoc_rules_copurchase,
     "acf_events": acf_events,
-    "mad_outliers_lineitem": mad_outliers_lineitem,
     # ^^^ END of the r10 driver check window: exactly the 50 entries
     # above (positions 1-50). Everything below is staleness-ascending
     # for the r11 rotation: remaining r7 block, then r8, then r9.
+    "mad_outliers_lineitem": mad_outliers_lineitem,
     "weighted_sample_docs": weighted_sample_docs,
     "markov_transitions_events": markov_transitions_events,
     "skyline_parts": skyline_parts,
@@ -8943,6 +8975,7 @@ ORACLES: dict[str, str] = {
     "zipf_vocab_stats_docs": ZIPF_VOCAB_SQL,
     "cdc_chunk_docs": CDC_CHUNK_SQL,
     "embedding_covariance_stats": EMB_COV_SQL,
+    "dedup_normalized_docs": DEDUP_NORMALIZED_SQL,
     "embedding_near_dup_pairs": EMB_NEAR_DUP_SQL,
     "embedding_near_dup_lsh": EMB_NEAR_DUP_SQL,
     "token_frequencies": TOKEN_FREQ_SQL,

@@ -67,6 +67,30 @@ def test_zipf_vocab_stats_hand_computed(spark):
         zipf_vocab_stats(docs, top_k=1)
 
 
+def test_normalize_text_and_normalized_dedup(spark):
+    from pyspark.sql import functions as F
+
+    from spark_skew_join_spark.functions.text import normalize_text
+    from spark_skew_join_spark.operators.dedup import exact_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello, World!"),
+            (2, "hello   world"),
+            (3, "HELLO world."),
+            (4, "goodbye world"),
+        ],
+        "doc_id bigint, text string",
+    )
+    n = docs.withColumn("norm", normalize_text(F.col("text")))
+    got = {r["doc_id"]: r["norm"] for r in n.collect()}
+    assert got[1] == got[2] == got[3] == "hello world"
+    assert got[4] == "goodbye world"
+    groups = exact_dedup(n, text_col="norm").collect()
+    by_rep = {r["rep_id"]: r["dup_count"] for r in groups}
+    assert by_rep == {1: 3, 4: 1}
+
+
 def test_cdc_chunks_shift_resistant_vs_fixed_windows(spark):
     """The content-defined property: prepending text to a document
     perturbs only the leading chunks; the tail chunks keep their exact

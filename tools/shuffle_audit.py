@@ -85,6 +85,7 @@ QUERIES = [
     "zipf_vocab_stats_docs",
     "cdc_chunk_docs",
     "embedding_covariance_stats",
+    "dedup_normalized_docs",
 ]
 
 
