@@ -316,8 +316,17 @@ def cdc_chunks(
         F.explode(F.sequence(F.lit(1), F.size("__tk"))).alias("__i"),
         "__tk",
     )
+    # Clamp the slice start to 1: for __i < gram the marker is 0 anyway,
+    # but relying on WHEN's short-circuit to keep a start<=0 slice (runtime
+    # error at 0, end-relative when negative) unevaluated is fragile across
+    # Spark versions / CSE — never construct the malformed window at all.
     win = F.concat_ws(
-        " ", F.slice("__tk", F.col("__i") - F.lit(gram - 1), F.lit(gram))
+        " ",
+        F.slice(
+            "__tk",
+            F.greatest(F.col("__i") - F.lit(gram - 1), F.lit(1)),
+            F.lit(gram),
+        ),
     )
     if hash_fn == "md5":
         h = F.conv(F.substring(F.md5(win), 1, 8), 16, 10).cast("long")

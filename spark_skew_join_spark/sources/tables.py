@@ -34,6 +34,14 @@ TABLES = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.01"
 
 
+# Partition-count memo keyed by (session id, analyzed-plan semantic hash):
+# ``df.rdd`` forces a full logical->physical->RDD conversion, so probing the
+# same scan shape repeatedly (shingles / kgram_hashes hot paths) would pay
+# that planning cost on every call. ``semanticHash()`` only needs the
+# analyzed plan and is stable across re-constructions of the same query.
+_NPARTS_MEMO: dict = {}
+
+
 def fan_out_narrow(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     """Repartition a NARROW scan up to the cluster's parallelism.
 
@@ -46,9 +54,28 @@ def fan_out_narrow(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     defaultParallelism; a production corpus (many files / row groups,
     100 TB) already exceeds it, so this is a no-op at scale and the
     added exchange moves only the narrow input's rows (kilobytes to a
-    few MB here)."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, int(par * min_fraction)):
+    few MB here).
+
+    Spark Connect has no SparkContext and no ``.rdd``; there we derive
+    the target width from ``spark.sql.shuffle.partitions`` and assume
+    the input is narrow (one extra exchange on a few MB, never a
+    failure)."""
+    spark = df.sparkSession
+    try:
+        par = spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no SparkContext — conf-derived width
+        par = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    floor = max(2, int(par * min_fraction))
+    try:
+        key = (id(spark), df.semanticHash())
+        nparts = _NPARTS_MEMO.get(key)
+        if nparts is None:
+            nparts = df.rdd.getNumPartitions()
+            if len(_NPARTS_MEMO) < 4096:
+                _NPARTS_MEMO[key] = nparts
+    except Exception:  # .rdd / semanticHash unsupported (Connect) — assume narrow
+        nparts = 1
+    if nparts < floor:
         return df.repartition(par)
     return df
 
@@ -60,6 +87,11 @@ def configure(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # ANSI on: Spark 4 defaults true, but pyproject allows >=3.5 where it
+    # defaults OFF — the long-accumulator overflow contracts (e.g.
+    # embedding_covariance's micro-unit sums, pca.py) promise a LOUD error
+    # rather than a silent wrap, which only holds under ANSI arithmetic.
+    spark.conf.set("spark.sql.ansi.enabled", "true")
     # events.parquet carries timestamp[ns]; Spark rejects TIMESTAMP(NANOS)
     # unless told to surface it as bigint (we convert in load_table)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
