@@ -1,0 +1,279 @@
+"""Trainable model-based quality classifier: hashed n-grams + logistic GD.
+
+Every modern pretrain pipeline puts a LEARNED quality filter next to the
+heuristic ones (CCNet's fastText LM filter, GPT-3's WebText-vs-CommonCrawl
+logistic regression over hashed features, FineWeb-Edu's educational-value
+classifier). This module is that stage, Spark-native: hashed word-unigram
+features (the fastText / Vowpal-Wabbit hashing trick, Weinberger et al.
+ICML'09) and full-batch logistic-regression gradient descent with a FIXED
+iteration count and zero initialization, so training is deterministic and
+SQL-replayable as an unrolled CTE chain (the holt_winters / pagerank
+unrolled-recurrence precedent).
+
+Why not MLlib: `pyspark.ml` LogisticRegression is LBFGS behind a JVM
+barrier — per-run nondeterministic iteration counts, not oracle-checkable.
+The point here is a *certifiable* trainer whose every arithmetic step an
+external engine can replay.
+
+Scale shape (100 TB corpus):
+* Feature build: one explode over tokens, ONE (id, bucket) count with
+  map-side combine, one groupBy(id) into a doc-major sparse map — tokens
+  never shuffle as strings (md5→int bucket first). Persisted once.
+* Per GD iteration: the margin is a per-row fold over the doc's feature
+  map against a BROADCAST weights literal (no shuffle), and the gradient
+  is explode → groupBy(bucket) where bucket has D+1 values — partial
+  aggregation reduces every task's contribution to ≤ D+1 rows, so each
+  iteration moves O(D × tasks) bytes regardless of corpus size.
+* Driver state is the (D+1)-float weight vector — never per-doc data.
+
+No reference-repo counterpart (anish749/spark-skew-join is a join
+utility); this belongs to the mandated LLM-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hashed_features(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Doc-major sparse feature maps via the hashing trick.
+
+    Tokens are whitespace-split, bucketed by the first 8 hex chars of
+    md5(token) mod ``n_buckets`` (SQL-replayable — the SimHash/HLL
+    md5-compat precedent), and tf-normalized (count / doc token count)
+    so long documents don't dominate the gradient. Bucket
+    ``n_buckets`` is the bias feature, x = 1.0 for every doc.
+
+    Output: (id_col, fmap map<int,double>, n_tok). Empty-text docs are
+    dropped (no tokens → no features → undefined tf).
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    from ..sources.tables import fan_out_narrow
+
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    base = fan_out_narrow(
+        docs.select(F.col(id_col), toks.alias("__tk")).where(F.size(toks) > 0)
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("__t")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    tf = (
+        base.select(id_col, F.explode("__tk").alias("__t"))
+        .select(id_col, bucket.alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = tf.groupBy(id_col).agg(
+        F.sum("c").alias("n_tok"),
+        F.collect_list(F.struct("bucket", "c")).alias("__e"),
+    )
+    fmap = F.map_from_entries(
+        F.concat(
+            F.transform(
+                "__e",
+                lambda e: F.struct(
+                    e["bucket"].cast("int").alias("key"),
+                    (e["c"].cast("double") / F.col("n_tok")).alias("value"),
+                ),
+            ),
+            F.array(
+                F.struct(
+                    F.lit(n_buckets).cast("int").alias("key"),
+                    F.lit(1.0).alias("value"),
+                )
+            ),
+        )
+    )
+    return per_doc.select(id_col, fmap.alias("fmap"), "n_tok")
+
+
+def _margin(weights: list[float]) -> "F.Column":
+    """Sparse dot product of a doc's fmap with a literal weight vector."""
+    w_arr = F.array(*[F.lit(float(w)) for w in weights])
+    return F.aggregate(
+        F.map_entries("fmap"),
+        F.lit(0.0),
+        lambda acc, e: acc + e["value"] * F.element_at(w_arr, e["key"] + 1),
+    )
+
+
+def train_logistic(
+    feats: DataFrame,
+    label_col: str = "y",
+    n_buckets: int = 64,
+    iters: int = 6,
+    lr: float = 2.0,
+) -> list[float]:
+    """Full-batch GD on logistic loss; returns the (D+1) weight vector.
+
+    w_{t+1}[b] = w_t[b] - lr/n * Σ_docs (σ(x·w_t) - y) x[b], w_0 = 0,
+    ``iters`` fixed — every step is a pure function of the data, so a
+    DuckDB CTE chain replays it bit-for-near-bit (float sum order is
+    the only divergence, ~1e-14 after 6 iterations; outputs round to
+    6 dp like every float query in the registry).
+
+    Each iteration is ONE Spark job: margin fold (no shuffle) →
+    explode fmap → groupBy(bucket) partial-agg (D+1 groups) → collect
+    D+1 rows. Driver holds only the weight vector.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    d = feats.select(feats.columns[0], label_col, "fmap").persist()
+    try:
+        n = d.count()
+        if n == 0:
+            raise ValueError("no training documents (all empty?)")
+        weights = [0.0] * (n_buckets + 1)
+        for _ in range(iters):
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(weights)))
+            grad_rows = (
+                d.select(
+                    (p - F.col(label_col).cast("double")).alias("__r"), "fmap"
+                )
+                .select("__r", F.explode("fmap").alias("bucket", "x"))
+                .groupBy("bucket")
+                .agg(F.sum(F.col("__r") * F.col("x")).alias("g"))
+                .collect()
+            )
+            for row in grad_rows:
+                weights[row["bucket"]] -= lr * row["g"] / n
+    finally:
+        d.unpersist()
+    return weights
+
+
+def score_logistic(
+    feats: DataFrame, weights: list[float], id_col: str = "doc_id"
+) -> DataFrame:
+    """Score docs with a trained weight vector.
+
+    Output: (id_col, score) with score = σ(x·w) rounded to 6 dp; the
+    0.5 decision threshold is applied to the ROUNDED score downstream
+    so engine and oracle agree whenever their rounded scores do.
+    """
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(weights)))
+    return feats.select(id_col, F.round(p, 6).alias("score"))
+
+
+def quality_classifier(
+    docs: DataFrame,
+    label: "F.Column",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    iters: int = 6,
+    lr: float = 2.0,
+) -> DataFrame:
+    """Train on weak labels, score every doc.
+
+    ``label`` is any boolean/0-1 column expression over ``docs`` (the
+    weak-label idiom: source allowlists, metadata language tags, a
+    Gopher verdict). Output one row per non-empty doc:
+    (id_col, y int, score double[6dp], pred int) ordered by id.
+    """
+    feats = hashed_features(docs, id_col, text_col, n_buckets)
+    labeled = feats.join(
+        docs.select(id_col, label.cast("double").alias("__y")), id_col
+    )
+    weights = train_logistic(
+        labeled, label_col="__y", n_buckets=n_buckets, iters=iters, lr=lr
+    )
+    scored = score_logistic(labeled, weights, id_col)
+    return (
+        labeled.select(id_col, F.col("__y").cast("int").alias("y"))
+        .join(scored, id_col)
+        .select(
+            id_col,
+            "y",
+            "score",
+            (F.col("score") >= 0.5).cast("int").alias("pred"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def logreg_oracle_sql(
+    label_sql: str,
+    n_buckets: int = 64,
+    iters: int = 6,
+    lr: float = 2.0,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB replay of the exact training recurrence, unrolled.
+
+    One (gradient, weights) CTE pair per iteration — the BPE trainer's
+    16-round chain precedent. ``label_sql`` is the weak-label boolean
+    expression in DuckDB SQL.
+    """
+    d, head = n_buckets, []
+    head.append(f"""
+WITH toks AS (
+  SELECT {id_col} AS id,
+         list_filter(regexp_split_to_array({text_col}, '\\s+'),
+                     x -> x <> '') AS t,
+         CASE WHEN {label_sql} THEN 1.0 ELSE 0.0 END AS y
+  FROM {table}
+),
+base AS (SELECT id, t, y, len(t) AS n_tok FROM toks WHERE len(t) > 0),
+feat AS (
+  SELECT id, bucket, COUNT(*) / CAST(ANY_VALUE(n_tok) AS DOUBLE) AS x
+  FROM (
+    SELECT id, n_tok,
+           CAST(('0x' || SUBSTRING(MD5(tok), 1, 8)) AS BIGINT) % {d}
+             AS bucket
+    FROM base, UNNEST(t) AS u(tok)
+  ) GROUP BY id, bucket
+  UNION ALL
+  SELECT id, {d} AS bucket, 1.0 AS x FROM base
+),
+lab AS (SELECT id, y FROM base),
+nn AS (SELECT COUNT(*) AS n FROM lab),
+spine AS (SELECT CAST(range AS BIGINT) AS bucket FROM range({d + 1})),
+w0 AS (SELECT bucket, 0.0 AS w FROM spine)""")
+    for t in range(1, iters + 1):
+        head.append(f""",
+m{t} AS (
+  SELECT f.id, SUM(f.x * w.w) AS m
+  FROM feat f JOIN w{t - 1} w USING (bucket) GROUP BY f.id
+),
+g{t} AS (
+  SELECT f.bucket,
+         SUM((1.0 / (1.0 + EXP(-m{t}.m)) - lab.y) * f.x) AS g
+  FROM feat f JOIN m{t} USING (id) JOIN lab USING (id)
+  GROUP BY f.bucket
+),
+w{t} AS (
+  SELECT s.bucket,
+         w.w - {lr!r} * COALESCE(g{t}.g, 0.0) / (SELECT n FROM nn) AS w
+  FROM spine s JOIN w{t - 1} w USING (bucket)
+  LEFT JOIN g{t} USING (bucket)
+)""")
+    head.append(f"""
+SELECT lab.id AS {id_col}, CAST(lab.y AS INT) AS y,
+       ROUND(1.0 / (1.0 + EXP(-m{iters + 1}.m)), 6) AS score,
+       CAST(ROUND(1.0 / (1.0 + EXP(-m{iters + 1}.m)), 6) >= 0.5 AS INT)
+         AS pred
+FROM lab JOIN m{iters + 1} ON lab.id = m{iters + 1}.id
+ORDER BY lab.id""")
+    # final margins against the last weights
+    head.insert(
+        len(head) - 1,
+        f""",
+m{iters + 1} AS (
+  SELECT f.id, SUM(f.x * w.w) AS m
+  FROM feat f JOIN w{iters} w USING (bucket) GROUP BY f.id
+)""",
+    )
+    return "".join(head)
