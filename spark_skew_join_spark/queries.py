@@ -6985,6 +6985,18 @@ def _quality_classifier_sql() -> str:
 QUALITY_CLASSIFIER_SQL = _quality_classifier_sql()
 
 
+def _unigram_sqls() -> tuple[str, str]:
+    from .operators.unigram import (
+        unigram_oracle_sql,
+        unigram_tokenize_oracle_sql,
+    )
+
+    return unigram_oracle_sql(), unigram_tokenize_oracle_sql()
+
+
+UNIGRAM_TRAIN_SQL, UNIGRAM_TOKENIZE_SQL = _unigram_sqls()
+
+
 def theta_sketch_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV/theta distinct SET-OPERATION estimates (sketch/theta.py) —
     the question HLL cannot answer: per order priority, one k=256
@@ -7847,6 +7859,73 @@ def bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_words").cast("long").alias("total_words"),
         F.round(F.sum("n_toks") / F.sum("n_words"), 4).alias(
             "tokens_per_word"
+        ),
+    )
+
+
+def unigram_tokenizer_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer TRAINING
+    (operators/unigram.py — Kudo 2018): substring seed vocabulary,
+    3 hard-EM rounds (Viterbi counts, integer log-probs, total
+    tie-break), prune to the top-40 pieces. The corpus is touched once
+    (word-frequency aggregation); EM runs on the bounded word table.
+    The oracle unrolls every EM round — recursive-CTE segmentation
+    enumeration + the trainer's exact (score, n_pieces, path)
+    tie-break — so every intermediate count is certified, the
+    unrolled-GD/BPE precedent. Output logprobs are recomputed in-plan
+    (F.round) from the certified integer counts. Driver-vs-distributed
+    parity is pinned in tests/test_unigram.py. Training collects at
+    construction → EAGER."""
+    from .operators.unigram import train_unigram
+
+    t = load_tables(spark, sf_dir)
+    vocab = train_unigram(t["documents"], mode="driver")
+    total = float(sum(c for _, c, _ in vocab))
+    df = spark.createDataFrame(
+        [(p, c) for p, c, _ in vocab], "piece string, count long"
+    )
+    return df.select(
+        "piece",
+        "count",
+        F.round(F.log(F.col("count") / F.lit(total)), 6).alias("logprob"),
+    ).orderBy(F.col("count").desc(), "piece")
+
+
+def unigram_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer APPLICATION (operators/unigram.py::
+    apply_unigram): tokenize the corpus with the trained 40-piece
+    vocabulary via the Arrow word-memo idiom and SELF-CERTIFY
+    losslessness — concatenating each doc's pieces must rebuild its
+    whitespace-stripped lowercased text, so n_lossless must equal
+    n_docs. The oracle replays training AND application (kept-vocab
+    Viterbi with the single-char OOV floor, fallback-averse two-phase
+    preference), so total_pieces / pieces_per_word are EXACT-checked
+    while the lossless gate pins the engine's actual apply output."""
+    from .operators.unigram import apply_unigram, train_unigram
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    vocab = train_unigram(docs, mode="driver")
+    toks = apply_unigram(docs, vocab)
+    joined = toks.join(docs.select("doc_id", "text"), "doc_id")
+    stripped = F.regexp_replace(F.lower("text"), r"\s+", "")
+    n_words = F.size(
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+    )
+    per_doc = joined.select(
+        "n_pieces",
+        (F.concat_ws("", "pieces") == stripped).cast("int").alias(
+            "lossless"
+        ),
+        n_words.alias("n_words"),
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("lossless").cast("long").alias("n_lossless"),
+        F.sum("n_pieces").cast("long").alias("total_pieces"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.round(F.sum("n_pieces") / F.sum("n_words"), 4).alias(
+            "pieces_per_word"
         ),
     )
 
@@ -8717,6 +8796,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (kcore cadence, hybrid_rrf leg materialization).
     # 8 + 4 + 28 + 10 = 50.
     "quality_classifier_docs": quality_classifier_docs,
+    "unigram_tokenizer_docs": unigram_tokenizer_docs,
+    "unigram_tokenize_docs": unigram_tokenize_docs,
     "ngram_diversity_sources": ngram_diversity_sources,
     "zipf_vocab_stats_docs": zipf_vocab_stats_docs,
     "cdc_chunk_docs": cdc_chunk_docs,
@@ -8947,6 +9028,8 @@ ORACLES: dict[str, str] = {
     "bm25_topk_docs": BM25_SQL,
     "bpe_train_docs": BPE_TRAIN_SQL,
     "bpe_tokenize_docs": BPE_TOKENIZE_SQL,
+    "unigram_tokenizer_docs": UNIGRAM_TRAIN_SQL,
+    "unigram_tokenize_docs": UNIGRAM_TOKENIZE_SQL,
     "gopher_quality_docs": GOPHER_QUALITY_SQL,
     "quality_classifier_docs": QUALITY_CLASSIFIER_SQL,
     "hilbert_layout_orders": HILBERT_SQL,
@@ -9132,6 +9215,8 @@ EAGER_QUERIES = (
     "ann_lsh_refined_topk",
     "bpe_train_docs",
     "bpe_tokenize_docs",
+    "unigram_tokenizer_docs",
+    "unigram_tokenize_docs",
     "cluster_split_docs",
     "entity_resolution_customers",
     "bloom_membership_orders",
