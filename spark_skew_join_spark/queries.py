@@ -8778,79 +8778,23 @@ GROUP BY b.event_type
 """
 
 
+# round 11: registry rotated staleness-first for the driver's
+# first-50 window (VERDICT r10 #1). Composition: 3 never-checked
+# debuts (quality classifier, unigram trainer + apply), 2 entries
+# whose code changed THIS round (cdc_chunk_docs slice clamp;
+# label_propagation_copurchase checkpoint-cadence default), all 40
+# r7-stale entries, then 5 r8-stale entries in registry order.
+# 3 + 2 + 40 + 5 = 50. The window is machine-checked:
+# DRIVER_WINDOW below must equal list(QUERIES)[:50] and the
+# staleness-first invariant is asserted by
+# tests/test_plans.py::test_driver_window_marker (ADVICE r9's
+# silent-marker-rot bug class).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # round 10: registry rotated for the driver's first-50 window
-    # (staleness-ascending; CORRECTNESS_r09.json stopped at entry #50 =
-    # sequence_packing_docs, so the 4 entries that sat just past it are
-    # still r5-stale — ADVICE r9 #1). Window composition: 8 never-checked
-    # debuts (corpus diversity/Zipf stats, CDC chunking, embedding
-    # covariance, normalized dedup, the three full-coverage ANN
-    # certifications), then 4 r9-certified
-    # entries whose code changed THIS round (certification invalidated:
-    # retrieval_metrics_eval 25-deep run, ndcg judgments dedupe,
-    # bigram_lm pre-aggregated joins, dedup_simhash shingle cache), then
-    # all 28 r5-stale entries, then 10 r7-stale entries tie-broken to
-    # front-load (a) the 5 entries whose oracles flipped to SQL-replay
-    # AFTER their last driver sampling (theta/join_size_cms/bpe x2/
-    # bloom — VERDICT r9 #3) and (b) the 2 r7 entries changed this round
-    # (kcore cadence, hybrid_rrf leg materialization).
-    # 8 + 4 + 28 + 10 = 50.
     "quality_classifier_docs": quality_classifier_docs,
     "unigram_tokenizer_docs": unigram_tokenizer_docs,
     "unigram_tokenize_docs": unigram_tokenize_docs,
-    "ngram_diversity_sources": ngram_diversity_sources,
-    "zipf_vocab_stats_docs": zipf_vocab_stats_docs,
     "cdc_chunk_docs": cdc_chunk_docs,
-    "embedding_covariance_stats": embedding_covariance_stats,
-    "dedup_normalized_docs": dedup_normalized_docs,
-    "ann_ivf_refined_topk": ann_ivf_refined_topk,
-    "ann_lsh_refined_topk": ann_lsh_refined_topk,
-    "ann_ivfpq_refined_topk": ann_ivfpq_refined_topk,
-    "retrieval_metrics_eval": retrieval_metrics_eval,
-    "ndcg_retrieval_eval": ndcg_retrieval_eval,
-    "bigram_lm_quality": bigram_lm_quality,
-    "dedup_simhash_docs": dedup_simhash_docs,
-    "hll_union_sources": hll_union_sources,
-    "incremental_exact_dedup_docs": incremental_exact_dedup_docs,
-    "incremental_minhash_docs": incremental_minhash_docs,
-    "dsir_importance_docs": dsir_importance_docs,
-    "pipeline_train_mix": pipeline_train_mix,
-    "kll_quantiles_by_priority": kll_quantiles_by_priority,
-    "multimodal_features": multimodal_features,
-    "train_test_split_stats": train_test_split_stats,
-    "tumbling_window_events": tumbling_window_events,
-    "sliding_window_events": sliding_window_events,
-    "session_windows_events": session_windows_events,
-    "asof_purchase_attribution": asof_purchase_attribution,
-    "range_join_price_bands": range_join_price_bands,
-    "pivot_linestatus": pivot_linestatus,
-    "unpivot_metrics": unpivot_metrics,
-    "q2_min_cost_supplier": q2_min_cost_supplier,
-    "q7_volume_shipping": q7_volume_shipping,
-    "q8_market_share": q8_market_share,
-    "q9_product_profit": q9_product_profit,
-    "q10_returned_items": q10_returned_items,
-    "q11_important_parts": q11_important_parts,
-    "q13_order_count_distribution": q13_order_count_distribution,
-    "q15_top_supplier": q15_top_supplier,
-    "q16_supplier_part_counts": q16_supplier_part_counts,
-    "q17_small_qty_revenue": q17_small_qty_revenue,
-    "q18_large_volume_customers": q18_large_volume_customers,
-    "q20_part_promotion_suppliers": q20_part_promotion_suppliers,
-    "q21_waiting_suppliers": q21_waiting_suppliers,
-    "theta_sketch_orders": theta_sketch_orders,
-    "join_size_estimate_cms": join_size_estimate_cms,
-    "bpe_train_docs": bpe_train_docs,
-    "bpe_tokenize_docs": bpe_tokenize_docs,
-    "bloom_membership_orders": bloom_membership_orders,
-    "kcore_copurchase": kcore_copurchase,
-    "hybrid_retrieval_rrf": hybrid_retrieval_rrf,
-    "setsim_join_docs": setsim_join_docs,
-    "assoc_rules_copurchase": assoc_rules_copurchase,
-    "acf_events": acf_events,
-    # ^^^ END of the r10 driver check window: exactly the 50 entries
-    # above (positions 1-50). Everything below is staleness-ascending
-    # for the r11 rotation: remaining r7 block, then r8, then r9.
+    "label_propagation_copurchase": label_propagation_copurchase,
     "mad_outliers_lineitem": mad_outliers_lineitem,
     "weighted_sample_docs": weighted_sample_docs,
     "markov_transitions_events": markov_transitions_events,
@@ -8895,8 +8839,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "psi_drift_events": psi_drift_events,
     "ols_trend_events": ols_trend_events,
     "char_entropy_docs": char_entropy_docs,
-    "label_propagation_copurchase": label_propagation_copurchase,
     "range_split_orders": range_split_orders,
+    # ^^^ END of the r11 driver check window (50 entries).
+    # Everything below is staleness-ascending for the r12
+    # rotation: remaining r8 block, then r9, then r10.
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "chunk_docs_windows": chunk_docs_windows,
     "hard_negatives_embeddings": hard_negatives_embeddings,
@@ -8987,6 +8933,124 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kll_quantiles_orders": kll_quantiles_orders,
     "temperature_mix_sources": temperature_mix_sources,
     "sequence_packing_docs": sequence_packing_docs,
+    "ngram_diversity_sources": ngram_diversity_sources,
+    "zipf_vocab_stats_docs": zipf_vocab_stats_docs,
+    "embedding_covariance_stats": embedding_covariance_stats,
+    "dedup_normalized_docs": dedup_normalized_docs,
+    "ann_ivf_refined_topk": ann_ivf_refined_topk,
+    "ann_lsh_refined_topk": ann_lsh_refined_topk,
+    "ann_ivfpq_refined_topk": ann_ivfpq_refined_topk,
+    "retrieval_metrics_eval": retrieval_metrics_eval,
+    "ndcg_retrieval_eval": ndcg_retrieval_eval,
+    "bigram_lm_quality": bigram_lm_quality,
+    "dedup_simhash_docs": dedup_simhash_docs,
+    "hll_union_sources": hll_union_sources,
+    "incremental_exact_dedup_docs": incremental_exact_dedup_docs,
+    "incremental_minhash_docs": incremental_minhash_docs,
+    "dsir_importance_docs": dsir_importance_docs,
+    "pipeline_train_mix": pipeline_train_mix,
+    "kll_quantiles_by_priority": kll_quantiles_by_priority,
+    "multimodal_features": multimodal_features,
+    "train_test_split_stats": train_test_split_stats,
+    "tumbling_window_events": tumbling_window_events,
+    "sliding_window_events": sliding_window_events,
+    "session_windows_events": session_windows_events,
+    "asof_purchase_attribution": asof_purchase_attribution,
+    "range_join_price_bands": range_join_price_bands,
+    "pivot_linestatus": pivot_linestatus,
+    "unpivot_metrics": unpivot_metrics,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
+    "q10_returned_items": q10_returned_items,
+    "q11_important_parts": q11_important_parts,
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q17_small_qty_revenue": q17_small_qty_revenue,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "q20_part_promotion_suppliers": q20_part_promotion_suppliers,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
+    "theta_sketch_orders": theta_sketch_orders,
+    "join_size_estimate_cms": join_size_estimate_cms,
+    "bpe_train_docs": bpe_train_docs,
+    "bpe_tokenize_docs": bpe_tokenize_docs,
+    "bloom_membership_orders": bloom_membership_orders,
+    "kcore_copurchase": kcore_copurchase,
+    "hybrid_retrieval_rrf": hybrid_retrieval_rrf,
+    "setsim_join_docs": setsim_join_docs,
+    "assoc_rules_copurchase": assoc_rules_copurchase,
+    "acf_events": acf_events,
+}
+
+# Machine-readable driver-window marker (VERDICT r10 #1): the test
+# asserts list(QUERIES)[:DRIVER_WINDOW["size"]] == DRIVER_WINDOW["entries"],
+# that the composition arithmetic adds up, and that no entry OUTSIDE the
+# window is staler (per CORRECTNESS_r*.json) than any non-debut,
+# non-changed entry inside it.
+DRIVER_WINDOW = {
+    "round": 11,
+    "size": 50,
+    "composition": {"debut": 3, "changed": 2, "r7_stale": 40, "r8_stale": 5},
+    "debut": (
+        "quality_classifier_docs",
+        "unigram_tokenizer_docs",
+        "unigram_tokenize_docs",
+    ),
+    "changed": ("cdc_chunk_docs", "label_propagation_copurchase"),
+    "entries": (
+        "quality_classifier_docs",
+        "unigram_tokenizer_docs",
+        "unigram_tokenize_docs",
+        "cdc_chunk_docs",
+        "label_propagation_copurchase",
+        "mad_outliers_lineitem",
+        "weighted_sample_docs",
+        "markov_transitions_events",
+        "skyline_parts",
+        "pmi_collocations_docs",
+        "theil_sen_events",
+        "image_near_dup_phash",
+        "audio_near_dup_awhash",
+        "url_canonical_dedup",
+        "profile_orders",
+        "schema_drift_orders",
+        "adaptive_join_strategies",
+        "holt_winters_events",
+        "cusum_events",
+        "ks_drift_events",
+        "triangle_count_copurchase",
+        "record_linkage_customers",
+        "entity_resolution_customers",
+        "cluster_split_docs",
+        "bm25_topk_docs",
+        "gopher_quality_docs",
+        "hilbert_layout_orders",
+        "dsir_resample_docs",
+        "incremental_compaction_docs",
+        "q22_inactive_customers",
+        "ann_ivf_topk",
+        "ann_pq_topk",
+        "bpe_token_stats",
+        "multimodal_frame_sample",
+        "salted_window_events",
+        "prefilter_join_orders",
+        "heavy_hitter_suppliers",
+        "contamination_check_docs",
+        "shard_export_stats",
+        "quota_sample_sources",
+        "tfidf_top_terms",
+        "embedding_centroids",
+        "doc_fingerprint_winnow",
+        "winnow_overlap_pairs",
+        "repetition_signals",
+        "ann_pq_refined_topk",
+        "psi_drift_events",
+        "ols_trend_events",
+        "char_entropy_docs",
+        "range_split_orders",
+    ),
 }
 
 ORACLES: dict[str, str] = {

@@ -122,3 +122,49 @@ def test_no_benched_query_has_cartesian_product(spark):
             offenders.append((name, "BroadcastNestedLoop"))
     q.clear_dedup_cache()
     assert not offenders, offenders
+
+
+def test_driver_window_marker():
+    """The DRIVER_WINDOW marker cannot rot silently (ADVICE r9 #1 bug
+    class): its entries must BE the first `size` keys of QUERIES, the
+    composition arithmetic must add up, and the staleness-first
+    invariant must hold against the CORRECTNESS_r*.json ledger — no
+    entry outside the window may be STALER than a non-debut,
+    non-changed entry inside it."""
+    import glob
+    import json
+    import os
+    import re
+
+    from spark_skew_join_spark.queries import DRIVER_WINDOW, QUERIES
+
+    win = DRIVER_WINDOW
+    entries = list(win["entries"])
+    assert len(entries) == win["size"]
+    assert sum(win["composition"].values()) == win["size"]
+    assert list(QUERIES)[: win["size"]] == entries
+    assert set(win["debut"]) <= set(entries)
+    assert set(win["changed"]) <= set(entries)
+    assert len(win["debut"]) == win["composition"]["debut"]
+    assert len(win["changed"]) == win["composition"]["changed"]
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        if rnd >= win["round"]:
+            continue  # judge staleness AS OF the rotation, not after
+        for qname in json.load(open(f)):
+            last[qname] = rnd
+    if not last:  # ledger absent (fresh checkout) — arithmetic-only
+        return
+    # debuts must be genuinely never-checked before this round
+    for d in win["debut"]:
+        assert d not in last, d
+    special = set(win["debut"]) | set(win["changed"])
+    plain = [e for e in entries if e not in special and e in last]
+    outside = [q for q in list(QUERIES)[win["size"]:] if q in last]
+    if plain and outside:
+        assert max(last[e] for e in plain) <= min(
+            last[q] for q in outside
+        ), "an entry outside the window is staler than one inside"
