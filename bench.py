@@ -25,6 +25,18 @@ stay single-run cold lines (their persist cost IS the number), with
 dedup_family_build additionally split into its shingle-materialization
 and pair-join stages as separate lines (the r9 spread lacked stage
 attribution).
+
+Cache-warm exception (ADVICE r10 #1 / VERDICT r10 "what's wrong" #1):
+a line that REGISTERS a session cache or spill table during its own
+construction/first run (detected by the _session_cache registry delta)
+would have a warm-cache repeat, so min-of-two would silently drop its
+build cost from the total. Such lines are recorded at their COLD run
+(run 1) — the family-build convention — and tagged
+``"cache_warm_repeat": true`` in BENCH_DETAIL.json; both runs stay in
+runs_cold_then_repeat. Totals are therefore cold-comparable across
+rounds for cache-riding lines from r11 on (r10's min-of-two total was
+biased low by a few seconds on those lines; BASELINE.md restates the
+convention).
 """
 
 from __future__ import annotations
@@ -108,10 +120,17 @@ def main() -> None:
         if HEADLINE == "ALL"
         else HEADLINE
     )
+    from spark_skew_join_spark.operators import dedup as _dd
+
+    def _cache_count() -> int:
+        return len(_dd._CACHED_BANDS) + len(_dd._SPILL_TABLES)
+
+    cache_warm: dict[str, bool] = {}
     for name in names:
         if name in q.EAGER_QUERIES:
             continue  # timed below, construction included
         fn = q.QUERIES[name]
+        before = _cache_count()
         df = fn(spark, sf_dir)  # plan construction (includes any pre-jobs)
         pair = []
         for _ in range(2):
@@ -119,8 +138,13 @@ def main() -> None:
             df.write.mode("overwrite").format("noop").save()
             pair.append(round(time.perf_counter() - start, 3))
         runs[name] = pair
-        timings[name] = min(pair)
+        # a cache registered by THIS line makes its repeat warm: record
+        # the cold run, not the min (families' single-cold convention)
+        warm = _cache_count() > before
+        cache_warm[name] = warm
+        timings[name] = pair[0] if warm else min(pair)
     for name in q.EAGER_QUERIES:
+        before = _cache_count()
         pair = []
         for _ in range(2):
             start = time.perf_counter()
@@ -129,7 +153,9 @@ def main() -> None:
             ).save()
             pair.append(round(time.perf_counter() - start, 3))
         runs[name] = pair
-        timings[name] = min(pair)
+        warm = _cache_count() > before
+        cache_warm[name] = warm
+        timings[name] = pair[0] if warm else min(pair)
     q.clear_dedup_cache()  # no persisted blocks left behind (VERDICT r2 #7)
 
     total = round(
@@ -146,6 +172,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "runs_cold_then_repeat": runs,
+        "cache_warm_repeat": sorted(
+            k for k, v in cache_warm.items() if v
+        ),
         "sf": sf,
         "excluded_allpairs_baselines": list(q.BENCH_EXCLUDE),
     }

@@ -269,6 +269,7 @@ def label_propagation(
     dst_col: str = "dst",
     rounds: int = 5,
     checkpoint: bool = True,
+    checkpoint_every: int | None = None,
     track_convergence: bool = False,
     round_timings: list | None = None,
 ):
@@ -310,17 +311,39 @@ def label_propagation(
     (DataFrame, info) tuple above. ``round_timings`` (a caller list)
     receives per-round wall seconds, as in ``kcore``.
 
-    Tracking requires ``checkpoint=True``: the per-round changed-count
-    action would otherwise re-execute the ~3^r lazy plan every round
-    (the exact blowup the checkpoint exists to prevent), and
-    round_timings would stay empty while changed_per_round filled.
+    ``checkpoint_every`` (VERDICT r10 #5, the kcore knob): labels are
+    localCheckpointed on that round cadence (plus the final round).
+    Unlike kcore — whose round references its input THRICE, so a lazy
+    2-round chain re-derives 3× and cadence 1 wins (BASELINE.md
+    round-10 table) — an LPA round references the previous labels
+    ONCE, so the un-checkpointed chain grows linearly and a wider
+    cadence only skips 2|V|-row cache write/reads. Measured on the
+    10M-edge power-law stress (tools/sweep_lpa.py, BASELINE.md
+    round-11 table): cadence 4 is fastest on both runs (19.0/22.7 s vs
+    35.0/33.6 s at cadence 1) with 2.7× less stage input
+    (16.0 → 6.0 GB); cadence 8 reads even less but pays optimizer/
+    re-plan cost on the deeper chain. ``None`` (default) auto-picks:
+    4, or 1 when ``track_convergence`` needs every round materialized.
+    The result is BIT-IDENTICAL at any cadence (the recurrence is
+    unchanged — only lineage-truncation points move), pinned in
+    tests/test_lpa_entropy.py and by the sweep's xxhash fingerprint.
+
+    Tracking requires ``checkpoint=True`` with cadence 1: the
+    per-round changed-count action needs both rounds' label sets
+    materialized — under a wider cadence it would re-execute the lazy
+    chain every round, and round_timings would misattribute that cost.
     """
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
-    if track_convergence and not checkpoint:
+    if checkpoint_every is None:
+        checkpoint_every = 1 if track_convergence else 4
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
+    if track_convergence and (not checkpoint or checkpoint_every != 1):
         raise ValueError(
-            "track_convergence requires checkpoint=True — the per-round "
-            "count would re-execute the exponentially growing lazy plan"
+            "track_convergence requires checkpoint=True with "
+            "checkpoint_every=1 — the per-round count would re-execute "
+            "the lazy chain"
         )
     und = (
         edges.select(
@@ -348,7 +371,7 @@ def label_propagation(
 
     changed_per_round: list[int] = []
     rounds_run = 0
-    for _ in range(rounds):
+    for r in range(rounds):
         t0 = _time.perf_counter()
         nbr = both.join(
             labels.withColumnsRenamed({"n": "v", "label": "nl"}), "v"
@@ -365,7 +388,10 @@ def label_propagation(
         # degree >= 1 by construction), so best covers all of labels
         prev = labels
         labels = best
-        if checkpoint:
+        boundary = checkpoint and (
+            (r + 1) % checkpoint_every == 0 or r == rounds - 1
+        )
+        if boundary:
             labels = labels.localCheckpoint(eager=True)
             if round_timings is not None:
                 round_timings.append(_time.perf_counter() - t0)

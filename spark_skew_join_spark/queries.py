@@ -8560,7 +8560,11 @@ def label_propagation_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor label, ties to the smallest).  The oracle replays all four
     rounds as an unrolled MATERIALIZED CTE chain (the kcore technique),
     so every vertex's final label and community size are EXACT-checked.
-    Construction localCheckpoints per round (EAGER_QUERIES)."""
+    Since r11 the default checkpoint cadence is 4 (tools/sweep_lpa.py:
+    LPA lineage grows linearly, so one checkpoint at the final round
+    beats per-round cache write/reads — result bit-identical), so this
+    4-round query checkpoints once. Construction still runs eager jobs
+    (EAGER_QUERIES)."""
     from .operators.pagerank import label_propagation
 
     t = load_tables(spark, sf_dir)
