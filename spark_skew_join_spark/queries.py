@@ -9285,6 +9285,8 @@ EAGER_QUERIES = (
     "bpe_tokenize_docs",
     "unigram_tokenizer_docs",
     "unigram_tokenize_docs",
+    # logistic GD trains at construction (6 gradient collects)
+    "quality_classifier_docs",
     "cluster_split_docs",
     "entity_resolution_customers",
     "bloom_membership_orders",

@@ -86,6 +86,12 @@ QUERIES = [
     "cdc_chunk_docs",
     "embedding_covariance_stats",
     "dedup_normalized_docs",
+    # round-11 additions: the trainable classifier + unigram tokenizer
+    # (EAGER — training happens at construction) and LPA under the new
+    # checkpoint cadence (VERDICT r10 #5: the input re-read row)
+    "quality_classifier_docs",
+    "unigram_tokenizer_docs",
+    "unigram_tokenize_docs",
 ]
 
 
