@@ -267,6 +267,101 @@ def bigram_logprob(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def kneser_ney_logprob(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       discount: float = 0.75) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM score per document — the
+    production-grade smoothing next to ``bigram_logprob``'s add-k
+    (Kneser & Ney 1995; Chen & Goodman 1999 eq. 4.25, bigram order).
+    This is the KenLM-family scoring CCNet-style pipelines actually
+    rank documents with: the continuation probability rewards words
+    that appear after MANY distinct contexts, so boilerplate whose
+    tokens are frequent-but-context-locked ("click here") scores worse
+    than under add-k.
+
+        p_KN(b|a) = (max(c(ab) - d, 0)
+                     + d · N1+(a·) · (N1+(·b) / N1+(··))) / c(a)
+
+    with d the absolute discount, N1+(a·) the distinct continuations of
+    ``a``, N1+(·b) the distinct left-contexts of ``b``, and N1+(··) the
+    total bigram type count.  Every scored bigram comes from the
+    training corpus itself so c(ab) ≥ 1 and no extra backoff case is
+    needed; per-document score = n-weighted ``avg(-ln p)`` over its
+    bigrams, rounded to 6 (the ln-ulp posture of the sibling scorers).
+    Docs shorter than 2 tokens drop out.
+
+    Scale design is bigram_logprob's exactly: grams ride as xxhash64
+    int64 keys (8/16-byte shuffles, never text); the count joins run on
+    PER-DOC-DISTINCT bigram rows (the tf-table pattern — a Zipf-hot
+    bigram crosses the joins once per containing document, not once per
+    occurrence); the two N1+ tables fold from the corpus bigram-type
+    table (one row per distinct bigram — already bounded by vocab²,
+    in practice by corpus novelty) with map-side combine; only the
+    scalar N1+(··) rides a 1-row broadcast.  All double arithmetic is
+    written in the exact association order the DuckDB oracle replays.
+    """
+    arr = F.split(F.col(text_col), " ")
+    base = (
+        docs.where(F.size(arr) >= 2)
+        .select(F.col(id_col), arr.alias("__tk"))
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(1), F.size("__tk") - 1)).alias("__i"),
+            "__tk",
+        )
+    )
+    a = F.element_at(F.col("__tk"), F.col("__i"))
+    b = F.element_at(F.col("__tk"), F.col("__i") + F.lit(1))
+    grams = base.select(
+        F.col(id_col),
+        F.xxhash64(a).alias("__ha"),
+        F.xxhash64(b).alias("__hb"),
+        F.xxhash64(a, b).alias("__hab"),
+    )
+    tf = grams.groupBy(id_col, "__hab", "__ha", "__hb").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    uni = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("__tok")
+    ).select(F.xxhash64("__tok").alias("__ha"))
+    ucnt = uni.groupBy("__ha").agg(F.count(F.lit(1)).alias("__ca"))
+    # corpus bigram counts fold from tf keeping both endpoint keys —
+    # one row per distinct bigram TYPE, the base for both N1+ tables
+    bcnt = tf.groupBy("__hab", "__ha", "__hb").agg(
+        F.sum("__n").alias("__cab")
+    )
+    n1_fw = bcnt.groupBy("__ha").agg(
+        F.count(F.lit(1)).alias("__n1f")
+    )
+    n1_bw = bcnt.groupBy("__hb").agg(
+        F.count(F.lit(1)).alias("__n1b")
+    )
+    n1_all = F.broadcast(
+        bcnt.agg(F.count(F.lit(1)).alias("__t"))
+    )
+    d = F.lit(float(discount))
+    # association order mirrored verbatim in the SQL oracle
+    p = (
+        F.greatest(F.col("__cab") - d, F.lit(0.0))
+        + d * F.col("__n1f") * (F.col("__n1b") / F.col("__t"))
+    ) / F.col("__ca")
+    return (
+        tf.drop("__ha", "__hb")
+        .join(bcnt, "__hab")
+        .join(ucnt, "__ha")
+        .join(n1_fw, "__ha")
+        .join(n1_bw, "__hb")
+        .crossJoin(n1_all)
+        .groupBy(id_col)
+        .agg(
+            F.sum("__n").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("__n") * (-F.log(p))) / F.sum("__n"), 6
+            ).alias("avg_nll"),
+        )
+    )
+
+
 def char_entropy(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """Per-doc Shannon entropy of the CHARACTER distribution (bits) —

@@ -5119,6 +5119,55 @@ GROUP BY doc_id
 """
 
 
+def kn_bigram_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram-LM quality score per document
+    (operators/quality.py::kneser_ney_logprob — Kneser & Ney 1995,
+    Chen & Goodman 1999 eq. 4.25): the production-grade smoothing of
+    the KenLM family next to bigram_lm_quality's add-k.  Absolute
+    discount 0.75, continuation probability from distinct-context
+    counts; every term is pure count arithmetic replayed by the SQL
+    oracle in the identical double association order, round-6 ln-ulp
+    posture."""
+    from .operators.quality import kneser_ney_logprob
+
+    t = load_tables(spark, sf_dir)
+    return kneser_ney_logprob(t["documents"], "doc_id", "text")
+
+
+KN_BIGRAM_SQL = """
+WITH wl AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bg AS (
+  SELECT doc_id,
+         w[CAST(p AS INT)] || ' ' || w[CAST(p AS INT) + 1] AS bgm,
+         w[CAST(p AS INT)] AS ctx,
+         w[CAST(p AS INT) + 1] AS nxt
+  FROM wl, UNNEST(range(1, GREATEST(len(w) - 1, 0) + 1)) AS r(p)
+),
+bc AS (SELECT bgm, ANY_VALUE(ctx) AS ctx, ANY_VALUE(nxt) AS nxt,
+              COUNT(*) AS cab
+       FROM bg GROUP BY bgm),
+uc AS (SELECT tk, COUNT(*) AS ca
+       FROM (SELECT UNNEST(string_split(text, ' ')) AS tk FROM documents)
+       GROUP BY 1),
+n1f AS (SELECT ctx, COUNT(*) AS n1f FROM bc GROUP BY 1),
+n1b AS (SELECT nxt, COUNT(*) AS n1b FROM bc GROUP BY 1),
+t AS (SELECT COUNT(*) AS t FROM bc)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(AVG(-LN(
+         (GREATEST(CAST(bc.cab AS DOUBLE) - CAST(0.75 AS DOUBLE),
+                   CAST(0.0 AS DOUBLE))
+          + CAST(0.75 AS DOUBLE) * n1f.n1f * (n1b.n1b / t.t))
+         / uc.ca)), 6) AS avg_nll
+FROM bg
+JOIN bc USING (bgm)
+JOIN uc ON uc.tk = bg.ctx
+JOIN n1f ON n1f.ctx = bg.ctx
+JOIN n1b ON n1b.nxt = bg.nxt
+CROSS JOIN t
+GROUP BY doc_id
+"""
+
+
 UNIGRAM_LM_SQL = """
 WITH tok AS (
   SELECT doc_id, tk
@@ -7930,6 +7979,101 @@ def unigram_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def wordpiece_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer TRAINING (operators/wordpiece.py — Schuster
+    & Nakajima 2012, Wu et al. 2016 §4.1, the BERT tokenizer): 16
+    merges learned from the documents corpus by likelihood-gain
+    scoring — score(a,b) = count(ab)/(count(a)·count(b)) as an IEEE
+    double, the identical operation in Python, Spark and DuckDB, so
+    the argmax is bit-identical in all three.  Completes the trainer
+    triad next to BPE (frequency merges) and unigram-LM (EM).  The
+    corpus is touched ONCE (word-frequency aggregation); merge
+    learning runs on the bounded distinct-word table.  The oracle
+    unrolls all 16 rounds as a CTE chain and certifies the FULL argmax
+    input — pair count and both symbol counts per round — not just the
+    winning pair.  Driver-vs-distributed parity is pinned in
+    tests/test_wordpiece.py.  Training collects at construction →
+    EAGER."""
+    from .operators.wordpiece import train_wordpiece
+
+    t = load_tables(spark, sf_dir)
+    merges = train_wordpiece(t["documents"], 16, mode="driver")
+    return spark.createDataFrame(
+        merges,
+        "rank int, left string, right string, merged string, "
+        "pair_count long, left_count long, right_count long",
+    ).orderBy("rank")
+
+
+def wordpiece_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece APPLICATION (operators/wordpiece.py::apply_wordpiece):
+    greedy longest-match-first ("maximal munch") tokenization with the
+    ## continuation convention and whole-word [UNK] fallback — NOT a
+    merge replay (the BPE shortcut doesn't apply to WordPiece), so the
+    oracle precomputes the greedy step table (longest vocab match per
+    (word, position)) and walks it with a recursive CTE.  Losslessness
+    is SELF-CERTIFIED in the output: rebuilding each document from its
+    pieces (## stripped, concatenated) must recover the
+    whitespace-stripped lowercased text with zero [UNK] words, so
+    n_lossless must equal n_docs on the training corpus (the full
+    alphabet is in-vocab by construction)."""
+    from .operators.wordpiece import (
+        apply_wordpiece,
+        train_wordpiece,
+        wordpiece_vocab,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    merges = train_wordpiece(docs, 16, mode="driver")
+    vocab = wordpiece_vocab(docs, merges)
+    toks = apply_wordpiece(docs, vocab)
+    joined = toks.join(docs.select("doc_id", "text"), "doc_id")
+    stripped = F.regexp_replace(F.lower("text"), r"\s+", "")
+    rebuilt = F.concat_ws(
+        "",
+        F.transform(
+            "pieces",
+            lambda p: F.when(
+                p.startswith("##"), F.substring(p, 3, 1 << 20)
+            ).otherwise(p),
+        ),
+    )
+    n_words = F.size(
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+    )
+    per_doc = joined.select(
+        "n_pieces",
+        "n_unk_words",
+        ((rebuilt == stripped) & (F.col("n_unk_words") == 0))
+        .cast("int")
+        .alias("lossless"),
+        n_words.alias("n_words"),
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("lossless").cast("long").alias("n_lossless"),
+        F.sum("n_unk_words").cast("long").alias("n_unk_words"),
+        F.sum("n_pieces").cast("long").alias("total_pieces"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.round(F.sum("n_pieces") / F.sum("n_words"), 4).alias(
+            "pieces_per_word"
+        ),
+    )
+
+
+def _wordpiece_sqls() -> tuple[str, str]:
+    from .operators.wordpiece import (
+        wordpiece_oracle_sql,
+        wordpiece_tokenize_oracle_sql,
+    )
+
+    return wordpiece_oracle_sql(16), wordpiece_tokenize_oracle_sql(16)
+
+
+WORDPIECE_TRAIN_SQL, WORDPIECE_TOKENIZE_SQL = _wordpiece_sqls()
+
+
 def _bpe_chain_ctes(n_merges: int) -> str:
     """The shared CTE chain replaying ``n_merges`` BPE rounds in DuckDB
     (VERDICT r7 #4 — the unrolled-recurrence oracle technique of
@@ -8783,17 +8927,21 @@ GROUP BY b.event_type
 
 
 # round 11: registry rotated staleness-first for the driver's
-# first-50 window (VERDICT r10 #1). Composition: 3 never-checked
-# debuts (quality classifier, unigram trainer + apply), 2 entries
-# whose code changed THIS round (cdc_chunk_docs slice clamp;
-# label_propagation_copurchase checkpoint-cadence default), all 40
-# r7-stale entries, then 5 r8-stale entries in registry order.
-# 3 + 2 + 40 + 5 = 50. The window is machine-checked:
+# first-50 window (VERDICT r10 #1). Composition: 6 never-checked
+# debuts (WordPiece trainer + apply, Kneser-Ney scorer, quality
+# classifier, unigram trainer + apply), 2 entries whose code changed
+# THIS round (cdc_chunk_docs slice clamp; label_propagation_copurchase
+# checkpoint-cadence default), all 40 r7-stale entries, then 2
+# r8-stale entries in registry order.
+# 6 + 2 + 40 + 2 = 50. The window is machine-checked:
 # DRIVER_WINDOW below must equal list(QUERIES)[:50] and the
 # staleness-first invariant is asserted by
 # tests/test_plans.py::test_driver_window_marker (ADVICE r9's
 # silent-marker-rot bug class).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "wordpiece_train_docs": wordpiece_train_docs,
+    "wordpiece_tokenize_docs": wordpiece_tokenize_docs,
+    "kn_bigram_quality_docs": kn_bigram_quality_docs,
     "quality_classifier_docs": quality_classifier_docs,
     "unigram_tokenizer_docs": unigram_tokenizer_docs,
     "unigram_tokenize_docs": unigram_tokenize_docs,
@@ -8841,12 +8989,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_signals": repetition_signals_docs,
     "ann_pq_refined_topk": ann_pq_refined_topk,
     "psi_drift_events": psi_drift_events,
-    "ols_trend_events": ols_trend_events,
-    "char_entropy_docs": char_entropy_docs,
-    "range_split_orders": range_split_orders,
     # ^^^ END of the r11 driver check window (50 entries).
     # Everything below is staleness-ascending for the r12
     # rotation: remaining r8 block, then r9, then r10.
+    "ols_trend_events": ols_trend_events,
+    "char_entropy_docs": char_entropy_docs,
+    "range_split_orders": range_split_orders,
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "chunk_docs_windows": chunk_docs_windows,
     "hard_negatives_embeddings": hard_negatives_embeddings,
@@ -8996,14 +9144,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 DRIVER_WINDOW = {
     "round": 11,
     "size": 50,
-    "composition": {"debut": 3, "changed": 2, "r7_stale": 40, "r8_stale": 5},
+    "composition": {"debut": 6, "changed": 2, "r7_stale": 40, "r8_stale": 2},
     "debut": (
+        "wordpiece_train_docs",
+        "wordpiece_tokenize_docs",
+        "kn_bigram_quality_docs",
         "quality_classifier_docs",
         "unigram_tokenizer_docs",
         "unigram_tokenize_docs",
     ),
     "changed": ("cdc_chunk_docs", "label_propagation_copurchase"),
     "entries": (
+        "wordpiece_train_docs",
+        "wordpiece_tokenize_docs",
+        "kn_bigram_quality_docs",
         "quality_classifier_docs",
         "unigram_tokenizer_docs",
         "unigram_tokenize_docs",
@@ -9051,9 +9205,6 @@ DRIVER_WINDOW = {
         "repetition_signals",
         "ann_pq_refined_topk",
         "psi_drift_events",
-        "ols_trend_events",
-        "char_entropy_docs",
-        "range_split_orders",
     ),
 }
 
@@ -9096,6 +9247,9 @@ ORACLES: dict[str, str] = {
     "bm25_topk_docs": BM25_SQL,
     "bpe_train_docs": BPE_TRAIN_SQL,
     "bpe_tokenize_docs": BPE_TOKENIZE_SQL,
+    "wordpiece_train_docs": WORDPIECE_TRAIN_SQL,
+    "wordpiece_tokenize_docs": WORDPIECE_TOKENIZE_SQL,
+    "kn_bigram_quality_docs": KN_BIGRAM_SQL,
     "unigram_tokenizer_docs": UNIGRAM_TRAIN_SQL,
     "unigram_tokenize_docs": UNIGRAM_TOKENIZE_SQL,
     "gopher_quality_docs": GOPHER_QUALITY_SQL,
@@ -9285,6 +9439,9 @@ EAGER_QUERIES = (
     "bpe_tokenize_docs",
     "unigram_tokenizer_docs",
     "unigram_tokenize_docs",
+    # WordPiece trains driver-mode at construction (the BPE posture)
+    "wordpiece_train_docs",
+    "wordpiece_tokenize_docs",
     # logistic GD trains at construction (6 gradient collects)
     "quality_classifier_docs",
     "cluster_split_docs",
