@@ -202,6 +202,95 @@ def quality_classifier(
     )
 
 
+def calibration_sweep(
+    scored: DataFrame,
+    thresholds: list[float] | None = None,
+) -> DataFrame:
+    """Operating-point sweep over a trained classifier's scores — the
+    threshold-selection step every learned quality filter ships with
+    (FineWeb-Edu keeps score >= 3/5; CCNet tunes per-language): for
+    each candidate threshold, the confusion counts against the weak
+    labels plus precision / recall / F1.
+
+    ``scored`` is quality_classifier's output (id, y, score, pred);
+    thresholds default to 0.1 … 0.9.  The fan-out is an in-plan
+    explode of a 9-element literal array (pure codegen — no join, no
+    second pass over the corpus: one projection + one 9-group
+    aggregation with map-side combine, O(9) rows out regardless of
+    corpus size).  Ratios divide exact int64 confusion counts as IEEE
+    doubles (round-6), F1 in the single-division form
+    2·tp / (2·tp + fp + fn) so no compounded rounding; empty
+    denominators yield NULL in both engines.
+    """
+    if thresholds is None:
+        thresholds = [k / 10.0 for k in range(1, 10)]
+    out = scored.select(
+        "y",
+        "score",
+        F.explode(
+            F.array(*[F.lit(float(t)) for t in thresholds])
+        ).alias("threshold"),
+    )
+    hit = (F.col("score") >= F.col("threshold")).cast("int")
+    y = F.col("y")
+    agg = out.groupBy("threshold").agg(
+        F.sum(hit * y).cast("long").alias("tp"),
+        F.sum(hit * (1 - y)).cast("long").alias("fp"),
+        F.sum((1 - hit) * y).cast("long").alias("fn"),
+        F.sum((1 - hit) * (1 - y)).cast("long").alias("tn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return agg.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(tp + fp == 0, F.lit(None)).otherwise(
+            F.round(tp / (tp + fp), 6)
+        ).alias("precision"),
+        F.when(tp + fn == 0, F.lit(None)).otherwise(
+            F.round(tp / (tp + fn), 6)
+        ).alias("recall"),
+        F.when(2 * tp + fp + fn == 0, F.lit(None)).otherwise(
+            F.round(2 * tp / (2 * tp + fp + fn), 6)
+        ).alias("f1"),
+    ).orderBy("threshold")
+
+
+def calibration_oracle_sql(classifier_sql: str) -> str:
+    """DuckDB replay: wraps the classifier oracle (its full unrolled
+    GD chain) as a scored subquery and sweeps the same 9 thresholds
+    with identical NULL-on-empty-denominator semantics."""
+    return f"""
+WITH scored AS ({classifier_sql}),
+sweep AS (
+  SELECT s.y, s.score, tt.k / 10.0 AS threshold
+  FROM scored s, (SELECT UNNEST(range(1, 10)) AS k) tt
+),
+agg AS (
+  SELECT threshold,
+         SUM(CASE WHEN score >= threshold AND y = 1 THEN 1 ELSE 0 END)
+           AS tp,
+         SUM(CASE WHEN score >= threshold AND y = 0 THEN 1 ELSE 0 END)
+           AS fp,
+         SUM(CASE WHEN score < threshold AND y = 1 THEN 1 ELSE 0 END)
+           AS fn,
+         SUM(CASE WHEN score < threshold AND y = 0 THEN 1 ELSE 0 END)
+           AS tn
+  FROM sweep GROUP BY threshold
+)
+SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+       CASE WHEN tp + fp = 0 THEN NULL
+            ELSE ROUND(tp / (tp + fp), 6) END AS precision,
+       CASE WHEN tp + fn = 0 THEN NULL
+            ELSE ROUND(tp / (tp + fn), 6) END AS recall,
+       CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+            ELSE ROUND(2 * tp / (2 * tp + fp + fn), 6) END AS f1
+FROM agg ORDER BY threshold"""
+
+
 def logreg_oracle_sql(
     label_sql: str,
     n_buckets: int = 64,

@@ -362,6 +362,54 @@ def kneser_ney_logprob(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def perplexity_buckets(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       group_col: str = "source",
+                       n_buckets: int = 3) -> DataFrame:
+    """CCNet-style perplexity partitioning (Wenzek et al. 2020 §4.3):
+    per ``group_col`` (web snapshot / domain / source), rank documents
+    by LM score and split into equal terciles — head / middle / tail —
+    the canonical step AFTER an LM scorer that decides what a pretrain
+    mix keeps, downsamples, or drops.  Scoring uses the interpolated
+    Kneser-Ney bigram scorer (``kneser_ney_logprob``), the KenLM-family
+    smoothing CCNet itself uses.
+
+    Bucket assignment is deterministic: ntile over (round-6 avg_nll,
+    id) — both engines order the identical rounded doubles with a
+    unique tie-break, and NTILE's extras-to-leading-groups split is the
+    same standard semantic in Spark and DuckDB.  Docs with < 2 tokens
+    have no bigram score and drop out (mirrored in the oracle join).
+
+    Scale posture: the scorer is the dominant cost (see
+    kneser_ney_logprob); bucketing adds ONE per-group sort — a window
+    partitioned by source, so parallelism is bounded below by the
+    number of sources and no global sort exists.  A Zipf-dominant
+    source makes that partition a straggler; the remedy at 100 TB is
+    the same as CCNet's own: split snapshots into shards upstream
+    (finer group_col), not a different operator.  Output is one row
+    per (group, bucket) — bounded by groups x n_buckets.
+    """
+    from pyspark.sql import Window
+
+    scored = kneser_ney_logprob(docs, id_col, text_col).join(
+        docs.select(id_col, group_col), id_col
+    )
+    w = Window.partitionBy(group_col).orderBy("avg_nll", id_col)
+    labels = F.when(F.col("__b") == 1, F.lit("head")).otherwise(
+        F.when(F.col("__b") == 2, F.lit("middle")).otherwise(F.lit("tail"))
+    ) if n_buckets == 3 else F.concat(F.lit("b"), F.col("__b"))
+    return (
+        scored.withColumn("__b", F.ntile(n_buckets).over(w))
+        .groupBy(group_col, labels.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("avg_nll"), 6).alias("min_nll"),
+            F.round(F.max("avg_nll"), 6).alias("max_nll"),
+            F.round(F.avg("avg_nll"), 6).alias("mean_nll"),
+        )
+    )
+
+
 def char_entropy(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """Per-doc Shannon entropy of the CHARACTER distribution (bits) —

@@ -5134,8 +5134,9 @@ def kn_bigram_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kneser_ney_logprob(t["documents"], "doc_id", "text")
 
 
-KN_BIGRAM_SQL = """
-WITH wl AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+# shared KN per-doc CTE block: kn_bigram_quality_docs reads it raw;
+# perplexity_buckets_docs layers the CCNet tercile window on top
+_KN_CTES = """wl AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 bg AS (
   SELECT doc_id,
          w[CAST(p AS INT)] || ' ' || w[CAST(p AS INT) + 1] AS bgm,
@@ -5151,21 +5152,64 @@ uc AS (SELECT tk, COUNT(*) AS ca
        GROUP BY 1),
 n1f AS (SELECT ctx, COUNT(*) AS n1f FROM bc GROUP BY 1),
 n1b AS (SELECT nxt, COUNT(*) AS n1b FROM bc GROUP BY 1),
-t AS (SELECT COUNT(*) AS t FROM bc)
-SELECT doc_id, COUNT(*) AS n_bigrams,
-       ROUND(AVG(-LN(
-         (GREATEST(CAST(bc.cab AS DOUBLE) - CAST(0.75 AS DOUBLE),
-                   CAST(0.0 AS DOUBLE))
-          + CAST(0.75 AS DOUBLE) * n1f.n1f * (n1b.n1b / t.t))
-         / uc.ca)), 6) AS avg_nll
-FROM bg
-JOIN bc USING (bgm)
-JOIN uc ON uc.tk = bg.ctx
-JOIN n1f ON n1f.ctx = bg.ctx
-JOIN n1b ON n1b.nxt = bg.nxt
-CROSS JOIN t
-GROUP BY doc_id
+t AS (SELECT COUNT(*) AS t FROM bc),
+kn AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         ROUND(AVG(-LN(
+           (GREATEST(CAST(bc.cab AS DOUBLE) - CAST(0.75 AS DOUBLE),
+                     CAST(0.0 AS DOUBLE))
+            + CAST(0.75 AS DOUBLE) * n1f.n1f * (n1b.n1b / t.t))
+           / uc.ca)), 6) AS avg_nll
+  FROM bg
+  JOIN bc USING (bgm)
+  JOIN uc ON uc.tk = bg.ctx
+  JOIN n1f ON n1f.ctx = bg.ctx
+  JOIN n1b ON n1b.nxt = bg.nxt
+  CROSS JOIN t
+  GROUP BY doc_id
+)"""
+
+KN_BIGRAM_SQL = f"""
+WITH {_KN_CTES}
+SELECT doc_id, n_bigrams, avg_nll FROM kn
 """
+
+PERPLEXITY_BUCKETS_SQL = f"""
+WITH {_KN_CTES},
+scored AS (
+  SELECT d.source, k.doc_id, k.avg_nll
+  FROM kn k JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT source, avg_nll,
+         NTILE(3) OVER (PARTITION BY source
+                        ORDER BY avg_nll, doc_id) AS b
+  FROM scored
+)
+SELECT source,
+       CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+              ELSE 'tail' END AS bucket,
+       COUNT(*) AS n_docs,
+       ROUND(MIN(avg_nll), 6) AS min_nll,
+       ROUND(MAX(avg_nll), 6) AS max_nll,
+       ROUND(AVG(avg_nll), 6) AS mean_nll
+FROM ranked
+GROUP BY source, b
+"""
+
+
+def perplexity_buckets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity partitioning (operators/quality.py::
+    perplexity_buckets — Wenzek et al. 2020 §4.3): per-source
+    head/middle/tail terciles over the Kneser-Ney document scores,
+    the canonical keep/downsample/drop decision step of a pretrain
+    mix.  Deterministic ntile over (round-6 avg_nll, doc_id); one row
+    per (source, bucket) with count and nll envelope, EXACT vs the
+    windowed SQL oracle sharing the KN CTE block."""
+    from .operators.quality import perplexity_buckets
+
+    t = load_tables(spark, sf_dir)
+    return perplexity_buckets(t["documents"], "doc_id", "text", "source")
 
 
 UNIGRAM_LM_SQL = """
@@ -7032,6 +7076,43 @@ def _quality_classifier_sql() -> str:
 
 
 QUALITY_CLASSIFIER_SQL = _quality_classifier_sql()
+
+
+def classifier_calibration_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-calibration sweep over the trained quality classifier
+    (operators/classifier.py::calibration_sweep): confusion counts +
+    precision/recall/F1 at thresholds 0.1-0.9 against the Gopher weak
+    labels — the operating-point selection step every learned filter
+    ships with (FineWeb-Edu's score >= 3 cut).  One in-plan explode
+    over the scored docs, one 9-group aggregation; the oracle wraps
+    the full unrolled-GD classifier chain as a subquery, so the sweep
+    is certified end-to-end from the raw corpus.  Training collects at
+    construction → EAGER."""
+    from .operators.classifier import calibration_sweep, quality_classifier
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    n_tok = F.when(F.length("text") == 0, F.lit(0)).otherwise(
+        F.length("text")
+        - F.length(F.regexp_replace("text", " ", ""))
+        + 1
+    )
+    mwl = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        (F.length("text") - (n_tok - 1)) / n_tok.cast("double")
+    )
+    scored = quality_classifier(
+        docs, mwl > 4.5, n_buckets=64, iters=6, lr=2.0
+    )
+    return calibration_sweep(scored)
+
+
+def _classifier_calibration_sql() -> str:
+    from .operators.classifier import calibration_oracle_sql
+
+    return calibration_oracle_sql(_quality_classifier_sql())
+
+
+CLASSIFIER_CALIBRATION_SQL = _classifier_calibration_sql()
 
 
 def _unigram_sqls() -> tuple[str, str]:
@@ -8927,13 +9008,14 @@ GROUP BY b.event_type
 
 
 # round 11: registry rotated staleness-first for the driver's
-# first-50 window (VERDICT r10 #1). Composition: 6 never-checked
-# debuts (WordPiece trainer + apply, Kneser-Ney scorer, quality
+# first-50 window (VERDICT r10 #1). Composition: 8 never-checked
+# debuts (WordPiece trainer + apply, Kneser-Ney scorer, CCNet
+# perplexity buckets, classifier calibration sweep, quality
 # classifier, unigram trainer + apply), 2 entries whose code changed
 # THIS round (cdc_chunk_docs slice clamp; label_propagation_copurchase
-# checkpoint-cadence default), all 40 r7-stale entries, then 2
-# r8-stale entries in registry order.
-# 6 + 2 + 40 + 2 = 50. The window is machine-checked:
+# checkpoint-cadence default), then all 40 r7-stale entries in
+# registry order.
+# 8 + 2 + 40 = 50. The window is machine-checked:
 # DRIVER_WINDOW below must equal list(QUERIES)[:50] and the
 # staleness-first invariant is asserted by
 # tests/test_plans.py::test_driver_window_marker (ADVICE r9's
@@ -8942,6 +9024,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wordpiece_train_docs": wordpiece_train_docs,
     "wordpiece_tokenize_docs": wordpiece_tokenize_docs,
     "kn_bigram_quality_docs": kn_bigram_quality_docs,
+    "perplexity_buckets_docs": perplexity_buckets_docs,
+    "classifier_calibration_docs": classifier_calibration_docs,
     "quality_classifier_docs": quality_classifier_docs,
     "unigram_tokenizer_docs": unigram_tokenizer_docs,
     "unigram_tokenize_docs": unigram_tokenize_docs,
@@ -8987,11 +9071,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint_winnow": doc_fingerprint_winnow,
     "winnow_overlap_pairs": winnow_overlap_pairs_docs,
     "repetition_signals": repetition_signals_docs,
-    "ann_pq_refined_topk": ann_pq_refined_topk,
-    "psi_drift_events": psi_drift_events,
     # ^^^ END of the r11 driver check window (50 entries).
     # Everything below is staleness-ascending for the r12
     # rotation: remaining r8 block, then r9, then r10.
+    "ann_pq_refined_topk": ann_pq_refined_topk,
+    "psi_drift_events": psi_drift_events,
     "ols_trend_events": ols_trend_events,
     "char_entropy_docs": char_entropy_docs,
     "range_split_orders": range_split_orders,
@@ -9144,11 +9228,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 DRIVER_WINDOW = {
     "round": 11,
     "size": 50,
-    "composition": {"debut": 6, "changed": 2, "r7_stale": 40, "r8_stale": 2},
+    "composition": {"debut": 8, "changed": 2, "r7_stale": 40},
     "debut": (
         "wordpiece_train_docs",
         "wordpiece_tokenize_docs",
         "kn_bigram_quality_docs",
+        "perplexity_buckets_docs",
+        "classifier_calibration_docs",
         "quality_classifier_docs",
         "unigram_tokenizer_docs",
         "unigram_tokenize_docs",
@@ -9158,6 +9244,8 @@ DRIVER_WINDOW = {
         "wordpiece_train_docs",
         "wordpiece_tokenize_docs",
         "kn_bigram_quality_docs",
+        "perplexity_buckets_docs",
+        "classifier_calibration_docs",
         "quality_classifier_docs",
         "unigram_tokenizer_docs",
         "unigram_tokenize_docs",
@@ -9203,8 +9291,6 @@ DRIVER_WINDOW = {
         "doc_fingerprint_winnow",
         "winnow_overlap_pairs",
         "repetition_signals",
-        "ann_pq_refined_topk",
-        "psi_drift_events",
     ),
 }
 
@@ -9250,6 +9336,8 @@ ORACLES: dict[str, str] = {
     "wordpiece_train_docs": WORDPIECE_TRAIN_SQL,
     "wordpiece_tokenize_docs": WORDPIECE_TOKENIZE_SQL,
     "kn_bigram_quality_docs": KN_BIGRAM_SQL,
+    "perplexity_buckets_docs": PERPLEXITY_BUCKETS_SQL,
+    "classifier_calibration_docs": CLASSIFIER_CALIBRATION_SQL,
     "unigram_tokenizer_docs": UNIGRAM_TRAIN_SQL,
     "unigram_tokenize_docs": UNIGRAM_TOKENIZE_SQL,
     "gopher_quality_docs": GOPHER_QUALITY_SQL,
@@ -9444,6 +9532,7 @@ EAGER_QUERIES = (
     "wordpiece_tokenize_docs",
     # logistic GD trains at construction (6 gradient collects)
     "quality_classifier_docs",
+    "classifier_calibration_docs",
     "cluster_split_docs",
     "entity_resolution_customers",
     "bloom_membership_orders",

@@ -127,3 +127,30 @@ def test_train_rejects_empty_and_bad_args(spark):
         train_logistic(feats, n_buckets=64, iters=0)
     with pytest.raises(ValueError):
         train_logistic(feats, n_buckets=64)  # zero rows survive
+
+
+def test_calibration_sweep_hand_counts(spark):
+    """Confusion counts and PR/F1 at a hand-checkable threshold grid;
+    NULL precision when nothing clears the cut."""
+    from spark_skew_join_spark.operators.classifier import calibration_sweep
+
+    scored = spark.createDataFrame(
+        [(1, 1, 0.95, 1), (2, 1, 0.55, 1), (3, 0, 0.45, 0),
+         (4, 0, 0.05, 0), (5, 1, 0.25, 0)],
+        "doc_id long, y int, score double, pred int",
+    )
+    rows = {r["threshold"]: r for r in calibration_sweep(scored).collect()}
+    assert len(rows) == 9
+    r5 = rows[0.5]
+    assert (r5["tp"], r5["fp"], r5["fn"], r5["tn"]) == (2, 0, 1, 2)
+    assert r5["precision"] == 1.0
+    assert r5["recall"] == round(2 / 3, 6)
+    assert r5["f1"] == round(4 / 5, 6)
+    r1 = rows[0.1]
+    assert (r1["tp"], r1["fp"]) == (3, 1)
+    # nothing scores >= 0.97 -> empty denominator -> NULL precision
+    none_row = calibration_sweep(
+        scored.where("score < 0.1")
+    ).collect()
+    hi = [r for r in none_row if r["threshold"] == 0.9][0]
+    assert hi["precision"] is None and hi["tp"] == 0

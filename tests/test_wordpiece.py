@@ -116,3 +116,28 @@ def test_kneser_ney_hand_example(spark):
     expect = (2 * -math.log(p_ab) + 2 * -math.log(p_ba) - math.log(p_ac)) / 5
     assert out["n_bigrams"] == 5
     assert out["avg_nll"] == pytest.approx(round(expect, 6), abs=1e-6)
+
+
+def test_perplexity_buckets_terciles(spark):
+    """Per-source terciles: equal-ish bucket sizes, nll envelopes
+    ordered head <= middle <= tail, short docs dropped."""
+    from spark_skew_join_spark.operators.quality import perplexity_buckets
+
+    rows = []
+    did = 0
+    for src in ("a", "b"):
+        for k in range(9):
+            # repetitive docs score low nll; diverse ones high
+            text = " ".join(["x y"] * 6) if k < 3 else (
+                " ".join(f"w{did}t{j}" for j in range(12)))
+            rows.append((did, text, src))
+            did += 1
+    rows.append((did, "solo", "a"))  # 1 token -> no bigrams -> dropped
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = perplexity_buckets(docs, "doc_id", "text", "source").collect()
+    by = {(r["source"], r["bucket"]): r for r in out}
+    assert len(by) == 6
+    for src in ("a", "b"):
+        assert sum(by[(src, b)]["n_docs"] for b in ("head", "middle", "tail")) == 9
+        assert by[(src, "head")]["max_nll"] <= by[(src, "middle")]["min_nll"]
+        assert by[(src, "middle")]["max_nll"] <= by[(src, "tail")]["min_nll"]
