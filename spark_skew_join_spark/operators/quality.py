@@ -299,7 +299,20 @@ def kneser_ney_logprob(docs: DataFrame, id_col: str = "doc_id",
     in practice by corpus novelty) with map-side combine; only the
     scalar N1+(··) rides a 1-row broadcast.  All double arithmetic is
     written in the exact association order the DuckDB oracle replays.
+
+    KN hangs FIVE consumers off the gram chain (scoring join, corpus
+    counts, two N1+ tables, the scalar total), and without
+    materialization Catalyst re-executes the whole explode+aggregate
+    subtree per branch — ~5 corpus passes (the round-11 PLANS.md dump
+    made this visible).  Both shared tables therefore ride the
+    ``_session_cache("auto")`` idiom: the tf table and the bigram-type
+    table persist below the spill threshold and spill to warehouse
+    tables above it, cutting the plan to ONE gram pass + one token
+    pass (measured 2x-3x cold at 20M tokens; bench tags these lines
+    cache-registering and records them cold, the ADVICE r10 #1
+    convention).  ``clear_band_cache()`` releases them.
     """
+    from .dedup import _session_cache
     arr = F.split(F.col(text_col), " ")
     base = (
         docs.where(F.size(arr) >= 2)
@@ -318,8 +331,11 @@ def kneser_ney_logprob(docs: DataFrame, id_col: str = "doc_id",
         F.xxhash64(b).alias("__hb"),
         F.xxhash64(a, b).alias("__hab"),
     )
-    tf = grams.groupBy(id_col, "__hab", "__ha", "__hb").agg(
-        F.count(F.lit(1)).alias("__n")
+    tf = _session_cache(
+        grams.groupBy(id_col, "__hab", "__ha", "__hb").agg(
+            F.count(F.lit(1)).alias("__n")
+        ),
+        "auto",
     )
     uni = docs.select(
         F.explode(F.split(F.col(text_col), " ")).alias("__tok")
@@ -327,8 +343,11 @@ def kneser_ney_logprob(docs: DataFrame, id_col: str = "doc_id",
     ucnt = uni.groupBy("__ha").agg(F.count(F.lit(1)).alias("__ca"))
     # corpus bigram counts fold from tf keeping both endpoint keys —
     # one row per distinct bigram TYPE, the base for both N1+ tables
-    bcnt = tf.groupBy("__hab", "__ha", "__hb").agg(
-        F.sum("__n").alias("__cab")
+    bcnt = _session_cache(
+        tf.groupBy("__hab", "__ha", "__hb").agg(
+            F.sum("__n").alias("__cab")
+        ),
+        "auto",
     )
     n1_fw = bcnt.groupBy("__ha").agg(
         F.count(F.lit(1)).alias("__n1f")

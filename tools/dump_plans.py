@@ -467,6 +467,70 @@ def main() -> None:
         )
     )
 
+    from spark_skew_join_spark.operators.quality import kneser_ney_logprob
+
+    kn = kneser_ney_logprob(t["documents"])
+    simplekn = plan_string(kn, "simple")
+    out.append(
+        section(
+            "kneser_ney_logprob count joins (round 11)",
+            "\n".join(
+                (l[:140] + " …" if len(l) > 140 else l)
+                for l in simplekn.splitlines()
+                if "Join" in l or "Exchange" in l or "Python" in l
+                or "HashAggregate" in l
+            ),
+            "The KN smoothing rides bigram_logprob's tf-table shape: the\n"
+            "count joins run on per-doc-DISTINCT bigram rows keyed by\n"
+            "xxhash64 int64s (text never crosses an exchange); the two N1+\n"
+            "tables fold from the bigram-TYPE table with map-side combine;\n"
+            "the scalar N1+ total is the single BroadcastNestedLoop 1-row\n"
+            "attach (SCALAR_BNL_OK). No Python nodes.",
+        )
+    )
+
+    from spark_skew_join_spark.operators.wordpiece import (
+        _initial_symbols,
+        _merge_expr,
+        _pair_and_symbol_counts,
+        word_frequencies,
+    )
+
+    syms = _initial_symbols(word_frequencies(t["documents"]))
+    pc, sc = _pair_and_symbol_counts(syms)
+    sl = sc.select(F.col("sym").alias("left"), F.col("c").alias("cl"))
+    sr = sc.select(F.col("sym").alias("right"), F.col("c").alias("cr"))
+    argmax = (
+        pc.join(sl, "left").join(sr, "right")
+        .orderBy(
+            F.desc(F.col("cnt").cast("double") / (F.col("cl") * F.col("cr"))),
+            F.asc("left"), F.asc("right"),
+        )
+        .limit(1)
+    )
+    rewrite = syms.withColumn("syms", _merge_expr("t", "##h", "th"))
+    simplewp = plan_string(argmax, "simple")
+    simplewr = plan_string(rewrite, "simple")
+    out.append(
+        section(
+            "wordpiece distributed training round (round 11)",
+            "\n".join(
+                (l[:140] + " …" if len(l) > 140 else l)
+                for l in (simplewp + "\n--- rewrite ---\n" + simplewr).splitlines()
+                if "Join" in l or "Exchange" in l or "Python" in l
+                or "HashAggregate" in l or "TakeOrdered" in l
+                or "rewrite" in l or "Generate" in l
+            ),
+            "One likelihood-argmax round: pair + symbol counts are two\n"
+            "map-side-combined aggregations over the bounded word table,\n"
+            "the scoring joins attach counts (word-table-sized, broadcast\n"
+            "by AQE at fixture scale), and the argmax is a\n"
+            "TakeOrderedAndProject (1 row to the driver per round). The\n"
+            "symbol-array rewrite is the aggregate() HOF — pure codegen,\n"
+            "no Python nodes anywhere in training.",
+        )
+    )
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print("PLANS.md written")
