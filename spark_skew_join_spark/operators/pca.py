@@ -45,9 +45,14 @@ def embedding_covariance(
 
     Bounds: Σ qᵢqⱼ ≤ n·(10⁶·max|v|)² must fit a signed 64-bit sum —
     for unit-scale embeddings that is n ≲ 9·10⁶ rows, the regime this
-    oracle-checkable path serves (ANSI mode turns an overflow into a
-    loud error, never a wrong answer); beyond it use
-    ``covariance_outer``, the no-fan-out scale path.
+    oracle-checkable path serves; beyond it use ``covariance_outer``,
+    the no-fan-out scale path.  The loud-failure contract is enforced
+    IN-PLAN and ANSI-independently (ADVICE r10 #2 follow-through —
+    the session no longer pins ansi.enabled, see configure()): the
+    same aggregation carries n·max|x|·max|y| in doubles (never
+    overflows) and ``raise_error``s when that conservative envelope
+    crosses 2⁶³ — before a wrapped sum could ever be emitted, on any
+    Spark version and either ANSI setting.
 
     Scale shape: the fan-out is dim·(dim+1)/2 per row BEFORE the
     aggregate, but it never reaches a shuffle — the (i, j) groupBy
@@ -77,6 +82,24 @@ def embedding_covariance(
     )
     n = F.count(F.lit(1))
     # scale constants: sums are micro-unit integers (x: 1e6, xy: 1e12)
+    # overflow envelope: n·max|x|·max|y| in doubles bounds |Σ xy| (and
+    # a fortiori |Σ x|); crossing 2^63 raises in-plan regardless of
+    # spark.sql.ansi.enabled — the wrapped sum can never be emitted
+    nd = F.col("n_vecs").cast("double")
+    mxd, myd = F.col("__mx").cast("double"), F.col("__my").cast("double")
+    # bounds all three long sums: |Σxy| <= n·mx·my, |Σx| <= n·mx,
+    # |Σy| <= n·my (the product alone misses a zero-sided column)
+    envelope = F.greatest(nd * mxd * myd, nd * mxd, nd * myd)
+    guard = F.when(
+        envelope >= F.lit(float(2**63)),
+        F.raise_error(
+            F.lit(
+                "embedding_covariance: micro-unit sum may exceed int64 "
+                "(n*max|x|*max|y| >= 2^63) — use covariance_outer for "
+                "this scale"
+            )
+        ).cast("long"),
+    ).otherwise(F.col("__sxy"))
     return (
         pairs.groupBy("i", "j")
         .agg(
@@ -84,7 +107,10 @@ def embedding_covariance(
             F.sum("__xy").alias("__sxy"),
             F.sum("__x").alias("__sx"),
             F.sum("__y").alias("__sy"),
+            F.max(F.abs(F.col("__x"))).alias("__mx"),
+            F.max(F.abs(F.col("__y"))).alias("__my"),
         )
+        .withColumn("__sxy", guard)
         .select(
             F.col("i").cast("int").alias("i"),
             F.col("j").cast("int").alias("j"),

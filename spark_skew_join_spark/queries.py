@@ -9586,6 +9586,8 @@ SCALAR_BNL_OK = (
     "bm25_topk_docs",  # 1-row (n_docs, avgdl) corpus-scalar broadcast
     "unigram_lm_quality",  # 1-row total-token-count broadcast for ln(total)
     "bigram_lm_quality",  # 1-row vocabulary-size broadcast for the k·V term
+    "kn_bigram_quality_docs",  # 1-row N1+(··) bigram-type-total broadcast
+    "perplexity_buckets_docs",  # composes the KN scorer's scalar broadcast
     "tfidf_cosine_docs",  # 1-row n_docs broadcast for the IDF term
     "ndcg_retrieval_eval",  # BM25's 1-row corpus-scalar broadcast
     "retrieval_metrics_eval",  # same BM25 corpus-scalar broadcast

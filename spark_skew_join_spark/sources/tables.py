@@ -87,11 +87,17 @@ def configure(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
-    # ANSI on: Spark 4 defaults true, but pyproject allows >=3.5 where it
-    # defaults OFF — the long-accumulator overflow contracts (e.g.
-    # embedding_covariance's micro-unit sums, pca.py) promise a LOUD error
-    # rather than a silent wrap, which only holds under ANSI arithmetic.
-    spark.conf.set("spark.sql.ansi.enabled", "true")
+    # ANSI off, deliberately and measured: Spark 4 defaults true, and the
+    # runtime overflow/cast checks it injects into EVERY codegen expression
+    # cost 10-50% per arithmetic-heavy line (A/B at r11 HEAD, BASELINE.md
+    # "Round 11": warm subset 84.4 s ANSI-on vs 56.6 s off — ~1.26x across
+    # the suite). Correctness does not ride the flag: every EXACT entry is
+    # hash-checked against DuckDB (which always errors on overflow), and
+    # the one operator family with a long-accumulator loud-failure contract
+    # (embedding_covariance's micro-unit sums) enforces it IN-PLAN with an
+    # ANSI-independent raise_error envelope guard (operators/pca.py), so
+    # the contract holds on Spark 3.5 (ANSI default off) and 4.x alike.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     # events.parquet carries timestamp[ns]; Spark rejects TIMESTAMP(NANOS)
     # unless told to surface it as bigint (we convert in load_table)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

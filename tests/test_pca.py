@@ -83,3 +83,28 @@ def test_pca_project_matches_numpy_and_orders_variance(spark):
     assert got == got2 and evr == evr2
     with pytest.raises(ValueError):
         pca_project(df, n_components=0, dim=8)
+
+
+def test_covariance_overflow_guard_is_ansi_independent(spark):
+    """The loud-failure contract must not depend on spark.sql.ansi.enabled:
+    inputs whose micro-unit sum envelope crosses 2^63 raise in-plan via
+    raise_error even with ANSI off (silent-wrap regime)."""
+    import pytest as _pt
+
+    from spark_skew_join_spark.operators.pca import embedding_covariance
+
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        big = spark.createDataFrame(
+            [([1e7, 1e7],), ([1e7, 1e7],)], "embedding array<double>"
+        )
+        with _pt.raises(Exception, match="covariance_outer|int64"):
+            embedding_covariance(big, dim=2).collect()
+        # sane inputs still pass under the same setting
+        ok = spark.createDataFrame(
+            [([0.5, 0.25],), ([0.75, 1.0],)], "embedding array<double>"
+        )
+        assert embedding_covariance(ok, dim=2).count() == 3
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)

@@ -92,6 +92,14 @@ QUERIES = [
     "quality_classifier_docs",
     "unigram_tokenizer_docs",
     "unigram_tokenize_docs",
+    # round-11 late additions: the WordPiece trainer/apply, the KN
+    # scorer (now session-cached — the audit shows ONE gram pass), and
+    # its CCNet bucket/calibration consumers
+    "wordpiece_train_docs",
+    "wordpiece_tokenize_docs",
+    "kn_bigram_quality_docs",
+    "perplexity_buckets_docs",
+    "classifier_calibration_docs",
 ]
 
 
