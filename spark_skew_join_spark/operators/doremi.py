@@ -1,0 +1,133 @@
+"""DoReMi-lite domain reweighting: excess-loss mixture weights.
+
+Xie et al. 2023 ("DoReMi: Optimizing Data Mixtures Speeds Up Language
+Model Pretraining") learns domain weights by up-weighting domains with
+high EXCESS LOSS (proxy-model loss above a reference floor).  The full
+method needs trained proxy models; the in-engine lite variant uses the
+corpus add-k bigram LM (operators/quality.py::bigram_logprob's model)
+as the proxy: domains whose text the corpus-level LM finds surprising
+get up-weighted, blended with a uniform floor — the one-shot analogue
+of DoReMi's Group-DRO update, next to the static heuristics in
+operators/packing.py::temperature_mix.
+
+    excess_d = mean_nll_d − min_d(mean_nll)
+    w_d      = (1−α) · softmax_d(η·excess) + α / n_domains
+
+Reference parity: no counterpart in the reference library
+(dfimplicits.scala) — LLM-pipeline extension surface.
+
+Determinism posture (EXACT contract): every per-occurrence NLL is
+quantized to DECIMAL(18,6) BEFORE summation (the integer-micro-unit
+idiom of operators/pca.py::embedding_covariance), so per-domain sums
+are association-order-free; the same quantize-then-sum guards the
+softmax denominator (exp terms quantized to decimal, summed exactly
+over the ~20 domain rows via a single-partition window).
+
+Scale design: mirrors bigram_logprob — grams travel as xxhash64 int64
+keys, the count joins ride per-domain-distinct tf rows (a Zipf-hot
+bigram crosses once per domain, not once per occurrence), only the
+1-row vocabulary size rides a scalar broadcast (SCALAR_BNL_OK), and the
+final softmax window runs over one row per domain (bounded by domain
+count, not data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["domain_reweight"]
+
+
+def domain_reweight(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    k_smooth: float = 0.5,
+    eta: float = 1.0,
+    alpha: float = 0.2,
+) -> DataFrame:
+    """Per-domain training-mixture weights from bigram-LM excess loss.
+
+    Output: (group, n_docs, n_bigrams, mean_nll, excess_nll, weight),
+    floats rounded to 6; weights sum to ~1 across domains.
+    """
+    arr = F.split(F.col(text_col), " ")
+    base = (
+        docs.where(F.size(arr) >= 2)
+        .select(F.col(group_col).alias("__g"), arr.alias("__tk"))
+        .select(
+            "__g",
+            F.explode(F.sequence(F.lit(1), F.size("__tk") - 1)).alias("__i"),
+            "__tk",
+        )
+    )
+    a = F.element_at(F.col("__tk"), F.col("__i"))
+    b = F.element_at(F.col("__tk"), F.col("__i") + F.lit(1))
+    grams = base.select(
+        "__g",
+        F.xxhash64(a).alias("__ha"),
+        F.xxhash64(a, b).alias("__hab"),
+    )
+    # per-domain-distinct bigram rows: the only table crossing the joins
+    tf = grams.groupBy("__g", "__hab", "__ha").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    bc = grams.groupBy("__hab").agg(F.count(F.lit(1)).alias("__bc"))
+    ucnt = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("__t"))
+        .select(F.xxhash64("__t").alias("__ha"))
+        .groupBy("__ha")
+        .agg(F.count(F.lit(1)).alias("__ca"))
+    )
+    vocab = F.broadcast(ucnt.agg(F.count(F.lit(1)).alias("__v")))
+    nll = -F.log(
+        (F.col("__bc") + F.lit(k_smooth))
+        / (F.col("__ca") + F.lit(k_smooth) * F.col("__v"))
+    )
+    # quantize BEFORE the sum: DECIMAL(18,6) per distinct bigram, exact
+    # integer-scaled arithmetic from here on (micro-unit idiom)
+    q = F.round(nll, 6).cast("decimal(18,6)")
+    per_dom = (
+        tf.join(bc, "__hab")
+        .join(ucnt, "__ha")
+        .crossJoin(vocab)
+        .groupBy("__g")
+        .agg(
+            F.sum("__n").alias("n_bigrams"),
+            F.sum(F.col("__n") * q).alias("__nll_sum"),
+        )
+    )
+    ndocs = docs.groupBy(F.col(group_col).alias("__g")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    mean_nll = F.round(
+        F.col("__nll_sum").cast("double") / F.col("n_bigrams"), 6
+    )
+    dom = per_dom.join(ndocs, "__g").withColumn("mean_nll", mean_nll)
+    w = Window.partitionBy()
+    dom = dom.withColumn(
+        "excess_nll",
+        F.round(F.col("mean_nll") - F.min("mean_nll").over(w), 6),
+    )
+    # exp terms quantized to decimal so the ~20-row denominator sum is exact
+    score = F.round(F.exp(F.lit(eta) * F.col("excess_nll")), 6).cast(
+        "decimal(18,6)"
+    )
+    dom = dom.withColumn("__s", score).withColumn(
+        "__z", F.sum("__s").over(w)
+    ).withColumn("__k", F.count(F.lit(1)).over(w))
+    weight = F.round(
+        F.lit(1.0 - alpha)
+        * (F.col("__s").cast("double") / F.col("__z").cast("double"))
+        + F.lit(alpha) / F.col("__k"),
+        6,
+    )
+    return dom.select(
+        F.col("__g").alias(group_col),
+        "n_docs",
+        "n_bigrams",
+        "mean_nll",
+        "excess_nll",
+        weight.alias("weight"),
+    ).orderBy(group_col)

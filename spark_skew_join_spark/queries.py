@@ -9007,20 +9007,194 @@ GROUP BY b.event_type
 """
 
 
+def bleu_rouge_eval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus BLEU-2 + ROUGE-1/2 recall per source
+    (operators/texteval.py::corpus_bleu_rouge — Papineni et al. 2002,
+    Lin 2004): the generation-eval counterpart of the retrieval evals
+    (ndcg_retrieval_eval).  Candidate = the document with every 7th
+    token dropped (deterministic degradation, so the oracle replays the
+    exact pair set); all clipped-match / total counts are integer sums,
+    the BLEU/ROUGE float formulas run once per source row (round-6
+    ln-ulp posture)."""
+    from .operators.texteval import corpus_bleu_rouge
+
+    t = load_tables(spark, sf_dir)
+    return corpus_bleu_rouge(t["documents"])
+
+
+BLEU_ROUGE_SQL = """
+WITH d AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+dd AS (SELECT *, CAST(n - (n // 7) AS INT) AS cn FROM d),
+c1 AS (
+  SELECT doc_id, source, w[CAST(p + (p-1)//6 AS INT)] AS g, COUNT(*) AS nc
+  FROM dd, UNNEST(range(1, cn + 1)) AS r(p) GROUP BY 1, 2, 3
+),
+r1 AS (
+  SELECT doc_id, w[CAST(p AS INT)] AS g, COUNT(*) AS nr
+  FROM dd, UNNEST(range(1, n + 1)) AS r(p) GROUP BY 1, 2
+),
+clip1 AS (
+  SELECT source, CAST(SUM(LEAST(nc, nr)) AS BIGINT) AS c1
+  FROM c1 JOIN r1 USING (doc_id, g) GROUP BY 1
+),
+c2 AS (
+  SELECT doc_id, source,
+         w[CAST(p + (p-1)//6 AS INT)] || ' ' || w[CAST((p+1) + p//6 AS INT)]
+           AS g,
+         COUNT(*) AS nc
+  FROM dd, UNNEST(range(1, GREATEST(cn - 1, 0) + 1)) AS r(p)
+  GROUP BY 1, 2, 3
+),
+r2 AS (
+  SELECT doc_id, w[CAST(p AS INT)] || ' ' || w[CAST(p + 1 AS INT)] AS g,
+         COUNT(*) AS nr
+  FROM dd, UNNEST(range(1, GREATEST(n - 1, 0) + 1)) AS r(p)
+  GROUP BY 1, 2
+),
+clip2 AS (
+  SELECT source, CAST(SUM(LEAST(nc, nr)) AS BIGINT) AS c2
+  FROM c2 JOIN r2 USING (doc_id, g) GROUP BY 1
+),
+tot AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(cn) AS BIGINT) AS cand_tokens,
+         CAST(SUM(n) AS BIGINT) AS ref_tokens,
+         CAST(SUM(GREATEST(cn - 1, 0)) AS BIGINT) AS c2t,
+         CAST(SUM(GREATEST(n - 1, 0)) AS BIGINT) AS r2t
+  FROM dd GROUP BY 1
+)
+SELECT t.source, t.n_docs, t.cand_tokens, t.ref_tokens,
+  ROUND(CASE WHEN c1 > 0 AND c2 > 0 THEN
+    EXP(LEAST(0.0, 1.0 - CAST(ref_tokens AS DOUBLE) / cand_tokens)) *
+    EXP(0.5 * LN(CAST(c1 AS DOUBLE) / cand_tokens)
+        + 0.5 * LN(CAST(c2 AS DOUBLE) / c2t))
+    ELSE 0.0 END, 6) AS bleu2,
+  ROUND(CAST(c1 AS DOUBLE) / ref_tokens, 6) AS rouge1_recall,
+  ROUND(CAST(c2 AS DOUBLE) / r2t, 6) AS rouge2_recall
+FROM tot t JOIN clip1 USING (source) JOIN clip2 USING (source)
+ORDER BY source
+"""
+
+
+def readability_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled Flesch reading ease + Flesch-Kincaid grade per source
+    (operators/texteval.py::readability — Kincaid et al. 1975):
+    vowel-group syllable approximation, 15-word pseudo-sentences (the
+    synthetic corpus has no punctuation).  Formulas run on pooled
+    integer counts, never averaged per-doc doubles, so the result is
+    association-order-free."""
+    from .operators.texteval import readability
+
+    t = load_tables(spark, sf_dir)
+    return readability(t["documents"])
+
+
+READABILITY_SQL = """
+WITH tok AS (
+  SELECT source, UNNEST(string_split(text, ' ')) AS t FROM documents
+),
+wt AS (
+  SELECT source, COUNT(*) AS words,
+         CAST(SUM(GREATEST(1, len(regexp_extract_all(t, '[aeiouy]+'))))
+              AS BIGINT) AS syllables
+  FROM tok GROUP BY 1
+),
+sent AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(CAST(FLOOR((len(string_split(text, ' ')) + 14) / 15.0)
+                       AS BIGINT)) AS BIGINT) AS sentences
+  FROM documents GROUP BY 1
+)
+SELECT w.source, n_docs, words, syllables, sentences,
+  ROUND(206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences)
+        - 84.6 * (CAST(syllables AS DOUBLE) / words), 6) AS flesch,
+  ROUND(0.39 * (CAST(words AS DOUBLE) / sentences)
+        + 11.8 * (CAST(syllables AS DOUBLE) / words) - 15.59, 6) AS fk_grade
+FROM wt w JOIN sent USING (source)
+ORDER BY source
+"""
+
+
+def domain_reweight_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-lite domain mixture weights per source
+    (operators/doremi.py::domain_reweight — Xie et al. 2023): excess
+    bigram-LM loss over the best domain, softmax(η·excess) blended with
+    a uniform floor.  Per-occurrence NLLs quantize to DECIMAL(18,6)
+    before summation (the covariance micro-unit idiom) so per-domain
+    sums and the softmax denominator are association-order-free."""
+    from .operators.doremi import domain_reweight
+
+    t = load_tables(spark, sf_dir)
+    return domain_reweight(t["documents"])
+
+
+DOMAIN_REWEIGHT_SQL = """
+WITH wl AS (
+  SELECT source, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+bg AS (
+  SELECT source, w[CAST(p AS INT)] AS a, w[CAST(p AS INT) + 1] AS b
+  FROM wl, UNNEST(range(1, len(w))) AS r(p)
+),
+tf AS (SELECT source, a, b, COUNT(*) AS n FROM bg GROUP BY 1, 2, 3),
+bc AS (SELECT a, b, COUNT(*) AS bc FROM bg GROUP BY 1, 2),
+uc AS (SELECT tk, COUNT(*) AS ca
+       FROM (SELECT UNNEST(string_split(text, ' ')) AS tk FROM documents)
+       GROUP BY 1),
+v AS (SELECT COUNT(*) AS v FROM uc),
+perdom AS (
+  SELECT tf.source,
+         CAST(SUM(tf.n) AS BIGINT) AS n_bigrams,
+         SUM(tf.n * CAST(ROUND(-LN((bc.bc + 0.5) / (uc.ca + 0.5 * v.v)), 6)
+                         AS DECIMAL(18,6))) AS nll_sum
+  FROM tf JOIN bc USING (a, b) JOIN uc ON uc.tk = tf.a CROSS JOIN v
+  GROUP BY 1
+),
+nd AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+dom AS (
+  SELECT p.source, nd.n_docs, p.n_bigrams,
+         ROUND(CAST(p.nll_sum AS DOUBLE) / p.n_bigrams, 6) AS mean_nll
+  FROM perdom p JOIN nd USING (source)
+),
+dom2 AS (
+  SELECT *, ROUND(mean_nll - MIN(mean_nll) OVER (), 6) AS excess_nll
+  FROM dom
+),
+dom3 AS (
+  SELECT *, CAST(ROUND(EXP(1.0 * excess_nll), 6) AS DECIMAL(18,6)) AS s
+  FROM dom2
+),
+dom4 AS (SELECT *, SUM(s) OVER () AS z, COUNT(*) OVER () AS k FROM dom3)
+SELECT source, n_docs, n_bigrams, mean_nll, excess_nll,
+  ROUND(0.8 * (CAST(s AS DOUBLE) / CAST(z AS DOUBLE)) + 0.2 / k, 6)
+    AS weight
+FROM dom4 ORDER BY source
+"""
+
+
 # round 11: registry rotated staleness-first for the driver's
-# first-50 window (VERDICT r10 #1). Composition: 8 never-checked
-# debuts (WordPiece trainer + apply, Kneser-Ney scorer, CCNet
-# perplexity buckets, classifier calibration sweep, quality
+# first-50 window (VERDICT r10 #1). Composition: 11 never-checked
+# debuts (BLEU/ROUGE generation eval, Flesch readability, DoReMi-lite
+# domain reweighting, WordPiece trainer + apply, Kneser-Ney scorer,
+# CCNet perplexity buckets, classifier calibration sweep, quality
 # classifier, unigram trainer + apply), 2 entries whose code changed
 # THIS round (cdc_chunk_docs slice clamp; label_propagation_copurchase
-# checkpoint-cadence default), then all 40 r7-stale entries in
+# checkpoint-cadence default), then the 37 stalest r7 entries in
 # registry order.
-# 8 + 2 + 40 = 50. The window is machine-checked:
+# 11 + 2 + 37 = 50. The window is machine-checked:
 # DRIVER_WINDOW below must equal list(QUERIES)[:50] and the
 # staleness-first invariant is asserted by
 # tests/test_plans.py::test_driver_window_marker (ADVICE r9's
 # silent-marker-rot bug class).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "bleu_rouge_eval_docs": bleu_rouge_eval_docs,
+    "readability_docs": readability_docs,
+    "domain_reweight_docs": domain_reweight_docs,
     "wordpiece_train_docs": wordpiece_train_docs,
     "wordpiece_tokenize_docs": wordpiece_tokenize_docs,
     "kn_bigram_quality_docs": kn_bigram_quality_docs,
@@ -9228,8 +9402,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 DRIVER_WINDOW = {
     "round": 11,
     "size": 50,
-    "composition": {"debut": 8, "changed": 2, "r7_stale": 40},
+    "composition": {"debut": 11, "changed": 2, "r7_stale": 37},
     "debut": (
+        "bleu_rouge_eval_docs",
+        "readability_docs",
+        "domain_reweight_docs",
         "wordpiece_train_docs",
         "wordpiece_tokenize_docs",
         "kn_bigram_quality_docs",
@@ -9241,6 +9418,9 @@ DRIVER_WINDOW = {
     ),
     "changed": ("cdc_chunk_docs", "label_propagation_copurchase"),
     "entries": (
+        "bleu_rouge_eval_docs",
+        "readability_docs",
+        "domain_reweight_docs",
         "wordpiece_train_docs",
         "wordpiece_tokenize_docs",
         "kn_bigram_quality_docs",
@@ -9288,13 +9468,13 @@ DRIVER_WINDOW = {
         "quota_sample_sources",
         "tfidf_top_terms",
         "embedding_centroids",
-        "doc_fingerprint_winnow",
-        "winnow_overlap_pairs",
-        "repetition_signals",
     ),
 }
 
 ORACLES: dict[str, str] = {
+    "bleu_rouge_eval_docs": BLEU_ROUGE_SQL,
+    "readability_docs": READABILITY_SQL,
+    "domain_reweight_docs": DOMAIN_REWEIGHT_SQL,
     "setsim_join_docs": SETSIM_JOIN_SQL,
     "assoc_rules_copurchase": ASSOC_RULES_SQL,
     "acf_events": ACF_SQL,
@@ -9586,6 +9766,7 @@ SCALAR_BNL_OK = (
     "bm25_topk_docs",  # 1-row (n_docs, avgdl) corpus-scalar broadcast
     "unigram_lm_quality",  # 1-row total-token-count broadcast for ln(total)
     "bigram_lm_quality",  # 1-row vocabulary-size broadcast for the k·V term
+    "domain_reweight_docs",  # same 1-row vocabulary-size broadcast (k·V term)
     "kn_bigram_quality_docs",  # 1-row N1+(··) bigram-type-total broadcast
     "perplexity_buckets_docs",  # composes the KN scorer's scalar broadcast
     "tfidf_cosine_docs",  # 1-row n_docs broadcast for the IDF term

@@ -1,0 +1,112 @@
+"""texteval + doremi operators: BLEU/ROUGE, readability, domain reweight."""
+
+from __future__ import annotations
+
+import math
+
+from spark_skew_join_spark.operators.doremi import domain_reweight
+from spark_skew_join_spark.operators.texteval import (
+    corpus_bleu_rouge,
+    readability,
+)
+
+
+def test_bleu_rouge_hand_computed(spark):
+    # 14 tokens -> candidate drops positions 7 and 14 (1-based): 12 tokens.
+    # ref:  a b c d e f g h i j k l m n
+    # cand: a b c d e f h i j k l m   (g and n dropped)
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l m n", "A")],
+        "doc_id bigint, text string, source string",
+    )
+    row = corpus_bleu_rouge(docs).collect()[0]
+    assert row["n_docs"] == 1
+    assert row["ref_tokens"] == 14
+    assert row["cand_tokens"] == 12
+    # unigrams: every cand token appears once in ref -> clip1 = 12
+    assert row["rouge1_recall"] == round(12 / 14, 6)
+    # cand bigrams: 11 of them; 'f h' is novel (not in ref) -> clip2 = 10
+    # ref bigrams: 13
+    assert row["rouge2_recall"] == round(10 / 13, 6)
+    p1, p2 = 12 / 12, 10 / 11
+    bp = math.exp(min(0.0, 1.0 - 14 / 12))
+    want = round(bp * math.exp(0.5 * math.log(p1) + 0.5 * math.log(p2)), 6)
+    assert row["bleu2"] == want
+
+
+def test_bleu_identity_when_nothing_dropped(spark):
+    # < 7 tokens: candidate == reference -> perfect precision/recall,
+    # BP = 1, BLEU-2 = 1
+    docs = spark.createDataFrame(
+        [(1, "u v w x y z", "A"), (2, "u v w", "A")],
+        "doc_id bigint, text string, source string",
+    )
+    row = corpus_bleu_rouge(docs).collect()[0]
+    assert row["cand_tokens"] == row["ref_tokens"] == 9
+    assert row["bleu2"] == 1.0
+    assert row["rouge1_recall"] == 1.0
+    assert row["rouge2_recall"] == 1.0
+
+
+def test_readability_hand_computed(spark):
+    # doc: "strength a table value" -> syllables: strength 1 ([e]),
+    # a 1, table 2 ([a],[e]), value 2 ([a],[ue]) = 6; words 4;
+    # sentences = ceil(4/15) = 1
+    docs = spark.createDataFrame(
+        [(1, "strength a table value", "A")],
+        "doc_id bigint, text string, source string",
+    )
+    row = readability(docs).collect()[0]
+    assert row["words"] == 4
+    assert row["syllables"] == 6
+    assert row["sentences"] == 1
+    wps, spw = 4 / 1, 6 / 4
+    assert row["flesch"] == round(206.835 - 1.015 * wps - 84.6 * spw, 6)
+    assert row["fk_grade"] == round(0.39 * wps + 11.8 * spw - 15.59, 6)
+
+
+def test_readability_consonant_word_floor(spark):
+    # a vowel-free token still counts >= 1 syllable
+    docs = spark.createDataFrame(
+        [(1, "xyzzw bcd", "A")], "doc_id bigint, text string, source string"
+    )
+    row = readability(docs).collect()[0]
+    # xyzzw has [y] -> 1; bcd has none -> floor 1
+    assert row["syllables"] == 2
+
+
+def test_domain_reweight_orders_and_normalizes(spark):
+    # domain B repeats one bigram (predictable); domain A is all-novel
+    # bigrams -> A has higher mean NLL -> excess > 0 -> weight(A) >
+    # weight(B); weights sum to ~1.
+    docs = spark.createDataFrame(
+        [
+            (1, "p q r s t u", "A"),
+            (2, "m m m m m m", "B"),
+            (3, "m m m m m m", "B"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    rows = {r["source"]: r.asDict() for r in domain_reweight(docs).collect()}
+    assert rows["A"]["mean_nll"] > rows["B"]["mean_nll"]
+    assert rows["B"]["excess_nll"] == 0.0
+    assert rows["A"]["excess_nll"] == round(
+        rows["A"]["mean_nll"] - rows["B"]["mean_nll"], 6
+    )
+    assert rows["A"]["weight"] > rows["B"]["weight"]
+    total = sum(r["weight"] for r in rows.values())
+    assert abs(total - 1.0) < 1e-5
+    # uniform floor: alpha/k = 0.1 per domain is a hard lower bound
+    assert all(r["weight"] > 0.2 / 2 for r in rows.values())
+
+
+def test_domain_reweight_uniform_on_identical_domains(spark):
+    # identical text in every domain -> zero excess everywhere ->
+    # exactly uniform weights
+    docs = spark.createDataFrame(
+        [(1, "a b c", "A"), (2, "a b c", "B"), (3, "a b c", "C")],
+        "doc_id bigint, text string, source string",
+    )
+    for r in domain_reweight(docs).collect():
+        assert r["excess_nll"] == 0.0
+        assert r["weight"] == round(1 / 3, 6)
