@@ -531,6 +531,42 @@ def main() -> None:
         )
     )
 
+    br = q.QUERIES["bleu_rouge_eval_docs"](spark, SF)
+    simplebr = plan_string(br, "simple")
+    out.append(
+        section(
+            "bleu_rouge_eval_docs — one clip join after the unigram identity (round 11)",
+            "\n".join(
+                l
+                for l in simplebr.splitlines()
+                if "Join" in l or "Exchange" in l or "Python" in l
+            ),
+            "Exactly ONE (doc, gram-hash)-keyed clip join survives — the\n"
+            "bigram one; the unigram clipped count is the analytic candidate\n"
+            "total (sub-multiset identity, hash-verified by the oracle's\n"
+            "explicit join). Gram keys are int64 xxhash64; the per-source\n"
+            "joins are 20-row broadcasts. No Python anywhere.",
+        )
+    )
+
+    dr = q.QUERIES["domain_reweight_docs"](spark, SF)
+    simpledr = plan_string(dr, "simple")
+    out.append(
+        section(
+            "domain_reweight_docs — per-domain-distinct count joins (round 11)",
+            "\n".join(
+                l
+                for l in simpledr.splitlines()
+                if "Join" in l or "Exchange" in l or "Python" in l
+                or "Window" in l
+            ),
+            "The bigram/unigram count joins ride per-domain-distinct tf rows\n"
+            "(int64 keys); the only BroadcastNestedLoopJoin is the 1-row\n"
+            "vocabulary-size attach (SCALAR_BNL_OK); the softmax window runs\n"
+            "over one row per domain. No Python anywhere.",
+        )
+    )
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print("PLANS.md written")
