@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["domain_reweight"]
+__all__ = ["domain_reweight", "domain_reweight_mw"]
 
 
 def domain_reweight(
@@ -130,4 +130,156 @@ def domain_reweight(
         "mean_nll",
         "excess_nll",
         weight.alias("weight"),
+    ).orderBy(group_col)
+
+
+def domain_reweight_mw(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    epochs: int = 3,
+    k_smooth: float = 0.5,
+    eta: float = 0.5,
+    alpha: float = 0.2,
+) -> DataFrame:
+    """Iterative DoReMi: multiplicative-weights domain reweighting.
+
+    The full DoReMi recurrence (Xie et al. 2023, Alg. 1 — Group-DRO
+    with multiplicative weights), not the one-shot softmax of
+    ``domain_reweight``: per epoch t the weights move by
+
+        w'_d  = w_{t-1,d} · exp(η · excess_{d,t})
+        w_t,d = (1−α) · w'_d / Σ_d w'_d  +  α / n_domains
+
+    The per-step uniform smoothing makes the recurrence genuinely
+    non-telescoping (without it, log-weights would just sum the
+    per-epoch excesses and one shot would suffice), so the epochs are
+    UNROLLED into the plan — the pagerank / classifier-GD
+    fixed-iteration precedent — and the oracle replays every step as a
+    CTE chain.  Epoch slices are ``doc_id % epochs`` (deterministic in
+    both engines for non-negative ids); losses come from the global
+    add-k bigram LM scored on each (epoch, domain) slice, so the whole
+    E x D loss matrix falls out of ONE tf aggregation pass.
+
+    Determinism: per-occurrence NLLs quantize to DECIMAL(18,6) before
+    summation; per-step scores quantize to DECIMAL(18,9) so the ~D-row
+    normalizer sums are exact; weights round to 6 decimals per step and
+    the ROUNDED value feeds the next step — the recurrence the oracle
+    replays is exactly the recurrence Spark runs.
+
+    Scale design: identical join envelope to ``domain_reweight`` (tf
+    rows are per-(epoch, domain)-distinct — E x that of the one-shot —
+    int64 gram keys, one scalar vocabulary broadcast); the recurrence
+    itself runs on one row per domain via single-partition windows,
+    bounded by domain count, never by data.
+
+    Output: (group, n_docs, excess_e1..eE, weight_e1..eE, weight) with
+    weight ≡ weight_eE; every intermediate step is in the row, so the
+    correctness gate certifies the full trajectory.
+    """
+    if epochs < 1:
+        raise ValueError("epochs must be >= 1")
+    arr = F.split(F.col(text_col), " ")
+    ep = F.pmod(F.col(id_col), F.lit(epochs)).cast("int")
+    base = (
+        docs.where(F.size(arr) >= 2)
+        .select(
+            F.col(group_col).alias("__g"), ep.alias("__e"), arr.alias("__tk")
+        )
+        .select(
+            "__g",
+            "__e",
+            F.explode(F.sequence(F.lit(1), F.size("__tk") - 1)).alias("__i"),
+            "__tk",
+        )
+    )
+    a = F.element_at(F.col("__tk"), F.col("__i"))
+    b = F.element_at(F.col("__tk"), F.col("__i") + F.lit(1))
+    grams = base.select(
+        "__g",
+        "__e",
+        F.xxhash64(a).alias("__ha"),
+        F.xxhash64(a, b).alias("__hab"),
+    )
+    tf = grams.groupBy("__g", "__e", "__hab", "__ha").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    # GLOBAL LM counts (the static proxy): one corpus pass each
+    bc = grams.groupBy("__hab").agg(F.count(F.lit(1)).alias("__bc"))
+    ucnt = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("__t"))
+        .select(F.xxhash64("__t").alias("__ha"))
+        .groupBy("__ha")
+        .agg(F.count(F.lit(1)).alias("__ca"))
+    )
+    vocab = F.broadcast(ucnt.agg(F.count(F.lit(1)).alias("__v")))
+    nll = -F.log(
+        (F.col("__bc") + F.lit(k_smooth))
+        / (F.col("__ca") + F.lit(k_smooth) * F.col("__v"))
+    )
+    q = F.round(nll, 6).cast("decimal(18,6)")
+    cell = (
+        tf.join(bc, "__hab")
+        .join(ucnt, "__ha")
+        .crossJoin(vocab)
+        .groupBy("__g", "__e")
+        .agg(
+            F.sum("__n").alias("__nb"),
+            F.sum(F.col("__n") * q).alias("__nll_sum"),
+        )
+        .withColumn(
+            "__mean",
+            F.round(F.col("__nll_sum").cast("double") / F.col("__nb"), 6),
+        )
+    )
+    we = Window.partitionBy("__e")
+    cell = cell.withColumn(
+        "__x", F.round(F.col("__mean") - F.min("__mean").over(we), 6)
+    )
+    # pivot the E x D excess matrix wide: one row per domain. A domain
+    # absent from an epoch slice carries no loss evidence — its excess
+    # coalesces to 0 (no update that step), keeping the recurrence
+    # total and NULL-free
+    wide = cell.groupBy("__g").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("__e") == t, F.col("__x"))), F.lit(0.0)
+            ).alias(f"excess_e{t + 1}")
+            for t in range(epochs)
+        ]
+    )
+    ndocs = docs.groupBy(F.col(group_col).alias("__g")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    dom = wide.join(ndocs, "__g")
+    w = Window.partitionBy()
+    dom = dom.withColumn("__k", F.count(F.lit(1)).over(w))
+    prev = F.round(F.lit(1.0) / F.col("__k"), 6)  # uniform init
+    for t in range(1, epochs + 1):
+        s = F.round(
+            prev * F.exp(F.lit(eta) * F.col(f"excess_e{t}")), 9
+        ).cast("decimal(18,9)")
+        dom = dom.withColumn(f"__s{t}", s).withColumn(
+            f"__z{t}", F.sum(f"__s{t}").over(w)
+        )
+        dom = dom.withColumn(
+            f"weight_e{t}",
+            F.round(
+                F.lit(1.0 - alpha)
+                * (
+                    F.col(f"__s{t}").cast("double")
+                    / F.col(f"__z{t}").cast("double")
+                )
+                + F.lit(alpha) / F.col("__k"),
+                6,
+            ),
+        )
+        prev = F.col(f"weight_e{t}")
+    return dom.select(
+        F.col("__g").alias(group_col),
+        "n_docs",
+        *[f"excess_e{t}" for t in range(1, epochs + 1)],
+        *[f"weight_e{t}" for t in range(1, epochs + 1)],
+        F.col(f"weight_e{epochs}").alias("weight"),
     ).orderBy(group_col)

@@ -110,3 +110,64 @@ def test_domain_reweight_uniform_on_identical_domains(spark):
     for r in domain_reweight(docs).collect():
         assert r["excess_nll"] == 0.0
         assert r["weight"] == round(1 / 3, 6)
+
+
+def test_domain_reweight_mw_trajectory_replay(spark):
+    # replay the multiplicative-weights recurrence in pure Python from
+    # the operator's own per-epoch excess columns: every weight_e{t}
+    # must match the recurrence with per-step round-6 (the same
+    # recurrence the SQL oracle unrolls)
+    from spark_skew_join_spark.operators.doremi import domain_reweight_mw
+
+    docs = spark.createDataFrame(
+        [
+            (i, t, s)
+            for i, (t, s) in enumerate(
+                [
+                    ("p q r s t u v w", "A"),
+                    ("m m m m m m m m", "B"),
+                    ("m m n n m m n n", "B"),
+                    ("p q r s p q r s", "A"),
+                    ("u v w u v w u v", "A"),
+                    ("n n n n m m m m", "B"),
+                ]
+            )
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    rows = {
+        r["source"]: r.asDict()
+        for r in domain_reweight_mw(docs, epochs=3).collect()
+    }
+    k, eta, alpha = 2, 0.5, 0.2
+    w_prev = {g: round(1.0 / k, 6) for g in rows}
+    for t in (1, 2, 3):
+        s = {
+            g: round(w_prev[g] * math.exp(eta * rows[g][f"excess_e{t}"]), 9)
+            for g in rows
+        }
+        z = sum(s.values())
+        w_now = {
+            g: round((1 - alpha) * (s[g] / z) + alpha / k, 6) for g in rows
+        }
+        for g in rows:
+            assert rows[g][f"weight_e{t}"] == w_now[g], (t, g)
+        w_prev = w_now
+    for g in rows:
+        assert rows[g]["weight"] == rows[g]["weight_e3"]
+    assert abs(sum(r["weight"] for r in rows.values()) - 1.0) < 1e-5
+
+
+def test_domain_reweight_mw_uniform_fixpoint(spark):
+    # identical text in every domain and epoch slice -> zero excess at
+    # every step -> the uniform mixture is a fixpoint of the recurrence
+    from spark_skew_join_spark.operators.doremi import domain_reweight_mw
+
+    docs = spark.createDataFrame(
+        [(i, "a b c a b c", f"S{i // 3}") for i in range(9)],
+        "doc_id bigint, text string, source string",
+    )
+    for r in domain_reweight_mw(docs, epochs=3).collect():
+        for t in (1, 2, 3):
+            assert r[f"excess_e{t}"] == 0.0
+            assert r[f"weight_e{t}"] == round(1 / 3, 6)
