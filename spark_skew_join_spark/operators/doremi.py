@@ -1,4 +1,8 @@
-"""DoReMi-lite domain reweighting: excess-loss mixture weights.
+"""DoReMi domain reweighting: excess-loss mixture weights.
+
+Two variants: ``domain_reweight`` (one-shot softmax) and
+``domain_reweight_mw`` (the full iterative multiplicative-weights
+recurrence of DoReMi Alg. 1, unrolled).
 
 Xie et al. 2023 ("DoReMi: Optimizing Data Mixtures Speeds Up Language
 Model Pretraining") learns domain weights by up-weighting domains with

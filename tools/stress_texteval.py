@@ -20,7 +20,10 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F
 
-from spark_skew_join_spark.operators.doremi import domain_reweight
+from spark_skew_join_spark.operators.doremi import (
+    domain_reweight,
+    domain_reweight_mw,
+)
 from spark_skew_join_spark.operators.texteval import (
     corpus_bleu_rouge,
     readability,
@@ -65,6 +68,7 @@ def main() -> None:
         ("corpus_bleu_rouge", lambda: corpus_bleu_rouge(docs)),
         ("readability", lambda: readability(docs)),
         ("domain_reweight", lambda: domain_reweight(docs)),
+        ("domain_reweight_mw", lambda: domain_reweight_mw(docs)),
     ]:
         t0 = time.time()
         out = fn().collect()
