@@ -100,6 +100,12 @@ QUERIES = [
     "kn_bigram_quality_docs",
     "perplexity_buckets_docs",
     "classifier_calibration_docs",
+    # round-11 texteval/doremi family: BLEU's single clip join after
+    # the unigram identity, and the per-(epoch,domain) loss-matrix pass
+    "bleu_rouge_eval_docs",
+    "readability_docs",
+    "domain_reweight_docs",
+    "domain_reweight_mw_docs",
 ]
 
 
