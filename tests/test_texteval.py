@@ -171,3 +171,73 @@ def test_domain_reweight_mw_uniform_fixpoint(spark):
         for t in (1, 2, 3):
             assert r[f"excess_e{t}"] == 0.0
             assert r[f"weight_e{t}"] == round(1 / 3, 6)
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+
+def _bleu_rouge_reference(token_lists):
+    """Pure-Python corpus BLEU-2 / ROUGE-1/2 for the deletion candidate
+    (drop every 7th 1-based token) — an independent implementation with
+    explicit clip joins for BOTH n (no unigram-identity shortcut)."""
+    from collections import Counter
+
+    c1 = c2 = t1c = t2c = t1r = t2r = 0
+    for w in token_lists:
+        cand = [t for i, t in enumerate(w) if (i + 1) % 7 != 0]
+        for n in (1, 2):
+            rg = Counter(tuple(w[i:i + n]) for i in range(len(w) - n + 1))
+            cg = Counter(
+                tuple(cand[i:i + n]) for i in range(len(cand) - n + 1)
+            )
+            clip = sum(min(c, rg[g]) for g, c in cg.items())
+            if n == 1:
+                c1 += clip
+                t1c += len(cand)
+                t1r += len(w)
+            else:
+                c2 += clip
+                t2c += max(len(cand) - 1, 0)
+                t2r += max(len(w) - 1, 0)
+    import math as m
+
+    p1, p2 = c1 / t1c, c2 / t2c if t2c else 0.0
+    bp = m.exp(min(0.0, 1.0 - t1r / t1c))
+    bleu = (
+        round(bp * m.exp(0.5 * m.log(p1) + 0.5 * m.log(p2)), 6)
+        if c1 > 0 and c2 > 0
+        else 0.0
+    )
+    return {
+        "cand_tokens": t1c,
+        "ref_tokens": t1r,
+        "bleu2": bleu,
+        "rouge1_recall": round(c1 / t1r, 6),
+        "rouge2_recall": round(c2 / t2r, 6) if t2r else None,
+    }
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e"]),
+            min_size=2, max_size=30,
+        ),
+        min_size=1, max_size=12,
+    )
+)
+def test_bleu_rouge_matches_python_reference(spark, docs):
+    # single group: the Spark operator (WITH the unigram-identity
+    # shortcut) must match an independent Python implementation that
+    # clips every n explicitly — re-proving the identity on arbitrary
+    # token multisets, not just the fixtures
+    df = spark.createDataFrame(
+        [(i, " ".join(w), "G") for i, w in enumerate(docs)],
+        "doc_id bigint, text string, source string",
+    )
+    got = corpus_bleu_rouge(df).collect()[0].asDict()
+    want = _bleu_rouge_reference(docs)
+    for k, v in want.items():
+        assert got[k] == v, (k, got[k], v)
