@@ -52,7 +52,11 @@ def embedding_covariance(
     same aggregation carries n·max|x|·max|y| in doubles (never
     overflows) and ``raise_error``s when that conservative envelope
     crosses 2⁶³ — before a wrapped sum could ever be emitted, on any
-    Spark version and either ANSI setting.
+    Spark version and either ANSI setting. The quantization cast has
+    the same contract: |x| ≥ 1e12 exceeds decimal(18,6) and would NULL
+    silently under ANSI-off (NULLs skip sum/max, blinding the envelope
+    guard), so the element expression raises in-plan before the cast
+    (ADVICE r11 #2).
 
     Scale shape: the fan-out is dim·(dim+1)/2 per row BEFORE the
     aggregate, but it never reaches a shuffle — the (i, j) groupBy
@@ -63,13 +67,29 @@ def embedding_covariance(
     """
     if dim < 2:
         raise ValueError("dim must be >= 2")
-    # per-row quantized micro-unit array, computed ONCE per vector
+    # per-row quantized micro-unit array, computed ONCE per vector.
+    # With ANSI off the decimal(18,6) cast NULLs out (instead of erroring)
+    # for |x| >= 1e12, and NULLs are skipped by sum/max — so the envelope
+    # guard below would never see the overflow (ADVICE r11 #2). Raise
+    # in-plan BEFORE the cast can swallow a value; NaN compares greater
+    # than any double in Spark SQL, so garbage vectors fail loudly too.
     q = F.transform(
         F.col(vec_col),
-        lambda x: (
-            F.round(x.cast("double"), 6).cast("decimal(18,6)")
-            * F.lit(1_000_000)
-        ).cast("long"),
+        lambda x: F.when(
+            F.abs(x.cast("double")) >= F.lit(1e12),
+            F.raise_error(
+                F.lit(
+                    "embedding_covariance: |value| >= 1e12 exceeds the "
+                    "decimal(18,6) quantization range — use "
+                    "covariance_outer for this scale"
+                )
+            ).cast("long"),
+        ).otherwise(
+            (
+                F.round(x.cast("double"), 6).cast("decimal(18,6)")
+                * F.lit(1_000_000)
+            ).cast("long")
+        ),
     )
     e = emb.select(q.alias("__q"))
     xi = F.element_at("__q", F.col("i") + 1)

@@ -9258,7 +9258,7 @@ FROM w3 ORDER BY source
 # CCNet perplexity buckets, classifier calibration sweep, quality
 # classifier, unigram trainer + apply), 2 entries whose code changed
 # THIS round (cdc_chunk_docs slice clamp; label_propagation_copurchase
-# checkpoint-cadence default), then the 37 stalest r7 entries in
+# checkpoint-cadence default), then the 36 stalest r7 entries in
 # registry order.
 # 12 + 2 + 36 = 50. The window is machine-checked:
 # DRIVER_WINDOW below must equal list(QUERIES)[:50] and the

@@ -108,3 +108,35 @@ def test_covariance_overflow_guard_is_ansi_independent(spark):
         assert embedding_covariance(ok, dim=2).count() == 3
     finally:
         spark.conf.set("spark.sql.ansi.enabled", old)
+
+
+def test_covariance_quantize_range_guard(spark):
+    """|x| >= 1e12 exceeds decimal(18,6): under ANSI-off the cast would
+    NULL silently (NULLs skip sum/max, blinding the envelope guard —
+    ADVICE r11 #2); the element expression must raise in-plan instead."""
+    import pytest as _pt
+
+    from spark_skew_join_spark.operators.pca import embedding_covariance
+
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        big = spark.createDataFrame(
+            [([1.5e12, 0.0],), ([0.0, 1.0],)], "embedding array<double>"
+        )
+        with _pt.raises(Exception, match="decimal\\(18,6\\)|covariance_outer"):
+            embedding_covariance(big, dim=2).collect()
+        nan = spark.createDataFrame(
+            [([float("nan"), 0.0],), ([0.0, 1.0],)], "embedding array<double>"
+        )
+        with _pt.raises(Exception, match="decimal\\(18,6\\)|covariance_outer"):
+            embedding_covariance(nan, dim=2).collect()
+        # sane values still pass the new element guard under the same
+        # setting — collect(), not count(): count prunes the guarded
+        # columns and would vacuously pass
+        ok = spark.createDataFrame(
+            [([0.5, 0.25],), ([0.75, 1.0],)], "embedding array<double>"
+        )
+        assert len(embedding_covariance(ok, dim=2).collect()) == 3
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
