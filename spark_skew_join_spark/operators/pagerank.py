@@ -178,38 +178,49 @@ def kcore(
     Peeling is idempotent after convergence, so early rounds to spare
     are harmless.
 
-    Scale shape: each round is one degree groupBy plus two semi-joins
-    keyed by vertex id — all equi-joins, map-side-combined counts. The
-    edge set SHRINKS monotonically, so per-round cost falls. Each
-    round's survivor edges are localCheckpoint'ed (eager): without the
-    barrier, round r's plan references round r-1's THREE times (degree
-    + both semi-joins) and the lazy plan grows 3^rounds; with it, each
-    round is one linear pass over the materialized previous round —
-    registry entries using this must sit in EAGER_QUERIES.
+    DELTA PEELING (round 12, VERDICT r11 #3): the edge set is
+    materialized ONCE; per-round state is the per-vertex DEGREE table
+    (|V| rows — 54x smaller than the sf0.1 edge set). A round drops
+    the vertices whose maintained degree fell below ``k`` and
+    decrements each surviving neighbor once per edge into the dropped
+    set — arithmetically identical to recomputing degrees on the
+    filtered subgraph (edges are distinct; an edge whose other
+    endpoint died earlier targets a vertex already absent from the
+    degree table, a no-op), so the round-for-round trajectory is
+    BIT-IDENTICAL to the rebuild-the-edges formulation the oracle
+    replays. The previous shape re-filtered and re-checkpointed the
+    full edge set every round (SHUFFLE_AUDIT r11: 2.5 GB input for a
+    54 MB edge set); now each round scans the one materialized edge
+    table once (two broadcast-sized left joins against the newly-dead
+    set under AQE) and checkpoints only the degree table.
+
+    Scale shape: per round, one scan of the static edge table, one
+    map-side-combined decrement count (only edges incident to newly
+    dead vertices shuffle), one |V|-row degree update. Early rounds on
+    a 100 TB graph can drop large vertex sets — the dead-set joins are
+    plain equi-joins, so AQE picks broadcast only when the delta
+    actually fits.
 
     Pass a list as ``round_timings`` to receive per-round wall seconds
     (VERDICT r8 #7 — each round ends at an eager checkpoint, so the
     wall is the round's real cost; no-op when ``checkpoint=False``
     since rounds are then lazy and have no per-round boundary).
 
-    ``checkpoint_every`` (VERDICT r9 #6) sets the checkpoint cadence:
-    N>1 materializes every N rounds, trading a 3^N-wide (but linear-
-    over-one-materialized-input) plan between barriers for N× fewer
-    cache writes/reads — SHUFFLE_AUDIT showed per-round checkpoints
-    re-reading 3.0 GB for a 54 MB edge set at sf0.1. The 10M-edge
-    stress (BASELINE.md round 10) measured cadence 1/2/4; cadence 1
-    stays the default (the 3× re-derivation between barriers costs
-    more than the cache traffic it saves on this shape — see table),
-    with the knob available for cheaper-per-round graphs.
+    ``checkpoint_every`` (VERDICT r9 #6) sets the checkpoint cadence
+    for the DEGREE table: N>1 materializes every N rounds; the lazy
+    chain between barriers references the previous degree table three
+    times per round (dead set x2 + survivor filter), so cadence 1
+    stays the default — the per-round checkpoint is now a |V|-row
+    write, cheap enough that wider cadences stopped mattering.
 
     ``early_stop`` ends peeling at a checkpoint boundary where the
-    materialized edge count is unchanged — peeling is idempotent
-    after convergence, so the result is BIT-IDENTICAL to running all
-    ``rounds`` (the fixed-round contract is unchanged; only wasted
-    converged rounds are skipped). The convergence probe is a count
-    on already-materialized partitions (~50 ms) and requires
-    ``checkpoint=True``; the timings list then ends at the stopping
-    round, which is itself the convergence evidence.
+    materialized degree-table row count is unchanged — rows leave the
+    degree table exactly when a round drops vertices, so an unchanged
+    count IS convergence, and the result is BIT-IDENTICAL to running
+    all ``rounds`` (only wasted converged rounds are skipped). The
+    probe is a count on the just-materialized |V|-row table and
+    requires ``checkpoint=True``; the timings list then ends at the
+    stopping round, which is itself the convergence evidence.
     """
     if k < 1 or rounds < 1:
         raise ValueError("k and rounds must be >= 1")
@@ -227,38 +238,72 @@ def kcore(
     if checkpoint:
         e = e.localCheckpoint(eager=True)
 
-    def _deg(ed: DataFrame) -> DataFrame:
-        return (
-            ed.select(F.col("u").alias("n"))
-            .unionAll(ed.select(F.col("v").alias("n")))
-            .groupBy("n")
-            .agg(F.count(F.lit(1)).alias("d"))
-        )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    if checkpoint:
+        deg = deg.localCheckpoint(eager=True)
 
     import time as _time
 
-    prev_n = e.count() if (checkpoint and early_stop) else None
+    prev_n = deg.count() if (checkpoint and early_stop) else None
     t0 = _time.perf_counter()
     for r in range(rounds):
-        keep = _deg(e).where(F.col("d") >= k).select("n")
-        ku = keep.select(F.col("n").alias("u"))
-        kv = keep.select(F.col("n").alias("v"))
-        e = e.join(ku, "u", "left_semi").join(kv, "v", "left_semi")
+        dead = deg.where(F.col("d") < k).select("n")
+        marked = e.join(
+            dead.select(F.col("n").alias("u"), F.lit(True).alias("__au")),
+            "u",
+            "left",
+        ).join(
+            dead.select(F.col("n").alias("v"), F.lit(True).alias("__av")),
+            "v",
+            "left",
+        )
+        # an edge with exactly ONE newly-dead endpoint decrements the
+        # other; both-dead edges vanish with their endpoints, and a
+        # stale edge (other endpoint died in an earlier round) targets
+        # a vertex no longer in the degree table — a join no-op
+        target = F.when(
+            F.col("__au").isNotNull() & F.col("__av").isNull(), F.col("v")
+        ).when(
+            F.col("__av").isNotNull() & F.col("__au").isNull(), F.col("u")
+        )
+        decs = (
+            marked.select(target.alias("n"))
+            .where(F.col("n").isNotNull())
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("__dec"))
+        )
+        deg = (
+            deg.where(F.col("d") >= k)
+            .join(decs, "n", "left")
+            .select(
+                "n",
+                (F.col("d") - F.coalesce(F.col("__dec"), F.lit(0))).alias(
+                    "d"
+                ),
+            )
+        )
         boundary = checkpoint and (
             (r + 1) % checkpoint_every == 0 or r == rounds - 1
         )
         if boundary:
-            e = e.localCheckpoint(eager=True)
+            deg = deg.localCheckpoint(eager=True)
             if round_timings is not None:
                 round_timings.append(_time.perf_counter() - t0)
             t0 = _time.perf_counter()
             if early_stop:
-                n = e.count()
+                n = deg.count()
                 if n == prev_n:
                     break
                 prev_n = n
 
-    return _deg(e).select(
+    # vertices with no surviving edge carry degree 0 — absent from the
+    # edge-set formulation's output (degrees of the final edge table)
+    return deg.where(F.col("d") >= 1).select(
         F.col("n").alias("node"), F.col("d").alias("degree")
     )
 

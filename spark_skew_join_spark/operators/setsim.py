@@ -12,14 +12,27 @@ WWW 2007; Xiao et al., PPJoin, WWW 2008):
   t * |B| <= |A| <= |B| / t, so wildly different-sized sets never pair.
 * **prefix filter** — order every set by one global token ordering
   (ascending document frequency, ties by token, so the *rarest* tokens
-  come first). If Jaccard(A, B) >= t then |A ∩ B| >= ceil(t * |A|), and
-  two sets meeting that overlap must share at least one token within
-  their first ``|X| - ceil(t * |X|) + 1`` tokens. Only those short,
-  rare-token prefixes are exploded and equi-joined, so the hot
-  stop-words that make a naive token join quadratic never enter the
-  candidate index.
+  come first). If Jaccard(A, B) >= t then |A ∩ B| >= α =
+  ceil(t/(1+t) * (|A| + |B|)), and two sets meeting that overlap must
+  share at least one token within their first ``|X| - α + 1`` tokens.
+  Sides are size-canonical (A the smaller set, ties by id), which
+  sharpens the bound asymmetrically (PPJoin §3): the smaller side
+  explodes only ``|A| - ceil(2t/(1+t) * |A|) + 1`` tokens (α >=
+  2t/(1+t)·|A| because |B| >= |A|), the larger side
+  ``|B| - ceil(t * |B|) + 1`` (α >= t·|B| because |A| >= t·|B|). Only
+  those short, rare-token prefixes are exploded and equi-joined, so
+  the hot stop-words that make a naive token join quadratic never
+  enter the candidate index.
+* **positional filter** (PPJoin) — a generated pair knows WHERE in
+  each prefix the shared token sits (positions i in A, j in B under
+  the common global order); the overlap can be at most
+  ``1 + min(|A| - i, |B| - j)``, so generations whose bound falls
+  below α are dropped BEFORE the candidate distinct. Applied per
+  generation (a pair survives if any shared prefix token qualifies —
+  a superset of PPJoin's first-common-token rule, so recall stays
+  100%).
 
-Candidates surviving both filters are verified with an exact
+Candidates surviving the filters are verified with an exact
 ``array_intersect`` on the full (distinct) token arrays.
 
 Scale shape (100 TB posture)
@@ -32,6 +45,10 @@ Everything is equi-join + groupBy — no cartesian, no Python UDFs:
   shingle pattern). Equal grams always hash equal, so recall stays
   100%; a cross-gram collision (~n²/2⁶⁴) could merge two tokens, the
   same (negligible) caveat the hashed-shingle dedup family carries;
+* the hashed (doc, token) set is session-cached: it feeds both the df
+  aggregation and the per-doc array build, and without the cache Spark
+  re-runs the tokenize+hash+distinct subtree once per consumer
+  (VERDICT r11 #3 — the "second tokenize pass");
 * token df counts: one map-side-combined groupBy over (doc, token);
 * the per-doc ordered array is built by ``sort_array(collect_list)``
   *per doc id* — there is no global window, the global ordering is
@@ -115,11 +132,18 @@ def set_similarity_join(
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     t = F.lit(float(threshold))
+    tv = float(threshold)
 
     # 8-byte token hashes from here on — the gram STRING never shuffles
     tok = word_ngrams(docs, ngram, id_col, text_col).select(
         "_ss_id", F.xxhash64("token").alias("token")
     )
+    if cache_ordered:
+        from .dedup import _session_cache
+
+        # tok feeds BOTH the df aggregation and the array build —
+        # uncached, Spark runs the tokenize+hash+distinct subtree twice
+        tok = _session_cache(tok, "auto")
     dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
 
     # Per-doc token array sorted by the global (df asc, hash asc) order.
@@ -138,31 +162,49 @@ def set_similarity_join(
         )
     )
     if cache_ordered:
-        from .dedup import _session_cache
-
         ordered = _session_cache(ordered, "auto")
 
-    # prefix length |x| - ceil(t*|x|) + 1  (>= 1 for every non-empty set)
-    prefix_len = (F.col("n") - F.ceil(t * F.col("n")) + F.lit(1)).cast("int")
-    prefix = ordered.select(
-        F.col("_ss_id"),
-        F.col("n"),
-        F.explode(F.slice("tokens", F.lit(1), prefix_len)).alias("token"),
+    # size-canonical asymmetric prefixes (PPJoin): the a-role (smaller
+    # set, ties by id) explodes |x| - ceil(2t/(1+t)·|x|) + 1 tokens,
+    # the b-role |x| - ceil(t·|x|) + 1; positions ride along for the
+    # positional filter (1-based within the full ordered array)
+    short_len = (
+        F.col("n") - F.ceil(F.lit(2.0 * tv / (1.0 + tv)) * F.col("n")) + F.lit(1)
+    ).cast("int")
+    long_len = (F.col("n") - F.ceil(t * F.col("n")) + F.lit(1)).cast("int")
+    pa = ordered.select(
+        F.col("_ss_id").alias("id_a"),
+        F.col("n").alias("na"),
+        F.posexplode(F.slice("tokens", F.lit(1), short_len)).alias(
+            "__ia", "token"
+        ),
     )
-
-    pa = prefix.select(
-        F.col("_ss_id").alias("id_a"), F.col("n").alias("na"), "token"
+    pb = ordered.select(
+        F.col("_ss_id").alias("id_b"),
+        F.col("n").alias("nb"),
+        F.posexplode(F.slice("tokens", F.lit(1), long_len)).alias(
+            "__jb", "token"
+        ),
     )
-    pb = prefix.select(
-        F.col("_ss_id").alias("id_b"), F.col("n").alias("nb"), "token"
+    # minimum required overlap α = ceil(t/(1+t)·(na+nb))
+    alpha = F.ceil(F.lit(tv / (1.0 + tv)) * (F.col("na") + F.col("nb")))
+    canonical = (F.col("na") < F.col("nb")) | (
+        (F.col("na") == F.col("nb")) & (F.col("id_a") < F.col("id_b"))
     )
     cand = (
         pa.join(pb, "token")
-        .where(F.col("id_a") < F.col("id_b"))
-        # length filter: t*max <= min  <=>  both directions below
+        .where(canonical)
+        # length filter (na <= nb canonically, so one direction suffices)
+        .where(F.col("na") >= F.ceil(t * F.col("nb")))
+        # positional filter: overlap can't exceed what's left after the
+        # shared token's position on each side
         .where(
-            (F.col("na") >= F.ceil(t * F.col("nb")))
-            & (F.col("nb") >= F.ceil(t * F.col("na")))
+            F.lit(1)
+            + F.least(
+                F.col("na") - (F.col("__ia") + F.lit(1)),
+                F.col("nb") - (F.col("__jb") + F.lit(1)),
+            )
+            >= alpha
         )
         .select("id_a", "id_b")
         .distinct()
@@ -182,16 +224,26 @@ def set_similarity_join(
     jacc = inter.cast("double") / (
         F.col("size_a") + F.col("size_b") - inter
     )
-    return (
+    verified = (
         cand.join(ta, "id_a")
         .join(tb, "id_b")
         .select(
             "id_a",
             "id_b",
             inter.cast("bigint").alias("inter"),
-            F.col("size_a").cast("bigint"),
-            F.col("size_b").cast("bigint"),
+            F.col("size_a").cast("bigint").alias("size_a"),
+            F.col("size_b").cast("bigint").alias("size_b"),
             jacc.alias("jaccard"),
         )
         .where(F.col("jaccard") >= t)
+    )
+    # canonical roles order by SIZE; re-orient the output to id_a < id_b
+    swap = F.col("id_a") > F.col("id_b")
+    return verified.select(
+        F.when(swap, F.col("id_b")).otherwise(F.col("id_a")).alias("id_a"),
+        F.when(swap, F.col("id_a")).otherwise(F.col("id_b")).alias("id_b"),
+        "inter",
+        F.when(swap, F.col("size_b")).otherwise(F.col("size_a")).alias("size_a"),
+        F.when(swap, F.col("size_a")).otherwise(F.col("size_b")).alias("size_b"),
+        "jaccard",
     )
