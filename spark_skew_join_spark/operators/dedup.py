@@ -101,6 +101,40 @@ def _session_cache(df: DataFrame, mode=True) -> DataFrame:
     return df
 
 
+def cache_snapshot() -> tuple[int, int]:
+    """Current lengths of the band/spill registries — pair with
+    ``entries_since`` / ``release_entries`` for scoped release
+    (bench.py's per-line cache hygiene, VERDICT r11 #1a)."""
+    return (len(_CACHED_BANDS), len(_SPILL_TABLES))
+
+
+def entries_since(snap: tuple[int, int]) -> tuple[list, list]:
+    """Band DataFrames and spill-table entries registered after
+    ``snap`` (a ``cache_snapshot`` value)."""
+    nb, ns = snap
+    return list(_CACHED_BANDS[nb:]), list(_SPILL_TABLES[ns:])
+
+
+def release_entries(bands: list, spills: list) -> None:
+    """Unpersist the given band frames and drop the given spill tables,
+    removing them from the registries (identity-based — DataFrame
+    __eq__ builds a Column, so list.remove is unusable here)."""
+    band_ids = {id(b) for b in bands}
+    for df in bands:
+        try:
+            df.unpersist()
+        except Exception:  # session already stopped — nothing to release
+            pass
+    _CACHED_BANDS[:] = [b for b in _CACHED_BANDS if id(b) not in band_ids]
+    spill_ids = {id(s) for s in spills}
+    for spark, name in spills:
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+        except Exception:
+            pass
+    _SPILL_TABLES[:] = [s for s in _SPILL_TABLES if id(s) not in spill_ids]
+
+
 def clear_band_cache() -> None:
     """Release every operator-cached band/signature DataFrame — unpersist
     memory blocks and drop spill tables (idempotent)."""

@@ -125,14 +125,36 @@ def char_hashed_features(
     return per_doc.select(id_col, fmap.alias("fmap"), "n_gram")
 
 
-def _margin(weights: list[float]) -> "F.Column":
-    """Sparse dot product of a doc's fmap with a literal weight vector
-    (classifier.py:100 — identical fold)."""
-    w_arr = F.array(*[F.lit(float(w)) for w in weights])
+def _weights_df(spark, weights: list[list[float]]):
+    """The C x (D+1) weight matrix as a ONE-ROW DataFrame, bucket-major
+    (``__W[b][c]``), for a broadcast scalar cross-join. A literal-array
+    fold (the binary classifier's shape, classifier.py:100) would embed
+    C x (D+1) literals into the expression tree and recompile the
+    whole-stage codegen EVERY iteration (measured ~8 s/iteration at 20
+    classes); as a broadcast column the expression — and its compiled
+    code — is identical across iterations, so only the 1-row relation
+    changes. The 1-row BroadcastNestedLoopJoin is the allowlisted
+    scalar idiom (queries.SCALAR_BNL_OK)."""
+    nc, d1 = len(weights), len(weights[0])
+    bucket_major = [
+        [float(weights[c][b]) for c in range(nc)] for b in range(d1)
+    ]
+    return spark.createDataFrame(
+        [(bucket_major,)], "__W array<array<double>>"
+    )
+
+
+def _margins() -> "F.Column":
+    """All C sparse dot products in ONE fold over the doc's fmap:
+    acc[c] += x_b * __W[b][c] via zip_with."""
     return F.aggregate(
         F.map_entries("fmap"),
-        F.lit(0.0),
-        lambda acc, e: acc + e["value"] * F.element_at(w_arr, e["key"] + 1),
+        F.array_repeat(F.lit(0.0), F.size(F.element_at("__W", 1))),
+        lambda acc, e: F.zip_with(
+            acc,
+            F.element_at(F.col("__W"), e["key"] + 1),
+            lambda a, w: a + e["value"] * w,
+        ),
     )
 
 
@@ -162,6 +184,7 @@ def train_softmax(
         raise ValueError("iters must be >= 1")
     if n_classes < 2:
         raise ValueError("n_classes must be >= 2")
+    spark = feats.sparkSession
     d = feats.select(feats.columns[0], label_col, "fmap").persist()
     try:
         n = d.count()
@@ -169,25 +192,30 @@ def train_softmax(
             raise ValueError("no training documents (all too short?)")
         weights = [[0.0] * (n_buckets + 1) for _ in range(n_classes)]
         for _ in range(iters):
-            exps = [F.exp(_margin(weights[c])) for c in range(n_classes)]
-            denom = exps[0]
-            for e in exps[1:]:
-                denom = denom + e
-            resid = [
-                (exps[c] / denom
-                 - (F.col(label_col) == c).cast("double")).alias(f"__r{c}")
-                for c in range(n_classes)
-            ]
-            grad_rows = (
-                d.select(*resid, "fmap")
+            base = (
+                d.crossJoin(F.broadcast(_weights_df(spark, weights)))
+                .select(label_col, "fmap", _margins().alias("__m"))
                 .select(
-                    *[f"__r{c}" for c in range(n_classes)],
-                    F.explode("fmap").alias("bucket", "x"),
+                    label_col,
+                    "fmap",
+                    F.transform("__m", lambda x: F.exp(x)).alias("__e"),
                 )
+            )
+            denom = F.aggregate("__e", F.lit(0.0), lambda a, x: a + x)
+            resid = F.transform(
+                "__e",
+                lambda e, i: e / denom
+                - (F.col(label_col) == i).cast("double"),
+            )
+            grad_rows = (
+                base.select(resid.alias("__r"), "fmap")
+                .select("__r", F.explode("fmap").alias("bucket", "x"))
                 .groupBy("bucket")
                 .agg(
                     *[
-                        F.sum(F.col(f"__r{c}") * F.col("x")).alias(f"g{c}")
+                        F.sum(
+                            F.element_at("__r", c + 1) * F.col("x")
+                        ).alias(f"g{c}")
                         for c in range(n_classes)
                     ]
                 )
@@ -253,22 +281,21 @@ def langid_classifier(
         iters=iters,
         lr=lr,
     )
-    exps = [F.exp(_margin(weights[c])) for c in range(len(classes))]
-    denom = exps[0]
-    for e in exps[1:]:
-        denom = denom + e
-    probs = [F.round(exps[c] / denom, 6) for c in range(len(classes))]
-    scored = labeled.select(
-        id_col,
-        F.col(label_col).alias("y"),
-        *[probs[c].alias(f"__p{c}") for c in range(len(classes))],
+    exps = F.transform(_margins(), lambda x: F.exp(x))
+    scored = labeled.crossJoin(
+        F.broadcast(_weights_df(labeled.sparkSession, weights))
+    ).select(
+        id_col, F.col(label_col).alias("y"), exps.alias("__e")
     )
+    denom = F.aggregate("__e", F.lit(0.0), lambda a, x: a + x)
+    probs = F.transform("__e", lambda e: F.round(e / denom, 6))
+    scored = scored.select(id_col, "y", probs.alias("__p"))
     # first-max argmax on the rounded probs (smallest index wins ties)
-    # — the same CASE chain the SQL oracle uses
-    best = F.greatest(*[F.col(f"__p{c}") for c in range(len(classes))])
+    # — the same (p DESC, c ASC) rule the SQL oracle uses
+    best = F.array_max("__p")
     pred = None
     for c, v in enumerate(classes):
-        cond = F.col(f"__p{c}") == best
+        cond = F.element_at("__p", c + 1) == best
         pred = F.when(cond, v) if pred is None else pred.when(cond, v)
     return scored.select(
         id_col,
@@ -317,7 +344,6 @@ def langid_eval(scored: DataFrame, label_col: str = "y") -> DataFrame:
 
 
 def softmax_oracle_sql(
-    classes: list[str],
     n_buckets: int = 128,
     n: int = 2,
     iters: int = 6,
@@ -329,12 +355,18 @@ def softmax_oracle_sql(
 ) -> str:
     """DuckDB replay of the exact softmax training recurrence, unrolled
     (the classifier.py::logreg_oracle_sql pattern, multiclass): one
-    (margin, gradient, weights) CTE triple per iteration over a
-    (bucket x class) weight spine."""
-    d, nc = n_buckets, len(classes)
-    cls_vals = ", ".join(f"('{v}', {i})" for i, v in enumerate(classes))
+    (margin, softmax, gradient, weights) CTE quadruple per iteration
+    over a (bucket x class) weight spine. The class-index mapping is
+    derived IN SQL (sorted distinct labels) — the same mapping the
+    Spark side collects — so the oracle needs no fixture-specific
+    literals."""
+    d = n_buckets
     head = [f"""
-WITH cls(lbl, c) AS (VALUES {cls_vals}),
+WITH cls AS (
+  SELECT lbl, ROW_NUMBER() OVER (ORDER BY lbl) - 1 AS c
+  FROM (SELECT DISTINCT {label_col} AS lbl FROM {table}
+        WHERE {label_col} IS NOT NULL)
+),
 base AS (
   SELECT {id_col} AS id, LOWER({text_col}) AS txt,
          LENGTH({text_col}) - {n} + 1 AS ng, {label_col} AS lbl
@@ -384,21 +416,22 @@ w{t} AS (
   FROM spine s JOIN w{t - 1} w USING (bucket, c)
   LEFT JOIN g{t} USING (bucket, c)
 )""")
-    probs_cols = ", ".join(
-        f"ROUND(MAX(CASE WHEN c = {c} THEN p END), 6) AS p{c}"
-        for c in range(nc)
-    )
-    best = "GREATEST(" + ", ".join(f"p{c}" for c in range(nc)) + ")"
-    pred = "CASE " + " ".join(
-        f"WHEN p{c} = {best} THEN '{classes[c]}'" for c in range(nc)
-    ) + " END"
+    # argmax on the ROUNDED probabilities, smallest class index on
+    # ties — the same rule the Spark side's first-max CASE chain uses
     head.append(f""",
-probs AS (
-  SELECT id, {probs_cols} FROM p{iters + 1} GROUP BY id
+pfin AS (
+  SELECT id, c, ROUND(p, 6) AS p FROM p{iters + 1}
+),
+win AS (
+  SELECT id, c, p,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY p DESC, c ASC)
+           AS rn
+  FROM pfin
 )
-SELECT lab.id AS {id_col}, lab.lbl AS y, {pred} AS pred,
-       {best} AS p_pred
-FROM lab JOIN probs USING (id)
+SELECT lab.id AS {id_col}, lab.lbl AS y, cls.lbl AS pred,
+       win.p AS p_pred
+FROM win JOIN lab USING (id) JOIN cls USING (c)
+WHERE win.rn = 1
 ORDER BY lab.id""")
     return "".join(head)
 

@@ -168,3 +168,27 @@ def test_driver_window_marker():
         assert max(last[e] for e in plain) <= min(
             last[q] for q in outside
         ), "an entry outside the window is staler than one inside"
+
+
+def test_family_consumer_ledger():
+    """FAMILY_CONSUMERS (bench.py's release schedule) cannot rot: every
+    listed consumer is a registered query, and every registered query
+    whose source touches a family helper is listed under that family."""
+    import inspect
+
+    from spark_skew_join_spark import queries as q
+
+    pats = {
+        "dedup": ("_dedup_family(",),
+        "winnow": ("_winnow_family(",),
+        "substr": ("_substr_family(", "_substr_clean_family("),
+        "dsir": ("_dsir_family(",),
+    }
+    for fam, consumers in q.FAMILY_CONSUMERS.items():
+        for c in consumers:
+            assert c in q.QUERIES, (fam, c)
+    for name, fn in q.QUERIES.items():
+        src = inspect.getsource(fn)
+        for fam, needles in pats.items():
+            if any(n in src for n in needles):
+                assert name in q.FAMILY_CONSUMERS[fam], (name, fam)
