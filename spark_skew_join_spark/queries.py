@@ -7231,15 +7231,18 @@ def langid_softmax_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources carry genuinely different word mixtures (the DSIR premise),
     so above-chance per-class F1 here is the fixture's learnability
     evidence for the trainer. Same certified trajectory as
-    langid_softmax_docs (the oracle wraps the full 20-class unrolled
-    softmax chain as a subquery), aggregated to one row per true class:
+    langid_softmax_docs at a lighter operating point (64 buckets, 4
+    iterations — 20 classes make each GD job and each oracle CTE ~4x
+    the 5-class entry's, and the learnability signal is already clear
+    here); the oracle wraps the full 20-class unrolled softmax chain
+    as a subquery, aggregated to one row per true class:
     (lang, n_docs, tp, fp, fn, precision, recall, f1). Training
     collects at construction → EAGER."""
     from .operators.langid import langid_classifier, langid_eval
 
     t = load_tables(spark, sf_dir)
     scored = langid_classifier(
-        t["documents"], label_col="source", n_buckets=128, iters=6, lr=2.0
+        t["documents"], label_col="source", n_buckets=64, iters=4, lr=2.0
     )
     return langid_eval(scored)
 
@@ -7249,7 +7252,7 @@ def _langid_eval_sql() -> str:
 
     return langid_eval_oracle_sql(
         softmax_oracle_sql(
-            n_buckets=128, iters=6, lr=2.0, label_col="source"
+            n_buckets=64, iters=4, lr=2.0, label_col="source"
         )
     )
 
