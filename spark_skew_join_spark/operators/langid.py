@@ -186,6 +186,17 @@ def train_softmax(
         raise ValueError("n_classes must be >= 2")
     spark = feats.sparkSession
     d = feats.select(feats.columns[0], label_col, "fmap").persist()
+    # the margin/softmax/gradient expressions are higher-order
+    # functions — CodegenFallback, interpreted either way — so
+    # whole-stage codegen only buys each iteration a large one-shot
+    # method compile (and, under long-session code-cache pressure,
+    # the occasional failed-compile retry); run the training loop
+    # with WSCG off and restore the session setting after
+    try:
+        _old_wscg = spark.conf.get("spark.sql.codegen.wholeStage")
+    except Exception:
+        _old_wscg = "true"
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
     try:
         n = d.count()
         if n == 0:
@@ -225,6 +236,7 @@ def train_softmax(
                 for c in range(n_classes):
                     weights[c][row["bucket"]] -= lr * row[f"g{c}"] / n
     finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", _old_wscg)
         d.unpersist()
     return weights
 

@@ -613,8 +613,10 @@ def main() -> None:
             "weight matrix arrives as a 1-row broadcast, not as literals):\n"
             "char-bigram features build by explode-positions + md5 bucket,\n"
             "the weight attach is the allowlisted 1-row\n"
-            "BroadcastNestedLoopJoin, and the whole margin/softmax/argmax\n"
-            "chain is higher-order-function codegen. No Python anywhere.",
+            "BroadcastNestedLoopJoin, and the margin/softmax/argmax chain\n"
+            "is higher-order-function expressions (interpreted JVM-side —\n"
+            "Spark HOFs are CodegenFallback by design). No Python\n"
+            "anywhere.",
         )
     )
 

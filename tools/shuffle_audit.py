@@ -106,6 +106,10 @@ QUERIES = [
     "readability_docs",
     "domain_reweight_docs",
     "domain_reweight_mw_docs",
+    # round-12 additions: the langid debuts + the re-shaped kcore line
+    # is already above; eval is the heavier 20-class training
+    "langid_softmax_docs",
+    "langid_softmax_eval",
 ]
 
 
