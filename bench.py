@@ -260,16 +260,24 @@ def main() -> None:
             if not seg_names[i]:
                 continue
             out = os.path.join(td, f"seg{i}.json")
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--segment",
-                 str(i), out],
-                capture_output=True,
-                text=True,
-                cwd=REPO,
-            )
-            if r.returncode != 0 or not os.path.exists(out):
-                sys.stderr.write(r.stdout[-4000:] + r.stderr[-4000:])
-                raise RuntimeError(f"bench segment {i} failed")
+            # one retry per segment: a transient child failure (OOM,
+            # JVM crash) should not void the whole record
+            for attempt in (1, 2):
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--segment", str(i), out],
+                    capture_output=True,
+                    text=True,
+                    cwd=REPO,
+                )
+                if r.returncode == 0 and os.path.exists(out):
+                    break
+                sys.stderr.write(
+                    f"bench segment {i} attempt {attempt} failed\n"
+                    + r.stdout[-4000:] + r.stderr[-4000:]
+                )
+            else:
+                raise RuntimeError(f"bench segment {i} failed twice")
             seg = json.load(open(out))
             timings.update(seg["timings"])
             runs.update(seg["runs"])
@@ -296,6 +304,12 @@ def main() -> None:
         "sf": sf,
         "excluded_allpairs_baselines": list(q.BENCH_EXCLUDE),
     }
+    # best-observed reference total — the box-state yardstick this
+    # run's total should be read against (BASELINE.md round 12)
+    expect_path = os.path.join(REPO, "BENCH_EXPECT.json")
+    if os.path.exists(expect_path):
+        exp = json.load(open(expect_path))
+        detail["expect_ref_total"] = round(sum(exp.values()), 3)
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
     if os.environ.get("SPARK_GRAFT_WRITE_EXPECT"):
