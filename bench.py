@@ -94,10 +94,18 @@ def _run_segment(seg_idx: int, out_path: str) -> None:
     k = int(os.environ.get("SPARK_GRAFT_BENCH_SEGMENTS", "3"))
     names = _segments(q, k)[seg_idx]
 
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    seg_sf = float(m.group(1)) if m else -1.0
     expect: dict[str, float] = {}
     expect_path = os.path.join(REPO, "BENCH_EXPECT.json")
     if os.path.exists(expect_path):
         expect = json.load(open(expect_path))
+        # references are recorded at one scale factor; at any other SF
+        # they would mis-arm the outlier retry (too small at larger
+        # SFs -> spurious retries on every line)
+        if expect.get("_sf") not in (None, seg_sf):
+            expect = {}
+        expect.pop("_sf", None)
 
     spark = get_spark(f"bench-seg{seg_idx}", cpus=cpus)
     # warm the JVM (codegen paths, parquet footers) so the first timed
@@ -314,15 +322,13 @@ def main() -> None:
         json.dump(detail, f, indent=1)
     if os.environ.get("SPARK_GRAFT_WRITE_EXPECT"):
         with open(os.path.join(REPO, "BENCH_EXPECT.json"), "w") as f:
-            json.dump(
-                {
-                    kk: v
-                    for kk, v in sorted(timings.items())
-                    if not kk.startswith("dedup_family_stage_")
-                },
-                f,
-                indent=1,
-            )
+            ref = {
+                kk: v
+                for kk, v in sorted(timings.items())
+                if not kk.startswith("dedup_family_stage_")
+            }
+            ref["_sf"] = sf
+            json.dump(ref, f, indent=1)
     print(json.dumps(detail))
     # FINAL line — short, survives the driver's tail capture:
     top5 = dict(
