@@ -264,3 +264,26 @@ def test_doremi_plans_are_window_free(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan, plan
         assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_domain_reweight_single_domain_edge(spark):
+    """k=1 edge of the packed-row recurrence: one domain means zero
+    excess everywhere and weight exactly (1-α)·1 + α/1 = 1.0 in both
+    variants (array_repeat/posexplode paths degenerate to one element)."""
+    from spark_skew_join_spark.operators.doremi import (
+        domain_reweight,
+        domain_reweight_mw,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "only", "tok%d tok%d tok1" % (i % 3, i % 5)) for i in range(12)],
+        "doc_id bigint, source string, text string",
+    )
+    one = domain_reweight(docs).collect()
+    assert len(one) == 1
+    assert one[0]["excess_nll"] == 0.0 and one[0]["weight"] == 1.0
+    mw = domain_reweight_mw(docs, epochs=2).collect()
+    assert len(mw) == 1
+    r = mw[0]
+    assert r["excess_e1"] == 0.0 and r["excess_e2"] == 0.0
+    assert r["weight_e1"] == 1.0 and r["weight"] == 1.0
