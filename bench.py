@@ -317,7 +317,9 @@ def main() -> None:
     expect_path = os.path.join(REPO, "BENCH_EXPECT.json")
     if os.path.exists(expect_path):
         exp = json.load(open(expect_path))
-        detail["expect_ref_total"] = round(sum(exp.values()), 3)
+        detail["expect_ref_total"] = round(
+            sum(v for k, v in exp.items() if k != "_sf"), 3
+        )
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
     if os.environ.get("SPARK_GRAFT_WRITE_EXPECT"):

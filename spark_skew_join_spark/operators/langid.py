@@ -284,7 +284,7 @@ def langid_classifier(
     labeled = feats.join(
         docs.select(id_col, y_expr.cast("int").alias("__y"), label_col),
         id_col,
-    )
+    ).where(F.col("__y").isNotNull())
     weights = train_softmax(
         labeled,
         label_col="__y",

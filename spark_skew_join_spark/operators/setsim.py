@@ -168,10 +168,25 @@ def set_similarity_join(
     # set, ties by id) explodes |x| - ceil(2t/(1+t)·|x|) + 1 tokens,
     # the b-role |x| - ceil(t·|x|) + 1; positions ride along for the
     # positional filter (1-based within the full ordered array)
+    # Recall-safety (ADVICE r12): the derived ratios 2t/(1+t) and
+    # t/(1+t) are double-rounded, so a bare F.ceil can overshoot the
+    # exact rational bound by 1 for some (threshold, size) pairs
+    # (e.g. t=0.015, na+nb=1015 → alpha 16 vs exact 15), silently
+    # dropping true pairs before exact verification. Subtract a small
+    # epsilon before every pruning ceil: undershoot only ADDS
+    # candidates, which the exact-Jaccard verify stage removes. The
+    # epsilon (1e-6) dominates the relative double error for any
+    # realistic set size (n ≤ 1e9 → rel err ≤ ~2e-7) while staying
+    # far below 1, so bounds loosen by at most one token.
+    _EPS = F.lit(1e-6)
     short_len = (
-        F.col("n") - F.ceil(F.lit(2.0 * tv / (1.0 + tv)) * F.col("n")) + F.lit(1)
+        F.col("n")
+        - F.ceil(F.lit(2.0 * tv / (1.0 + tv)) * F.col("n") - _EPS)
+        + F.lit(1)
     ).cast("int")
-    long_len = (F.col("n") - F.ceil(t * F.col("n")) + F.lit(1)).cast("int")
+    long_len = (
+        F.col("n") - F.ceil(t * F.col("n") - _EPS) + F.lit(1)
+    ).cast("int")
     pa = ordered.select(
         F.col("_ss_id").alias("id_a"),
         F.col("n").alias("na"),
@@ -186,8 +201,11 @@ def set_similarity_join(
             "__jb", "token"
         ),
     )
-    # minimum required overlap α = ceil(t/(1+t)·(na+nb))
-    alpha = F.ceil(F.lit(tv / (1.0 + tv)) * (F.col("na") + F.col("nb")))
+    # minimum required overlap α = ceil(t/(1+t)·(na+nb)), epsilon-
+    # guarded against double-rounding overshoot (see _EPS note above)
+    alpha = F.ceil(
+        F.lit(tv / (1.0 + tv)) * (F.col("na") + F.col("nb")) - _EPS
+    )
     canonical = (F.col("na") < F.col("nb")) | (
         (F.col("na") == F.col("nb")) & (F.col("id_a") < F.col("id_b"))
     )
@@ -195,7 +213,7 @@ def set_similarity_join(
         pa.join(pb, "token")
         .where(canonical)
         # length filter (na <= nb canonically, so one direction suffices)
-        .where(F.col("na") >= F.ceil(t * F.col("nb")))
+        .where(F.col("na") >= F.ceil(t * F.col("nb") - _EPS))
         # positional filter: overlap can't exceed what's left after the
         # shared token's position on each side
         .where(

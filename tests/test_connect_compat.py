@@ -86,7 +86,6 @@ def test_matrix_classes_are_valid():
         assert len(why) > 20, mod
 
 
-grpc = pytest.importorskip
 try:  # pragma: no cover - environment probe
     import grpc as _grpc  # noqa: F401
 

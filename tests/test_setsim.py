@@ -97,6 +97,55 @@ def test_short_docs_yield_no_bigrams(spark):
     assert pairs == {(3, 4)}
 
 
+def test_pruning_ceils_never_overshoot_exact_bounds():
+    """ADVICE r12: the derived ratios 2t/(1+t) and t/(1+t) are double-
+    rounded, so a bare ceil can exceed the exact rational bound by 1
+    (t=0.015, na+nb=1015 → 16 vs exact 15). The epsilon-guarded ceils
+    the operator uses must never overshoot (recall-safe); the bare
+    version must overshoot somewhere in the sweep (documents the bug
+    the guard exists for)."""
+    import math
+    from fractions import Fraction
+
+    eps = 1e-6
+    bare_overshoots = 0
+    for tv in (0.015, 0.1, 0.3, 0.5, 0.7, 0.85):
+        ft = Fraction(tv)  # the threshold double's exact rational value
+        r_alpha, r_short = ft / (1 + ft), 2 * ft / (1 + ft)
+        d_alpha, d_short = tv / (1.0 + tv), 2.0 * tv / (1.0 + tv)
+        for n in range(1, 1301):
+            for d, r in (
+                (d_alpha * n, r_alpha * n),  # alpha / long-side bound
+                (d_short * n, r_short * n),  # a-prefix bound
+                (tv * n, ft * n),  # b-prefix + length filter
+            ):
+                exact = math.ceil(r)
+                if math.ceil(d) > exact:
+                    bare_overshoots += 1
+                assert math.ceil(d - eps) <= exact, (tv, n)
+    assert bare_overshoots > 0
+
+
+def test_recall_at_known_alpha_overshoot_pair(spark):
+    """End-to-end planted pair AT the documented overshoot point:
+    t=0.015, sizes (500, 515), overlap 15 → jaccard = 15/1000 = t
+    exactly, alpha_exact = 15 but the unguarded double ceil gives 16,
+    which drops the pair at the positional filter. Must be found."""
+    t = 0.015
+    shared = [f"s{i:02d}" for i in range(15)]
+    a_own = [f"a{i:03d}" for i in range(485)]
+    b_own = [f"b{i:03d}" for i in range(500)]
+    docs = [
+        (1, " ".join(a_own + shared)),
+        (2, " ".join(b_own + shared)),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = set_similarity_join(df, t, cache_ordered=False).collect()
+    assert [(r.id_a, r.id_b) for r in rows] == [(1, 2)]
+    assert rows[0].inter == 15
+    assert rows[0].jaccard == pytest.approx(0.015, abs=1e-12)
+
+
 def test_bad_threshold_rejected(spark):
     df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
     with pytest.raises(ValueError):
