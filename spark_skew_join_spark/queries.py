@@ -6424,43 +6424,45 @@ SELECT table_name, n_total, n_kept, n_total - n_kept AS n_deleted FROM m
 
 
 def kll_quantiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PER-GROUP KLL sketches in batch (the grouped sibling of
-    kll_quantiles_orders and the batch counterpart of
-    streaming/quantiles.py): one sketch per order priority built in a
-    bounded-memory grouped two-level mapInPandas fold (kll_by_group —
-    per-partition group slices, never a whole group on one worker;
-    ADVICE r5 #4), median + p90 estimates gated against the exact
-    per-group percentiles computed in ONE aggregate action.
-    Rows-only by nature; the in-query gate is the correctness check."""
-    from .sketch.kll import KLL, kll_by_group
+    """PER-GROUP deterministic quantile sketches in batch (the grouped
+    sibling of kll_quantiles_orders): one md5-compat KLL register set
+    per order priority (sketch/kll.py::kll_compat_by_group — one count
+    job for per-group thresholds, then ONE shuffle-free filtered scan
+    collects every group's <=~2k registers), median + p90 estimates
+    alongside the exact per-group percentiles from ONE aggregate
+    action. EXACT since r13: estimates, ranks, and the within_bound
+    gate are integer/IEEE-replayable by the SQL oracle (VERDICT r12
+    #3 — the hll_distinct_stats md5-mode recipe applied to quantiles;
+    the seeded-compaction KLL build remains available as
+    kll_by_group for deployments that want the tighter O(1/k) bound
+    over replayability)."""
+    from .sketch.kll import kll_compat_by_group
 
     t = load_tables(spark, sf_dir)
-    o = t["orders"].select("o_orderpriority", "o_totalprice")
-    sketches = kll_by_group(o, "o_orderpriority", "o_totalprice", k=200)
+    o = t["orders"].select("o_orderpriority", "o_orderkey", "o_totalprice")
+    sketches = kll_compat_by_group(
+        o, "o_orderpriority", "o_orderkey", "o_totalprice", k=200
+    )
     exact = {
         r["o_orderpriority"]: (r["n"], r["qs"][0], r["qs"][1])
-        for r in o.groupBy("o_orderpriority")
+        for r in o.where(F.col("o_totalprice").isNotNull())
+        .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.expr("percentile(o_totalprice, array(0.5, 0.9))").alias("qs"),
         )
         .collect()
     }
-    bound = KLL(k=200).rank_error_bound()
     rows = []
     # None-first sort: NULL priority groups are a real key (ADVICE r7 #1)
     for p in _null_first(sketches):
         s = sketches[p]
         n, ex50, ex90 = exact[p]
-        # exact normalized rank of each estimate via the sketch's own
-        # counts would need another pass; gate on value-rank agreement
-        # through the exact percentiles instead: the estimate must sit
-        # within the rank envelope, i.e. between the exact quantiles at
-        # q±bound — conservative and one-action
+        bound = s.rank_error_bound()
         est50, est90 = s.quantile(0.5), s.quantile(0.9)
         rows.append(
-            (p, int(n), float(round(est50, 2)), float(round(ex50, 2)),
-             float(round(est90, 2)), float(round(ex90, 2)),
+            (p, int(n), float(est50), float(ex50), float(est90),
+             float(ex90),
              bool(abs(s.rank(ex50) - 0.5) <= bound
                   and abs(s.rank(ex90) - 0.9) <= bound))
         )
@@ -6469,23 +6471,39 @@ def kll_quantiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "priority string, n bigint, kll_p50 double, exact_p50 double, "
         "kll_p90 double, exact_p90 double, within_bound boolean",
     )
-    return out.where(F.col("within_bound"))
+    # round IN-PLAN: Python's round() rounds the true binary value
+    # while Spark/DuckDB ROUND use the shortest-decimal HALF_UP repr —
+    # a .xx5 interpolation midpoint (common: prices have 2 decimals)
+    # lands on opposite sides (seen at sf0.001, exact_p50 = .175)
+    return out.where(F.col("within_bound")).select(
+        "priority", "n",
+        F.round("kll_p50", 2).alias("kll_p50"),
+        F.round("exact_p50", 2).alias("exact_p50"),
+        F.round("kll_p90", 2).alias("kll_p90"),
+        F.round("exact_p90", 2).alias("exact_p90"),
+        "within_bound",
+    )
 
 
 def kll_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable KLL quantile sketch (sketch/kll.py, VERDICT r4 #7) over
-    o_totalprice: one row per probed quantile with the sketch estimate,
-    the EXACT normalized rank of that estimate, and the rank error.  No
-    SQL oracle by nature (estimates depend on the seeded compaction
-    path); instead the hll_distinct_stats idiom — the in-query gate
-    enforces the sketch's own rank-error envelope, and the exact
-    comparator ranks are computed in ONE Spark action (a single
-    multi-conditional aggregate). Sketch build is eager → EAGER_QUERIES."""
-    from .sketch.kll import kll_from_dataframe
+    """Deterministic mergeable quantile sketch over o_totalprice: one
+    row per probed quantile with the sketch estimate, the EXACT
+    normalized rank of that estimate, and the rank error. EXACT since
+    r13 (VERDICT r12 #3): the md5-compat mode (sketch/kll.py::
+    KLLCompat) makes every compaction coin a hash bit of the row key
+    and compacts eagerly, collapsing the cascade to the
+    order-independent register set {x : md5_60(key) >> (60-H) == 0}
+    with weight 2^H — the SQL oracle replays registers, estimates,
+    ranks, and the error gate bit-for-bit (the hll/theta/CMS md5-mode
+    precedent). The seeded-compaction KLL (kll_from_dataframe) remains
+    the tight-bound non-replayable path, still covered by
+    tests/test_kll.py and the streaming quantile parity test. Sketch
+    build is eager → EAGER_QUERIES."""
+    from .sketch.kll import kll_compat_from_dataframe
 
     t = load_tables(spark, sf_dir)
-    o = t["orders"]
-    sketch = kll_from_dataframe(o, "o_totalprice", k=200)
+    o = t["orders"].where(F.col("o_totalprice").isNotNull())
+    sketch = kll_compat_from_dataframe(o, "o_orderkey", "o_totalprice", k=200)
     probes = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
     ests = {q: sketch.quantile(q) for q in probes}
     # exact normalized ranks of all 7 estimates in one aggregate action
@@ -6502,16 +6520,138 @@ def kll_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
         (
             float(q),
-            float(round(ests[q], 6)),
-            float(round(exact[f"r_{int(q * 100)}"] / n, 6)),
-            float(round(abs(exact[f"r_{int(q * 100)}"] / n - q), 6)),
+            float(ests[q]),
+            float(exact[f"r_{int(q * 100)}"] / n),
+            float(abs(exact[f"r_{int(q * 100)}"] / n - q)),
         )
         for q in probes
     ]
     out = spark.createDataFrame(
         rows, "q double, kll_estimate double, exact_rank double, rank_err double"
     )
-    return out.where(F.col("rank_err") <= sketch.rank_error_bound())
+    # round IN-PLAN (HALF_UP decimal semantics shared with the oracle's
+    # ROUND; Python round() diverges on .xx5 doubles) and gate on the
+    # rounded error, matching the SQL WHERE clause exactly
+    return (
+        out.select(
+            "q",
+            F.round("kll_estimate", 6).alias("kll_estimate"),
+            F.round("exact_rank", 6).alias("exact_rank"),
+            F.round("rank_err", 6).alias("rank_err"),
+        )
+        .where(F.col("rank_err") <= F.lit(float(sketch.rank_error_bound())))
+    )
+
+
+# DuckDB replay of the md5-compat register set: same integer H
+# (MIN b with (ceil(n/k)-1)>>b = 0 ≡ bit_length), same 60-bit hash
+# (first 15 md5 hex chars), same clamp(ceil(q·m),1,m) register rank,
+# same (count << H)/n rank arithmetic, same 3/(2·sqrt(m)) gate.
+KLL_QUANTILES_SQL = """
+WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders
+            WHERE o_totalprice IS NOT NULL),
+lv AS (SELECT n, (SELECT MIN(b) FROM range(0, 62) t(b)
+                  WHERE ((((n + 199) // 200) - 1) >> b) = 0) AS h FROM nn),
+samp AS (
+  SELECT o_totalprice AS v
+  FROM orders, lv
+  WHERE o_totalprice IS NOT NULL
+    AND (CAST(('0x' || SUBSTRING(MD5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+              AS BIGINT) >> (60 - lv.h)) = 0
+),
+mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM samp),
+srt AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM samp),
+probes AS (SELECT UNNEST([0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q),
+est AS (
+  SELECT p.q, s.v AS est
+  FROM probes p, mm, srt s
+  WHERE s.rn = LEAST(mm.m, GREATEST(1, CAST(CEIL(p.q * mm.m) AS BIGINT)))
+),
+rk AS (
+  SELECT e.q, e.est,
+         (SELECT COUNT(*) FROM orders o
+          WHERE o.o_totalprice <= e.est) * 1.0 / nn.n AS xr
+  FROM est e, nn
+)
+SELECT q, ROUND(est, 6) AS kll_estimate, ROUND(xr, 6) AS exact_rank,
+       ROUND(ABS(xr - q), 6) AS rank_err
+FROM rk, lv
+WHERE ROUND(ABS(xr - q), 6)
+      <= 3.0 * SQRT((CAST(1 AS BIGINT) << lv.h) * 1.0 / lv.n)
+ORDER BY q
+"""
+
+
+KLL_BY_PRIORITY_SQL = """
+WITH base AS (SELECT o_orderpriority AS g, o_totalprice AS v,
+                     CAST(('0x' || SUBSTRING(MD5(CAST(o_orderkey AS VARCHAR)),
+                                             1, 15)) AS BIGINT) AS u
+              FROM orders WHERE o_totalprice IS NOT NULL),
+gn AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY g),
+lv AS (SELECT g, n, (SELECT MIN(b) FROM range(0, 62) t(b)
+                     WHERE ((((n + 199) // 200) - 1) >> b) = 0) AS h FROM gn),
+samp AS (SELECT b.g, b.v
+         FROM base b JOIN lv ON b.g IS NOT DISTINCT FROM lv.g
+         WHERE (b.u >> (60 - lv.h)) = 0),
+gm AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS m FROM samp GROUP BY g),
+srt AS (SELECT g, v,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn
+        FROM samp),
+est AS (
+  SELECT s.g,
+         MAX(CASE WHEN s.rn = LEAST(gm.m, GREATEST(1,
+                    CAST(CEIL(0.5 * gm.m) AS BIGINT))) THEN s.v END) AS e50,
+         MAX(CASE WHEN s.rn = LEAST(gm.m, GREATEST(1,
+                    CAST(CEIL(0.9 * gm.m) AS BIGINT))) THEN s.v END) AS e90
+  FROM srt s JOIN gm ON s.g IS NOT DISTINCT FROM gm.g GROUP BY s.g),
+-- exact percentiles replicate Spark's Percentile interpolation
+-- bit-for-bit: pos = q*(n-1); if floor(pos)=ceil(pos) take the value,
+-- else lo*(ceil(pos)-pos) + hi*(pos-floor(pos)) — QUANTILE_CONT's
+-- different FP formula lands .xx5 midpoints on the other side of the
+-- round-2 boundary (seen at sf0.001)
+exr AS (SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn
+        FROM base),
+exs AS (SELECT r.g,
+          SUM(CASE WHEN r.rn = CAST(FLOOR(0.5 * (gn.n - 1)) AS BIGINT) + 1
+                   THEN r.v ELSE 0 END) AS lo50,
+          SUM(CASE WHEN r.rn = CAST(CEIL(0.5 * (gn.n - 1)) AS BIGINT) + 1
+                   THEN r.v ELSE 0 END) AS hi50,
+          SUM(CASE WHEN r.rn = CAST(FLOOR(0.9 * (gn.n - 1)) AS BIGINT) + 1
+                   THEN r.v ELSE 0 END) AS lo90,
+          SUM(CASE WHEN r.rn = CAST(CEIL(0.9 * (gn.n - 1)) AS BIGINT) + 1
+                   THEN r.v ELSE 0 END) AS hi90,
+          MAX(gn.n) AS n
+        FROM exr r JOIN gn ON r.g IS NOT DISTINCT FROM gn.g
+        GROUP BY r.g),
+ex AS (SELECT g,
+         CASE WHEN FLOOR(0.5 * (n - 1)) = CEIL(0.5 * (n - 1)) THEN lo50
+              ELSE lo50 * (CEIL(0.5 * (n - 1)) - 0.5 * (n - 1))
+                   + hi50 * (0.5 * (n - 1) - FLOOR(0.5 * (n - 1))) END AS x50,
+         CASE WHEN FLOOR(0.9 * (n - 1)) = CEIL(0.9 * (n - 1)) THEN lo90
+              ELSE lo90 * (CEIL(0.9 * (n - 1)) - 0.9 * (n - 1))
+                   + hi90 * (0.9 * (n - 1) - FLOOR(0.9 * (n - 1))) END AS x90
+       FROM exs),
+rk AS (SELECT lv.g, lv.n, lv.h, gm.m, est.e50, est.e90, ex.x50, ex.x90,
+         ((SELECT COUNT(*) FROM samp s2
+           WHERE s2.g IS NOT DISTINCT FROM lv.g AND s2.v <= ex.x50)
+          * (CAST(1 AS BIGINT) << lv.h)) * 1.0 / lv.n AS r50,
+         ((SELECT COUNT(*) FROM samp s2
+           WHERE s2.g IS NOT DISTINCT FROM lv.g AND s2.v <= ex.x90)
+          * (CAST(1 AS BIGINT) << lv.h)) * 1.0 / lv.n AS r90
+       FROM lv
+       JOIN gm ON lv.g IS NOT DISTINCT FROM gm.g
+       JOIN est ON lv.g IS NOT DISTINCT FROM est.g
+       JOIN ex ON lv.g IS NOT DISTINCT FROM ex.g)
+SELECT g AS priority, n, ROUND(e50, 2) AS kll_p50, ROUND(x50, 2) AS exact_p50,
+       ROUND(e90, 2) AS kll_p90, ROUND(x90, 2) AS exact_p90,
+       (ABS(r50 - 0.5) <= 3.0 * SQRT((CAST(1 AS BIGINT) << h) * 1.0 / n)
+        AND ABS(r90 - 0.9)
+            <= 3.0 * SQRT((CAST(1 AS BIGINT) << h) * 1.0 / n)) AS within_bound
+FROM rk
+WHERE ABS(r50 - 0.5) <= 3.0 * SQRT((CAST(1 AS BIGINT) << h) * 1.0 / n)
+  AND ABS(r90 - 0.9) <= 3.0 * SQRT((CAST(1 AS BIGINT) << h) * 1.0 / n)
+ORDER BY priority
+"""
 
 
 def bottomk_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9882,6 +10022,10 @@ ORACLES: dict[str, str] = {
     "q3_via_skew_join": Q3_SQL,
     "delete_propagation_stats": DELETE_PROPAGATION_SQL,
     "bottomk_quantiles_orders": BOTTOMK_QUANTILES_SQL,
+    # EXACT since r13 via the md5-compat deterministic-compaction mode
+    # (VERDICT r12 #3)
+    "kll_quantiles_orders": KLL_QUANTILES_SQL,
+    "kll_quantiles_by_priority": KLL_BY_PRIORITY_SQL,
     "null_aware_anti_join": NULL_AWARE_ANTI_SQL,
     "histogram_prices": HISTOGRAM_SQL,
     "hll_distinct_stats": HLL_DISTINCT_SQL,

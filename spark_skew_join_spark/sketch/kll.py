@@ -169,6 +169,190 @@ def _rebuild_kll(k, seed, n, compactors):
     return s
 
 
+class KLLCompat:
+    """Deterministic md5-compat KLL register state (VERDICT r12 #3 —
+    the hll.py/theta.py md5-mode precedent applied to quantiles).
+
+    The classic KLL above flips a seeded coin per compaction, so its
+    final state depends on the arrival order and no SQL engine can
+    replay it. Compat mode makes every compaction coin a pure function
+    of the ITEM — survival of level-h compaction = bit h of the row's
+    md5-derived 60-bit hash is 0 — and compacts eagerly (every buffer
+    flushes), so the cascade collapses to a single top-level compactor
+    whose content is the order-independent register set
+
+        {x : u60(x) >> (60 - H) == 0},  weight 2^H per item,
+
+    with H the smallest level at which the expected survivor count
+    fits the budget: H = bit_length(ceil(n/k) - 1). Both the set and H
+    are integer-exact functions of the data, so a DuckDB oracle
+    replays estimates bit-for-bit. The price of determinism is the
+    error bound: Bernoulli-sample rank error O(sqrt(q(1-q)/m)) instead
+    of KLL's O(1/k) — documented here and gated in-query, the same
+    honest trade the md5 modes of HLL/theta/CMS make.
+
+    Mergeable: union the (hash, value) registers, recompute H for
+    n1+n2, drop registers that fail the higher threshold — exactly the
+    theta-sketch adaptation. Stored registers are <= ~2k rows.
+    """
+
+    def __init__(self, k: int, level: int, n: int,
+                 hashes: np.ndarray, values: np.ndarray):
+        if k < 8:
+            raise ValueError("k must be >= 8")
+        self.k = k
+        self.level = level
+        self.n = n
+        order = np.argsort(values, kind="stable")
+        self.hashes = np.asarray(hashes, dtype=np.int64)[order]
+        self.values = np.asarray(values, dtype=np.float64)[order]
+
+    @staticmethod
+    def level_for(n: int, k: int) -> int:
+        """Smallest H with ceil(n/k) <= 2^H — pure integer arithmetic
+        so the SQL replay (MIN b WHERE ((ceil(n/k)-1) >> b) = 0) agrees
+        on every boundary, unlike a float log2."""
+        if n <= 0:
+            return 0
+        t = (n + k - 1) // k
+        return (t - 1).bit_length()
+
+    @property
+    def m(self) -> int:
+        return len(self.values)
+
+    def quantile(self, q: float) -> float:
+        """Value at 1-based register rank clamp(ceil(q·m), 1, m) — the
+        double product q·m and its ceil are IEEE-identical to the SQL
+        CEIL(q * m), so estimates replay exactly."""
+        import math
+
+        if not 0.0 <= q <= 1.0:
+            raise ValueError("q must be in [0, 1]")
+        if self.m == 0:
+            raise ValueError("empty sketch")
+        r = min(self.m, max(1, math.ceil(q * self.m)))
+        return float(self.values[r - 1])
+
+    def quantiles(self, qs: list[float]) -> list[float]:
+        return [self.quantile(q) for q in qs]
+
+    def rank(self, x: float) -> float:
+        """Estimated normalized rank: weighted register count <= x,
+        kept as (count << level) / n integer-then-divide so SQL's
+        (COUNT(*) * (1 << h)) * 1.0 / n reproduces the double."""
+        if self.n == 0:
+            return 0.0
+        cnt = int(np.searchsorted(self.values, x, side="right"))
+        return float(cnt * (1 << self.level)) / self.n
+
+    def rank_error_bound(self) -> float:
+        """Conservative 3-sigma Bernoulli-thinning rank-error envelope:
+        Var(rank est at q) = q·(2^H)·(1-2^-H)/n <= 2^H/n, so sigma <=
+        sqrt(2^H/n) — deterministic given (n, H), SQL-replayable as
+        3.0*SQRT((1 << h) * 1.0 / n)."""
+        return 3.0 * np.sqrt((1 << self.level) / max(1, self.n))
+
+    def merge(self, other: "KLLCompat") -> "KLLCompat":
+        if self.k != other.k:
+            raise ValueError("cannot merge KLLCompat with different k")
+        n = self.n + other.n
+        level = max(self.level_for(n, self.k), self.level, other.level)
+        h = np.concatenate([self.hashes, other.hashes])
+        v = np.concatenate([self.values, other.values])
+        keep = (h >> (60 - level)) == 0 if level > 0 else np.ones(
+            len(h), dtype=bool
+        )
+        return KLLCompat(self.k, level, n, h[keep], v[keep])
+
+
+def kll_compat_from_dataframe(df, key_col: str, value_col: str,
+                              k: int = 200) -> KLLCompat:
+    """Deterministic replayable quantile sketch over a numeric column
+    (NULL values skipped), keyed by a unique row id so duplicate values
+    sample independently. Two scan-level jobs, NO shuffle: (1) count n
+    → H on the driver, (2) a pushed-down map-side hash filter keeps
+    ~k..2k rows, collected as the register set. At 100 TB the filter
+    is still one scan with a ~2k-row collect; the md5 runs JVM-side."""
+    from pyspark.sql import functions as F
+
+    vals = df.where(F.col(value_col).isNotNull())
+    n = vals.count()
+    level = KLLCompat.level_for(n, k)
+    u60 = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    rows = (
+        vals.select(
+            u60.alias("__u"), F.col(value_col).cast("double").alias("__v")
+        )
+        .where(F.shiftright(F.col("__u"), 60 - level) == 0)
+        .collect()
+    )
+    return KLLCompat(
+        k, level, n,
+        np.array([r["__u"] for r in rows], dtype=np.int64),
+        np.array([r["__v"] for r in rows], dtype=np.float64),
+    )
+
+
+def kll_compat_by_group(df, group_col: str, key_col: str, value_col: str,
+                        k: int = 200) -> dict:
+    """One KLLCompat per distinct ``group_col`` value (bounded group
+    cardinality is the caller's contract, as in kll_by_group's driver
+    fold). One count job for per-group n → per-group H on the driver,
+    then ONE filtered scan collects every group's register rows (a
+    when-chain threshold per group — no shuffle, no per-group jobs).
+    NULL groups survive under the key ``None``."""
+    from pyspark.sql import functions as F
+
+    vals = df.where(F.col(value_col).isNotNull())
+    counts = {
+        r["g"]: r["n"]
+        for r in vals.groupBy(F.col(group_col).alias("g"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    levels = {g: KLLCompat.level_for(n, k) for g, n in counts.items()}
+    # u >> (60-H) == 0  ⟺  u < 2^(60-H) for the non-negative 60-bit
+    # hash — a threshold compare sidesteps shiftright's int-only
+    # numBits while replaying the oracle's >> exactly
+    thr = None
+    for g, lv in levels.items():
+        cond = (
+            F.col(group_col).isNull()
+            if g is None
+            else (F.col(group_col) == F.lit(g))
+        )
+        bound = F.lit(1 << (60 - lv))
+        thr = F.when(cond, bound) if thr is None else thr.when(cond, bound)
+    u60 = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    rows = (
+        vals.select(
+            F.col(group_col).alias("__g"),
+            u60.alias("__u"),
+            F.col(value_col).cast("double").alias("__v"),
+            thr.alias("__t"),
+        )
+        .where(F.col("__u") < F.col("__t"))
+        .collect()
+    )
+    by_g: dict = {}
+    for r in rows:
+        by_g.setdefault(r["__g"], []).append((r["__u"], r["__v"]))
+    out = {}
+    for g, n in counts.items():
+        pairs = by_g.get(g, [])
+        out[g] = KLLCompat(
+            k, levels[g], int(n),
+            np.array([p[0] for p in pairs], dtype=np.int64),
+            np.array([p[1] for p in pairs], dtype=np.float64),
+        )
+    return out
+
+
 def kll_from_dataframe(df, value_col: str, k: int = 200, seed: int = 1,
                        combine_partitions: int = 8) -> KLL:
     """Distributed KLL over a numeric column (NULLs skipped).  Same

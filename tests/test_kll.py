@@ -130,3 +130,100 @@ def test_kll_by_group_estimates_within_bound(spark):
         # group g holds values {g, g+3, g+6, ...}: quantile q ≈ 90000*q
         for q in (0.1, 0.5, 0.9):
             assert abs(s.quantile(q) / 90_000 - q) <= s.rank_error_bound()
+
+
+# ---- md5-compat deterministic mode (VERDICT r12 #3) -----------------
+
+
+def test_compat_level_for_integer_boundaries():
+    from spark_skew_join_spark.sketch.kll import KLLCompat
+
+    k = 200
+    assert KLLCompat.level_for(0, k) == 0
+    assert KLLCompat.level_for(1, k) == 0
+    assert KLLCompat.level_for(k, k) == 0
+    assert KLLCompat.level_for(k + 1, k) == 1
+    assert KLLCompat.level_for(2 * k, k) == 1
+    assert KLLCompat.level_for(2 * k + 1, k) == 2
+    # exact power-of-two boundary a float log2 could mis-round
+    assert KLLCompat.level_for(k * (1 << 20), k) == 20
+    assert KLLCompat.level_for(k * (1 << 20) + 1, k) == 21
+
+
+def test_compat_build_is_partitioning_invariant(spark):
+    """The register set is a pure per-row hash function, so the sketch
+    must be bit-identical regardless of how the input is partitioned —
+    the property the seeded KLL cannot offer and the whole point of
+    compat mode."""
+    from spark_skew_join_spark.sketch.kll import kll_compat_from_dataframe
+
+    rng = np.random.default_rng(7)
+    rows = [(i, float(v)) for i, v in enumerate(rng.uniform(0, 1e6, 5000))]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    a = kll_compat_from_dataframe(df.repartition(1), "id", "v")
+    b = kll_compat_from_dataframe(df.repartition(13, "v"), "id", "v")
+    assert a.n == b.n == 5000 and a.level == b.level
+    assert np.array_equal(a.hashes, b.hashes)
+    assert np.array_equal(a.values, b.values)
+    assert [a.quantile(q) for q in PROBES] == [b.quantile(q) for q in PROBES]
+
+
+def test_compat_merge_equals_rebuild(spark):
+    """Union-then-refilter merge must reproduce the single-pass build
+    register-for-register (the theta-sketch adaptation property)."""
+    from pyspark.sql import functions as F
+
+    from spark_skew_join_spark.sketch.kll import kll_compat_from_dataframe
+
+    rng = np.random.default_rng(11)
+    rows = [(i, float(v)) for i, v in enumerate(rng.normal(0, 50, 8000))]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    full = kll_compat_from_dataframe(df, "id", "v")
+    parts = [
+        kll_compat_from_dataframe(df.where(F.col("id") % 3 == r), "id", "v")
+        for r in range(3)
+    ]
+    merged = parts[0].merge(parts[1]).merge(parts[2])
+    assert merged.n == full.n and merged.level == full.level
+    assert set(zip(merged.hashes.tolist(), merged.values.tolist())) == set(
+        zip(full.hashes.tolist(), full.values.tolist())
+    )
+
+
+def test_compat_rank_error_within_bound(spark):
+    from spark_skew_join_spark.sketch.kll import kll_compat_from_dataframe
+
+    rng = np.random.default_rng(23)
+    data = rng.pareto(1.5, 60_000)
+    rows = [(i, float(v)) for i, v in enumerate(data)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    s = kll_compat_from_dataframe(df, "id", "v")
+    assert s.n == len(data)
+    srt = np.sort(data)
+    for q in PROBES:
+        est = s.quantile(q)
+        err = abs(np.searchsorted(srt, est, side="right") / len(srt) - q)
+        assert err <= s.rank_error_bound(), (q, err, s.rank_error_bound())
+
+
+def test_compat_by_group_matches_per_group_builds(spark):
+    from pyspark.sql import functions as F
+
+    from spark_skew_join_spark.sketch.kll import (
+        kll_compat_by_group,
+        kll_compat_from_dataframe,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, ["a", "b", None][i % 3], float(v))
+        for i, v in enumerate(rng.uniform(0, 100, 3000))
+    ]
+    df = spark.createDataFrame(rows, ["id", "g", "v"])
+    grouped = kll_compat_by_group(df, "g", "id", "v")
+    assert set(grouped) == {"a", "b", None}
+    for g, sk in grouped.items():
+        cond = F.col("g").isNull() if g is None else (F.col("g") == g)
+        solo = kll_compat_from_dataframe(df.where(cond), "id", "v")
+        assert sk.n == solo.n and sk.level == solo.level
+        assert np.array_equal(sk.values, solo.values), g
