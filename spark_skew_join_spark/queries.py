@@ -8545,14 +8545,18 @@ BPE_TOKENIZE_SQL = _bpe_tokenize_oracle_sql(16)
 _IMG_VARIANT_OFFSET = 1 << 40
 
 
-def _synth_bmp_corpus(docs: DataFrame) -> DataFrame:
-    """(doc_id, content): deterministic 16×16 real BMP per document
+def _synth_bmp_corpus(docs: DataFrame, codec: str = "bmp") -> DataFrame:
+    """(doc_id, content): deterministic 16×16 real image per document
     (pixels from a sha256 stream over doc_id, range 0..199); every EVEN
     doc_id also emits a planted near-duplicate variant (+10 brightness
     — strictly monotonic, so zero dHash bits flip — plus one sampled
     grid pixel blown out to 255, which flips at most 2 of the 64 bits).
-    Variant ids live at doc_id + 2^40 so they never collide."""
-    from .operators.multimodal import encode_bmp
+    Variant ids live at doc_id + 2^40 so they never collide.
+    ``codec`` picks the payload container (bmp or png) — the PIXELS are
+    identical, so the two corpora must dHash identically."""
+    from .operators.multimodal import encode_bmp, encode_png
+
+    enc = {"bmp": encode_bmp, "png": encode_png}[codec]
 
     def gen(it):
         import hashlib
@@ -8570,12 +8574,12 @@ def _synth_bmp_corpus(docs: DataFrame) -> DataFrame:
                 )
                 px = (np.frombuffer(data, dtype=np.uint8) % 200).reshape(16, 16, 3)
                 ids.append(did)
-                blobs.append(encode_bmp(px))
+                blobs.append(enc(px))
                 if did % 2 == 0:
                     v = px + 10  # ≤ 209: no clipping, order-preserving
                     v[6, 7] = 255  # grid point (yi[3], xi[4]) → ≤2 bit flips
                     ids.append(did + _IMG_VARIANT_OFFSET)
-                    blobs.append(encode_bmp(v))
+                    blobs.append(enc(v))
             yield pd.DataFrame(
                 {"doc_id": pd.Series(ids, dtype="int64"), "content": blobs}
             )
@@ -8606,6 +8610,45 @@ def image_near_dup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     imgs = _synth_bmp_corpus(t["documents"])
     hashes = dhash_images(imgs, decoder="bmp")
+    pairs = phash_near_dup(hashes, max_hamming=3, n_bands=4)
+    planted = (
+        (F.col("id_a") % 2 == 0)
+        & (F.col("id_b") - F.col("id_a") == _IMG_VARIANT_OFFSET)
+    ).cast("int")
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.coalesce(F.sum(planted), F.lit(0)).alias("n_planted_found"),
+    )
+    base = t["documents"].agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("doc_id") % 2 == 0).cast("int")).alias("n_planted"),
+    )
+    return base.crossJoin(agg).select(
+        (F.col("n_docs") + F.col("n_planted")).cast("long").alias("n_images"),
+        F.col("n_planted").cast("long").alias("n_planted"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("n_planted_found").cast("long").alias("n_planted_found"),
+        (F.col("n_pairs") - F.col("n_planted_found"))
+        .cast("long")
+        .alias("n_spurious"),
+    )
+
+
+def image_near_dup_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PNG twin of image_near_dup_phash (VERDICT r12 #4): the SAME
+    deterministic planted corpus, but carried as real zlib-compressed
+    PNG payloads decoded by the stdlib codec
+    (operators/multimodal.py::decode_png — chunk walk → IDAT inflate →
+    per-row unfilter) before dHash + pigeonhole-banded Hamming
+    matching.  Pixels are identical to the BMP corpus, so the expected
+    output is identical too: every planted pair found, zero spurious —
+    certifying the compressed-codec decode path end-to-end, not just
+    in unit tests."""
+    from .operators.multimodal import dhash_images, phash_near_dup
+
+    t = load_tables(spark, sf_dir)
+    imgs = _synth_bmp_corpus(t["documents"], codec="png")
+    hashes = dhash_images(imgs, decoder="png")
     pairs = phash_near_dup(hashes, max_hamming=3, n_bands=4)
     planted = (
         (F.col("id_a") % 2 == 0)
@@ -9754,6 +9797,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_export_stats": shard_export_stats,
     "quota_sample_sources": quota_sample_sources,
     "tfidf_top_terms": tfidf_top_terms,
+    "image_near_dup_png": image_near_dup_png,
 }
 
 # Machine-readable driver-window marker (VERDICT r10 #1): the test
@@ -9850,6 +9894,8 @@ ORACLES: dict[str, str] = {
     "theta_sketch_orders": THETA_SKETCH_SQL,
     "join_size_estimate_cms": JOIN_SIZE_CMS_SQL,
     "image_near_dup_phash": IMAGE_NEAR_DUP_SQL,
+    # identical planted pixels, PNG container (r13 debut)
+    "image_near_dup_png": IMAGE_NEAR_DUP_SQL,
     "audio_near_dup_awhash": AUDIO_NEAR_DUP_SQL,
     "url_canonical_dedup": URL_CANONICAL_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,

@@ -198,3 +198,164 @@ def test_awhash_spark_matcher_end_to_end(spark):
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {
         (i, i + 500) for i in range(0, 12, 3)
     }
+
+
+# ---- stdlib-zlib PNG codec (VERDICT r12 #4) --------------------------
+
+import struct  # noqa: E402
+import zlib  # noqa: E402
+
+from spark_skew_join_spark.operators.multimodal import (  # noqa: E402
+    decode_bmp,
+    decode_png,
+    encode_png,
+)
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data)) + typ + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _raw_png(w, h, ctype, scanlines, extra=b""):
+    raw = b"".join(bytes([f]) + bytes(line) for f, line in scanlines)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+        + extra
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_random_rgb():
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (23, 17, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(px)), px)
+
+
+def test_png_unfilter_matches_scalar_reference():
+    """Every filter type (None/Sub/Up/Average/Paeth) against a
+    straight-from-the-spec scalar reconstruction."""
+
+    def ref(ftypes, scan, w, ch):
+        h, stride = len(ftypes), w * ch
+        recon = np.zeros((h, stride), np.int32)
+        for y in range(h):
+            for x in range(stride):
+                a = recon[y, x - ch] if x >= ch else 0
+                b = recon[y - 1, x] if y > 0 else 0
+                c = recon[y - 1, x - ch] if (y > 0 and x >= ch) else 0
+                v, f = int(scan[y][x]), ftypes[y]
+                if f == 0:
+                    r = v
+                elif f == 1:
+                    r = v + a
+                elif f == 2:
+                    r = v + b
+                elif f == 3:
+                    r = v + ((a + b) >> 1)
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c
+                    )
+                    r = v + pred
+                recon[y, x] = r & 0xFF
+        return recon.astype(np.uint8).reshape(h, w, ch)
+
+    rng = np.random.default_rng(9)
+    w, h, ch = 11, 9, 3
+    ftypes = [0, 1, 2, 3, 4, 4, 3, 2, 1]
+    scan = rng.integers(0, 256, (h, w * ch), dtype=np.uint8)
+    png = _raw_png(w, h, 2, [(ftypes[y], scan[y].tobytes()) for y in range(h)])
+    assert np.array_equal(decode_png(png), ref(ftypes, scan, w, ch))
+
+
+def test_png_gray_alpha_palette_types():
+    rng = np.random.default_rng(3)
+    w, h = 7, 5
+    gray = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    png0 = _raw_png(w, h, 0, [(0, gray[y].tobytes()) for y in range(h)])
+    out0 = decode_png(png0)
+    assert np.array_equal(out0[:, :, 0], gray)
+    assert np.array_equal(out0[:, :, 0], out0[:, :, 2])
+    rgba = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+    png6 = _raw_png(
+        w, h, 6, [(0, rgba[y].tobytes()) for y in range(h)]
+    )
+    assert np.array_equal(decode_png(png6), rgba[:, :, :3])
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (h, w), dtype=np.uint8)
+    png3 = _raw_png(
+        w, h, 3, [(0, idx[y].tobytes()) for y in range(h)],
+        extra=_png_chunk(b"PLTE", pal.tobytes()),
+    )
+    assert np.array_equal(decode_png(png3), pal[idx])
+
+
+def test_png_rejects_malformed_payloads():
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"nope")
+    # 16-bit depth unsupported
+    bad = _raw_png(4, 4, 2, [(0, bytes(12))] * 4).replace(
+        struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0),
+        struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0),
+    )
+    with pytest.raises(ValueError, match="8-bit"):
+        decode_png(bad)
+    # pixel payload shorter than h*(stride+1)
+    trunc = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="size mismatch"):
+        decode_png(trunc)
+
+
+def test_png_dhash_parity_with_bmp_and_spark_paths(spark):
+    """Same pixels through both containers must dHash identically —
+    unit-level, then through the Arrow-batched Spark stage."""
+    rng = np.random.default_rng(21)
+    imgs = [rng.integers(0, 200, (16, 16, 3), dtype=np.uint8) for _ in range(6)]
+    for px in imgs:
+        assert dhash64(decode_png(encode_png(px))) == dhash64(
+            decode_bmp(encode_bmp(px))
+        )
+    rows_bmp = [(i, encode_bmp(px)) for i, px in enumerate(imgs)]
+    rows_png = [(i, encode_png(px)) for i, px in enumerate(imgs)]
+    hb = dhash_images(
+        spark.createDataFrame(rows_bmp, ["doc_id", "content"]), decoder="bmp"
+    ).collect()
+    hp = dhash_images(
+        spark.createDataFrame(rows_png, ["doc_id", "content"]), decoder="png"
+    ).collect()
+    assert sorted((r.doc_id, r.dhash) for r in hb) == sorted(
+        (r.doc_id, r.dhash) for r in hp
+    )
+
+
+def test_png_resize_and_features_spark_paths(spark):
+    from spark_skew_join_spark.operators.multimodal import (
+        extract_features,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(2)
+    px = rng.integers(0, 256, (16, 12, 3), dtype=np.uint8)
+    df = spark.createDataFrame([(1, encode_png(px))], ["doc_id", "content"])
+    r = resize_images(df, 8, 6, decoder="png").collect()[0]
+    out = decode_png(bytes(r.resized))
+    assert out.shape == (6, 8, 3)
+    # nearest-neighbor grid must match the BMP path on the same pixels
+    dfb = spark.createDataFrame([(1, encode_bmp(px))], ["doc_id", "content"])
+    rb = resize_images(dfb, 8, 6, decoder="bmp").collect()[0]
+    assert np.array_equal(out, decode_bmp(bytes(rb.resized)))
+    f = extract_features(df, decoder="png").collect()[0]
+    fb = extract_features(dfb, decoder="bmp").collect()[0]
+    assert f.features == fb.features
