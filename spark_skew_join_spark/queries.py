@@ -7400,6 +7400,108 @@ def _langid_eval_sql() -> str:
 LANGID_EVAL_SQL = _langid_eval_sql()
 
 
+# 3 planted "languages" with disjoint 15-char alphabets (+ shared
+# space): text = md5 hex stream of the doc_id TRANSLATEd into the
+# class alphabet — deterministic, engine-identical (md5 hex is
+# lowercase in both; TRANSLATE is 1:1), and genuinely text-dependent:
+# the class signal lives ONLY in the characters.
+_LANGID_ALPHABETS = {
+    "lang-a": "abcdefghijklmno ",
+    "lang-b": "pqrstuvwxyz0123 ",
+    "lang-c": "456789+-=_;:,.< ",
+}
+_LANGID_HEX = "0123456789abcdef"
+
+
+def _planted_multilingual(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, lang): deterministic synthetic multilingual
+    corpus over the documents ids — lang = doc_id % 3 mapped to a
+    label whose 96-char text is TRANSLATE(md5-hex stream, hex-digits,
+    class alphabet). The pytest planted-alphabet fixture promoted into
+    the oracle-checked path (VERDICT r12 #5)."""
+    labels = sorted(_LANGID_ALPHABETS)
+    idm = F.col("doc_id") % 3
+    hexstream = F.concat(
+        F.md5(F.col("doc_id").cast("string")),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("x"))),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("y"))),
+    )
+    lang = None
+    text = None
+    for i, lbl in enumerate(labels):
+        cond = idm == i
+        tr = F.translate(hexstream, _LANGID_HEX, _LANGID_ALPHABETS[lbl])
+        lang = F.when(cond, lbl) if lang is None else lang.when(cond, lbl)
+        text = F.when(cond, tr) if text is None else text.when(cond, tr)
+    return docs.select("doc_id", text.alias("text"), lang.alias("lang"))
+
+
+def _planted_multilingual_sql() -> str:
+    labels = sorted(_LANGID_ALPHABETS)
+    lang = " ".join(
+        f"WHEN {i} THEN '{lbl}'" for i, lbl in enumerate(labels)
+    )
+    hexstream = (
+        "MD5(CAST(doc_id AS VARCHAR)) || "
+        "MD5(CAST(doc_id AS VARCHAR) || 'x') || "
+        "MD5(CAST(doc_id AS VARCHAR) || 'y')"
+    )
+    text = " ".join(
+        f"WHEN {i} THEN TRANSLATE({hexstream}, '{_LANGID_HEX}', "
+        f"'{_LANGID_ALPHABETS[lbl]}')"
+        for i, lbl in enumerate(labels)
+    )
+    return (
+        f"(SELECT doc_id, CASE doc_id % 3 {text} END AS text, "
+        f"CASE doc_id % 3 {lang} END AS lang FROM documents)"
+    )
+
+
+def langid_planted_multilingual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEXT-DEPENDENT language-ID certification (VERDICT r12 #5):
+    langid_softmax_docs honestly documents that the fixture ``lang``
+    label is text-independent (the trained model collapses to the
+    prior), so this entry plants three languages with DISJOINT
+    alphabets over deterministic md5-hex streams — the only class
+    signal is in the characters — trains the same certified softmax
+    trajectory (64 buckets, 4 iters, lr=4.0), and returns the
+    per-class eval metrics. The in-query gate HARD-FAILS (raises)
+    unless every class recall is >= 0.9, far above the 1/3 chance
+    floor, so a model that stopped reading the text cannot certify;
+    the oracle replays corpus synthesis, the full GD trajectory, and
+    the metrics in SQL. Training collects at construction → EAGER."""
+    from .operators.langid import langid_classifier, langid_eval
+
+    t = load_tables(spark, sf_dir)
+    docs = _planted_multilingual(t["documents"])
+    scored = langid_classifier(
+        docs, label_col="lang", n_buckets=64, iters=4, lr=4.0
+    )
+    ev = langid_eval(scored)
+    rows = ev.collect()
+    bad = [r for r in rows if r["recall"] is None or r["recall"] < 0.9]
+    if bad:
+        raise ValueError(
+            "planted-language recall gate failed (model is not "
+            f"text-dependent): {[(r['lang'], r['recall']) for r in bad]}"
+        )
+    return spark.createDataFrame(rows, ev.schema)
+
+
+def _langid_planted_sql() -> str:
+    from .operators.langid import langid_eval_oracle_sql, softmax_oracle_sql
+
+    return langid_eval_oracle_sql(
+        softmax_oracle_sql(
+            n_buckets=64, iters=4, lr=4.0, label_col="lang",
+            table=_planted_multilingual_sql(),
+        )
+    )
+
+
+LANGID_PLANTED_SQL = _langid_planted_sql()
+
+
 def _unigram_sqls() -> tuple[str, str]:
     from .operators.unigram import (
         unigram_oracle_sql,
@@ -9798,6 +9900,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quota_sample_sources": quota_sample_sources,
     "tfidf_top_terms": tfidf_top_terms,
     "image_near_dup_png": image_near_dup_png,
+    "langid_planted_multilingual": langid_planted_multilingual,
 }
 
 # Machine-readable driver-window marker (VERDICT r10 #1): the test
@@ -9877,6 +9980,9 @@ DRIVER_WINDOW = {
 ORACLES: dict[str, str] = {
     "langid_softmax_docs": LANGID_SOFTMAX_SQL,
     "langid_softmax_eval": LANGID_EVAL_SQL,
+    # text-dependent certification over planted disjoint alphabets
+    # (r13 debut)
+    "langid_planted_multilingual": LANGID_PLANTED_SQL,
     "bleu_rouge_eval_docs": BLEU_ROUGE_SQL,
     "readability_docs": READABILITY_SQL,
     "domain_reweight_docs": DOMAIN_REWEIGHT_SQL,
@@ -10128,6 +10234,7 @@ EAGER_QUERIES = (
     # gradient collects per entry)
     "langid_softmax_docs",
     "langid_softmax_eval",
+    "langid_planted_multilingual",
     "classifier_calibration_docs",
     "cluster_split_docs",
     "entity_resolution_customers",
