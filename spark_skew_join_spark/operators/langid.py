@@ -18,14 +18,19 @@ final per-doc predictions EXACT.
 Scale shape (100 TB corpus):
 * Feature build: char bigrams via explode-positions (pure codegen, the
   shingles idiom), bucketed by md5 (SQL-replayable) BEFORE the
-  (id, bucket) count — gram strings never shuffle; one groupBy(id)
-  into a doc-major sparse map, persisted once for the training loop.
-* Per GD iteration: C margin folds per doc against BROADCAST weight
-  literals (no shuffle), softmax in-row, gradient = explode fmap →
-  groupBy(bucket) with C partial-aggregated sums — each iteration
-  moves O((D+1) x C x tasks) bytes regardless of corpus size; the
-  driver holds only the C x (D+1) weight matrix (~2.6 KB here).
-* Scoring: one shuffle-free projection per doc.
+  (id, bucket) count — gram strings never shuffle; the granular
+  (id, bucket, c, n_gram) table (char_tf_counts) is hash-partitioned
+  by id, persisted once for the training loop, and SHAREABLE: any
+  divisor bucket count derives by ``bucket % m`` re-aggregation.
+* Per GD iteration (fully relational since r13 — no higher-order
+  functions, whole-stage codegen stays on): margins = bucket-equi-join
+  against the broadcast weight relation → groupBy(id) with C sums
+  (no exchange, already partitioned by id) → per-doc softmax residuals
+  → co-partitioned join back → groupBy(bucket) with C
+  partially-aggregated sums → collect D+1 rows. Each iteration moves
+  O((D+1) x C x tasks) bytes regardless of corpus size; the driver
+  holds only the C x (D+1) weight matrix (~2.6 KB here).
+* Scoring: the same margins aggregate once more, argmax in-row.
 
 Why not MLlib: pyspark.ml's softmax is LBFGS behind a JVM barrier —
 nondeterministic iteration counts, not oracle-checkable (the
@@ -43,6 +48,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "char_hashed_features",
+    "char_tf_counts",
     "train_softmax",
     "langid_classifier",
     "langid_eval",
@@ -125,37 +131,164 @@ def char_hashed_features(
     return per_doc.select(id_col, fmap.alias("fmap"), "n_gram")
 
 
-def _weights_df(spark, weights: list[list[float]]):
-    """The C x (D+1) weight matrix as a ONE-ROW DataFrame, bucket-major
-    (``__W[b][c]``), for a broadcast scalar cross-join. A literal-array
-    fold (the binary classifier's shape, classifier.py:100) would embed
-    C x (D+1) literals into the expression tree and recompile the
-    whole-stage codegen EVERY iteration (measured ~8 s/iteration at 20
-    classes); as a broadcast column the expression — and its compiled
-    code — is identical across iterations, so only the 1-row relation
-    changes. The 1-row BroadcastNestedLoopJoin is the allowlisted
-    scalar idiom (queries.SCALAR_BNL_OK)."""
+def char_tf_counts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 128,
+    n: int = 2,
+) -> DataFrame:
+    """The GRANULAR, SHAREABLE form of char_hashed_features:
+    (id_col, bucket int, c bigint, n_gram bigint), hash-partitioned by
+    ``id_col``. Because bucket = md5_32 % n_buckets, any DIVISOR bucket
+    count m derives exactly by re-aggregating ``bucket % m`` (x % 128
+    % 64 == x % 64) — one persisted 128-bucket table feeds both the
+    128-bucket and 64-bucket registry classifiers without
+    re-tokenizing the corpus (VERDICT r12 next-round #1)."""
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    from ..sources.tables import fan_out_narrow
+
+    t = F.lower(F.col("__t"))
+    pos = F.explode(
+        F.sequence(F.lit(1), F.length(F.col("__t")) - n + 1)
+    ).alias("pos")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("__g")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    tf = (
+        fan_out_narrow(
+            docs.select(F.col(id_col), F.col(text_col).alias("__t")).where(
+                F.length(text_col) >= n
+            )
+        )
+        .select(id_col, t.alias("__t"), pos)
+        .select(
+            id_col,
+            F.substring(F.col("__t"), F.col("pos").cast("int"), n).alias(
+                "__g"
+            ),
+        )
+        .select(id_col, bucket.alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = tf.groupBy(id_col).agg(
+        F.sum("c").alias("n_gram"),
+        F.collect_list(F.struct("bucket", "c")).alias("__e"),
+    )
+    return per_doc.select(
+        id_col, "n_gram", F.explode("__e").alias("__kv")
+    ).select(
+        id_col,
+        F.col("__kv.bucket").cast("int").alias("bucket"),
+        F.col("__kv.c").alias("c"),
+        "n_gram",
+    )
+
+
+def _weights_rel(spark, weights: list[list[float]]):
+    """The C x (D+1) weight matrix as a (D+1)-row broadcastable
+    relation (bucket, __w0..__w{C-1}). As a broadcast RELATION rather
+    than literal arrays the compiled iteration code is identical
+    across iterations (only the relation's rows change — the r12
+    one-row-broadcast insight), and the per-bucket wide layout feeds a
+    plain equi-join + hash aggregate: no higher-order functions, so
+    whole-stage codegen stays ON (the r12 HOF path was CodegenFallback
+    and ran the loop with WSCG scoped off)."""
     nc, d1 = len(weights), len(weights[0])
-    bucket_major = [
-        [float(weights[c][b]) for c in range(nc)] for b in range(d1)
+    rows = [
+        tuple([b] + [float(weights[c][b]) for c in range(nc)])
+        for b in range(d1)
     ]
-    return spark.createDataFrame(
-        [(bucket_major,)], "__W array<array<double>>"
-    )
+    schema = "bucket int, " + ", ".join(f"__w{c} double" for c in range(nc))
+    return spark.createDataFrame(rows, schema)
 
 
-def _margins() -> "F.Column":
-    """All C sparse dot products in ONE fold over the doc's fmap:
-    acc[c] += x_b * __W[b][c] via zip_with."""
-    return F.aggregate(
-        F.map_entries("fmap"),
-        F.array_repeat(F.lit(0.0), F.size(F.element_at("__W", 1))),
-        lambda acc, e: F.zip_with(
-            acc,
-            F.element_at(F.col("__W"), e["key"] + 1),
-            lambda a, w: a + e["value"] * w,
-        ),
-    )
+def _gd_loop(exl: DataFrame, n: int, n_classes: int, n_buckets: int,
+             iters: int, lr: float) -> list[list[float]]:
+    """The softmax-GD recurrence over the exploded feature relation
+    ``exl`` = (persisted) (__id, __y, bucket, x), hash-partitioned by
+    __id. Per iteration, ONE action: margins = bucket-equi-join against
+    the broadcast weight relation → groupBy(__id) with C sums (no
+    exchange — exl is already partitioned by __id) → softmax residuals
+    per doc → join back to exl on __id (both sides co-partitioned) →
+    groupBy(bucket) with C partially-aggregated sums → collect D+1
+    rows. Driver state is the C x (D+1) matrix only; per-iteration
+    traffic is O((D+1) x C) regardless of corpus size."""
+    from functools import reduce as _reduce
+
+    spark = exl.sparkSession
+    # AQE is pure overhead inside the loop: every iteration's relations
+    # are tiny and fixed-shape, so per-stage re-optimization buys
+    # nothing and costs real wall (A/B at sf0.1: 4 iterations 9.9 s
+    # with AQE, 6.0 s without). Scope it off and restore after — the
+    # co-partitioning and the shuffle_hash hint fully determine the
+    # plan we want.
+    try:
+        _old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    except Exception:
+        _old_aqe = "true"
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    weights = [[0.0] * (n_buckets + 1) for _ in range(n_classes)]
+    try:
+        _run_gd_iterations(
+            exl, n, n_classes, iters, lr, weights, spark, _reduce
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", _old_aqe)
+    return weights
+
+
+def _run_gd_iterations(exl, n, n_classes, iters, lr, weights, spark,
+                       _reduce):
+    for _ in range(iters):
+        wdf = _weights_rel(spark, weights)
+        margins = (
+            exl.join(F.broadcast(wdf), "bucket")
+            .groupBy("__id", "__y")
+            .agg(
+                *[
+                    F.sum(F.col("x") * F.col(f"__w{c}")).alias(f"__m{c}")
+                    for c in range(n_classes)
+                ]
+            )
+        )
+        es = [F.exp(F.col(f"__m{c}")) for c in range(n_classes)]
+        denom = _reduce(lambda a, b: a + b, es)
+        resid = margins.select(
+            "__id",
+            *[
+                (es[c] / denom - (F.col("__y") == c).cast("double")).alias(
+                    f"__r{c}"
+                )
+                for c in range(n_classes)
+            ],
+        )
+        # shuffle-hash on the per-doc resid side: both sides are
+        # hash-partitioned by __id (exl at persist time, resid through
+        # the margins aggregate), so the join is partition-local — and
+        # the hint stops Catalyst from broadcasting whichever side its
+        # size estimate undercounts (it picked the CORPUS-sized exl
+        # cache when left to itself; a resid broadcast would be just
+        # as wrong at 100 TB: one row per document)
+        grad_rows = (
+            exl.join(resid.hint("shuffle_hash"), "__id")
+            .groupBy("bucket")
+            .agg(
+                *[
+                    F.sum(F.col("x") * F.col(f"__r{c}")).alias(f"g{c}")
+                    for c in range(n_classes)
+                ]
+            )
+            .collect()
+        )
+        for row in grad_rows:
+            for c in range(n_classes):
+                weights[c][row["bucket"]] -= lr * row[f"g{c}"] / n
 
 
 def train_softmax(
@@ -175,70 +308,36 @@ def train_softmax(
 
     ``iters`` is fixed, so the trajectory is a pure function of the
     data — a DuckDB CTE chain replays it (float sum order is the only
-    divergence, invisible at the registry's round-6 outputs). Each
-    iteration is ONE Spark job: C margin folds (no shuffle) → explode
-    fmap → groupBy(bucket) with C partial-aggregated sums → collect
-    D+1 rows; driver state is the weight matrix only.
-    """
+    divergence, invisible at the registry's round-6 outputs). Since
+    r13 the loop is fully RELATIONAL (_gd_loop): the r12 higher-order-
+    function margins fold was CodegenFallback (interpreted) and cost
+    ~1.4 s/iteration at 5k docs; plain joins + hash aggregates keep
+    whole-stage codegen on, with the broadcast weight relation keeping
+    the compiled code identical across iterations."""
     if iters < 1:
         raise ValueError("iters must be >= 1")
     if n_classes < 2:
         raise ValueError("n_classes must be >= 2")
-    spark = feats.sparkSession
-    d = feats.select(feats.columns[0], label_col, "fmap").persist()
-    # the margin/softmax/gradient expressions are higher-order
-    # functions — CodegenFallback, interpreted either way — so
-    # whole-stage codegen only buys each iteration a large one-shot
-    # method compile (and, under long-session code-cache pressure,
-    # the occasional failed-compile retry); run the training loop
-    # with WSCG off and restore the session setting after
+    id_col = feats.columns[0]
+    exl = (
+        feats.select(
+            F.col(id_col).alias("__id"),
+            F.col(label_col).alias("__y"),
+            F.explode("fmap").alias("bucket", "x"),
+        )
+        # hash-partition by doc BEFORE persisting: every margins
+        # groupBy(__id) and gradient join in the loop then runs
+        # without an exchange
+        .repartition("__id")
+        .persist()
+    )
     try:
-        _old_wscg = spark.conf.get("spark.sql.codegen.wholeStage")
-    except Exception:
-        _old_wscg = "true"
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    try:
-        n = d.count()
+        n = exl.select("__id").distinct().count()
         if n == 0:
             raise ValueError("no training documents (all too short?)")
-        weights = [[0.0] * (n_buckets + 1) for _ in range(n_classes)]
-        for _ in range(iters):
-            base = (
-                d.crossJoin(F.broadcast(_weights_df(spark, weights)))
-                .select(label_col, "fmap", _margins().alias("__m"))
-                .select(
-                    label_col,
-                    "fmap",
-                    F.transform("__m", lambda x: F.exp(x)).alias("__e"),
-                )
-            )
-            denom = F.aggregate("__e", F.lit(0.0), lambda a, x: a + x)
-            resid = F.transform(
-                "__e",
-                lambda e, i: e / denom
-                - (F.col(label_col) == i).cast("double"),
-            )
-            grad_rows = (
-                base.select(resid.alias("__r"), "fmap")
-                .select("__r", F.explode("fmap").alias("bucket", "x"))
-                .groupBy("bucket")
-                .agg(
-                    *[
-                        F.sum(
-                            F.element_at("__r", c + 1) * F.col("x")
-                        ).alias(f"g{c}")
-                        for c in range(n_classes)
-                    ]
-                )
-                .collect()
-            )
-            for row in grad_rows:
-                for c in range(n_classes):
-                    weights[c][row["bucket"]] -= lr * row[f"g{c}"] / n
+        return _gd_loop(exl, n, n_classes, n_buckets, iters, lr)
     finally:
-        spark.conf.set("spark.sql.codegen.wholeStage", _old_wscg)
-        d.unpersist()
-    return weights
+        exl.unpersist()
 
 
 def langid_classifier(
@@ -251,6 +350,7 @@ def langid_classifier(
     n: int = 2,
     iters: int = 6,
     lr: float = 2.0,
+    tf_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Train on the labeled corpus, predict a language for every doc.
 
@@ -258,7 +358,10 @@ def langid_classifier(
     when omitted — collected once, bounded by the language count).
     Prediction is the argmax of the ROUND-6 softmax probabilities,
     ties to the smallest class index, so engine and oracle agree
-    whenever their rounded probabilities do.
+    whenever their rounded probabilities do. ``tf_counts`` optionally
+    supplies a precomputed char_tf_counts table built at a bucket
+    count DIVISIBLE by ``n_buckets`` (the family-cache path: one
+    128-bucket table feeds both registry classifiers).
 
     Output per doc: (id_col, y, pred, p_pred) ordered by id — y/pred
     are the label strings, p_pred the rounded winning probability.
@@ -270,7 +373,8 @@ def langid_classifier(
             if r[0] is not None
         )
     cidx = {v: i for i, v in enumerate(classes)}
-    if len(cidx) < 2:
+    nc = len(cidx)
+    if nc < 2:
         raise ValueError("need at least 2 classes")
     label_ix = F.col(label_col)
     y_expr = None
@@ -280,38 +384,95 @@ def langid_classifier(
             if y_expr is None
             else y_expr.when(label_ix == v, i)
         )
-    feats = char_hashed_features(docs, id_col, text_col, n_buckets, n)
-    labeled = feats.join(
-        docs.select(id_col, y_expr.cast("int").alias("__y"), label_col),
+    if tf_counts is None:
+        tf = char_tf_counts(docs, id_col, text_col, n_buckets, n)
+    else:
+        # shared granular counts (e.g. the 128-bucket family table):
+        # fold down to this classifier's bucket count — exact, because
+        # md5_32 % base % n_buckets == md5_32 % n_buckets when
+        # n_buckets divides base, and summed counts divide by the SAME
+        # per-doc n_gram the oracle uses. groupBy(id, bucket%m) needs
+        # no exchange: the table is already hash-partitioned by id.
+        tf = (
+            tf_counts.groupBy(
+                id_col,
+                (F.col("bucket") % n_buckets).cast("int").alias("bucket"),
+            )
+            .agg(F.sum("c").alias("c"), F.max("n_gram").alias("n_gram"))
+        )
+    # exploded features: tf rows normalized per doc + the bias row —
+    # the relational mirror of the oracle's feat CTE
+    ex = tf.select(
         id_col,
+        "bucket",
+        (F.col("c").cast("double") / F.col("n_gram")).alias("x"),
+    ).unionByName(
+        tf.select(id_col).distinct().select(
+            id_col,
+            F.lit(n_buckets).cast("int").alias("bucket"),
+            F.lit(1.0).alias("x"),
+        )
+    )
+    labels = docs.select(
+        id_col, y_expr.cast("int").alias("__y")
     ).where(F.col("__y").isNotNull())
-    weights = train_softmax(
-        labeled,
-        label_col="__y",
-        n_classes=len(classes),
-        n_buckets=n_buckets,
-        iters=iters,
-        lr=lr,
+    # the bias-row union above erases the child partitioning, so
+    # re-establish hash(__id) before the persist — the GD loop and the
+    # scoring aggregate then run exchange-free
+    exl = ex.join(labels, id_col).select(
+        F.col(id_col).alias("__id"), "__y", "bucket", "x"
+    ).repartition("__id")
+    # persist scoped to the training loop (the r12 shape); scoring
+    # below re-derives lazily from the same lineage, one pass at
+    # consumption
+    exp_ = exl.persist()
+    try:
+        n_docs = exp_.select("__id").distinct().count()
+        if n_docs == 0:
+            raise ValueError("no training documents (all too short?)")
+        weights = _gd_loop(exp_, n_docs, nc, n_buckets, iters, lr)
+    finally:
+        exp_.unpersist()
+    # relational scoring: same margins join/aggregate as an iteration,
+    # then round-6 softmax and the first-max argmax (smallest class
+    # index on ties — the oracle's (p DESC, c ASC) rule)
+    wdf = _weights_rel(docs.sparkSession, weights)
+    margins = (
+        exl.join(F.broadcast(wdf), "bucket")
+        .groupBy("__id", "__y")
+        .agg(
+            *[
+                F.sum(F.col("x") * F.col(f"__w{c}")).alias(f"__m{c}")
+                for c in range(nc)
+            ]
+        )
     )
-    exps = F.transform(_margins(), lambda x: F.exp(x))
-    scored = labeled.crossJoin(
-        F.broadcast(_weights_df(labeled.sparkSession, weights))
-    ).select(
-        id_col, F.col(label_col).alias("y"), exps.alias("__e")
-    )
-    denom = F.aggregate("__e", F.lit(0.0), lambda a, x: a + x)
-    probs = F.transform("__e", lambda e: F.round(e / denom, 6))
-    scored = scored.select(id_col, "y", probs.alias("__p"))
-    # first-max argmax on the rounded probs (smallest index wins ties)
-    # — the same (p DESC, c ASC) rule the SQL oracle uses
+    # ONE probs-array expression, argmax via array_position(arr,
+    # array_max(arr)) — first occurrence of the max, i.e. ties to the
+    # smallest class index, the oracle's (p DESC, c ASC) rule. The
+    # array shape matters beyond style: C per-column prob expressions
+    # each embedding the C-term softmax denominator, then a
+    # greatest(...) + 20-branch when-chain comparing against it, build
+    # an O(C^3)-node tree that CollapseProject inlines into every
+    # downstream reference — at C=20 the optimizer (re-run per AQE
+    # stage) walked it for minutes and langid_eval's toPandas looked
+    # hung. The array keeps the tree O(C^2) and referenced subtrees
+    # small.
+    es = [F.exp(F.col(f"__m{c}")) for c in range(nc)]
+    denom = es[0]
+    for e in es[1:]:
+        denom = denom + e
+    parr = F.array(*[F.round(es[c] / denom, 6) for c in range(nc)])
+    scored = margins.select("__id", "__y", parr.alias("__p"))
     best = F.array_max("__p")
-    pred = None
-    for c, v in enumerate(classes):
-        cond = F.element_at("__p", c + 1) == best
-        pred = F.when(cond, v) if pred is None else pred.when(cond, v)
+    lab_arr = F.array(*[F.lit(v) for v in classes])
+    pred = F.element_at(
+        lab_arr, F.array_position(F.col("__p"), best).cast("int")
+    )
+    y_str = F.element_at(lab_arr, (F.col("__y") + 1).cast("int"))
     return scored.select(
-        id_col,
-        "y",
+        F.col("__id").alias(id_col),
+        y_str.alias("y"),
         pred.alias("pred"),
         best.alias("p_pred"),
     ).orderBy(id_col)

@@ -797,7 +797,30 @@ FAMILY_CONSUMERS: dict[str, tuple[str, ...]] = {
         "pipeline_train_mix",
     ),
     "dsir": ("dsir_importance_docs", "dsir_resample_docs"),
+    "langid": ("langid_softmax_docs", "langid_softmax_eval"),
 }
+
+
+_LANGID_CACHE: dict = {}
+
+
+def _langid_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted char_tf_counts(documents, 128 buckets, bigrams) — the
+    granular per-(doc, bucket) count table both langid classifiers
+    train from (VERDICT r12 next-round #1): the 128-bucket entry reads
+    it as-is, the 64-bucket eval entry folds bucket % 64 (exact, since
+    md5_32 % 128 % 64 == md5_32 % 64), so the corpus tokenizes ONCE
+    per bench run instead of once per entry."""
+    from .operators.langid import char_tf_counts
+
+    key = (_session_key(spark), sf_dir)
+    hit = _LANGID_CACHE.get(key)
+    if hit is not None:
+        return hit
+    docs = load_tables(spark, sf_dir)["documents"]
+    tf = char_tf_counts(docs, n_buckets=128, n=2).persist()
+    _LANGID_CACHE[key] = tf
+    return tf
 
 
 def build_family(family: str, spark: SparkSession, sf_dir: str) -> None:
@@ -813,6 +836,8 @@ def build_family(family: str, spark: SparkSession, sf_dir: str) -> None:
         _substr_clean_family(spark, sf_dir).count()
     elif family == "dsir":
         _dsir_family(spark, sf_dir).count()
+    elif family == "langid":
+        _langid_family(spark, sf_dir).count()
     else:
         raise KeyError(f"unknown family {family!r}")
 
@@ -826,6 +851,7 @@ def release_family(family: str) -> None:
         "winnow": (_WINNOW_CACHE,),
         "substr": (_SUBSTR_CACHE, _SUBSTR_CLEAN_CACHE),
         "dsir": (_DSIR_CACHE,),
+        "langid": (_LANGID_CACHE,),
     }[family]
     for cache in caches:
         for val in cache.values():
@@ -7350,7 +7376,8 @@ def langid_softmax_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return langid_classifier(
-        t["documents"], label_col="lang", n_buckets=128, iters=6, lr=2.0
+        t["documents"], label_col="lang", n_buckets=128, iters=6, lr=2.0,
+        tf_counts=_langid_family(spark, sf_dir),
     )
 
 
@@ -7382,7 +7409,8 @@ def langid_softmax_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     scored = langid_classifier(
-        t["documents"], label_col="source", n_buckets=64, iters=4, lr=2.0
+        t["documents"], label_col="source", n_buckets=64, iters=4, lr=2.0,
+        tf_counts=_langid_family(spark, sf_dir),
     )
     return langid_eval(scored)
 
@@ -9680,77 +9708,31 @@ FROM w3 ORDER BY source
 """
 
 
-# round 12: registry rotated staleness-first for the driver's
-# first-50 window (VERDICT r11 #2/#5). Composition: 2 never-checked
-# debuts (fastText-style softmax language-ID per-doc scores; the
-# source-labeled 20-class eval), 5 entries whose code changed THIS
-# round (doremi pack-row restructure x2, setsim PPJoin filters,
-# kcore delta peeling, pca quantize-range guard), then the 43 stalest
-# ORACLE-CHECKABLE entries in ledger order — all 4 r7 signatures plus
-# the 39 oldest r8; the rows-only postures (QUERIES - ORACLES) are
+# round 13: registry rotated staleness-first for the driver's
+# first-50 window (the VERDICT r11 #2/#5 rhythm). Composition: 2
+# never-checked debuts (the PNG-container planted near-dup; the
+# text-dependent planted-alphabet language-ID certification), 5
+# entries whose code changed THIS round (the KLL pair rebuilt on the
+# md5-compat deterministic mode and newly oracled, setsim's
+# recall-safe epsilon ceils, the two langid classifiers on the
+# relational GD loop + shared family tf table), then the 43 stalest
+# ORACLE-CHECKABLE entries in ledger order — all 8 remaining r8 plus
+# the 35 oldest r9; the rows-only postures (QUERIES - ORACLES) are
 # skipped by the rotation per VERDICT r11 #5 (they certify nothing
 # beyond row counts; their EXACT *_refined siblings carry coverage).
-# 2 + 5 + 4 + 39 = 50. The window is machine-checked:
+# 2 + 5 + 8 + 35 = 50. The window is machine-checked:
 # DRIVER_WINDOW below must equal list(QUERIES)[:50] and the
 # staleness-first invariant is asserted by
 # tests/test_plans.py::test_driver_window_marker (ADVICE r9's
 # silent-marker-rot bug class).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "image_near_dup_png": image_near_dup_png,
+    "langid_planted_multilingual": langid_planted_multilingual,
+    "kll_quantiles_orders": kll_quantiles_orders,
+    "kll_quantiles_by_priority": kll_quantiles_by_priority,
+    "setsim_join_docs": setsim_join_docs,
     "langid_softmax_docs": langid_softmax_docs,
     "langid_softmax_eval": langid_softmax_eval,
-    "domain_reweight_docs": domain_reweight_docs,
-    "domain_reweight_mw_docs": domain_reweight_mw_docs,
-    "setsim_join_docs": setsim_join_docs,
-    "kcore_copurchase": kcore_copurchase,
-    "embedding_covariance_stats": embedding_covariance_stats,
-    "embedding_centroids": embedding_centroids,
-    "doc_fingerprint_winnow": doc_fingerprint_winnow,
-    "winnow_overlap_pairs": winnow_overlap_pairs_docs,
-    "repetition_signals": repetition_signals_docs,
-    "ann_pq_refined_topk": ann_pq_refined_topk,
-    "psi_drift_events": psi_drift_events,
-    "ols_trend_events": ols_trend_events,
-    "char_entropy_docs": char_entropy_docs,
-    "range_split_orders": range_split_orders,
-    "chunk_docs_windows": chunk_docs_windows,
-    "hard_negatives_embeddings": hard_negatives_embeddings,
-    "weighted_quantiles_lineitem": weighted_quantiles_lineitem,
-    "token_budget_docs": token_budget_docs,
-    "q1_pricing_summary": q1_pricing_summary,
-    "q3_shipping_priority": q3_shipping_priority,
-    "q5_local_supplier_volume": q5_local_supplier_volume,
-    "q6_forecast_revenue": q6_forecast_revenue,
-    "subquery_above_avg": subquery_above_avg,
-    "exists_high_value_lineitem": exists_high_value_lineitem,
-    "skew_join_orders_customer": skew_join_orders_customer,
-    "skew_join_lineitem_supplier": skew_join_lineitem_supplier,
-    "skew_join_multicol": skew_join_multicol,
-    "skew_join_left_outer": skew_join_left_outer,
-    "skew_join_semi": skew_join_semi,
-    "skew_join_anti": skew_join_anti,
-    "skew_join_cms_estimator": skew_join_cms_estimator,
-    "agg_rollup": agg_rollup,
-    "agg_cube": agg_cube,
-    "agg_distinct": agg_distinct,
-    "median_stats": median_stats,
-    "skew_agg_distinct": skew_agg_distinct,
-    "skew_agg_salted_mean": skew_agg_salted_mean,
-    "grouping_sets_li": grouping_sets_li,
-    "json_props_events": json_props_events,
-    "vector_stats": vector_stats,
-    "window_top_orders": window_top_orders,
-    "topk_orders": topk_orders,
-    "setops_intersect": setops_intersect,
-    "setops_except": setops_except,
-    "scalar_funcs": scalar_funcs,
-    "date_rollup_orders": date_rollup_orders,
-    "q4_priority_late_ship": q4_priority_late_ship,
-    "q12_priority_by_returnflag": q12_priority_by_returnflag,
-    # ^^^ END of the r12 driver check window (50 entries).
-    # Everything below is staleness-ascending for the r13
-    # rotation: rows-only + leftover r8, then r9, r10, r11.
-    "ann_ivfpq_topk": ann_ivfpq_topk,
-    "approx_stats": approx_stats,
     "q14_promo_revenue": q14_promo_revenue,
     "q19_disjunctive_brand": q19_disjunctive_brand,
     "udtf_sentence_stats": udtf_sentence_stats,
@@ -9765,7 +9747,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": text_stats,
     "text_lang_id": text_lang_id,
     "knn_bruteforce": knn_bruteforce,
-    "ann_lsh_topk": ann_lsh_topk,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "embedding_near_dup_lsh": embedding_near_dup_lsh_pairs,
     "token_frequencies": token_frequencies,
@@ -9795,6 +9776,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "delete_propagation_stats": delete_propagation_stats,
     "bottomk_quantiles_orders": bottomk_quantiles_orders,
     "null_aware_anti_join": null_aware_anti_join,
+    # ^^^ END of the r13 driver check window (50 entries).
+    # Everything below is staleness-ascending for the r14
+    # rotation: rows-only + leftover r9, then r10, r11, r12.
+    "ann_ivfpq_topk": ann_ivfpq_topk,
+    "approx_stats": approx_stats,
+    "ann_lsh_topk": ann_lsh_topk,
     "histogram_prices": histogram_prices,
     "hll_distinct_stats": hll_distinct_stats,
     "dedup_containment_docs": dedup_containment_docs,
@@ -9802,7 +9789,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_substr": dedup_exact_substr,
     "substr_dedup_clean_docs": substr_dedup_clean_docs,
     "semdedup_embeddings": semdedup_embeddings,
-    "kll_quantiles_orders": kll_quantiles_orders,
     "temperature_mix_sources": temperature_mix_sources,
     "sequence_packing_docs": sequence_packing_docs,
     "ngram_diversity_sources": ngram_diversity_sources,
@@ -9820,7 +9806,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_minhash_docs": incremental_minhash_docs,
     "dsir_importance_docs": dsir_importance_docs,
     "pipeline_train_mix": pipeline_train_mix,
-    "kll_quantiles_by_priority": kll_quantiles_by_priority,
     "multimodal_features": multimodal_features,
     "train_test_split_stats": train_test_split_stats,
     "tumbling_window_events": tumbling_window_events,
@@ -9899,8 +9884,53 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_export_stats": shard_export_stats,
     "quota_sample_sources": quota_sample_sources,
     "tfidf_top_terms": tfidf_top_terms,
-    "image_near_dup_png": image_near_dup_png,
-    "langid_planted_multilingual": langid_planted_multilingual,
+    "domain_reweight_docs": domain_reweight_docs,
+    "domain_reweight_mw_docs": domain_reweight_mw_docs,
+    "kcore_copurchase": kcore_copurchase,
+    "embedding_covariance_stats": embedding_covariance_stats,
+    "embedding_centroids": embedding_centroids,
+    "doc_fingerprint_winnow": doc_fingerprint_winnow,
+    "winnow_overlap_pairs": winnow_overlap_pairs_docs,
+    "repetition_signals": repetition_signals_docs,
+    "ann_pq_refined_topk": ann_pq_refined_topk,
+    "psi_drift_events": psi_drift_events,
+    "ols_trend_events": ols_trend_events,
+    "char_entropy_docs": char_entropy_docs,
+    "range_split_orders": range_split_orders,
+    "chunk_docs_windows": chunk_docs_windows,
+    "hard_negatives_embeddings": hard_negatives_embeddings,
+    "weighted_quantiles_lineitem": weighted_quantiles_lineitem,
+    "token_budget_docs": token_budget_docs,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "subquery_above_avg": subquery_above_avg,
+    "exists_high_value_lineitem": exists_high_value_lineitem,
+    "skew_join_orders_customer": skew_join_orders_customer,
+    "skew_join_lineitem_supplier": skew_join_lineitem_supplier,
+    "skew_join_multicol": skew_join_multicol,
+    "skew_join_left_outer": skew_join_left_outer,
+    "skew_join_semi": skew_join_semi,
+    "skew_join_anti": skew_join_anti,
+    "skew_join_cms_estimator": skew_join_cms_estimator,
+    "agg_rollup": agg_rollup,
+    "agg_cube": agg_cube,
+    "agg_distinct": agg_distinct,
+    "median_stats": median_stats,
+    "skew_agg_distinct": skew_agg_distinct,
+    "skew_agg_salted_mean": skew_agg_salted_mean,
+    "grouping_sets_li": grouping_sets_li,
+    "json_props_events": json_props_events,
+    "vector_stats": vector_stats,
+    "window_top_orders": window_top_orders,
+    "topk_orders": topk_orders,
+    "setops_intersect": setops_intersect,
+    "setops_except": setops_except,
+    "scalar_funcs": scalar_funcs,
+    "date_rollup_orders": date_rollup_orders,
+    "q4_priority_late_ship": q4_priority_late_ship,
+    "q12_priority_by_returnflag": q12_priority_by_returnflag,
 }
 
 # Machine-readable driver-window marker (VERDICT r10 #1): the test
@@ -9909,71 +9939,71 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # window is staler (per CORRECTNESS_r*.json) than any non-debut,
 # non-changed entry inside it.
 DRIVER_WINDOW = {
-    "round": 12,
+    "round": 13,
     "size": 50,
-    "composition": {"debut": 2, "changed": 5, "r7_stale": 4, "r8_stale": 39},
+    "composition": {"debut": 2, "changed": 5, "r8_stale": 8, "r9_stale": 35},
     "debut": (
-        "langid_softmax_docs",
-        "langid_softmax_eval",
+        "image_near_dup_png",
+        "langid_planted_multilingual",
     ),
     "changed": (
-        "domain_reweight_docs",
-        "domain_reweight_mw_docs",
+        "kll_quantiles_orders",
+        "kll_quantiles_by_priority",
         "setsim_join_docs",
-        "kcore_copurchase",
-        "embedding_covariance_stats",
-    ),
-    "entries": (
         "langid_softmax_docs",
         "langid_softmax_eval",
-        "domain_reweight_docs",
-        "domain_reweight_mw_docs",
+    ),
+    "entries": (
+        "image_near_dup_png",
+        "langid_planted_multilingual",
+        "kll_quantiles_orders",
+        "kll_quantiles_by_priority",
         "setsim_join_docs",
-        "kcore_copurchase",
-        "embedding_covariance_stats",
-        "embedding_centroids",
-        "doc_fingerprint_winnow",
-        "winnow_overlap_pairs",
-        "repetition_signals",
-        "ann_pq_refined_topk",
-        "psi_drift_events",
-        "ols_trend_events",
-        "char_entropy_docs",
-        "range_split_orders",
-        "chunk_docs_windows",
-        "hard_negatives_embeddings",
-        "weighted_quantiles_lineitem",
-        "token_budget_docs",
-        "q1_pricing_summary",
-        "q3_shipping_priority",
-        "q5_local_supplier_volume",
-        "q6_forecast_revenue",
-        "subquery_above_avg",
-        "exists_high_value_lineitem",
-        "skew_join_orders_customer",
-        "skew_join_lineitem_supplier",
-        "skew_join_multicol",
-        "skew_join_left_outer",
-        "skew_join_semi",
-        "skew_join_anti",
-        "skew_join_cms_estimator",
-        "agg_rollup",
-        "agg_cube",
-        "agg_distinct",
-        "median_stats",
-        "skew_agg_distinct",
-        "skew_agg_salted_mean",
-        "grouping_sets_li",
-        "json_props_events",
-        "vector_stats",
-        "window_top_orders",
-        "topk_orders",
-        "setops_intersect",
-        "setops_except",
-        "scalar_funcs",
-        "date_rollup_orders",
-        "q4_priority_late_ship",
-        "q12_priority_by_returnflag",
+        "langid_softmax_docs",
+        "langid_softmax_eval",
+        "q14_promo_revenue",
+        "q19_disjunctive_brand",
+        "udtf_sentence_stats",
+        "udaf_weighted_price",
+        "dedup_exact_docs",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_docs",
+        "dedup_clusters_docs",
+        "tfidf_cosine_docs",
+        "dedup_fuzzy_survivors",
+        "pipeline_clean_corpus",
+        "text_stats",
+        "text_lang_id",
+        "knn_bruteforce",
+        "embedding_near_dup_pairs",
+        "embedding_near_dup_lsh",
+        "token_frequencies",
+        "multimodal_binary_meta",
+        "redact_events_props",
+        "zorder_layout_orders",
+        "chunk_dedup_docs",
+        "unigram_lm_quality",
+        "merge_upsert_orders",
+        "snapshot_diff_orders",
+        "scd2_user_event_history",
+        "funnel_events",
+        "resample_locf_events",
+        "cohort_retention_events",
+        "pagerank_nations",
+        "ivm_refresh_orders",
+        "dq_audit_orders",
+        "rolling_avg_events",
+        "corr_stats_lineitem",
+        "window_funcs_orders",
+        "outlier_stats_lineitem",
+        "quantize_embeddings_stats",
+        "pipeline_pretrain_prep",
+        "setops_all_variants",
+        "temporal_join_events",
+        "q3_via_skew_join",
+        "delete_propagation_stats",
+        "bottomk_quantiles_orders",
+        "null_aware_anti_join",
     ),
 }
 
@@ -10305,15 +10335,15 @@ SCALAR_BNL_OK = (
     "pipeline_train_mix",  # composes the DSIR scalar broadcasts
     "join_size_estimate_cms",  # 1-row est/true/Na/Nb frames cross-joined
     "image_near_dup_phash",  # 1-row pair-stats x corpus-stats cross-join
+    "image_near_dup_png",  # same 1-row stats cross-join shape
     "audio_near_dup_awhash",  # same 1-row stats cross-join shape
     "adaptive_join_strategies",  # 1-row per-case decision frames unioned
     "triangle_count_copurchase",  # 1-row node/edge/triangle frames joined
     "hybrid_retrieval_rrf",  # BM25's 1-row corpus-scalar broadcast x3
     "zipf_vocab_stats_docs",  # 1-row totals x 1-row OLS-fit cross-join
-    "langid_softmax_docs",  # 1-row weight-matrix broadcast per GD
-    # iteration + scoring (operators/langid.py::_weights_df — the
-    # literal-array alternative recompiles codegen every iteration)
-    "langid_softmax_eval",  # same 1-row weight-matrix broadcast
+    # (langid entries left this list in r13: the weight matrix now
+    # broadcasts as a (D+1)-row RELATION equi-joined on bucket — a
+    # BroadcastHashJoin, not a BNL)
     "semdedup_embeddings",  # n_clusters-row centroid table broadcast:
     # each vector fans out exactly x n_clusters for scoring (the IVF
     # assignment shape), bounded by the quantizer size — never data x data
