@@ -80,8 +80,32 @@ def pagerank(edges: DataFrame, src_col: str, dst_col: str,
     return rank
 
 
+def _canonical_edges(edges: DataFrame, src_col: str, dst_col: str,
+                     assume_canonical: bool) -> DataFrame:
+    """Undirected simple-graph canonical form (u < v, no self-loops,
+    no duplicates, no NULLs). ``assume_canonical=True`` is the
+    family-cache contract (queries._copurchase_family): the caller
+    passes an ALREADY canonical, already-materialized edge table, so
+    the least/greatest + distinct shuffle — and the operator's own
+    eager checkpoint of it — are skipped."""
+    if assume_canonical:
+        return edges.select(
+            F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+        )
+    return (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+    )
+
+
 def triangle_count(
-    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """One-row graph summary: (n_nodes, n_edges, n_wedges, n_triangles,
     global_clustering) over an undirected simple graph (input edges are
@@ -96,15 +120,7 @@ def triangle_count(
     trick that makes triangle counting feasible at billions of edges.
     Global clustering = 3·triangles / wedges (wedges = Σ C(deg, 2)).
     All joins are equi-joins on node ids; no Python."""
-    e = (
-        edges.select(
-            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
-            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
-        )
-        .where(F.col("u") != F.col("v"))
-        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
-        .distinct()
-    )
+    e = _canonical_edges(edges, src_col, dst_col, assume_canonical)
     deg = (
         e.select(F.col("u").alias("n")).unionAll(e.select(F.col("v").alias("n")))
         .groupBy("n")
@@ -164,6 +180,7 @@ def kcore(
     checkpoint_every: int = 1,
     early_stop: bool = True,
     round_timings: list | None = None,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Bounded-round k-core peel: repeatedly drop vertices of degree
     < k (and their edges) for ``rounds`` synchronous rounds; return the
@@ -226,16 +243,8 @@ def kcore(
         raise ValueError("k and rounds must be >= 1")
     if checkpoint_every < 1:
         raise ValueError("checkpoint_every must be >= 1")
-    e = (
-        edges.select(
-            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
-            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
-        )
-        .where(F.col("u") != F.col("v"))
-        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
-        .distinct()
-    )
-    if checkpoint:
+    e = _canonical_edges(edges, src_col, dst_col, assume_canonical)
+    if checkpoint and not assume_canonical:
         e = e.localCheckpoint(eager=True)
 
     deg = (
@@ -317,6 +326,7 @@ def label_propagation(
     checkpoint_every: int | None = None,
     track_convergence: bool = False,
     round_timings: list | None = None,
+    assume_canonical: bool = False,
 ):
     """Bounded-round SYNCHRONOUS label propagation (Raghavan et al.
     2007) for community detection: every vertex starts as its own
@@ -390,16 +400,8 @@ def label_propagation(
             "checkpoint_every=1 — the per-round count would re-execute "
             "the lazy chain"
         )
-    und = (
-        edges.select(
-            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
-            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
-        )
-        .where(F.col("u") != F.col("v"))
-        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
-        .distinct()
-    )
-    if checkpoint:
+    und = _canonical_edges(edges, src_col, dst_col, assume_canonical)
+    if checkpoint and not assume_canonical:
         und = und.localCheckpoint(eager=True)
     both = und.unionAll(
         und.select(F.col("v").alias("u"), F.col("u").alias("v"))

@@ -798,7 +798,63 @@ FAMILY_CONSUMERS: dict[str, tuple[str, ...]] = {
     ),
     "dsir": ("dsir_importance_docs", "dsir_resample_docs"),
     "langid": ("langid_softmax_docs", "langid_softmax_eval"),
+    "copurchase": (
+        "triangle_count_copurchase",
+        "kcore_copurchase",
+        "label_propagation_copurchase",
+    ),
 }
+
+
+_COPURCHASE_CACHE: dict = {}
+
+
+def _copurchase_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted canonical part co-purchase edge list (src < dst,
+    distinct, no self-loops) — the identical graph kcore_copurchase,
+    label_propagation_copurchase, and triangle_count_copurchase each
+    rebuilt per entry. Built from per-order sorted part-set arrays
+    with in-array pair generation (explode of nested transform) rather
+    than the lineitem self-join: one shuffle (groupBy orderkey)
+    instead of two join-side exchanges, pairs emitted in codegen —
+    measured 1.97-3.6 s vs 2.6-5.3 s across 3 alternating rounds at
+    sf0.1. Assumes bounded basket size (TPC-H orders hold <= 7 parts;
+    the assoc_rules contract) — a corpus with million-item baskets
+    would cap or fall back to the join form."""
+    key = (_session_key(spark), sf_dir)
+    hit = _COPURCHASE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    li = load_tables(spark, sf_dir)["lineitem"].select(
+        "l_orderkey", "l_partkey"
+    )
+    arr = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .where(F.size("ps") >= 2)
+    )
+    edges = (
+        arr.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ps",
+                        lambda x, i: F.transform(
+                            F.slice("ps", i + F.lit(2), F.size("ps")),
+                            lambda y: F.struct(
+                                x.alias("src"), y.alias("dst")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
+        .distinct()
+        .persist()
+    )
+    _COPURCHASE_CACHE[key] = edges
+    return edges
 
 
 _LANGID_CACHE: dict = {}
@@ -838,6 +894,8 @@ def build_family(family: str, spark: SparkSession, sf_dir: str) -> None:
         _dsir_family(spark, sf_dir).count()
     elif family == "langid":
         _langid_family(spark, sf_dir).count()
+    elif family == "copurchase":
+        _copurchase_family(spark, sf_dir).count()
     else:
         raise KeyError(f"unknown family {family!r}")
 
@@ -852,6 +910,7 @@ def release_family(family: str) -> None:
         "substr": (_SUBSTR_CACHE, _SUBSTR_CLEAN_CACHE),
         "dsir": (_DSIR_CACHE,),
         "langid": (_LANGID_CACHE,),
+        "copurchase": (_COPURCHASE_CACHE,),
     }[family]
     for cache in caches:
         for val in cache.values():
@@ -2635,15 +2694,8 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     triple self-join — equality certifies the orientation trick."""
     from .operators.pagerank import triangle_count
 
-    t = load_tables(spark, sf_dir)
-    li = t["lineitem"].select("l_orderkey", "l_partkey")
-    rhs = li.withColumnsRenamed({"l_partkey": "p2"})
-    edges = (
-        li.join(rhs, "l_orderkey")
-        .where(F.col("l_partkey") < F.col("p2"))
-        .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
-    )
-    return triangle_count(edges, "src", "dst")
+    edges = _copurchase_family(spark, sf_dir)
+    return triangle_count(edges, "src", "dst", assume_canonical=True)
 
 
 TRIANGLE_SQL = """
@@ -9221,19 +9273,16 @@ CROSS JOIN nw CROSS JOIN nb
 def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-round 80-core peel of the part co-purchase graph
     (operators/pagerank.py::kcore) — converged on this data (round 9 ==
-    round 10), so the fixed-round output IS the 80-core. Construction
-    localCheckpoints each round's survivor edges (EAGER_QUERIES)."""
+    round 10), so the fixed-round output IS the 80-core. The canonical
+    edge list comes from the shared copurchase family table (r13:
+    kcore/LPA/triangle each rebuilt the identical graph; now it
+    materializes once per run). Construction localCheckpoints each
+    round's degree table (EAGER_QUERIES)."""
     from .operators.pagerank import kcore
 
-    t = load_tables(spark, sf_dir)
-    li = t["lineitem"].select("l_orderkey", "l_partkey")
-    rhs = li.withColumnsRenamed({"l_partkey": "p2"})
-    edges = (
-        li.join(rhs, "l_orderkey")
-        .where(F.col("l_partkey") < F.col("p2"))
-        .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
-    )
-    return kcore(edges, "src", "dst", k=80, rounds=10)
+    edges = _copurchase_family(spark, sf_dir)
+    return kcore(edges, "src", "dst", k=80, rounds=10,
+                 assume_canonical=True)
 
 
 def label_propagation_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9250,15 +9299,10 @@ def label_propagation_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     (EAGER_QUERIES)."""
     from .operators.pagerank import label_propagation
 
-    t = load_tables(spark, sf_dir)
-    li = t["lineitem"].select("l_orderkey", "l_partkey")
-    rhs = li.withColumnsRenamed({"l_partkey": "p2"})
-    edges = (
-        li.join(rhs, "l_orderkey")
-        .where(F.col("l_partkey") < F.col("p2"))
-        .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
-    )
-    return label_propagation(edges, "src", "dst", rounds=4).orderBy("node")
+    edges = _copurchase_family(spark, sf_dir)
+    return label_propagation(
+        edges, "src", "dst", rounds=4, assume_canonical=True
+    ).orderBy("node")
 
 
 def range_split_orders(spark: SparkSession, sf_dir: str) -> DataFrame:

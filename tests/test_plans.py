@@ -194,6 +194,7 @@ def test_family_consumer_ledger():
         "substr": ("_substr_family(", "_substr_clean_family("),
         "dsir": ("_dsir_family(",),
         "langid": ("_langid_family(",),
+        "copurchase": ("_copurchase_family(",),
     }
     for fam, consumers in q.FAMILY_CONSUMERS.items():
         for c in consumers:
