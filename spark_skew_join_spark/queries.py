@@ -6639,7 +6639,12 @@ samp AS (
 ),
 mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM samp),
 srt AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM samp),
-probes AS (SELECT UNNEST([0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q),
+-- DOUBLE probes: a bare decimal list types DECIMAL in DuckDB — the
+-- driver's hash is dtype-sensitive, and DECIMAL q*m is exact decimal
+-- arithmetic where Spark's double q*m can ceil differently
+probes AS (SELECT UNNEST([0.01::DOUBLE, 0.1::DOUBLE, 0.25::DOUBLE,
+                          0.5::DOUBLE, 0.75::DOUBLE, 0.9::DOUBLE,
+                          0.99::DOUBLE]) AS q),
 est AS (
   SELECT p.q, s.v AS est
   FROM probes p, mm, srt s
@@ -6678,9 +6683,9 @@ srt AS (SELECT g, v,
 est AS (
   SELECT s.g,
          MAX(CASE WHEN s.rn = LEAST(gm.m, GREATEST(1,
-                    CAST(CEIL(0.5 * gm.m) AS BIGINT))) THEN s.v END) AS e50,
+                    CAST(CEIL(0.5::DOUBLE * gm.m) AS BIGINT))) THEN s.v END) AS e50,
          MAX(CASE WHEN s.rn = LEAST(gm.m, GREATEST(1,
-                    CAST(CEIL(0.9 * gm.m) AS BIGINT))) THEN s.v END) AS e90
+                    CAST(CEIL(0.9::DOUBLE * gm.m) AS BIGINT))) THEN s.v END) AS e90
   FROM srt s JOIN gm ON s.g IS NOT DISTINCT FROM gm.g GROUP BY s.g),
 -- exact percentiles replicate Spark's Percentile interpolation
 -- bit-for-bit: pos = q*(n-1); if floor(pos)=ceil(pos) take the value,
@@ -6690,24 +6695,24 @@ est AS (
 exr AS (SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn
         FROM base),
 exs AS (SELECT r.g,
-          SUM(CASE WHEN r.rn = CAST(FLOOR(0.5 * (gn.n - 1)) AS BIGINT) + 1
+          SUM(CASE WHEN r.rn = CAST(FLOOR(0.5::DOUBLE * (gn.n - 1)) AS BIGINT) + 1
                    THEN r.v ELSE 0 END) AS lo50,
-          SUM(CASE WHEN r.rn = CAST(CEIL(0.5 * (gn.n - 1)) AS BIGINT) + 1
+          SUM(CASE WHEN r.rn = CAST(CEIL(0.5::DOUBLE * (gn.n - 1)) AS BIGINT) + 1
                    THEN r.v ELSE 0 END) AS hi50,
-          SUM(CASE WHEN r.rn = CAST(FLOOR(0.9 * (gn.n - 1)) AS BIGINT) + 1
+          SUM(CASE WHEN r.rn = CAST(FLOOR(0.9::DOUBLE * (gn.n - 1)) AS BIGINT) + 1
                    THEN r.v ELSE 0 END) AS lo90,
-          SUM(CASE WHEN r.rn = CAST(CEIL(0.9 * (gn.n - 1)) AS BIGINT) + 1
+          SUM(CASE WHEN r.rn = CAST(CEIL(0.9::DOUBLE * (gn.n - 1)) AS BIGINT) + 1
                    THEN r.v ELSE 0 END) AS hi90,
           MAX(gn.n) AS n
         FROM exr r JOIN gn ON r.g IS NOT DISTINCT FROM gn.g
         GROUP BY r.g),
 ex AS (SELECT g,
-         CASE WHEN FLOOR(0.5 * (n - 1)) = CEIL(0.5 * (n - 1)) THEN lo50
-              ELSE lo50 * (CEIL(0.5 * (n - 1)) - 0.5 * (n - 1))
-                   + hi50 * (0.5 * (n - 1) - FLOOR(0.5 * (n - 1))) END AS x50,
-         CASE WHEN FLOOR(0.9 * (n - 1)) = CEIL(0.9 * (n - 1)) THEN lo90
-              ELSE lo90 * (CEIL(0.9 * (n - 1)) - 0.9 * (n - 1))
-                   + hi90 * (0.9 * (n - 1) - FLOOR(0.9 * (n - 1))) END AS x90
+         CASE WHEN FLOOR(0.5::DOUBLE * (n - 1)) = CEIL(0.5::DOUBLE * (n - 1)) THEN lo50
+              ELSE lo50 * (CEIL(0.5::DOUBLE * (n - 1)) - 0.5::DOUBLE * (n - 1))
+                   + hi50 * (0.5::DOUBLE * (n - 1) - FLOOR(0.5::DOUBLE * (n - 1))) END AS x50,
+         CASE WHEN FLOOR(0.9::DOUBLE * (n - 1)) = CEIL(0.9::DOUBLE * (n - 1)) THEN lo90
+              ELSE lo90 * (CEIL(0.9::DOUBLE * (n - 1)) - 0.9::DOUBLE * (n - 1))
+                   + hi90 * (0.9::DOUBLE * (n - 1) - FLOOR(0.9::DOUBLE * (n - 1))) END AS x90
        FROM exs),
 rk AS (SELECT lv.g, lv.n, lv.h, gm.m, est.e50, est.e90, ex.x50, ex.x90,
          ((SELECT COUNT(*) FROM samp s2
