@@ -7,20 +7,22 @@ through Python row-at-a-time.
 
 Codec tiers:
 
-* ``decoder="bmp"`` / ``decoder="png"`` / ``decoder="wav"`` — REAL
+* ``decoder="bmp"`` / ``"png"`` / ``"jpeg"`` / ``"wav"`` — REAL
   decoders with zero external dependencies: uncompressed 24-bit BMP
   parsed/encoded with numpy (header + bottom-up padded rows), PNG
   through stdlib ``zlib`` (chunk walk → IDAT inflate → per-row
   unfilter incl. Sub/Up/Average/Paeth, 8-bit gray/RGB/palette/alpha),
-  PCM-16 WAV through the stdlib ``wave`` module.  Features and
-  resizes computed from actual pixels/samples; malformed payloads
+  baseline JPEG through the pure-numpy T.81 codec (operators/jpeg.py
+  — Huffman + dequant + IDCT + chroma upsampling; progressive/12-bit
+  raise), PCM-16 WAV through the stdlib ``wave`` module.  Features
+  and resizes computed from actual pixels/samples; malformed payloads
   raise ValueError naming the offense.
 * ``decoder="stub"`` — deterministic sha-derived fake features (the
   oracle-checkable path the registry queries use).
-* ``decoder="pil"``/``"librosa"`` — the remaining compressed codecs
-  (JPEG/MP3/…) genuinely need external libraries, which are not in
-  this container: NotImplementedError with a clear message.  The
-  Spark-side plumbing is identical to the real bmp/png/wav paths.
+* ``decoder="pil"``/``"librosa"`` — only MP3/video still genuinely
+  need external libraries, which are not in this container:
+  NotImplementedError with a clear message.  The Spark-side plumbing
+  is identical to the real codec paths.
 
 Scale: mapInPandas streams Arrow batches; per-batch memory is bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch``. Media blobs are the widest
@@ -266,6 +268,12 @@ def _png_features(content: bytes) -> list[float]:
     return _pixel_features(decode_png(content))
 
 
+def _jpeg_features(content: bytes) -> list[float]:
+    from .jpeg import decode_jpeg
+
+    return _pixel_features(decode_jpeg(content))
+
+
 def _pixel_features(px: np.ndarray) -> list[float]:
     """FEATURE_DIM real image features: per-channel mean/std (6),
     luminance quartiles (5), row/col edge energy (2), dims (2),
@@ -362,23 +370,24 @@ def extract_features(
 ) -> DataFrame:
     """Arrow-batched decode + feature extraction over a binary column.
 
-    decoder="bmp"/"png"/"wav" → REAL features from decoded
-    pixels/samples (zero-dependency codecs above); decoder="stub" →
-    deterministic sha-derived features (the oracle path);
-    decoder="pil"/"librosa" → NotImplementedError (JPEG/MP3 need libs
-    not in container).
+    decoder="bmp"/"png"/"jpeg"/"wav" → REAL features from decoded
+    pixels/samples (zero-dependency codecs above + operators/jpeg.py);
+    decoder="stub" → deterministic sha-derived features (the oracle
+    path); decoder="pil"/"librosa" → NotImplementedError (only
+    MP3/video still need libs not in container).
     """
-    if decoder not in ("stub", "bmp", "png", "wav", "pil", "librosa"):
+    if decoder not in ("stub", "bmp", "png", "jpeg", "wav", "pil",
+                       "librosa"):
         raise ValueError(f"unknown decoder {decoder!r}")
     if decoder in ("pil", "librosa"):
         raise NotImplementedError(
             f"decoder={decoder!r} requires media libraries not present in "
-            "this container; decoder='bmp'/'png'/'wav' are real "
+            "this container; decoder='bmp'/'png'/'jpeg'/'wav' are real "
             "zero-dependency paths, decoder='stub' is the deterministic fake"
         )
     decode = {
         "stub": _stub_decode, "bmp": _bmp_features, "png": _png_features,
-        "wav": _wav_features,
+        "jpeg": _jpeg_features, "wav": _wav_features,
     }[decoder]
 
     def batches(it: Iterator) -> Iterator:
@@ -421,25 +430,31 @@ def resize_images(
     """Arrow-batched image resize over a binary column (1 row in → 1 row
     out, new payload + target dimensions).
 
-    decoder="bmp"/"png" REALLY resize: decode → nearest-neighbor
-    resample (numpy index grid) → re-encode in the same format, all in
-    the batch loop with no external libraries.  decoder="stub" emits a
+    decoder="bmp"/"png"/"jpeg" REALLY resize: decode →
+    nearest-neighbor resample (numpy index grid) → re-encode in the
+    same format (JPEG re-encodes at quality 90, 4:4:4), all in the
+    batch loop with no external libraries.  decoder="stub" emits a
     deterministic 16-byte md5 payload of ``r{w}x{h}:`` + content;
-    "pil" raises until the library ships (JPEG needs it). The
+    "pil" raises for the codecs that still need libraries. The
     Spark-side shape — late blob selection, Arrow batch streaming,
     binary output column — is the production plumbing."""
-    if decoder not in ("stub", "bmp", "png"):
+    if decoder not in ("stub", "bmp", "png", "jpeg"):
         raise NotImplementedError(
             f"decoder={decoder!r} requires media libraries not present in "
-            "this container; decoder='bmp'/'png' are real zero-dependency "
-            "paths"
+            "this container; decoder='bmp'/'png'/'jpeg' are real "
+            "zero-dependency paths"
         )
 
     prefix = f"r{width}x{height}:".encode()
-    codec = {
-        "bmp": (decode_bmp, encode_bmp),
-        "png": (decode_png, encode_png),
-    }.get(decoder)
+    if decoder == "jpeg":
+        from .jpeg import decode_jpeg, encode_jpeg
+
+        codec = (decode_jpeg, lambda px: encode_jpeg(px, quality=90))
+    else:
+        codec = {
+            "bmp": (decode_bmp, encode_bmp),
+            "png": (decode_png, encode_png),
+        }.get(decoder)
 
     def _resize_img(b: bytes) -> bytes:
         dec, enc = codec
@@ -568,25 +583,32 @@ def dhash_images(
     """(id, dhash): Arrow-batched decode → dHash per image.
 
     Only the 8-byte hash leaves this stage — image payloads are decoded
-    where they sit and never shuffled.  decoder="bmp"/"png" are the
-    real zero-dependency paths; "stub" derives a deterministic fake
-    hash from md5(bytes) so the plumbing is testable without real
-    payloads; "pil" raises (JPEG needs libraries absent here)."""
+    where they sit and never shuffled.  decoder="bmp"/"png"/"jpeg" are
+    the real zero-dependency paths; "stub" derives a deterministic
+    fake hash from md5(bytes) so the plumbing is testable without real
+    payloads; "pil" raises for codecs that still need libraries."""
     if decoder == "pil":
         raise NotImplementedError(
             "decoder='pil' requires media libraries not present in this "
-            "container; decoder='bmp'/'png' are real zero-dependency paths"
+            "container; decoder='bmp'/'png'/'jpeg' are real "
+            "zero-dependency paths"
         )
-    if decoder not in ("bmp", "png", "stub"):
+    if decoder not in ("bmp", "png", "jpeg", "stub"):
         raise ValueError(f"unknown decoder {decoder!r}")
 
     def _stub_hash(b: bytes) -> int:
         v = int.from_bytes(hashlib.md5(b).digest()[:8], "big")
         return v - (1 << 64) if v >= (1 << 63) else v
 
+    def _jpeg_hash(b: bytes) -> int:
+        from .jpeg import decode_jpeg
+
+        return dhash64(decode_jpeg(b))
+
     fn = {
         "bmp": lambda b: dhash64(decode_bmp(b)),
         "png": lambda b: dhash64(decode_png(b)),
+        "jpeg": _jpeg_hash,
         "stub": _stub_hash,
     }[decoder]
 

@@ -8860,6 +8860,125 @@ def image_near_dup_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end certification of the pure-numpy baseline JPEG codec
+    (operators/jpeg.py, r13): per document, a 16x16 smooth gray image
+    is synthesized from md5(doc_id)-derived parameters — DC offset
+    108+8k (k = hex0 % 8), horizontal tilt sign s (hex1 parity,
+    slope ±3/px), sine-texture amplitude 32+16a (a = hex2 % 3) — then
+    REALLY encoded (quality 97, 4:4:4) and REALLY decoded inside the
+    Arrow-batched stage, and three statistics are re-quantized from
+    the DECODED pixels: the DC bucket floor((mean-104)/8), the tilt
+    sign from the half-image mean difference (margin 24 gray levels vs
+    <1 of codec error), and the amplitude class from the pixel
+    variance (gaps ~320 vs ~±30 of error). Every parameter is
+    SQL-derivable from the same md5, so the oracle states the EXPECTED
+    buckets analytically — a decoder that mangles coefficients, zigzag
+    order, quantization, or the IDCT shifts the statistics and
+    mismatches. (The sine term sums to zero over full periods and over
+    each half-image, so mean and half-difference are exact analytics;
+    no pixel clips by construction.)"""
+    from .operators.jpeg import decode_jpeg, encode_jpeg
+
+    t = load_tables(spark, sf_dir)
+
+    def synth(it):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        xx, yy = np.meshgrid(np.arange(16), np.arange(16))
+        sin2d = np.sin(2 * np.pi * xx / 8.0) * np.sin(2 * np.pi * yy / 8.0)
+        for pdf in it:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                h = hashlib.md5(str(did).encode()).hexdigest()
+                k = int(h[0], 16) % 8
+                s = 1 if int(h[1], 16) % 2 == 0 else -1
+                a = int(h[2], 16) % 3
+                v = (
+                    108.0 + 8 * k
+                    + s * 3.0 * (xx - 7.5)
+                    + (32.0 + 16 * a) * sin2d
+                )
+                px = np.round(v).clip(0, 255).astype(np.uint8)
+                ids.append(did)
+                blobs.append(
+                    encode_jpeg(np.repeat(px[:, :, None], 3, axis=2),
+                                quality=97)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"), "content": blobs}
+            )
+
+    def stats(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for did, b in zip(pdf["doc_id"], pdf["content"]):
+                px = decode_jpeg(bytes(b)).astype(np.float64)
+                lum = px[:, :, 0]
+                rows.append((
+                    int(did), px.shape[1], px.shape[0],
+                    float(lum.mean()),
+                    float(lum[:, :8].mean() - lum[:, 8:].mean()),
+                    float(lum.var()),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "w", "h", "mean_lum", "half_diff", "var_lum"
+                ],
+            )
+
+    imgs = (
+        t["documents"].select("doc_id").repartition(8)
+        .mapInPandas(synth, "doc_id long, content binary")
+    )
+    raw = imgs.mapInPandas(
+        stats,
+        "doc_id long, w int, h int, mean_lum double, half_diff double, "
+        "var_lum double",
+    )
+    return raw.select(
+        "doc_id",
+        F.col("w").cast("long").alias("width"),
+        F.col("h").cast("long").alias("height"),
+        F.floor((F.col("mean_lum") - 104.0) / 8.0).cast("long").alias(
+            "dc_bucket"
+        ),
+        F.when(F.col("half_diff") < 0, 1).otherwise(-1).cast("long").alias(
+            "grad_sign"
+        ),
+        F.when(F.col("var_lum") < 607.25, 0)
+        .when(F.col("var_lum") < 991.25, 1)
+        .otherwise(2)
+        .cast("long")
+        .alias("amp_bucket"),
+    ).orderBy("doc_id")
+
+
+JPEG_DECODE_SQL = """
+SELECT doc_id,
+       CAST(16 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1))
+            AS BIGINT) % 8 AS dc_bucket,
+       CASE WHEN CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)),
+                                         2, 1)) AS BIGINT) % 2 = 0
+            THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT)
+       END AS grad_sign,
+       CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 3, 1))
+            AS BIGINT) % 3 AS amp_bucket
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def _synth_wav_corpus(docs: DataFrame) -> DataFrame:
     """(doc_id, content): deterministic PCM-16 WAV per document — 8
     sinusoids (one per fingerprint band, at that band's center bin)
@@ -9777,6 +9896,7 @@ FROM w3 ORDER BY source
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_near_dup_png": image_near_dup_png,
     "langid_planted_multilingual": langid_planted_multilingual,
+    "jpeg_decode_stats": jpeg_decode_stats,
     "kll_quantiles_orders": kll_quantiles_orders,
     "kll_quantiles_by_priority": kll_quantiles_by_priority,
     "setsim_join_docs": setsim_join_docs,
@@ -9824,8 +9944,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q3_via_skew_join": q3_via_skew_join,
     "delete_propagation_stats": delete_propagation_stats,
     "bottomk_quantiles_orders": bottomk_quantiles_orders,
-    "null_aware_anti_join": null_aware_anti_join,
     # ^^^ END of the r13 driver check window (50 entries).
+    "null_aware_anti_join": null_aware_anti_join,
     # Everything below is staleness-ascending for the r14
     # rotation: rows-only + leftover r9, then r10, r11, r12.
     "ann_ivfpq_topk": ann_ivfpq_topk,
@@ -9990,10 +10110,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 DRIVER_WINDOW = {
     "round": 13,
     "size": 50,
-    "composition": {"debut": 2, "changed": 5, "r8_stale": 8, "r9_stale": 35},
+    "composition": {"debut": 3, "changed": 5, "r8_stale": 8, "r9_stale": 34},
     "debut": (
         "image_near_dup_png",
         "langid_planted_multilingual",
+        "jpeg_decode_stats",
     ),
     "changed": (
         "kll_quantiles_orders",
@@ -10005,6 +10126,7 @@ DRIVER_WINDOW = {
     "entries": (
         "image_near_dup_png",
         "langid_planted_multilingual",
+        "jpeg_decode_stats",
         "kll_quantiles_orders",
         "kll_quantiles_by_priority",
         "setsim_join_docs",
@@ -10052,7 +10174,6 @@ DRIVER_WINDOW = {
         "q3_via_skew_join",
         "delete_propagation_stats",
         "bottomk_quantiles_orders",
-        "null_aware_anti_join",
     ),
 }
 
@@ -10081,6 +10202,9 @@ ORACLES: dict[str, str] = {
     "image_near_dup_phash": IMAGE_NEAR_DUP_SQL,
     # identical planted pixels, PNG container (r13 debut)
     "image_near_dup_png": IMAGE_NEAR_DUP_SQL,
+    # analytic expected buckets from the md5 synth parameters
+    # (r13 debut — the Spark side really encodes+decodes JPEG)
+    "jpeg_decode_stats": JPEG_DECODE_SQL,
     "audio_near_dup_awhash": AUDIO_NEAR_DUP_SQL,
     "url_canonical_dedup": URL_CANONICAL_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,
