@@ -5912,12 +5912,20 @@ def hll_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in _null_first(per_source) + ["__union__"]:
         est = (merged if name == "__union__" else per_source[name]).estimate()
         ex = exact[name]
-        rows.append((name, float(round(est, 1)), ex,
-                     float(round(abs(est - ex) / ex, 6))))
+        rows.append((name, float(est), ex, float(abs(est - ex) / ex)))
     out = spark.createDataFrame(
         rows, "source string, hll_estimate double, exact bigint, rel_err double"
     )
-    return out.where(F.col("rel_err") < 0.025)  # 3-sigma p=14 bound
+    # round IN-PLAN (KLL r13 lesson: Python round() rounds the true
+    # binary value, Spark/DuckDB ROUND the shortest-decimal HALF_UP —
+    # a .x5 estimate would flip sides) and gate on the rounded value,
+    # matching the oracle's WHERE exactly
+    return out.select(
+        "source",
+        F.round("hll_estimate", 1).alias("hll_estimate"),
+        "exact",
+        F.round("rel_err", 6).alias("rel_err"),
+    ).where(F.col("rel_err") < 0.025)  # 3-sigma p=14 bound
 
 
 def hll_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5971,12 +5979,18 @@ def hll_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, df, cols in probes:
         est = hll_from_dataframe(df, cols, hash_fn="md5").estimate()
         exact = exact_by_key[name]
-        rows.append((name, float(round(est, 1)), int(exact),
-                     float(round(abs(est - exact) / exact, 6))))
+        rows.append((name, float(est), int(exact),
+                     float(abs(est - exact) / exact)))
     out = spark.createDataFrame(
         rows, "key string, hll_estimate double, exact bigint, rel_err double"
     )
-    return out.where(F.col("rel_err") < 0.025)  # 3-sigma bound enforced
+    # round IN-PLAN + gate on the rounded value (the KLL r13 lesson)
+    return out.select(
+        "key",
+        F.round("hll_estimate", 1).alias("hll_estimate"),
+        "exact",
+        F.round("rel_err", 6).alias("rel_err"),
+    ).where(F.col("rel_err") < 0.025)  # 3-sigma bound enforced
 
 
 def _hll_md5_est_sql(key_sql: str, from_sql: str) -> str:
@@ -7184,12 +7198,20 @@ def bloom_membership_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         if n_customers > n_true else 0.0
     )
     assert fp_rate <= 2.0 * bound + 1e-3, (fp_rate, bound)
-    return spark.createDataFrame(
+    out = spark.createDataFrame(
         [(n_customers, n_true, n_claimed, n_false_neg,
-          round(fp_rate, 6), round(bound, 6), union_exact)],
+          float(fp_rate), float(bound), union_exact)],
         "n_customers bigint, n_with_orders bigint, n_claimed bigint, "
         "n_false_neg bigint, fp_rate double, fp_bound double, "
         "merge_exact boolean",
+    )
+    # round IN-PLAN (the KLL r13 lesson): HALF_UP shortest-decimal
+    # semantics shared with the oracle's ROUND
+    return out.select(
+        "n_customers", "n_with_orders", "n_claimed", "n_false_neg",
+        F.round("fp_rate", 6).alias("fp_rate"),
+        F.round("fp_bound", 6).alias("fp_bound"),
+        "merge_exact",
     )
 
 
@@ -7642,14 +7664,19 @@ def theta_sketch_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         eu = a.merge(b).estimate()
         ei = intersection_estimate(a, b)
         rows.append((
-            ta, tb, round(a.estimate(), 4), round(b.estimate(), 4),
-            round(eu, 4), round(ei, 4),
-            round(ei / eu if eu else 0.0, 4),
+            ta, tb, float(a.estimate()), float(b.estimate()),
+            float(eu), float(ei), float(ei / eu if eu else 0.0),
         ))
-    return spark.createDataFrame(
+    out = spark.createDataFrame(
         rows,
         "type_a string, type_b string, est_a double, est_b double, "
         "est_union double, est_inter double, est_jaccard double",
+    )
+    # round IN-PLAN (the KLL r13 lesson)
+    return out.select(
+        "type_a", "type_b",
+        *[F.round(c, 4).alias(c) for c in
+          ("est_a", "est_b", "est_union", "est_inter", "est_jaccard")],
     )
 
 
@@ -9877,18 +9904,20 @@ FROM w3 ORDER BY source
 
 
 # round 13: registry rotated staleness-first for the driver's
-# first-50 window (the VERDICT r11 #2/#5 rhythm). Composition: 2
+# first-50 window (the VERDICT r11 #2/#5 rhythm). Composition: 3
 # never-checked debuts (the PNG-container planted near-dup; the
-# text-dependent planted-alphabet language-ID certification), 5
-# entries whose code changed THIS round (the KLL pair rebuilt on the
-# md5-compat deterministic mode and newly oracled, setsim's
-# recall-safe epsilon ceils, the two langid classifiers on the
-# relational GD loop + shared family tf table), then the 43 stalest
-# ORACLE-CHECKABLE entries in ledger order — all 8 remaining r8 plus
-# the 35 oldest r9; the rows-only postures (QUERIES - ORACLES) are
-# skipped by the rotation per VERDICT r11 #5 (they certify nothing
-# beyond row counts; their EXACT *_refined siblings carry coverage).
-# 2 + 5 + 8 + 35 = 50. The window is machine-checked:
+# text-dependent planted-alphabet language-ID certification; the
+# JPEG-codec analytic-bucket certification), 9 entries whose code
+# changed THIS round (the KLL pair rebuilt on the md5-compat
+# deterministic mode and newly oracled, setsim's recall-safe epsilon
+# ceils, the two langid classifiers on the relational GD loop +
+# shared family tf table, and the four sketch entries moved to
+# in-plan rounding — the KLL .xx5 lesson applied proactively), then
+# the 38 stalest ORACLE-CHECKABLE entries in ledger order — all 8
+# remaining r8 plus the 30 oldest r9; the rows-only postures
+# (QUERIES - ORACLES) are skipped by the rotation per VERDICT r11 #5
+# (they certify nothing beyond row counts; their EXACT *_refined
+# siblings carry coverage). 3 + 9 + 8 + 30 = 50. The window is machine-checked:
 # DRIVER_WINDOW below must equal list(QUERIES)[:50] and the
 # staleness-first invariant is asserted by
 # tests/test_plans.py::test_driver_window_marker (ADVICE r9's
@@ -9902,6 +9931,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "setsim_join_docs": setsim_join_docs,
     "langid_softmax_docs": langid_softmax_docs,
     "langid_softmax_eval": langid_softmax_eval,
+    "hll_union_sources": hll_union_sources,
+    "hll_distinct_stats": hll_distinct_stats,
+    "bloom_membership_orders": bloom_membership_orders,
+    "theta_sketch_orders": theta_sketch_orders,
     "q14_promo_revenue": q14_promo_revenue,
     "q19_disjunctive_brand": q19_disjunctive_brand,
     "udtf_sentence_stats": udtf_sentence_stats,
@@ -9940,19 +9973,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantize_embeddings_stats": quantize_embeddings_stats,
     "pipeline_pretrain_prep": pipeline_pretrain_prep,
     "setops_all_variants": setops_all_variants,
+    # ^^^ END of the r13 driver check window (50 entries).
+    # Everything below is staleness-ascending for the r14
+    # rotation: rows-only + leftover r9, then r10, r11, r12.
     "temporal_join_events": temporal_join_events,
     "q3_via_skew_join": q3_via_skew_join,
     "delete_propagation_stats": delete_propagation_stats,
     "bottomk_quantiles_orders": bottomk_quantiles_orders,
-    # ^^^ END of the r13 driver check window (50 entries).
     "null_aware_anti_join": null_aware_anti_join,
-    # Everything below is staleness-ascending for the r14
-    # rotation: rows-only + leftover r9, then r10, r11, r12.
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "approx_stats": approx_stats,
     "ann_lsh_topk": ann_lsh_topk,
     "histogram_prices": histogram_prices,
-    "hll_distinct_stats": hll_distinct_stats,
     "dedup_containment_docs": dedup_containment_docs,
     "near_dup_leakage_sources": near_dup_leakage_sources,
     "dedup_exact_substr": dedup_exact_substr,
@@ -9970,7 +10002,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ndcg_retrieval_eval": ndcg_retrieval_eval,
     "bigram_lm_quality": bigram_lm_quality,
     "dedup_simhash_docs": dedup_simhash_docs,
-    "hll_union_sources": hll_union_sources,
     "incremental_exact_dedup_docs": incremental_exact_dedup_docs,
     "incremental_minhash_docs": incremental_minhash_docs,
     "dsir_importance_docs": dsir_importance_docs,
@@ -9997,11 +10028,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q18_large_volume_customers": q18_large_volume_customers,
     "q20_part_promotion_suppliers": q20_part_promotion_suppliers,
     "q21_waiting_suppliers": q21_waiting_suppliers,
-    "theta_sketch_orders": theta_sketch_orders,
     "join_size_estimate_cms": join_size_estimate_cms,
     "bpe_train_docs": bpe_train_docs,
     "bpe_tokenize_docs": bpe_tokenize_docs,
-    "bloom_membership_orders": bloom_membership_orders,
     "hybrid_retrieval_rrf": hybrid_retrieval_rrf,
     "assoc_rules_copurchase": assoc_rules_copurchase,
     "acf_events": acf_events,
@@ -10110,7 +10139,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 DRIVER_WINDOW = {
     "round": 13,
     "size": 50,
-    "composition": {"debut": 3, "changed": 5, "r8_stale": 8, "r9_stale": 34},
+    "composition": {"debut": 3, "changed": 9, "r8_stale": 8, "r9_stale": 30},
     "debut": (
         "image_near_dup_png",
         "langid_planted_multilingual",
@@ -10122,6 +10151,10 @@ DRIVER_WINDOW = {
         "setsim_join_docs",
         "langid_softmax_docs",
         "langid_softmax_eval",
+        "hll_union_sources",
+        "hll_distinct_stats",
+        "bloom_membership_orders",
+        "theta_sketch_orders",
     ),
     "entries": (
         "image_near_dup_png",
@@ -10132,6 +10165,10 @@ DRIVER_WINDOW = {
         "setsim_join_docs",
         "langid_softmax_docs",
         "langid_softmax_eval",
+        "hll_union_sources",
+        "hll_distinct_stats",
+        "bloom_membership_orders",
+        "theta_sketch_orders",
         "q14_promo_revenue",
         "q19_disjunctive_brand",
         "udtf_sentence_stats",
@@ -10170,10 +10207,6 @@ DRIVER_WINDOW = {
         "quantize_embeddings_stats",
         "pipeline_pretrain_prep",
         "setops_all_variants",
-        "temporal_join_events",
-        "q3_via_skew_join",
-        "delete_propagation_stats",
-        "bottomk_quantiles_orders",
     ),
 }
 
