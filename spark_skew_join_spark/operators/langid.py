@@ -73,6 +73,15 @@ def char_hashed_features(
     md5(gram) mod ``n_buckets`` (SQL-replayable), tf-normalized by the
     doc's gram count. Bucket ``n_buckets`` is the bias feature (1.0).
 
+    Case-fold caveat (ADVICE r13): gram positions derive from the
+    LOWERED text (so the few Unicode chars whose lower() changes
+    length — e.g. U+0130 — neither drop nor shift grams), and the
+    oracle SQL mirrors that with LENGTH(LOWER(..)). The two engines'
+    LOWER can still disagree on those exotic chars themselves (JVM
+    maps U+0130 to 2 codepoints, DuckDB/utf8proc to 1) — each side is
+    internally consistent; cross-engine equality holds for text where
+    lower() is length-preserving (all fixture corpora).
+
     Output: (id_col, fmap map<int,double>, n_gram). Docs shorter than
     ``n`` chars are dropped (no grams -> undefined tf).
     """
@@ -82,7 +91,10 @@ def char_hashed_features(
         raise ValueError("n must be >= 1")
     from ..sources.tables import fan_out_narrow
 
-    t = F.lower(F.col("__t"))
+    # lower() can change string LENGTH for a handful of Unicode chars
+    # (e.g. U+0130 lowers to 2 codepoints), so gram positions must
+    # derive from the LOWERED text: lower once, then take length/
+    # substring from that same column (ADVICE r13)
     pos = F.explode(
         F.sequence(F.lit(1), F.length(F.col("__t")) - n + 1)
     ).alias("pos")
@@ -92,11 +104,11 @@ def char_hashed_features(
     )
     tf = (
         fan_out_narrow(
-            docs.select(F.col(id_col), F.col(text_col).alias("__t")).where(
-                F.length(text_col) >= n
-            )
+            docs.select(
+                F.col(id_col), F.lower(F.col(text_col)).alias("__t")
+            ).where(F.length(text_col) >= n)
         )
-        .select(id_col, t.alias("__t"), pos)
+        .select(id_col, "__t", pos)
         .select(
             id_col,
             F.substring(F.col("__t"), F.col("pos").cast("int"), n).alias(
@@ -151,7 +163,10 @@ def char_tf_counts(
         raise ValueError("n must be >= 1")
     from ..sources.tables import fan_out_narrow
 
-    t = F.lower(F.col("__t"))
+    # lower() can change string LENGTH for a handful of Unicode chars
+    # (e.g. U+0130 lowers to 2 codepoints), so gram positions must
+    # derive from the LOWERED text: lower once, then take length/
+    # substring from that same column (ADVICE r13)
     pos = F.explode(
         F.sequence(F.lit(1), F.length(F.col("__t")) - n + 1)
     ).alias("pos")
@@ -161,11 +176,11 @@ def char_tf_counts(
     )
     tf = (
         fan_out_narrow(
-            docs.select(F.col(id_col), F.col(text_col).alias("__t")).where(
-                F.length(text_col) >= n
-            )
+            docs.select(
+                F.col(id_col), F.lower(F.col(text_col)).alias("__t")
+            ).where(F.length(text_col) >= n)
         )
-        .select(id_col, t.alias("__t"), pos)
+        .select(id_col, "__t", pos)
         .select(
             id_col,
             F.substring(F.col("__t"), F.col("pos").cast("int"), n).alias(
@@ -184,7 +199,12 @@ def char_tf_counts(
         id_col, "n_gram", F.explode("__e").alias("__kv")
     ).select(
         id_col,
-        F.col("__kv.bucket").cast("int").alias("bucket"),
+        # base bucket count rides along as column metadata so a
+        # consumer folding bucket % m can VALIDATE m divides the base
+        # (ADVICE r13: a non-divisor fold is silently wrong)
+        F.col("__kv.bucket")
+        .cast("int")
+        .alias("bucket", metadata={"base_buckets": n_buckets}),
         F.col("__kv.c").alias("c"),
         "n_gram",
     )
@@ -388,11 +408,35 @@ def langid_classifier(
         tf = char_tf_counts(docs, id_col, text_col, n_buckets, n)
     else:
         # shared granular counts (e.g. the 128-bucket family table):
-        # fold down to this classifier's bucket count — exact, because
-        # md5_32 % base % n_buckets == md5_32 % n_buckets when
-        # n_buckets divides base, and summed counts divide by the SAME
-        # per-doc n_gram the oracle uses. groupBy(id, bucket%m) needs
-        # no exchange: the table is already hash-partitioned by id.
+        # fold down to this classifier's bucket count — exact ONLY
+        # because md5_32 % base % n_buckets == md5_32 % n_buckets when
+        # n_buckets DIVIDES base, and summed counts divide by the SAME
+        # per-doc n_gram the oracle uses. A non-divisor fold would be
+        # silently wrong (bucket % m != md5 % m), so validate against
+        # the base count char_tf_counts stamps on the bucket column
+        # (ADVICE r13 #1).
+        try:
+            base = tf_counts.schema["bucket"].metadata.get("base_buckets")
+        except KeyError:
+            raise ValueError(
+                "tf_counts must have a 'bucket' column (char_tf_counts "
+                "output)"
+            )
+        if base is None:
+            raise ValueError(
+                "tf_counts lacks base_buckets metadata — build it with "
+                "char_tf_counts so the bucket-fold divisibility can be "
+                "validated"
+            )
+        if base % n_buckets != 0:
+            raise ValueError(
+                f"n_buckets={n_buckets} does not divide the tf_counts "
+                f"base bucket count {base}: bucket % {n_buckets} would "
+                f"not equal md5 % {n_buckets} and the features would be "
+                "silently wrong"
+            )
+        # groupBy(id, bucket%m) needs no exchange: the table is
+        # already hash-partitioned by id.
         tf = (
             tf_counts.groupBy(
                 id_col,
@@ -542,7 +586,7 @@ WITH cls AS (
 ),
 base AS (
   SELECT {id_col} AS id, LOWER({text_col}) AS txt,
-         LENGTH({text_col}) - {n} + 1 AS ng, {label_col} AS lbl
+         LENGTH(LOWER({text_col})) - {n} + 1 AS ng, {label_col} AS lbl
   FROM {table} WHERE LENGTH({text_col}) >= {n}
 ),
 feat AS (

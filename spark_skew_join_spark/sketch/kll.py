@@ -313,6 +313,10 @@ def kll_compat_by_group(df, group_col: str, key_col: str, value_col: str,
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
+    if not counts:
+        # every value NULL (or no rows): no groups to sketch — return
+        # {} instead of crashing on an empty when-chain (ADVICE r13)
+        return {}
     levels = {g: KLLCompat.level_for(n, k) for g, n in counts.items()}
     # u >> (60-H) == 0  ⟺  u < 2^(60-H) for the non-negative 60-bit
     # hash — a threshold compare sidesteps shiftright's int-only

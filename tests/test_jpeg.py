@@ -132,3 +132,59 @@ def test_multimodal_jpeg_wiring(spark):
     assert len(f.features) == 16
     # mean luminance feature tracks the real pixels through the codec
     assert abs(f.features[0] * 255 - img[:, :, 0].mean()) < 3.0
+
+
+def test_truncated_entropy_raises_value_error():
+    """ADVICE r13: a segment cut before any trailing marker must raise
+    the documented ValueError, not IndexError."""
+    from spark_skew_join_spark.operators.jpeg import _BitReader
+
+    r = _BitReader(b"\x12", 0)
+    assert r.bits(8) == 0x12
+    with pytest.raises(ValueError, match="entropy data truncated"):
+        r.bit()
+    # end-to-end: strip the EOI and most of the entropy segment
+    enc = encode_jpeg(_smooth())
+    sos = enc.index(b"\xff\xda")
+    with pytest.raises(ValueError):
+        decode_jpeg(enc[: sos + 16])
+
+
+def test_non_divisible_sampling_rejected():
+    """ADVICE r13: truncating chroma upsample ratios silently misalign
+    planes — a legal-but-unsupported sampling grid must error."""
+    enc = bytearray(encode_jpeg(_smooth()))
+    sof = bytes(enc).index(b"\xff\xc0")
+    # comp entries start at sof+10; bytes are (id, h<<4|v, tq)
+    assert enc[sof + 11] == 0x11 and enc[sof + 14] == 0x11  # 4:4:4
+    enc[sof + 11] = 0x33  # Y  -> 3x3
+    enc[sof + 14] = 0x22  # Cb -> 2x2: 3 % 2 != 0
+    with pytest.raises(ValueError, match="non-divisible"):
+        decode_jpeg(bytes(enc))
+
+
+def test_fast_engine_bit_for_bit_equals_bitserial():
+    """VERDICT r13 #5: the block-batched LUT decoder is certified
+    against the bit-serial reference on every fixture shape — exact
+    array equality, not PSNR."""
+    rng = np.random.default_rng(11)
+    cases = [
+        encode_jpeg(_smooth(), quality=70),
+        encode_jpeg(_smooth(), quality=95),
+        encode_jpeg(_smooth(33, 18), quality=90, subsampling="420"),
+        encode_jpeg(
+            rng.integers(0, 256, (9, 11, 3), dtype=np.uint8),
+            quality=90, subsampling="420",
+        ),
+        encode_jpeg(
+            rng.integers(0, 256, (16, 16, 3), dtype=np.uint8), quality=95
+        ),
+        encode_jpeg(_smooth(64, 48), quality=85, subsampling="420",
+                    restart_interval=4),
+    ]
+    for i, enc in enumerate(cases):
+        a = decode_jpeg(enc, engine="bitserial")
+        b = decode_jpeg(enc, engine="fast")
+        assert np.array_equal(a, b), i
+    with pytest.raises(ValueError, match="engine"):
+        decode_jpeg(cases[0], engine="warp")

@@ -227,3 +227,14 @@ def test_compat_by_group_matches_per_group_builds(spark):
         solo = kll_compat_from_dataframe(df.where(cond), "id", "v")
         assert sk.n == solo.n and sk.level == solo.level
         assert np.array_equal(sk.values, solo.values), g
+
+
+def test_compat_by_group_all_null_returns_empty(spark):
+    """ADVICE r13: an all-NULL value column used to crash on an empty
+    when-chain; the contract is an empty dict."""
+    from spark_skew_join_spark.sketch.kll import kll_compat_by_group
+
+    df = spark.range(0, 10).selectExpr(
+        "id % 2 AS g", "id", "CAST(NULL AS DOUBLE) AS v"
+    )
+    assert kll_compat_by_group(df, "g", "id", "v") == {}

@@ -97,3 +97,42 @@ def test_errors(spark):
         train_softmax(feats.withColumn("y", feats.n_gram * 0), iters=0)
     with pytest.raises(ValueError):
         char_hashed_features(docs, n_buckets=1)
+
+
+def test_tf_counts_fold_validates_divisibility(spark):
+    """ADVICE r13 #1: folding a shared tf table to a NON-divisor
+    bucket count is silently wrong (bucket % m != md5 % m) — the
+    classifier must refuse, using the base count char_tf_counts
+    stamps on the bucket column."""
+    from spark_skew_join_spark.operators.langid import char_tf_counts
+
+    docs = spark.createDataFrame(
+        [(1, "abcd", "aa"), (2, "wxyz", "bb")],
+        "doc_id bigint, text string, lang string",
+    )
+    tf = char_tf_counts(docs, n_buckets=128)
+    assert tf.schema["bucket"].metadata["base_buckets"] == 128
+    with pytest.raises(ValueError, match="does not divide"):
+        langid_classifier(docs, tf_counts=tf, n_buckets=100, iters=1)
+    # a table missing the metadata stamp is rejected too
+    bare = tf.withColumn("bucket", tf.bucket + 0)
+    with pytest.raises(ValueError, match="base_buckets"):
+        langid_classifier(docs, tf_counts=bare, n_buckets=64, iters=1)
+    # divisor folds still work end-to-end
+    out = langid_classifier(docs, tf_counts=tf, n_buckets=64, iters=1)
+    assert out.count() == 2
+
+
+def test_gram_positions_follow_lowered_length(spark):
+    """ADVICE r13: lower() grows U+0130 to two codepoints; gram
+    positions must come from the LOWERED text so the tail grams are
+    neither dropped nor shifted."""
+    from spark_skew_join_spark.operators.langid import char_tf_counts
+
+    docs = spark.createDataFrame(
+        [(1, "İB", "x")], "doc_id bigint, text string, lang string"
+    )
+    rows = char_tf_counts(docs, n_buckets=16, n=2).collect()
+    # lowered text is 3 chars -> 2 bigrams (the old raw-length code
+    # produced only 1)
+    assert rows and rows[0]["n_gram"] == 2
