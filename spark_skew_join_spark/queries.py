@@ -9903,34 +9903,77 @@ FROM w3 ORDER BY source
 """
 
 
-# round 13: registry rotated staleness-first for the driver's
-# first-50 window (the VERDICT r11 #2/#5 rhythm). Composition: 3
-# never-checked debuts (the PNG-container planted near-dup; the
-# text-dependent planted-alphabet language-ID certification; the
-# JPEG-codec analytic-bucket certification), 9 entries whose code
-# changed THIS round (the KLL pair rebuilt on the md5-compat
-# deterministic mode and newly oracled, setsim's recall-safe epsilon
-# ceils, the two langid classifiers on the relational GD loop +
-# shared family tf table, and the four sketch entries moved to
-# in-plan rounding — the KLL .xx5 lesson applied proactively), then
-# the 38 stalest ORACLE-CHECKABLE entries in ledger order — all 8
-# remaining r8 plus the 30 oldest r9; the rows-only postures
-# (QUERIES - ORACLES) are skipped by the rotation per VERDICT r11 #5
-# (they certify nothing beyond row counts; their EXACT *_refined
-# siblings carry coverage). 3 + 9 + 8 + 30 = 50. The window is machine-checked:
-# DRIVER_WINDOW below must equal list(QUERIES)[:50] and the
-# staleness-first invariant is asserted by
-# tests/test_plans.py::test_driver_window_marker (ADVICE r9's
-# silent-marker-rot bug class).
+# round 14: registry rotated staleness-first for the driver's
+# first-50 window (the standing VERDICT r11 #2/#5 rhythm).
+# Composition: no debuts this round; 4 entries whose code changed
+# THIS round (the three langid classifiers — char_tf_counts /
+# char_hashed_features now derive gram positions from the LOWERED
+# text and the oracle SQL mirrors it with LENGTH(LOWER(..)), plus the
+# family tf fold's divisibility validation — and jpeg_decode_stats,
+# which now decodes through the block-batched LUT engine certified
+# bit-for-bit against the bit-serial reference); then the 46 stalest
+# ORACLE-CHECKABLE entries in ledger order — all 13 remaining r9 and
+# the 33 oldest r10. Rows-only postures (QUERIES - ORACLES) are
+# skipped by the rotation per VERDICT r11 #5 (their EXACT *_refined
+# siblings carry coverage). 4 + 13 + 33 = 50. The window is
+# machine-checked: DRIVER_WINDOW below must equal
+# list(QUERIES)[:50] and the staleness-first invariant is asserted
+# by tests/test_plans.py::test_driver_window_marker.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "image_near_dup_png": image_near_dup_png,
+    "langid_softmax_docs": langid_softmax_docs,
+    "langid_softmax_eval": langid_softmax_eval,
     "langid_planted_multilingual": langid_planted_multilingual,
     "jpeg_decode_stats": jpeg_decode_stats,
+    "bottomk_quantiles_orders": bottomk_quantiles_orders,
+    "dedup_containment_docs": dedup_containment_docs,
+    "dedup_exact_substr": dedup_exact_substr,
+    "delete_propagation_stats": delete_propagation_stats,
+    "histogram_prices": histogram_prices,
+    "near_dup_leakage_sources": near_dup_leakage_sources,
+    "null_aware_anti_join": null_aware_anti_join,
+    "q3_via_skew_join": q3_via_skew_join,
+    "semdedup_embeddings": semdedup_embeddings,
+    "sequence_packing_docs": sequence_packing_docs,
+    "substr_dedup_clean_docs": substr_dedup_clean_docs,
+    "temperature_mix_sources": temperature_mix_sources,
+    "temporal_join_events": temporal_join_events,
+    "acf_events": acf_events,
+    "ann_ivf_refined_topk": ann_ivf_refined_topk,
+    "ann_ivfpq_refined_topk": ann_ivfpq_refined_topk,
+    "ann_lsh_refined_topk": ann_lsh_refined_topk,
+    "asof_purchase_attribution": asof_purchase_attribution,
+    "assoc_rules_copurchase": assoc_rules_copurchase,
+    "bigram_lm_quality": bigram_lm_quality,
+    "bpe_tokenize_docs": bpe_tokenize_docs,
+    "bpe_train_docs": bpe_train_docs,
+    "dedup_normalized_docs": dedup_normalized_docs,
+    "dedup_simhash_docs": dedup_simhash_docs,
+    "dsir_importance_docs": dsir_importance_docs,
+    "hybrid_retrieval_rrf": hybrid_retrieval_rrf,
+    "incremental_exact_dedup_docs": incremental_exact_dedup_docs,
+    "incremental_minhash_docs": incremental_minhash_docs,
+    "join_size_estimate_cms": join_size_estimate_cms,
+    "multimodal_features": multimodal_features,
+    "ndcg_retrieval_eval": ndcg_retrieval_eval,
+    "ngram_diversity_sources": ngram_diversity_sources,
+    "pipeline_train_mix": pipeline_train_mix,
+    "pivot_linestatus": pivot_linestatus,
+    "q10_returned_items": q10_returned_items,
+    "q11_important_parts": q11_important_parts,
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q17_small_qty_revenue": q17_small_qty_revenue,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "q20_part_promotion_suppliers": q20_part_promotion_suppliers,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "image_near_dup_png": image_near_dup_png,
     "kll_quantiles_orders": kll_quantiles_orders,
     "kll_quantiles_by_priority": kll_quantiles_by_priority,
     "setsim_join_docs": setsim_join_docs,
-    "langid_softmax_docs": langid_softmax_docs,
-    "langid_softmax_eval": langid_softmax_eval,
     "hll_union_sources": hll_union_sources,
     "hll_distinct_stats": hll_distinct_stats,
     "bloom_membership_orders": bloom_membership_orders,
@@ -9973,67 +10016,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantize_embeddings_stats": quantize_embeddings_stats,
     "pipeline_pretrain_prep": pipeline_pretrain_prep,
     "setops_all_variants": setops_all_variants,
-    # ^^^ END of the r13 driver check window (50 entries).
-    # Everything below is staleness-ascending for the r14
-    # rotation: rows-only + leftover r9, then r10, r11, r12.
-    "temporal_join_events": temporal_join_events,
-    "q3_via_skew_join": q3_via_skew_join,
-    "delete_propagation_stats": delete_propagation_stats,
-    "bottomk_quantiles_orders": bottomk_quantiles_orders,
-    "null_aware_anti_join": null_aware_anti_join,
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "approx_stats": approx_stats,
     "ann_lsh_topk": ann_lsh_topk,
-    "histogram_prices": histogram_prices,
-    "dedup_containment_docs": dedup_containment_docs,
-    "near_dup_leakage_sources": near_dup_leakage_sources,
-    "dedup_exact_substr": dedup_exact_substr,
-    "substr_dedup_clean_docs": substr_dedup_clean_docs,
-    "semdedup_embeddings": semdedup_embeddings,
-    "temperature_mix_sources": temperature_mix_sources,
-    "sequence_packing_docs": sequence_packing_docs,
-    "ngram_diversity_sources": ngram_diversity_sources,
     "zipf_vocab_stats_docs": zipf_vocab_stats_docs,
-    "dedup_normalized_docs": dedup_normalized_docs,
-    "ann_ivf_refined_topk": ann_ivf_refined_topk,
-    "ann_lsh_refined_topk": ann_lsh_refined_topk,
-    "ann_ivfpq_refined_topk": ann_ivfpq_refined_topk,
     "retrieval_metrics_eval": retrieval_metrics_eval,
-    "ndcg_retrieval_eval": ndcg_retrieval_eval,
-    "bigram_lm_quality": bigram_lm_quality,
-    "dedup_simhash_docs": dedup_simhash_docs,
-    "incremental_exact_dedup_docs": incremental_exact_dedup_docs,
-    "incremental_minhash_docs": incremental_minhash_docs,
-    "dsir_importance_docs": dsir_importance_docs,
-    "pipeline_train_mix": pipeline_train_mix,
-    "multimodal_features": multimodal_features,
     "train_test_split_stats": train_test_split_stats,
     "tumbling_window_events": tumbling_window_events,
     "sliding_window_events": sliding_window_events,
     "session_windows_events": session_windows_events,
-    "asof_purchase_attribution": asof_purchase_attribution,
     "range_join_price_bands": range_join_price_bands,
-    "pivot_linestatus": pivot_linestatus,
     "unpivot_metrics": unpivot_metrics,
-    "q2_min_cost_supplier": q2_min_cost_supplier,
-    "q7_volume_shipping": q7_volume_shipping,
-    "q8_market_share": q8_market_share,
     "q9_product_profit": q9_product_profit,
-    "q10_returned_items": q10_returned_items,
-    "q11_important_parts": q11_important_parts,
-    "q13_order_count_distribution": q13_order_count_distribution,
-    "q15_top_supplier": q15_top_supplier,
-    "q16_supplier_part_counts": q16_supplier_part_counts,
-    "q17_small_qty_revenue": q17_small_qty_revenue,
-    "q18_large_volume_customers": q18_large_volume_customers,
-    "q20_part_promotion_suppliers": q20_part_promotion_suppliers,
-    "q21_waiting_suppliers": q21_waiting_suppliers,
-    "join_size_estimate_cms": join_size_estimate_cms,
-    "bpe_train_docs": bpe_train_docs,
-    "bpe_tokenize_docs": bpe_tokenize_docs,
-    "hybrid_retrieval_rrf": hybrid_retrieval_rrf,
-    "assoc_rules_copurchase": assoc_rules_copurchase,
-    "acf_events": acf_events,
     "bleu_rouge_eval_docs": bleu_rouge_eval_docs,
     "readability_docs": readability_docs,
     "wordpiece_train_docs": wordpiece_train_docs,
@@ -10137,76 +10131,68 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # window is staler (per CORRECTNESS_r*.json) than any non-debut,
 # non-changed entry inside it.
 DRIVER_WINDOW = {
-    "round": 13,
+    "round": 14,
     "size": 50,
-    "composition": {"debut": 3, "changed": 9, "r8_stale": 8, "r9_stale": 30},
-    "debut": (
-        "image_near_dup_png",
-        "langid_planted_multilingual",
-        "jpeg_decode_stats",
-    ),
+    "composition": {"debut": 0, "changed": 4, "r9_stale": 13,
+                    "r10_stale": 33},
+    "debut": (),
     "changed": (
-        "kll_quantiles_orders",
-        "kll_quantiles_by_priority",
-        "setsim_join_docs",
         "langid_softmax_docs",
         "langid_softmax_eval",
-        "hll_union_sources",
-        "hll_distinct_stats",
-        "bloom_membership_orders",
-        "theta_sketch_orders",
+        "langid_planted_multilingual",
+        "jpeg_decode_stats",
     ),
     "entries": (
-        "image_near_dup_png",
-        "langid_planted_multilingual",
-        "jpeg_decode_stats",
-        "kll_quantiles_orders",
-        "kll_quantiles_by_priority",
-        "setsim_join_docs",
         "langid_softmax_docs",
         "langid_softmax_eval",
-        "hll_union_sources",
-        "hll_distinct_stats",
-        "bloom_membership_orders",
-        "theta_sketch_orders",
-        "q14_promo_revenue",
-        "q19_disjunctive_brand",
-        "udtf_sentence_stats",
-        "udaf_weighted_price",
-        "dedup_exact_docs",
-        "dedup_ngram_jaccard",
-        "dedup_minhash_docs",
-        "dedup_clusters_docs",
-        "tfidf_cosine_docs",
-        "dedup_fuzzy_survivors",
-        "pipeline_clean_corpus",
-        "text_stats",
-        "text_lang_id",
-        "knn_bruteforce",
-        "embedding_near_dup_pairs",
-        "embedding_near_dup_lsh",
-        "token_frequencies",
-        "multimodal_binary_meta",
-        "redact_events_props",
-        "zorder_layout_orders",
-        "chunk_dedup_docs",
-        "unigram_lm_quality",
-        "merge_upsert_orders",
-        "snapshot_diff_orders",
-        "scd2_user_event_history",
-        "funnel_events",
-        "resample_locf_events",
-        "cohort_retention_events",
-        "pagerank_nations",
-        "ivm_refresh_orders",
-        "dq_audit_orders",
-        "rolling_avg_events",
-        "corr_stats_lineitem",
-        "window_funcs_orders",
-        "outlier_stats_lineitem",
-        "quantize_embeddings_stats",
-        "pipeline_pretrain_prep",
-        "setops_all_variants",
+        "langid_planted_multilingual",
+        "jpeg_decode_stats",
+        "bottomk_quantiles_orders",
+        "dedup_containment_docs",
+        "dedup_exact_substr",
+        "delete_propagation_stats",
+        "histogram_prices",
+        "near_dup_leakage_sources",
+        "null_aware_anti_join",
+        "q3_via_skew_join",
+        "semdedup_embeddings",
+        "sequence_packing_docs",
+        "substr_dedup_clean_docs",
+        "temperature_mix_sources",
+        "temporal_join_events",
+        "acf_events",
+        "ann_ivf_refined_topk",
+        "ann_ivfpq_refined_topk",
+        "ann_lsh_refined_topk",
+        "asof_purchase_attribution",
+        "assoc_rules_copurchase",
+        "bigram_lm_quality",
+        "bpe_tokenize_docs",
+        "bpe_train_docs",
+        "dedup_normalized_docs",
+        "dedup_simhash_docs",
+        "dsir_importance_docs",
+        "hybrid_retrieval_rrf",
+        "incremental_exact_dedup_docs",
+        "incremental_minhash_docs",
+        "join_size_estimate_cms",
+        "multimodal_features",
+        "ndcg_retrieval_eval",
+        "ngram_diversity_sources",
+        "pipeline_train_mix",
+        "pivot_linestatus",
+        "q10_returned_items",
+        "q11_important_parts",
+        "q13_order_count_distribution",
+        "q15_top_supplier",
+        "q16_supplier_part_counts",
+        "q17_small_qty_revenue",
+        "q18_large_volume_customers",
+        "q20_part_promotion_suppliers",
+        "q21_waiting_suppliers",
+        "q2_min_cost_supplier",
+        "q7_volume_shipping",
+        "q8_market_share",
     ),
 }
 

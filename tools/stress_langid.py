@@ -34,10 +34,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
+N_DOCS = (
+    int(sys.argv[1])
+    if len(sys.argv) > 1 and sys.argv[1] != "--one"
+    else 5_000_000
+)
 N_SMALL = int(sys.argv[2]) if len(sys.argv) > 2 else N_DOCS // 4
 N_BUCKETS = 64
-ITERS_A, ITERS_B = 1, 3  # per-iter wall = (wall_B - wall_A) / 2
+ITERS_A, ITERS_B = 2, 4  # per-iter wall = (wall_B - wall_A) / 2
 LR = 4.0
 
 
@@ -78,8 +82,14 @@ def _one_scale(spark: SparkSession, n: int) -> dict:
     tf_rows = tf.count()  # the ONE corpus-text scan
     t_build = time.perf_counter() - t0
 
-    walls = {}
-    for iters in (ITERS_A, ITERS_B):
+    # throwaway 1-iteration train: absorbs the session's first-GD
+    # codegen/broadcast warmup so the measured pair is steady-state
+    langid_classifier(
+        docs, label_col="lang", n_buckets=N_BUCKETS, iters=1, lr=LR,
+        tf_counts=tf,
+    ).count()
+    def _train_wall(iters: int) -> float:
+        nonlocal agg
         t1 = time.perf_counter()
         scored = langid_classifier(
             docs, label_col="lang", n_buckets=N_BUCKETS, iters=iters,
@@ -95,8 +105,18 @@ def _one_scale(spark: SparkSession, n: int) -> dict:
             )
             .collect()
         )
-        walls[iters] = time.perf_counter() - t1
+        return time.perf_counter() - t1
+
+    agg = None
+    walls = {it: _train_wall(it) for it in (ITERS_A, ITERS_B)}
     per_iter = (walls[ITERS_B] - walls[ITERS_A]) / (ITERS_B - ITERS_A)
+    if per_iter <= 0:
+        # a box dip during either point inverts the delta (observed:
+        # wall[2it] 337 s > wall[4it] 205 s on identical code under
+        # ambient drift) — re-measure both points once, keep min-of-two
+        for it in (ITERS_A, ITERS_B):
+            walls[it] = min(walls[it], _train_wall(it))
+        per_iter = (walls[ITERS_B] - walls[ITERS_A]) / (ITERS_B - ITERS_A)
     recalls = {r["y"]: r["tp"] / r["n"] for r in agg}
     tf.unpersist()
     return {
@@ -109,7 +129,9 @@ def _one_scale(spark: SparkSession, n: int) -> dict:
     }
 
 
-def main() -> None:
+def _one_scale_main(n: int) -> None:
+    """Child mode: one scale per JVM (a second big job in one session
+    inherits heap/codegen history — bench.py's segmentation lesson)."""
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -122,15 +144,45 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")
+    import json as _json
 
-    small = _one_scale(spark, N_SMALL)
-    big = _one_scale(spark, N_DOCS)
+    print("RESULT " + _json.dumps(_one_scale(spark, n)), flush=True)
+    spark.stop()
+
+
+def _spawn(n: int) -> dict:
+    import json as _json
+    import subprocess
+
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--one", str(n)],
+        capture_output=True, text=True,
+    )
+    for line in r.stdout.splitlines():
+        if line.startswith("RESULT "):
+            d = _json.loads(line[len("RESULT "):])
+            d["walls"] = {int(k): v for k, v in d["walls"].items()}
+            d["recalls"] = dict(d["recalls"])
+            return d
+    sys.stderr.write(r.stdout[-2000:] + r.stderr[-2000:])
+    raise RuntimeError(f"scale {n} child failed")
+
+
+def main() -> None:
+    small = _spawn(N_SMALL)
+    big = _spawn(N_DOCS)
 
     d_ratio = N_DOCS / N_SMALL
     it_ratio = big["per_iter_s"] / max(small["per_iter_s"], 1e-9)
     # linear O(D*C): per-iteration ratio tracks D ratio; allow 2x slack
-    # (fixed overheads help the small run, shuffles help neither)
-    linear_ok = it_ratio <= 2.0 * d_ratio
+    # (fixed overheads help the small run, shuffles help neither).
+    # Both per-iteration walls must be POSITIVE — a negative delta
+    # means warmup leaked into the measured pair and the run is void.
+    linear_ok = (
+        small["per_iter_s"] > 0
+        and big["per_iter_s"] > 0
+        and it_ratio <= 2.0 * d_ratio
+    )
     recall_ok = all(
         v >= 0.9 for s in (small, big) for v in s["recalls"].values()
     )
@@ -149,9 +201,11 @@ def main() -> None:
         f"corpus text scanned ONCE per scale (tf build phase) | "
         f"{'PASS' if (linear_ok and recall_ok) else 'FAIL'}"
     )
-    spark.stop()
     sys.exit(0 if (linear_ok and recall_ok) else 1)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--one":
+        _one_scale_main(int(sys.argv[2]))
+    else:
+        main()

@@ -32,7 +32,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 600_000
+N_DOCS = (
+    int(sys.argv[1])
+    if len(sys.argv) > 1 and sys.argv[1] != "--one"
+    else 600_000
+)
 PAIR_EVERY = 10  # one planted twin pair per 10 docs
 THRESHOLD = 0.8
 N_TOKENS = 20
@@ -89,7 +93,10 @@ def _run(spark: SparkSession, n: int) -> tuple[float, int, bool]:
     return wall, len(gotset), ok
 
 
-def main() -> None:
+def _one_scale_main(n: int) -> None:
+    """Child mode: one scale in its own JVM (same reason bench.py
+    segments — a second big job in one session inherits the first's
+    heap/codegen history and measured 4x slower on identical code)."""
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -102,9 +109,29 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")
+    w, np_, ok = _run(spark, n)
+    print(f"RESULT {n} {w:.3f} {np_} {int(ok)}", flush=True)
+    spark.stop()
 
-    w_small, n_small_pairs, ok_small = _run(spark, N_DOCS // 4)
-    w_big, n_big_pairs, ok_big = _run(spark, N_DOCS)
+
+def _spawn(n: int) -> tuple[float, int, bool]:
+    import subprocess
+
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--one", str(n)],
+        capture_output=True, text=True,
+    )
+    for line in r.stdout.splitlines():
+        if line.startswith("RESULT "):
+            _, _, w, np_, ok = line.split()
+            return float(w), int(np_), bool(int(ok))
+    sys.stderr.write(r.stdout[-2000:] + r.stderr[-2000:])
+    raise RuntimeError(f"scale {n} child failed")
+
+
+def main() -> None:
+    w_small, n_small_pairs, ok_small = _spawn(N_DOCS // 4)
+    w_big, n_big_pairs, ok_big = _spawn(N_DOCS)
     ratio = w_big / max(w_small, 1e-9)
     # near-linear candidate generation: 4x docs should cost ~4x, far
     # below the 16x an all-pairs stage would show; allow 8x slack for
@@ -123,9 +150,11 @@ def main() -> None:
         f"exact planted recall+precision | "
         f"{'PASS' if (ok_small and ok_big and linear_ok) else 'FAIL'}"
     )
-    spark.stop()
     sys.exit(0 if (ok_small and ok_big and linear_ok) else 1)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--one":
+        _one_scale_main(int(sys.argv[2]))
+    else:
+        main()
