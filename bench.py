@@ -162,6 +162,54 @@ def _run_segment(seg_idx: int, out_path: str) -> None:
         "h", F.row_number().over(_w).alias("rn"),
         F.lag("mm").over(_w).alias("lg"),
     ).agg(F.max("rn")).collect()
+    # r14 extension — the remaining expensive FIRST-COMPILE shapes the
+    # timed lines otherwise absorb per fresh JVM (still fully synthetic
+    # range data, nothing query-specific computed or cached):
+    #  * wide multi-aggregate (32 mins / 20 sums — the MinHash-signature
+    #    and softmax-margins hash-aggregate classes)
+    #  * array zip_with + aggregate fold and map_entries fold
+    #    (signature-agreement prefilter / sparse-margin shapes)
+    #  * explode of an array of structs (LSH band fan-out)
+    #  * collect_list(struct) re-assembly (doc-major feature maps)
+    #  * 1-row broadcast crossJoin (scalar weights-relation attach)
+    _n = spark.range(0, 20_000, 1, cpus).select(
+        "id", (F.col("id") % 997).alias("k"),
+        F.rand(7).alias("x"),
+    )
+    _n.groupBy("k").agg(
+        *[F.min(F.xxhash64(F.col("id"), F.lit(i))).alias(f"h{i}")
+          for i in range(32)]
+    ).agg(F.count(F.lit(1))).collect()
+    _one = spark.createDataFrame(
+        [([float(i) for i in range(65)],)], "__w array<double>"
+    )
+    _n.crossJoin(F.broadcast(_one)).groupBy("k").agg(
+        *[F.sum(F.col("x") * F.element_at(F.col("__w"), (i % 64) + 1)).alias(f"m{i}")
+          for i in range(20)]
+    ).agg(F.count(F.lit(1))).collect()
+    _arr = _n.groupBy("k").agg(
+        F.collect_list(F.struct(F.col("id").alias("b"), F.col("x").alias("v"))).alias("e"),
+        F.array_agg(F.xxhash64("id")).alias("sig"),
+    )
+    _arr.select(
+        "k",
+        F.aggregate(
+            F.zip_with("sig", F.reverse("sig"), lambda a, b: (a == b).cast("int")),
+            F.lit(0), lambda acc, v: acc + v,
+        ).alias("agree"),
+        F.aggregate(
+            F.map_entries(F.map_from_entries(F.transform(
+                "e", lambda s: F.struct(s["b"].cast("int").alias("key"), s["v"].alias("value"))
+            ))),
+            F.lit(0.0), lambda acc, s: acc + s["value"],
+        ).alias("fold"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.xxhash64(F.element_at("sig", b + 1)).alias("bucket"))
+                for b in range(8)
+            ])
+        ).alias("bb"),
+    ).agg(F.count(F.lit(1))).collect()
 
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}

@@ -107,12 +107,39 @@ def _margin(weights: list[float]) -> "F.Column":
     )
 
 
+def _margin_col() -> "F.Column":
+    """Same fold as ``_margin`` but against a ``__w array<double>``
+    COLUMN (the 1-row broadcast weights relation). Fold order and
+    arithmetic are identical to the literal form — only where the
+    weights come from changes — so results are bit-equal; the payoff is
+    that the generated code no longer embeds the weight values, i.e.
+    every GD iteration and the final scoring compile to the SAME
+    whole-stage-codegen class and hit the janino cache instead of
+    recompiling per iteration (the langid ``_weights_rel`` insight,
+    guide §1.2 per-task work)."""
+    return F.aggregate(
+        F.map_entries("fmap"),
+        F.lit(0.0),
+        lambda acc, e: acc + e["value"] * F.element_at(F.col("__w"), e["key"] + 1),
+    )
+
+
+def _weights_1row(spark, weights: list[float]) -> DataFrame:
+    """The weight vector as a 1-row (__w array<double>) relation —
+    crossJoin(broadcast(...)) attaches it to every doc row as a scalar
+    BroadcastNestedLoopJoin (the SCALAR_BNL_OK precedent)."""
+    return spark.createDataFrame(
+        [([float(w) for w in weights],)], "__w array<double>"
+    )
+
+
 def train_logistic(
     feats: DataFrame,
     label_col: str = "y",
     n_buckets: int = 64,
     iters: int = 6,
     lr: float = 2.0,
+    cache: bool = True,
 ) -> list[float]:
     """Full-batch GD on logistic loss; returns the (D+1) weight vector.
 
@@ -124,20 +151,30 @@ def train_logistic(
 
     Each iteration is ONE Spark job: margin fold (no shuffle) →
     explode fmap → groupBy(bucket) partial-agg (D+1 groups) → collect
-    D+1 rows. Driver holds only the weight vector.
+    D+1 rows. Driver holds only the weight vector. The weights enter
+    each iteration as a 1-row broadcast relation (``_weights_1row``)
+    rather than literals, so all iterations share one compiled plan.
+
+    ``cache=False`` skips the internal persist — pass it when ``feats``
+    is already cached by the caller (quality_classifier's shared
+    relation) so the projection isn't double-persisted.
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
-    d = feats.select(feats.columns[0], label_col, "fmap").persist()
+    d = feats.select(feats.columns[0], label_col, "fmap")
+    if cache:
+        d = d.persist()
     try:
         n = d.count()
         if n == 0:
             raise ValueError("no training documents (all empty?)")
+        spark = feats.sparkSession
         weights = [0.0] * (n_buckets + 1)
         for _ in range(iters):
-            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(weights)))
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin_col()))
             grad_rows = (
-                d.select(
+                d.crossJoin(F.broadcast(_weights_1row(spark, weights)))
+                .select(
                     (p - F.col(label_col).cast("double")).alias("__r"), "fmap"
                 )
                 .select("__r", F.explode("fmap").alias("bucket", "x"))
@@ -148,7 +185,8 @@ def train_logistic(
             for row in grad_rows:
                 weights[row["bucket"]] -= lr * row["g"] / n
     finally:
-        d.unpersist()
+        if cache:
+            d.unpersist()
     return weights
 
 
@@ -180,18 +218,37 @@ def quality_classifier(
     weak-label idiom: source allowlists, metadata language tags, a
     Gopher verdict). Output one row per non-empty doc:
     (id_col, y int, score double[6dp], pred int) ordered by id.
-    """
+
+    r14 shape: ONE session-cached (id, __y, fmap) relation feeds
+    training, scoring, and the label column — previously train_logistic
+    persisted a private projection (released before consumption) and the
+    final self-join re-derived hashed_features twice at consumption
+    (guide §5 persist-when-reused; §2.4 remove shuffles outright — the
+    y/score self-join is gone: both come off the same cached row).
+    Cache ownership sits in the dedup session-cache ledger (bench.py
+    releases per line; tests via clear_band_cache)."""
+    from .dedup import _session_cache
+
     feats = hashed_features(docs, id_col, text_col, n_buckets)
-    labeled = feats.join(
-        docs.select(id_col, label.cast("double").alias("__y")), id_col
+    labeled = _session_cache(
+        feats.join(
+            docs.select(id_col, label.cast("double").alias("__y")), id_col
+        ).select(id_col, "__y", "fmap")
     )
     weights = train_logistic(
-        labeled, label_col="__y", n_buckets=n_buckets, iters=iters, lr=lr
+        labeled, label_col="__y", n_buckets=n_buckets, iters=iters, lr=lr,
+        cache=False,
     )
-    scored = score_logistic(labeled, weights, id_col)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin_col()))
     return (
-        labeled.select(id_col, F.col("__y").cast("int").alias("y"))
-        .join(scored, id_col)
+        labeled.crossJoin(
+            F.broadcast(_weights_1row(docs.sparkSession, weights))
+        )
+        .select(
+            id_col,
+            F.col("__y").cast("int").alias("y"),
+            F.round(p, 6).alias("score"),
+        )
         .select(
             id_col,
             "y",

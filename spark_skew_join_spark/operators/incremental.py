@@ -164,6 +164,7 @@ def incremental_minhash_dups(
     n_bands: int = 8,
     max_bucket_size: int | None = 1000,
     hist_bands: DataFrame | None = None,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicates of the new batch AGAINST HISTORY only.
 
@@ -171,12 +172,33 @@ def incremental_minhash_dups(
     candidate pairs with exact Jaccard >= threshold.  Pass
     ``hist_bands`` (a persisted ``band_table``) to skip rebuilding the
     historical state — the intended incremental use; ``hist_docs`` is
-    then only scanned for the shingles of verify-stage candidates."""
-    nb = band_table(new_docs, text_col, id_col, n, num_perm, n_bands)
+    then only scanned for the shingles of verify-stage candidates.
+
+    ``shingle_df`` (r14): an already-built (id, shingle) set covering
+    BOTH sides at the same ``n`` (e.g. the dedup family's persisted
+    corpus table) — per-side slices are derived by id semi-joins, so
+    the corpus is not re-tokenized here at all (guide §1.2: don't
+    recompute what a shared pass already produced). Shingle sets per
+    doc are identical to the rebuilt form (row filters commute with the
+    per-doc explode), so the output is unchanged."""
+    sh_new = sh_hist = None
+    if shingle_df is not None:
+        sh_new = shingle_df.join(
+            new_docs.select(id_col), on=id_col, how="left_semi"
+        )
+        sh_hist = shingle_df.join(
+            hist_docs.select(id_col), on=id_col, how="left_semi"
+        )
+    nb = band_table(
+        new_docs, text_col, id_col, n, num_perm, n_bands, shingle_df=sh_new
+    )
     hb = (
         hist_bands
         if hist_bands is not None
-        else band_table(hist_docs, text_col, id_col, n, num_perm, n_bands)
+        else band_table(
+            hist_docs, text_col, id_col, n, num_perm, n_bands,
+            shingle_df=sh_hist,
+        )
     )
     if max_bucket_size is not None:
         # cap the HISTORICAL side's buckets: a degenerate boilerplate
@@ -206,9 +228,14 @@ def incremental_minhash_dups(
         on=id_col,
         how="left_semi",
     )
-    sh = shingles(hist_cand, text_col, id_col, n).unionByName(
-        shingles(new_docs, text_col, id_col, n)
-    )
+    if shingle_df is not None:
+        # jaccard_for_pairs semi-joins its shingle input down to pair
+        # ids itself — the full shared table is safe to pass verbatim
+        sh = shingle_df
+    else:
+        sh = shingles(hist_cand, text_col, id_col, n).unionByName(
+            shingles(new_docs, text_col, id_col, n)
+        )
     verified = jaccard_for_pairs(cand, sh, id_col)
     return (
         verified.where(F.col("jaccard") >= threshold)

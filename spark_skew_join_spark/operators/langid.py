@@ -466,17 +466,21 @@ def langid_classifier(
     exl = ex.join(labels, id_col).select(
         F.col(id_col).alias("__id"), "__y", "bucket", "x"
     ).repartition("__id")
-    # persist scoped to the training loop (the r12 shape); scoring
-    # below re-derives lazily from the same lineage, one pass at
-    # consumption
-    exp_ = exl.persist()
-    try:
-        n_docs = exp_.select("__id").distinct().count()
-        if n_docs == 0:
-            raise ValueError("no training documents (all too short?)")
-        weights = _gd_loop(exp_, n_docs, nc, n_buckets, iters, lr)
-    finally:
-        exp_.unpersist()
+    # r14: the persist OUTLIVES training — scoring below reads the same
+    # cached relation instead of re-deriving the whole tf → normalize →
+    # bias-union → label-join → repartition lineage a second time at
+    # consumption (guide §5: persist when reused and recompute is the
+    # expensive side; for the planted entry the recompute was a second
+    # full tokenize pass inside the same timed line). Ownership moves to
+    # the dedup session-cache ledger so bench.py releases the blocks
+    # when the line completes and tests release via clear_band_cache.
+    from .dedup import _session_cache
+
+    exl = _session_cache(exl)
+    n_docs = exl.select("__id").distinct().count()
+    if n_docs == 0:
+        raise ValueError("no training documents (all too short?)")
+    weights = _gd_loop(exl, n_docs, nc, n_buckets, iters, lr)
     # relational scoring: same margins join/aggregate as an iteration,
     # then round-6 softmax and the first-max argmax (smallest class
     # index on ties — the oracle's (p DESC, c ASC) rule)

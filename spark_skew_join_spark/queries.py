@@ -789,6 +789,7 @@ FAMILY_CONSUMERS: dict[str, tuple[str, ...]] = {
         "dedup_clusters_docs",
         "dedup_fuzzy_survivors",
         "cluster_split_docs",
+        "incremental_minhash_docs",
     ),
     "winnow": ("doc_fingerprint_winnow", "winnow_overlap_pairs"),
     "substr": (
@@ -802,6 +803,10 @@ FAMILY_CONSUMERS: dict[str, tuple[str, ...]] = {
         "triangle_count_copurchase",
         "kcore_copurchase",
         "label_propagation_copurchase",
+    ),
+    "quality": (
+        "quality_classifier_docs",
+        "classifier_calibration_docs",
     ),
 }
 
@@ -879,6 +884,45 @@ def _langid_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tf
 
 
+_QUALITY_CACHE: dict = {}
+
+
+def _gopher_mwl_label() -> "F.Column":
+    """The Gopher mean-word-length weak label (mwl > 4.5) both quality
+    classifier entries train against — int/int double division,
+    bit-exact in both engines."""
+    n_tok = F.when(F.length("text") == 0, F.lit(0)).otherwise(
+        F.length("text")
+        - F.length(F.regexp_replace("text", " ", ""))
+        + 1
+    )
+    mwl = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        (F.length("text") - (n_tok - 1)) / n_tok.cast("double")
+    )
+    return mwl > 4.5
+
+
+def _quality_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted quality_classifier output at the standing parameters
+    (Gopher mean-word-length weak label, 64 buckets, 6 iterations,
+    lr=2.0) — quality_classifier_docs returns it verbatim and
+    classifier_calibration_docs sweeps it; each previously re-ran the
+    IDENTICAL 6-iteration training (r14, guide §1.2: one trained model,
+    two consumers). Training collects at family construction."""
+    from .operators.classifier import quality_classifier
+
+    key = (_session_key(spark), sf_dir)
+    hit = _QUALITY_CACHE.get(key)
+    if hit is not None:
+        return hit
+    docs = load_tables(spark, sf_dir)["documents"]
+    scored = quality_classifier(
+        docs, _gopher_mwl_label(), n_buckets=64, iters=6, lr=2.0
+    ).persist()
+    _QUALITY_CACHE[key] = scored
+    return scored
+
+
 def build_family(family: str, spark: SparkSession, sf_dir: str) -> None:
     """Materialize one family's shared artifacts (idempotent)."""
     if family == "dedup":
@@ -896,6 +940,8 @@ def build_family(family: str, spark: SparkSession, sf_dir: str) -> None:
         _langid_family(spark, sf_dir).count()
     elif family == "copurchase":
         _copurchase_family(spark, sf_dir).count()
+    elif family == "quality":
+        _quality_family(spark, sf_dir).count()
     else:
         raise KeyError(f"unknown family {family!r}")
 
@@ -911,6 +957,7 @@ def release_family(family: str) -> None:
         "dsir": (_DSIR_CACHE,),
         "langid": (_LANGID_CACHE,),
         "copurchase": (_COPURCHASE_CACHE,),
+        "quality": (_QUALITY_CACHE,),
     }[family]
     for cache in caches:
         for val in cache.values():
@@ -1438,15 +1485,22 @@ def incremental_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-joined), candidates verified by exact Jaccard at the family's
     standing parameters (8-gram shingles, threshold 0.5). The oracle
     computes exact cross-Jaccard for ALL (hist, new) pairs, so the match
-    also re-certifies the banding's recall on this corpus."""
+    also re-certifies the banding's recall on this corpus.
+
+    r14: both sides' shingle sets are id-filtered slices of the dedup
+    family's persisted corpus shingle table (same n=8 — row filters
+    commute with the per-doc explode, so the sets are identical and so
+    is the output); the entry no longer tokenizes the corpus twice more
+    on its own (guide §1.2)."""
     from .operators.incremental import incremental_minhash_dups
 
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
+    sh, _ = _dedup_family(spark, sf_dir)
     return incremental_minhash_dups(
         docs.where(F.col("doc_id") >= 250),
         docs.where(F.col("doc_id") < 250),
-        threshold=0.5, n=8,
+        threshold=0.5, n=8, shingle_df=sh,
     )
 
 
@@ -7362,22 +7416,10 @@ def quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     steps as a CTE chain (the BPE-trainer precedent), so EVERY weight
     update is certified, not just the final scores. Reaches 0.836
     train accuracy vs a 0.502 base rate on the fixture. Training
-    collects only the 65-float gradient per iteration → EAGER."""
-    from .operators.classifier import quality_classifier
-
-    t = load_tables(spark, sf_dir)
-    docs = t["documents"]
-    n_tok = F.when(F.length("text") == 0, F.lit(0)).otherwise(
-        F.length("text")
-        - F.length(F.regexp_replace("text", " ", ""))
-        + 1
-    )
-    mwl = F.when(n_tok == 0, F.lit(0.0)).otherwise(
-        (F.length("text") - (n_tok - 1)) / n_tok.cast("double")
-    )
-    return quality_classifier(
-        docs, mwl > 4.5, n_buckets=64, iters=6, lr=2.0
-    )
+    collects only the 65-float gradient per iteration → EAGER.
+    r14: reads the shared quality family (one training serves this
+    entry and the calibration sweep)."""
+    return _quality_family(spark, sf_dir)
 
 
 def _quality_classifier_sql() -> str:
@@ -7405,23 +7447,11 @@ def classifier_calibration_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the scored docs, one 9-group aggregation; the oracle wraps
     the full unrolled-GD classifier chain as a subquery, so the sweep
     is certified end-to-end from the raw corpus.  Training collects at
-    construction → EAGER."""
-    from .operators.classifier import calibration_sweep, quality_classifier
+    construction → EAGER.  r14: sweeps the shared quality family's
+    scored table (one training serves both classifier entries)."""
+    from .operators.classifier import calibration_sweep
 
-    t = load_tables(spark, sf_dir)
-    docs = t["documents"]
-    n_tok = F.when(F.length("text") == 0, F.lit(0)).otherwise(
-        F.length("text")
-        - F.length(F.regexp_replace("text", " ", ""))
-        + 1
-    )
-    mwl = F.when(n_tok == 0, F.lit(0.0)).otherwise(
-        (F.length("text") - (n_tok - 1)) / n_tok.cast("double")
-    )
-    scored = quality_classifier(
-        docs, mwl > 4.5, n_buckets=64, iters=6, lr=2.0
-    )
-    return calibration_sweep(scored)
+    return calibration_sweep(_quality_family(spark, sf_dir))
 
 
 def _classifier_calibration_sql() -> str:
@@ -10536,6 +10566,12 @@ SCALAR_BNL_OK = (
     # (langid entries left this list in r13: the weight matrix now
     # broadcasts as a (D+1)-row RELATION equi-joined on bucket — a
     # BroadcastHashJoin, not a BNL)
+    "quality_classifier_docs",  # 1-row weight-vector relation broadcast
+    # (the langid _weights_rel precedent, r14): the fold reads __w from a
+    # 1-row array<double> attached by crossJoin(broadcast(...)) so every
+    # GD iteration + scoring share one compiled class — scalar BNL by
+    # construction, never data x data
+    "classifier_calibration_docs",  # sweeps the same scored relation
     "semdedup_embeddings",  # n_clusters-row centroid table broadcast:
     # each vector fans out exactly x n_clusters for scoring (the IVF
     # assignment shape), bounded by the quantizer size — never data x data

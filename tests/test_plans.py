@@ -195,6 +195,7 @@ def test_family_consumer_ledger():
         "dsir": ("_dsir_family(",),
         "langid": ("_langid_family(",),
         "copurchase": ("_copurchase_family(",),
+        "quality": ("_quality_family(",),
     }
     for fam, consumers in q.FAMILY_CONSUMERS.items():
         for c in consumers:
