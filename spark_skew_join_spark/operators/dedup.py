@@ -75,7 +75,33 @@ def _plan_size_estimate(df: DataFrame) -> int:
         return 1 << 62
 
 
+def _release_df(df: DataFrame) -> None:
+    """Release whatever blocks ``df`` holds: unpersist a cached frame,
+    and if it is a localCheckpoint (LogicalRDD plan) unpersist the
+    wrapped RDD too — ``DataFrame.unpersist`` alone is a no-op for
+    checkpoints (the blocks belong to the RDD, not the CacheManager)."""
+    try:
+        df.unpersist()
+    except Exception:  # session already stopped — nothing to release
+        pass
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # not a LogicalRDD plan (plain persist) — done above
+        pass
+
+
 def _session_cache(df: DataFrame, mode=True) -> DataFrame:
+    if mode == "ckpt":
+        # eager localCheckpoint: unlike persist, this truncates the
+        # LOGICAL plan to a LogicalRDD leaf, so every later action over
+        # the result analyzes a constant-size plan instead of
+        # re-analyzing the full upstream tree (the connected-components
+        # lesson, cluster.py — persist substitutes cached blocks only
+        # AFTER analysis). Registered in the same ledger; release goes
+        # through _release_df which also unpersists the checkpoint RDD.
+        df = df.localCheckpoint()
+        _CACHED_BANDS.append(df)
+        return df
     if mode == "auto":
         mode = (
             "table"
@@ -121,10 +147,7 @@ def release_entries(bands: list, spills: list) -> None:
     __eq__ builds a Column, so list.remove is unusable here)."""
     band_ids = {id(b) for b in bands}
     for df in bands:
-        try:
-            df.unpersist()
-        except Exception:  # session already stopped — nothing to release
-            pass
+        _release_df(df)
     _CACHED_BANDS[:] = [b for b in _CACHED_BANDS if id(b) not in band_ids]
     spill_ids = {id(s) for s in spills}
     for spark, name in spills:
@@ -139,10 +162,7 @@ def clear_band_cache() -> None:
     """Release every operator-cached band/signature DataFrame — unpersist
     memory blocks and drop spill tables (idempotent)."""
     for df in _CACHED_BANDS:
-        try:
-            df.unpersist()
-        except Exception:  # session already stopped — nothing to release
-            pass
+        _release_df(df)
     _CACHED_BANDS.clear()
     for spark, name in _SPILL_TABLES:
         try:

@@ -635,6 +635,7 @@ def phash_near_dup(
     max_hamming: int = 3,
     n_bands: int = 4,
     band_bucket_cap: int | None = 10_000,
+    cache_hashes: bool = True,
 ) -> DataFrame:
     """Hamming-distance near-duplicate pairs over 64-bit perceptual
     hashes, without an all-pairs stage.
@@ -659,8 +660,17 @@ def phash_near_dup(
         )
     if 64 % n_bands:
         raise ValueError(f"n_bands must divide 64 (got {n_bands})")
-    from .dedup import band_bucket_cap as _cap
+    from .dedup import _session_cache, band_bucket_cap as _cap
 
+    if cache_hashes:
+        # the hash relation is 16 bytes/row but its lineage is the whole
+        # decode chain (synth → encode → decode → dhash, two Python
+        # stages); every downstream consumer — band stats, the bucket-cap
+        # anti-join/star, both self-join sides, the star hash rejoin —
+        # would otherwise re-run it (observed 8 MapInPandas chains in one
+        # executed plan). Persist once; bench/tests release via the
+        # session-cache ledger.
+        hashes = _session_cache(hashes.select(id_col, hash_col))
     width = 64 // n_bands
     mask = (1 << width) - 1
     h = F.col(hash_col)

@@ -17,11 +17,12 @@ Scale design (100 TB edges): each iteration is one join of the rank
 vector (|V| rows) to the out-weight-normalized edge list plus one
 target-keyed aggregation — both hash-partitioned on vertex id with
 map-side combine; the edge list is normalized ONCE before the loop.
-The rank vector is re-used every iteration: persist it per iteration
-and localCheckpoint every few rounds on a real cluster to truncate the
-deep lineage (the CC lesson, cluster.py); with the default
-iterations=10 the lazy plan stays analyzable, so the operator leaves
-materialization policy to the caller.  A hub vertex (millions of
+The rank vector is re-used every iteration: by default each round is
+eagerly localCheckpointed (checkpoint_interval=1, superseded blocks
+unpersisted) so every round analyzes a constant-size plan and the
+shared verts/trans subtrees execute once — the CC lesson
+(cluster.py); checkpoint_interval=None restores the fully lazy
+single-plan form.  A hub vertex (millions of
 in-edges) skews only the Σ aggregation, which partial combine absorbs
 map-side.  Zero Python UDFs; N is derived from the edge list with one
 lazy 1-row broadcast (no driver action).
@@ -34,10 +35,24 @@ from pyspark.sql import DataFrame, functions as F
 
 def pagerank(edges: DataFrame, src_col: str, dst_col: str,
              weight_col: str | None = None, damping: float = 0.85,
-             iterations: int = 10) -> DataFrame:
+             iterations: int = 10,
+             checkpoint_interval: int | None = 1) -> DataFrame:
     """(vertex, rank) after ``iterations`` synchronous updates from a
     uniform 1/N start.  Vertices = distinct union of sources and
-    targets.  ``weight_col=None`` means unit weights."""
+    targets.  ``weight_col=None`` means unit weights.
+
+    ``checkpoint_interval`` (r14): eagerly localCheckpoint the rank
+    vector every k iterations, with ``trans``/``verts`` checkpointed
+    once before the loop — the connected-components lesson
+    (cluster.py): a purely lazy loop re-analyzes and RE-EXECUTES the
+    shared subtrees per reference (``verts``'s distinct-union shuffle
+    ran 11x, the normalize join 10x) and hands Catalyst one
+    30-join mega-plan whose analysis cost alone dominated the nations
+    fixture.  Superseded rank checkpoints are unpersisted as each
+    successor materializes, so peak extra storage is one |V|-row
+    block-set.  ``None`` restores the lazy single-plan behavior."""
+    from .cluster import _checkpoint_rdd
+
     w = F.col(weight_col) if weight_col else F.lit(1.0)
     e = edges.select(
         F.col(src_col).alias("src"),
@@ -49,16 +64,21 @@ def pagerank(edges: DataFrame, src_col: str, dst_col: str,
         .unionByName(e.select(F.col("dst").alias("vertex")))
         .distinct()
     )
+    if checkpoint_interval is not None:
+        verts = verts.localCheckpoint()
     n = F.broadcast(verts.agg(F.count(F.lit(1)).alias("__n")))
     # normalize once: transition weight out of each source sums to 1
     outw = e.groupBy("src").agg(F.sum("w").alias("__ow"))
     trans = e.join(outw, "src").select(
         "src", "dst", (F.col("w") / F.col("__ow")).alias("p")
     )
+    if checkpoint_interval is not None:
+        trans = trans.localCheckpoint()
     rank = verts.crossJoin(n).select(
         "vertex", (F.lit(1.0) / F.col("__n")).alias("rank")
     )
-    for _ in range(iterations):
+    prev_ckpt = None
+    for it in range(iterations):
         contrib = (
             trans.join(rank, trans["src"] == rank["vertex"])
             .select(F.col("dst").alias("vertex"),
@@ -77,6 +97,18 @@ def pagerank(edges: DataFrame, src_col: str, dst_col: str,
                 ).alias("rank"),
             )
         )
+        if (
+            checkpoint_interval is not None
+            and (it + 1) % checkpoint_interval == 0
+            and it + 1 < iterations
+        ):
+            rank = rank.localCheckpoint()
+            if prev_ckpt is not None:
+                try:
+                    prev_ckpt.unpersist(False)
+                except Exception:
+                    pass
+            prev_ckpt = _checkpoint_rdd(rank)
     return rank
 
 

@@ -352,6 +352,8 @@ def ivfpq_topk(
     refine_with: DataFrame | None = None,
     refine_factor: int = 4,
     max_queries: int = 65536,
+    centroids: list | None = None,
+    codebooks: list | None = None,
 ) -> DataFrame:
     """IVF-PQ: the production ANN layout (Jégou et al. §VI; what FAISS
     IndexIVFPQ runs) — an inverted-file restriction picks n_probe of
@@ -379,11 +381,13 @@ def ivfpq_topk(
     if not 1 <= n_probe <= n_centroids:
         raise ValueError("need 1 <= n_probe <= n_centroids")
     spark = corpus.sparkSession
-    centroids = _fit_centroids(
-        corpus, id_col, vec_col, n_centroids, sample_size, kmeans_iters
+    if centroids is None:
+        centroids = _fit_centroids(
+            corpus, id_col, vec_col, n_centroids, sample_size, kmeans_iters
+        )
+    books = codebooks if codebooks is not None else train_pq(
+        corpus, id_col, vec_col, m=m, ks=ks, sample_size=sample_size
     )
-    books = train_pq(corpus, id_col, vec_col, m=m, ks=ks,
-                     sample_size=sample_size)
     import numpy as np
 
     cents = [np.asarray(b, dtype=np.float64) for b in books]

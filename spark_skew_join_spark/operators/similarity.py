@@ -312,8 +312,16 @@ def ivf_topk(
     sample_size: int = 2048,
     kmeans_iters: int = 5,
     dim: int | None = 64,
+    centroids: list | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: probe the n_probe nearest inverted lists.
+
+    ``centroids`` (r14): pass an already-fitted centroid list (the exact
+    ``_fit_centroids(corpus, ..., n_centroids, sample_size,
+    kmeans_iters)`` output — training is deterministic, so sharing one
+    fit across callers changes nothing downstream) to skip the sample
+    collect + k-means here; the queries-layer ann family trains once
+    for the four IVF/IVF-PQ registry entries.
 
     Scale shape: corpus vectors shuffle ONCE on their centroid id (the
     inverted list — at 100 TB this is the partition/bucket layout you would
@@ -322,9 +330,10 @@ def ivf_topk(
     Recall misses only vectors whose list was not probed — raise n_probe to
     trade cost for recall. Output: (query_id, neighbor_id, rank), rows-only
     oracle (approximate by construction, like ``lsh_topk``)."""
-    centroids = _fit_centroids(
-        corpus, id_col, vec_col, n_centroids, sample_size, kmeans_iters
-    )
+    if centroids is None:
+        centroids = _fit_centroids(
+            corpus, id_col, vec_col, n_centroids, sample_size, kmeans_iters
+        )
     c_sims = F.array(*_centroid_sims(vec_col, centroids))
     # corpus side: argmax centroid = position of the max similarity
     c = corpus.select(

@@ -687,8 +687,9 @@ _DEDUP_FAMILY_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
 def _dedup_family(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """(shingle_df, minhash_pair_df) shared by the dedup query family.
 
-    Both are lazily persisted: the first query materializes them, later
-    family members read cached blocks. The pair list is the verified
+    Both are eagerly localCheckpointed at build (the timed family-build
+    line); later family members read the materialized blocks through a
+    constant-size LogicalRDD plan. The pair list is the verified
     (id_a, id_b, jaccard) output of ``minhash_pairs`` at the family's
     standing parameters (threshold=0.5, n=8)."""
     key = (_session_key(spark), sf_dir)
@@ -696,8 +697,19 @@ def _dedup_family(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
     if hit is not None:
         return hit
     docs = load_tables(spark, sf_dir)["documents"]
-    sh = shingles(docs, n=8).persist()
-    pairs = minhash_pairs(docs, threshold=0.5, n=8, shingle_df=sh).persist()
+    # localCheckpoint, not persist (r14): persist substitutes cached
+    # blocks only AFTER analysis, so every consumer action re-analyzed
+    # the full shingle/signature/verify logical tree (~6x-embedded
+    # 32-agg subtree — BASELINE r14 anatomy); the checkpoint truncates
+    # to a LogicalRDD leaf. Measured fresh-JVM A/B
+    # (tools/ab_dedup_ckpt.py, alternating): build 30.7/19.9 s vs
+    # 42.1/29.9, six benched consumers 20.5/15.2 s vs 52.9/25.6 —
+    # ckpt won every adjacent comparison. Eager: runs inside the timed
+    # dedup_family_build line. release_family handles the RDD blocks.
+    sh = shingles(docs, n=8).localCheckpoint()
+    pairs = minhash_pairs(
+        docs, threshold=0.5, n=8, shingle_df=sh, cache_bands="ckpt"
+    ).localCheckpoint()
     _DEDUP_FAMILY_CACHE[key] = (sh, pairs)
     return sh, pairs
 
@@ -721,7 +733,7 @@ def _substr_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     if hit is not None:
         return hit
     docs = load_tables(spark, sf_dir)["documents"]
-    runs = exact_substring_runs(docs, k=16, min_tokens=32).persist()
+    runs = exact_substring_runs(docs, k=16, min_tokens=32).localCheckpoint()
     _SUBSTR_CACHE[key] = runs
     return runs
 
@@ -747,7 +759,7 @@ def _substr_clean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     cleaned = remove_duplicate_spans(
         docs, runs=_substr_family(spark, sf_dir)
-    ).persist()
+    ).localCheckpoint()
     _SUBSTR_CLEAN_CACHE[key] = cleaned
     return cleaned
 
@@ -770,7 +782,7 @@ def _dsir_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     weights = importance_weights(
         docs, docs.where(F.col("source") == "src0"), hash_fn="md5"
-    ).persist()
+    ).localCheckpoint()
     _DSIR_CACHE[key] = weights
     return weights
 
@@ -807,6 +819,14 @@ FAMILY_CONSUMERS: dict[str, tuple[str, ...]] = {
     "quality": (
         "quality_classifier_docs",
         "classifier_calibration_docs",
+    ),
+    "ann": (
+        "ann_pq_topk",
+        "ann_pq_refined_topk",
+        "ann_ivf_topk",
+        "ann_ivf_refined_topk",
+        "ann_ivfpq_topk",
+        "ann_ivfpq_refined_topk",
     ),
 }
 
@@ -856,7 +876,7 @@ def _copurchase_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p.src", "p.dst")
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     _COPURCHASE_CACHE[key] = edges
     return edges
@@ -879,7 +899,7 @@ def _langid_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     if hit is not None:
         return hit
     docs = load_tables(spark, sf_dir)["documents"]
-    tf = char_tf_counts(docs, n_buckets=128, n=2).persist()
+    tf = char_tf_counts(docs, n_buckets=128, n=2).localCheckpoint()
     _LANGID_CACHE[key] = tf
     return tf
 
@@ -918,9 +938,40 @@ def _quality_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     scored = quality_classifier(
         docs, _gopher_mwl_label(), n_buckets=64, iters=6, lr=2.0
-    ).persist()
+    ).localCheckpoint()
     _QUALITY_CACHE[key] = scored
     return scored
+
+
+_ANN_CACHE: dict = {}
+
+
+def _ann_family(spark: SparkSession, sf_dir: str) -> dict:
+    """Shared trained ANN models for the IVF/PQ registry entries
+    (r14, the quality-family pattern at model granularity): ONE
+    deterministic centroid fit (16 centroids, sample 2048, 5 iters)
+    serves ivf/ivf_refined/ivfpq/ivfpq_refined and ONE PQ codebook
+    train (m=16, ks=32, sample 2048) serves pq/pq_refined/ivfpq/
+    ivfpq_refined — previously each entry re-ran the identical
+    training at construction. Training is deterministic (hash-ordered
+    sample, fixed iterations), so shared models are bit-identical to
+    per-entry ones and every downstream row is unchanged. The cached
+    values are two driver-side float lists (~16x64 + 16x32x4 floats),
+    not DataFrames; release_family just drops the dict."""
+    from .operators.pq import train_pq
+    from .operators.similarity import _fit_centroids
+
+    key = (_session_key(spark), sf_dir)
+    hit = _ANN_CACHE.get(key)
+    if hit is not None:
+        return hit
+    e = load_tables(spark, sf_dir)["embeddings"]
+    models = {
+        "centroids": _fit_centroids(e, "vec_id", "embedding", 16, 2048, 5),
+        "books": train_pq(e, m=16, ks=32),
+    }
+    _ANN_CACHE[key] = models
+    return models
 
 
 def build_family(family: str, spark: SparkSession, sf_dir: str) -> None:
@@ -942,6 +993,8 @@ def build_family(family: str, spark: SparkSession, sf_dir: str) -> None:
         _copurchase_family(spark, sf_dir).count()
     elif family == "quality":
         _quality_family(spark, sf_dir).count()
+    elif family == "ann":
+        _ann_family(spark, sf_dir)
     else:
         raise KeyError(f"unknown family {family!r}")
 
@@ -950,6 +1003,10 @@ def release_family(family: str) -> None:
     """Unpersist ONE family's shared DataFrames (idempotent; the
     band/spill entries its build registered are scoped separately via
     operators.dedup.cache_snapshot/release_entries)."""
+    if family == "ann":
+        # driver-side model lists, no Spark storage to release
+        _ANN_CACHE.clear()
+        return
     caches: tuple[dict, ...] = {
         "dedup": (_DEDUP_FAMILY_CACHE,),
         "winnow": (_WINNOW_CACHE,),
@@ -959,13 +1016,12 @@ def release_family(family: str) -> None:
         "copurchase": (_COPURCHASE_CACHE,),
         "quality": (_QUALITY_CACHE,),
     }[family]
+    from .operators.dedup import _release_df
+
     for cache in caches:
         for val in cache.values():
             for df in val if isinstance(val, tuple) else (val,):
-                try:
-                    df.unpersist()
-                except Exception:  # session already stopped
-                    pass
+                _release_df(df)
         cache.clear()
 
 
@@ -3744,7 +3800,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
-    return ivf_topk(e, e.where(F.col("vec_id") < 5), k=10, n_centroids=16, n_probe=8)
+    return ivf_topk(
+        e, e.where(F.col("vec_id") < 5), k=10, n_centroids=16, n_probe=8,
+        centroids=_ann_family(spark, sf_dir)["centroids"],
+    )
 
 
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3756,11 +3815,11 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     are never read after encoding.  Recall vs brute force pinned in
     tests/test_pq.py; the near-orthogonal fixture is PQ's worst case
     (no cluster structure for the sub-quantizers to exploit)."""
-    from .operators.pq import encode_pq, pq_topk, train_pq
+    from .operators.pq import encode_pq, pq_topk
 
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
-    books = train_pq(e, m=16, ks=32)
+    books = _ann_family(spark, sf_dir)["books"]
     codes = encode_pq(e, books)
     return pq_topk(
         codes, e.where(F.col("vec_id") < 5), books, k=10,
@@ -3777,12 +3836,12 @@ def ann_pq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACTLY — the production setting (refine_factor ~4-8) runs the same
     code on a shortlist.  Eager (train/encode collect at construction)
     → EAGER_QUERIES."""
-    from .operators.pq import encode_pq, pq_topk, train_pq
+    from .operators.pq import encode_pq, pq_topk
 
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
     n = e.count()
-    books = train_pq(e, m=16, ks=32)
+    books = _ann_family(spark, sf_dir)["books"]
     codes = encode_pq(e, books)
     return pq_topk(
         codes, e.where(F.col("vec_id") < 5), books, k=10,
@@ -3806,7 +3865,8 @@ def ann_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
     return ivf_topk(
-        e, e.where(F.col("vec_id") < 5), k=10, n_centroids=16, n_probe=16
+        e, e.where(F.col("vec_id") < 5), k=10, n_centroids=16, n_probe=16,
+        centroids=_ann_family(spark, sf_dir)["centroids"],
     )
 
 
@@ -3846,10 +3906,12 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
+    models = _ann_family(spark, sf_dir)
     return ivfpq_topk(
         e, e.where(F.col("vec_id") < 5), k=10,
         n_centroids=16, n_probe=8, m=16, ks=32,
         refine_with=e, refine_factor=4,
+        centroids=models["centroids"], codebooks=models["books"],
     )
 
 
@@ -3908,10 +3970,12 @@ def ann_ivfpq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
     n = e.count()
+    models = _ann_family(spark, sf_dir)
     return ivfpq_topk(
         e, e.where(F.col("vec_id") < 5), k=10,
         n_centroids=16, n_probe=16, m=16, ks=32,
         refine_with=e, refine_factor=-(-n // 10),
+        centroids=models["centroids"], codebooks=models["books"],
     )
 
 
@@ -4979,7 +5043,7 @@ def _winnow_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.fingerprint import winnow_fingerprints
 
     docs = load_tables(spark, sf_dir)["documents"]
-    fps = winnow_fingerprints(docs, k=16, w=12).persist()
+    fps = winnow_fingerprints(docs, k=16, w=12).localCheckpoint()
     _WINNOW_CACHE[key] = fps
     return fps
 

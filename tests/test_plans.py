@@ -196,6 +196,7 @@ def test_family_consumer_ledger():
         "langid": ("_langid_family(",),
         "copurchase": ("_copurchase_family(",),
         "quality": ("_quality_family(",),
+        "ann": ("_ann_family(",),
     }
     for fam, consumers in q.FAMILY_CONSUMERS.items():
         for c in consumers:
