@@ -228,15 +228,24 @@ def _run_segment(seg_idx: int, out_path: str) -> None:
         lines: dict[str, float] = {}
         start = time.perf_counter()
         if fam == "dedup":
-            sh, pairs = q._dedup_family(spark, sf_dir)
-            t_con = time.perf_counter()
-            lines["dedup_family_stage_construct"] = round(t_con - start, 3)
+            # the r14 eager build does all the work inside _dedup_family
+            # (localCheckpoint per stage); it reports per-stage walls —
+            # same line names, stages redefined: shingles = shingle
+            # table build+ckpt, construct = minhash_pairs construction
+            # incl. internal signature/band ckpts, pairs = candidate
+            # join + prefilter + verify execution
+            stages: dict = {}
+            sh, pairs = q._dedup_family(spark, sf_dir, stage_times=stages)
             sh.count()
-            t_sh = time.perf_counter()
-            lines["dedup_family_stage_shingles"] = round(t_sh - t_con, 3)
             pairs.count()
+            lines["dedup_family_stage_construct"] = round(
+                stages.get("construct", 0.0), 3
+            )
+            lines["dedup_family_stage_shingles"] = round(
+                stages.get("shingles", 0.0), 3
+            )
             lines["dedup_family_stage_pairs"] = round(
-                time.perf_counter() - t_sh, 3
+                stages.get("pairs", 0.0), 3
             )
             lines["dedup_family_build"] = round(time.perf_counter() - start, 3)
         else:

@@ -230,10 +230,15 @@ def quality_classifier(
     from .dedup import _session_cache
 
     feats = hashed_features(docs, id_col, text_col, n_buckets)
+    # "ckpt": consumed by the count, all GD iterations, and scoring —
+    # the eager checkpoint truncates the tokenize/hash/join lineage so
+    # each of those actions analyzes a LogicalRDD leaf instead of the
+    # full tree (training is eager, so the job stays in timed regions)
     labeled = _session_cache(
         feats.join(
             docs.select(id_col, label.cast("double").alias("__y")), id_col
-        ).select(id_col, "__y", "fmap")
+        ).select(id_col, "__y", "fmap"),
+        mode="ckpt",
     )
     weights = train_logistic(
         labeled, label_col="__y", n_buckets=n_buckets, iters=iters, lr=lr,

@@ -476,7 +476,13 @@ def langid_classifier(
     # when the line completes and tests release via clear_band_cache.
     from .dedup import _session_cache
 
-    exl = _session_cache(exl)
+    # "ckpt": the relation is consumed by the doc count, every GD
+    # iteration and scoring — each a separate action that with plain
+    # persist re-analyzed the full tf/normalize/union/join lineage
+    # (persist substitutes cached blocks only after analysis); the
+    # eager checkpoint truncates to a LogicalRDD. Training is eager
+    # anyway (the GD loop collects), so nothing escapes timed regions.
+    exl = _session_cache(exl, mode="ckpt")
     n_docs = exl.select("__id").distinct().count()
     if n_docs == 0:
         raise ValueError("no training documents (all too short?)")

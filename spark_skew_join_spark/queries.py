@@ -684,14 +684,24 @@ def _session_key(spark: SparkSession):
 _DEDUP_FAMILY_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
 
 
-def _dedup_family(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+def _dedup_family(
+    spark: SparkSession, sf_dir: str, stage_times: dict | None = None
+) -> tuple[DataFrame, DataFrame]:
     """(shingle_df, minhash_pair_df) shared by the dedup query family.
 
     Both are eagerly localCheckpointed at build (the timed family-build
     line); later family members read the materialized blocks through a
     constant-size LogicalRDD plan. The pair list is the verified
     (id_a, id_b, jaccard) output of ``minhash_pairs`` at the family's
-    standing parameters (threshold=0.5, n=8)."""
+    standing parameters (threshold=0.5, n=8).
+
+    ``stage_times`` (bench.py's dedup stage sub-lines, redefined for
+    the eager build): "shingles" = shingle build + checkpoint wall,
+    "construct" = minhash_pairs construction incl. its internal eager
+    signature/band checkpoints, "pairs" = candidate join + prefilter +
+    verify execution (the pair checkpoint)."""
+    import time as _time
+
     key = (_session_key(spark), sf_dir)
     hit = _DEDUP_FAMILY_CACHE.get(key)
     if hit is not None:
@@ -706,10 +716,18 @@ def _dedup_family(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
     # 42.1/29.9, six benched consumers 20.5/15.2 s vs 52.9/25.6 —
     # ckpt won every adjacent comparison. Eager: runs inside the timed
     # dedup_family_build line. release_family handles the RDD blocks.
+    t0 = _time.perf_counter()
     sh = shingles(docs, n=8).localCheckpoint()
-    pairs = minhash_pairs(
+    t1 = _time.perf_counter()
+    lazy_pairs = minhash_pairs(
         docs, threshold=0.5, n=8, shingle_df=sh, cache_bands="ckpt"
-    ).localCheckpoint()
+    )
+    t2 = _time.perf_counter()
+    pairs = lazy_pairs.localCheckpoint()
+    if stage_times is not None:
+        stage_times["shingles"] = t1 - t0
+        stage_times["construct"] = t2 - t1
+        stage_times["pairs"] = _time.perf_counter() - t2
     _DEDUP_FAMILY_CACHE[key] = (sh, pairs)
     return sh, pairs
 
