@@ -305,3 +305,27 @@ def test_containment_is_directional(spark):
     assert (2, 1) not in cont  # big is NOT contained in small
     jac = ngram_jaccard_pairs(docs, threshold=0.5, n=8).collect()
     assert jac == []  # Jaccard misses the asymmetric duplicate
+
+
+def test_session_cache_ckpt_mode_truncates_and_releases(spark):
+    # r14: mode="ckpt" must (a) truncate the logical plan to a
+    # LogicalRDD leaf (the analysis barrier persist lacks), (b) keep
+    # values identical, (c) release its RDD blocks via the ledger
+    from pyspark.sql import functions as F
+
+    from spark_skew_join_spark.operators.dedup import (
+        _session_cache,
+        clear_band_cache,
+    )
+
+    df = spark.range(200).selectExpr("id", "id * 3 as v")
+    agg = df.groupBy((F.col("id") % 7).alias("k")).agg(F.sum("v").alias("s"))
+    ck = _session_cache(agg, mode="ckpt")
+    assert "LogicalRDD" in ck._jdf.queryExecution().analyzed().toString()
+    assert sorted(map(tuple, ck.collect())) == sorted(
+        map(tuple, agg.collect())
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    n_before = jsc.getPersistentRDDs().size()
+    clear_band_cache()
+    assert jsc.getPersistentRDDs().size() < n_before

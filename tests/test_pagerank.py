@@ -108,3 +108,17 @@ def test_triangle_count_hub_graph_matches_naive(spark):
         spark.createDataFrame(sorted(edges), "src int, dst int")
     ).collect()[0]
     assert row["n_triangles"] == naive and naive > 0
+
+
+def test_pagerank_checkpointed_equals_lazy(spark):
+    # r14: the default per-iteration localCheckpoint must be a pure
+    # materialization change — same ranks as the fully lazy plan
+    edges = [
+        (1, 2, 3.0), (1, 3, 1.0), (2, 3, 2.0), (3, 1, 1.0), (4, 1, 5.0),
+        (4, 2, 0.5), (2, 4, 1.5),
+    ]
+    ck = _run(spark, edges, checkpoint_interval=1)
+    lazy = _run(spark, edges, checkpoint_interval=None)
+    assert set(ck) == set(lazy)
+    for v in lazy:
+        assert abs(ck[v] - lazy[v]) < 1e-12, (v, ck[v], lazy[v])

@@ -359,3 +359,24 @@ def test_png_resize_and_features_spark_paths(spark):
     f = extract_features(df, decoder="png").collect()[0]
     fb = extract_features(dfb, decoder="bmp").collect()[0]
     assert f.features == fb.features
+
+
+def test_phash_cache_hashes_equivalence_and_plan(spark):
+    # r14: cache_hashes persists the (id, hash) relation before the
+    # band fan-out — output must equal the uncached form, and the
+    # cached plan must read the hashes through one InMemoryRelation
+    from spark_skew_join_spark.operators.dedup import clear_band_cache
+
+    rows = [(i, (i * 7919) ^ (i << 3)) for i in range(60)]
+    rows += [(1000 + i, rows[i][1] ^ 1) for i in range(10)]  # 1-bit twins
+    df = spark.createDataFrame(rows, "doc_id long, dhash long")
+    got = sorted(
+        map(tuple, phash_near_dup(df, max_hamming=3, n_bands=4).collect())
+    )
+    want = sorted(map(tuple, phash_near_dup(
+        df, max_hamming=3, n_bands=4, cache_hashes=False
+    ).collect()))
+    assert got == want and len(got) >= 10
+    plan = phash_near_dup(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" in plan
+    clear_band_cache()

@@ -204,3 +204,25 @@ def test_ivfpq_refined_recall_and_caps(spark):
     with pytest.raises(ValueError, match="n_probe"):
         ivfpq_topk(corpus, queries, k=5, n_centroids=4, n_probe=9,
                    m=4, ks=8, sample_size=80)
+
+
+def test_ivfpq_injected_models_equal_internal_training(spark):
+    # r14 ann family: passing the deterministic trained models in must
+    # reproduce the internally-trained output bit-for-bit
+    import random
+
+    from spark_skew_join_spark.operators.pq import ivfpq_topk, train_pq
+    from spark_skew_join_spark.operators.similarity import _fit_centroids
+
+    rng = random.Random(5)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(300)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = e.where("vec_id < 3")
+    kw = dict(k=5, n_centroids=4, n_probe=2, m=4, ks=8)
+    base = sorted(map(tuple, ivfpq_topk(e, q, **kw).collect()))
+    cents = _fit_centroids(e, "vec_id", "embedding", 4, 2048, 5)
+    books = train_pq(e, m=4, ks=8)
+    inj = sorted(map(tuple, ivfpq_topk(
+        e, q, centroids=cents, codebooks=books, **kw
+    ).collect()))
+    assert base == inj and len(base) == 15
