@@ -7819,7 +7819,7 @@ marg AS (
   SELECT et,
          CASE WHEN MAX(cnt) >= 256 THEN MAX(CASE WHEN rn = 256 THEN h END)
               ELSE 1152921504606846976 END AS th,
-         CASE WHEN MAX(cnt) >= 64 THEN 255 ELSE MAX(cnt) END AS n
+         CASE WHEN MAX(cnt) >= 256 THEN 255 ELSE MAX(cnt) END AS n
   FROM kept GROUP BY et
 ),
 est AS (
@@ -7849,7 +7849,7 @@ um AS (
   SELECT ta, tb,
          CASE WHEN MAX(cnt) >= 256 THEN MAX(CASE WHEN rn = 256 THEN h END)
               ELSE 1152921504606846976 END AS th,
-         CASE WHEN MAX(cnt) >= 64 THEN 255 ELSE MAX(cnt) END AS n
+         CASE WHEN MAX(cnt) >= 256 THEN 255 ELSE MAX(cnt) END AS n
   FROM ur WHERE rn <= 256 GROUP BY ta, tb
 ),
 uest AS (
