@@ -115,6 +115,7 @@ def train_bpe(
     mode: str = "driver",
     max_vocab_words: int = 2_000_000,
     checkpoint_every: int = 8,
+    words_rows: list | None = None,
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``n_merges`` BPE merges; returns
     ``[(rank, left, right, pair_count), ...]`` (rank from 0).
@@ -122,20 +123,34 @@ def train_bpe(
     mode="driver": one corpus aggregation, then the loop runs on the
     collected word table (refused above ``max_vocab_words`` — switch to
     distributed).  mode="distributed": the word table never leaves the
-    cluster; each round collects exactly one row."""
-    words = word_frequencies(docs, text_col, min_freq)
+    cluster; each round collects exactly one row.
+
+    ``words_rows`` (r15): an already-collected word table — the rows of
+    ``word_frequencies(docs, text_col, min_freq).collect()`` — so a
+    caller training several tokenizers shares ONE corpus aggregation
+    (queries._tok_family). The trainer is order-independent (integer
+    pair counts, full (count DESC, pair ASC) tie-break), so injected
+    rows produce bit-identical merges (tests/test_tok_family.py)."""
     if mode == "driver":
-        guard = words.limit(max_vocab_words + 1).count()
-        if guard > max_vocab_words:
+        if words_rows is not None:
+            rows = list(words_rows)
+        else:
+            # collect once with a +1 cap — len() is the guard, saving
+            # the second full aggregation the old count()-then-collect
+            # shape paid (r15; the unigram trainer's idiom)
+            rows = word_frequencies(docs, text_col, min_freq).limit(
+                max_vocab_words + 1
+            ).collect()
+        if len(rows) > max_vocab_words:
             raise ValueError(
                 f"word table exceeds max_vocab_words={max_vocab_words}; "
                 "use mode='distributed'"
             )
-        rows = words.collect()
         vocab = {
             tuple(list(r["word"]) + [EOW]): int(r["freq"]) for r in rows
         }
         return _train_driver(vocab, n_merges)
+    words = word_frequencies(docs, text_col, min_freq)
     if mode != "distributed":
         raise ValueError(f"mode must be driver|distributed, got {mode!r}")
 

@@ -37,6 +37,70 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+DRIVER_TRAIN_MAX_BYTES = 32 << 20
+"""Driver-side GD fast-path gate (r15, guide §1.2/§4 — VERDICT r14
+next-round #1): when the labeled feature relation's estimated
+in-memory size fits this budget, training + scoring run as ONE collect
+plus a numpy replay of the IDENTICAL recurrence instead of 1 count +
+``iters`` gradient collects + a relational scoring pass — at sf0.1
+those are ~8 sequential Spark actions whose measured cost is per-action
+scheduling/stage overhead, not data work. 32 MiB is the scale of a
+large production broadcast relation (and the driver holds ONE copy —
+no executor copies, unlike a broadcast), <0.5% of the configured 8g
+driver heap, and far under spark.driver.maxResultSize (1g): a corpus
+that matters at 100 TB exceeds it by orders of magnitude and takes the
+relational loop (the ``train_bpe(mode="driver", max_vocab_words=...)``
+guarded-driver-mode precedent). The numpy recurrence is the same one
+tests/test_classifier.py::test_gd_matches_numpy_reference has always
+pinned against the relational loop (<1e-9 after 6 iterations); rounded
+round-6 outputs are pinned EXACTLY equal between the two paths in
+tests/test_driver_train.py."""
+
+
+def _round6_half_up(x: float) -> float:
+    """Spark's ROUND(double, 6) exactly: Catalyst rounds doubles via
+    BigDecimal(Double.toString(x)).setScale(6, HALF_UP); Python's
+    repr() is the same shortest round-trip decimal, so
+    Decimal(repr(x)) reproduces it (pinned against F.round in
+    tests/test_driver_train.py::test_round6_matches_spark_round)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def _train_score_local(
+    ids, fmaps, y, n_buckets: int, iters: int, lr: float
+) -> list[tuple]:
+    """numpy replay of train_logistic + sigmoid scoring over the
+    collected (id, y, fmap) rows; returns [(id, y, score, pred), ...]
+    sorted by id — the identical recurrence the relational loop runs
+    (and the oracle unrolls), with round-6 HALF_UP scoring."""
+    import numpy as np
+
+    n = len(ids)
+    d1 = n_buckets + 1
+    X = np.zeros((n, d1), dtype=np.float64)
+    for i, fmap in enumerate(fmaps):
+        items = fmap.items() if hasattr(fmap, "items") else fmap
+        for k, v in items:
+            X[i, k] = v
+    yv = np.asarray(y, dtype=np.float64)
+    w = np.zeros(d1, dtype=np.float64)
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(X @ w)))
+        w -= lr * (X.T @ (p - yv)) / n
+    score = 1.0 / (1.0 + np.exp(-(X @ w)))
+    out = []
+    for i in range(n):
+        s = _round6_half_up(float(score[i]))
+        out.append((ids[i], int(yv[i]), s, int(s >= 0.5)))
+    out.sort(key=lambda r: r[0])
+    return out
+
 
 def hashed_features(
     docs: DataFrame,
@@ -211,6 +275,7 @@ def quality_classifier(
     n_buckets: int = 64,
     iters: int = 6,
     lr: float = 2.0,
+    driver_train_max_bytes: int | None = None,
 ) -> DataFrame:
     """Train on weak labels, score every doc.
 
@@ -240,6 +305,48 @@ def quality_classifier(
         ).select(id_col, "__y", "fmap"),
         mode="ckpt",
     )
+    # r15 driver fast path (DRIVER_TRAIN_MAX_BYTES doc): when the
+    # labeled relation provably fits the driver budget — rows x a
+    # conservative doc-major bound (12 B per possible map entry + id/y
+    # overhead) — collect it ONCE and replay the identical recurrence
+    # in numpy; the relational loop below is the at-scale path. The
+    # count is one cheap action over the just-checkpointed relation.
+    if driver_train_max_bytes is None:
+        driver_train_max_bytes = DRIVER_TRAIN_MAX_BYTES
+    n = labeled.count()
+    if n == 0:
+        raise ValueError("no training documents (all empty?)")
+    est = n * ((n_buckets + 1) * 12 + 16)
+    if driver_train_max_bytes and est <= driver_train_max_bytes:
+        from pyspark.sql.types import (
+            DoubleType,
+            IntegerType,
+            StructField,
+            StructType,
+        )
+
+        pdf = labeled.select(id_col, "__y", "fmap").toPandas()
+        rows = _train_score_local(
+            list(pdf[id_col]), list(pdf["fmap"]), list(pdf["__y"]),
+            n_buckets, iters, lr,
+        )
+        schema = StructType(
+            [
+                StructField(id_col, labeled.schema[id_col].dataType),
+                StructField("y", IntegerType()),
+                StructField("score", DoubleType()),
+                StructField("pred", IntegerType()),
+            ]
+        )
+        # hand the result back through pandas so createDataFrame takes
+        # the Arrow path (the pickled-rows path cost ~3.4 s for 5k rows
+        # — guide §6 Arrow-for-driver-transfers)
+        import pandas as pd
+
+        out = pd.DataFrame(rows, columns=[id_col, "y", "score", "pred"])
+        return docs.sparkSession.createDataFrame(out, schema).orderBy(
+            id_col
+        )
     weights = train_logistic(
         labeled, label_col="__y", n_buckets=n_buckets, iters=iters, lr=lr,
         cache=False,

@@ -90,6 +90,33 @@ def _release_df(df: DataFrame) -> None:
         pass
 
 
+_CKPT_LEDGER: list[DataFrame] = []  # ckpt-mode subset of _CACHED_BANDS
+
+
+def register_ckpt(df: DataFrame) -> DataFrame:
+    """Register an ALREADY-localCheckpointed frame in the session-cache
+    ledger (released via release_entries / clear_band_cache, which
+    unpersist the wrapped RDD). RELEASE IS ONE-WAY: a localCheckpoint's
+    lineage is truncated, so a released frame can never be re-executed
+    (ADVICE r14 #1) — callers must fully consume the result before any
+    ledger release; tests/test_ckpt_invariant.py pins that no non-EAGER
+    registry query registers a ckpt entry (bench.py's non-eager retry
+    re-runs the same plan after releasing)."""
+    _CACHED_BANDS.append(df)
+    _CKPT_LEDGER.append(df)
+    return df
+
+
+def ckpt_snapshot() -> int:
+    """Length of the ckpt-entry ledger — pair with ckpt_entries_since
+    to detect ckpt registrations in a code region."""
+    return len(_CKPT_LEDGER)
+
+
+def ckpt_entries_since(snap: int) -> list:
+    return _CKPT_LEDGER[snap:]
+
+
 def _session_cache(df: DataFrame, mode=True) -> DataFrame:
     if mode == "ckpt":
         # eager localCheckpoint: unlike persist, this truncates the
@@ -99,9 +126,8 @@ def _session_cache(df: DataFrame, mode=True) -> DataFrame:
         # lesson, cluster.py — persist substitutes cached blocks only
         # AFTER analysis). Registered in the same ledger; release goes
         # through _release_df which also unpersists the checkpoint RDD.
-        df = df.localCheckpoint()
-        _CACHED_BANDS.append(df)
-        return df
+        # Release is ONE-WAY (see register_ckpt).
+        return register_ckpt(df.localCheckpoint())
     if mode == "auto":
         mode = (
             "table"
@@ -149,6 +175,7 @@ def release_entries(bands: list, spills: list) -> None:
     for df in bands:
         _release_df(df)
     _CACHED_BANDS[:] = [b for b in _CACHED_BANDS if id(b) not in band_ids]
+    _CKPT_LEDGER[:] = [b for b in _CKPT_LEDGER if id(b) not in band_ids]
     spill_ids = {id(s) for s in spills}
     for spark, name in spills:
         try:
@@ -164,6 +191,7 @@ def clear_band_cache() -> None:
     for df in _CACHED_BANDS:
         _release_df(df)
     _CACHED_BANDS.clear()
+    _CKPT_LEDGER.clear()
     for spark, name in _SPILL_TABLES:
         try:
             spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -165,6 +165,7 @@ def incremental_minhash_dups(
     max_bucket_size: int | None = 1000,
     hist_bands: DataFrame | None = None,
     shingle_df: DataFrame | None = None,
+    check_coverage: bool = True,
 ) -> DataFrame:
     """Near-duplicates of the new batch AGAINST HISTORY only.
 
@@ -183,6 +184,39 @@ def incremental_minhash_dups(
     per-doc explode), so the output is unchanged."""
     sh_new = sh_hist = None
     if shingle_df is not None:
+        if check_coverage:
+            # ADVICE r14 #3: a shingle_df that does not cover new_docs
+            # (a shared corpus table plus a genuinely NEW batch) would
+            # silently give the new side zero shingles and return "no
+            # duplicates". Guard: every new doc that WOULD produce
+            # shingles (length >= n — the shingles() emptiness
+            # condition) must appear in shingle_df. One cheap
+            # anti-join limit(1) action against the (typically
+            # checkpointed) shared table.
+            # distinct the (id) projection BEFORE the anti-join: the
+            # raw shingle table is corpus x shingles rows, and an
+            # anti-join builds/sorts the RIGHT side — distinct first
+            # collapses it to one row per doc (map-side combine), so
+            # the anti-join broadcasts
+            missing = (
+                new_docs.where(F.length(text_col) >= n)
+                .select(id_col)
+                .join(
+                    shingle_df.select(id_col).distinct(),
+                    on=id_col,
+                    how="left_anti",
+                )
+                .limit(1)
+                .count()
+            )
+            if missing:
+                raise ValueError(
+                    "shingle_df does not cover new_docs: at least one "
+                    f"new doc with length >= n={n} has no shingles in "
+                    "the shared table — rebuild it over both sides or "
+                    "pass check_coverage=False for a table known to "
+                    "cover by construction"
+                )
         sh_new = shingle_df.join(
             new_docs.select(id_col), on=id_col, how="left_semi"
         )

@@ -210,6 +210,61 @@ def char_tf_counts(
     )
 
 
+def _softmax_local(
+    pdf, classes: list[str], n_buckets: int, iters: int, lr: float
+):
+    """numpy replay of the _gd_loop recurrence + scoring over the
+    collected exploded feature relation (__id, __y, bucket, x) — the
+    r15 driver fast path (see classifier.DRIVER_TRAIN_MAX_BYTES).
+    Identical arithmetic: margins = Σ x·w per (doc, class), softmax
+    residuals with the class-index-ordered denominator sum, full-batch
+    update w -= lr·g/n, then round-6 HALF_UP probabilities and
+    first-max argmax (ties to the smallest class index). Returns
+    [(id, y_str, pred_str, p_pred), ...] sorted by id."""
+    import numpy as np
+
+    from .classifier import _round6_half_up
+
+    nc = len(classes)
+    ids, doc_idx = np.unique(pdf["__id"].to_numpy(), return_inverse=True)
+    n = len(ids)
+    if n == 0:
+        raise ValueError("no training documents (all too short?)")
+    d1 = n_buckets + 1
+    X = np.zeros((n, d1), dtype=np.float64)
+    X[doc_idx, pdf["bucket"].to_numpy()] = pdf["x"].to_numpy(
+        dtype=np.float64
+    )
+    yv = np.zeros(n, dtype=np.int64)
+    yv[doc_idx] = pdf["__y"].to_numpy()
+    W = np.zeros((nc, d1), dtype=np.float64)
+
+    def _probs():
+        E = np.exp(X @ W.T)
+        # class-index-ordered sequential denominator — the exact fold
+        # order of the relational es[0] + es[1] + ... expression
+        denom = E[:, 0].copy()
+        for c in range(1, nc):
+            denom += E[:, c]
+        return E / denom[:, None]
+
+    rng = np.arange(n)
+    for _ in range(iters):
+        R = _probs()
+        R[rng, yv] -= 1.0
+        W -= lr * (R.T @ X) / n
+    P = _probs()
+    out = []
+    for i in range(n):
+        probs = [_round6_half_up(float(P[i, c])) for c in range(nc)]
+        best = max(probs)
+        pred = classes[probs.index(best)]
+        out.append((ids[i].item() if hasattr(ids[i], "item") else ids[i],
+                    classes[int(yv[i])], pred, best))
+    out.sort(key=lambda r: r[0])
+    return out
+
+
 def _weights_rel(spark, weights: list[list[float]]):
     """The C x (D+1) weight matrix as a (D+1)-row broadcastable
     relation (bucket, __w0..__w{C-1}). As a broadcast RELATION rather
@@ -371,6 +426,7 @@ def langid_classifier(
     iters: int = 6,
     lr: float = 2.0,
     tf_counts: DataFrame | None = None,
+    driver_train_max_bytes: int | None = None,
 ) -> DataFrame:
     """Train on the labeled corpus, predict a language for every doc.
 
@@ -483,6 +539,46 @@ def langid_classifier(
     # eager checkpoint truncates to a LogicalRDD. Training is eager
     # anyway (the GD loop collects), so nothing escapes timed regions.
     exl = _session_cache(exl, mode="ckpt")
+    # r15 driver fast path (classifier.DRIVER_TRAIN_MAX_BYTES doc):
+    # when the exploded feature relation fits the driver budget
+    # (rows x 24 B — the exact arrow width of (id, y, bucket, x)),
+    # collect it ONCE and replay the identical softmax recurrence in
+    # numpy: replaces the distinct-count + ``iters`` gradient collects
+    # + the 20-class relational scoring aggregate with one toPandas.
+    # The relational loop below is the at-scale path; both paths are
+    # pinned exactly equal in tests/test_driver_train.py.
+    if driver_train_max_bytes is None:
+        from .classifier import DRIVER_TRAIN_MAX_BYTES
+
+        driver_train_max_bytes = DRIVER_TRAIN_MAX_BYTES
+    n_rows = exl.count()
+    if driver_train_max_bytes and n_rows * 24 <= driver_train_max_bytes:
+        from pyspark.sql.types import (
+            DoubleType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        rows = _softmax_local(
+            exl.toPandas(), classes, n_buckets, iters, lr
+        )
+        schema = StructType(
+            [
+                StructField(id_col, exl.schema["__id"].dataType),
+                StructField("y", StringType()),
+                StructField("pred", StringType()),
+                StructField("p_pred", DoubleType()),
+            ]
+        )
+        # pandas → Arrow createDataFrame (the pickled-rows path costs
+        # seconds at 5k rows — guide §6)
+        import pandas as pd
+
+        out = pd.DataFrame(rows, columns=[id_col, "y", "pred", "p_pred"])
+        return docs.sparkSession.createDataFrame(out, schema).orderBy(
+            id_col
+        )
     n_docs = exl.select("__id").distinct().count()
     if n_docs == 0:
         raise ValueError("no training documents (all too short?)")

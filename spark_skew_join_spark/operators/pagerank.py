@@ -52,6 +52,7 @@ def pagerank(edges: DataFrame, src_col: str, dst_col: str,
     successor materializes, so peak extra storage is one |V|-row
     block-set.  ``None`` restores the lazy single-plan behavior."""
     from .cluster import _checkpoint_rdd
+    from .dedup import register_ckpt
 
     w = F.col(weight_col) if weight_col else F.lit(1.0)
     e = edges.select(
@@ -64,8 +65,15 @@ def pagerank(edges: DataFrame, src_col: str, dst_col: str,
         .unionByName(e.select(F.col("dst").alias("vertex")))
         .distinct()
     )
+    # verts/trans (and the final surviving rank checkpoint below) are
+    # registered in the session-cache ledger (ADVICE r14 #2): a bare
+    # localCheckpoint would strand three persisted block-sets per call
+    # to the async ContextCleaner — bench.py releases them when the
+    # line completes, tests via clear_band_cache. Release is one-way
+    # (register_ckpt doc); pagerank callers are EAGER-construction
+    # lines, whose bench retry reconstructs the plan from scratch.
     if checkpoint_interval is not None:
-        verts = verts.localCheckpoint()
+        verts = register_ckpt(verts.localCheckpoint())
     n = F.broadcast(verts.agg(F.count(F.lit(1)).alias("__n")))
     # normalize once: transition weight out of each source sums to 1
     outw = e.groupBy("src").agg(F.sum("w").alias("__ow"))
@@ -73,11 +81,12 @@ def pagerank(edges: DataFrame, src_col: str, dst_col: str,
         "src", "dst", (F.col("w") / F.col("__ow")).alias("p")
     )
     if checkpoint_interval is not None:
-        trans = trans.localCheckpoint()
+        trans = register_ckpt(trans.localCheckpoint())
     rank = verts.crossJoin(n).select(
         "vertex", (F.lit(1.0) / F.col("__n")).alias("rank")
     )
     prev_ckpt = None
+    last_ckpt_df = None
     for it in range(iterations):
         contrib = (
             trans.join(rank, trans["src"] == rank["vertex"])
@@ -109,6 +118,11 @@ def pagerank(edges: DataFrame, src_col: str, dst_col: str,
                 except Exception:
                     pass
             prev_ckpt = _checkpoint_rdd(rank)
+            last_ckpt_df = rank
+    if checkpoint_interval is not None and prev_ckpt is not None:
+        # the final surviving rank checkpoint feeds the returned plan;
+        # hand its lifetime to the ledger instead of stranding it
+        register_ckpt(last_ckpt_df)
     return rank
 
 

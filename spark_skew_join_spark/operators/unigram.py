@@ -154,6 +154,7 @@ def train_unigram(
     max_word_len: int = 16,
     mode: str = "driver",
     max_vocab_words: int = 2_000_000,
+    words_rows: list | None = None,
 ) -> list[tuple[str, int, float]]:
     """Learn a unigram-LM piece vocabulary; returns
     ``[(piece, count, logprob), ...]`` — the top ``vocab_size``
@@ -167,12 +168,23 @@ def train_unigram(
         raise ValueError(f"mode must be driver|distributed, got {mode!r}")
     if vocab_size < 1 or seed_size < 1 or em_iters < 1:
         raise ValueError("vocab_size, seed_size, em_iters must be >= 1")
-    wf = word_frequencies(docs, text_col).where(
-        F.length("word") <= max_word_len
-    )
-
     if mode == "driver":
-        rows = wf.limit(max_vocab_words + 1).collect()
+        if words_rows is not None:
+            # pre-collected FULL word table (the train_bpe contract);
+            # the max_word_len filter applies here — Python len() and
+            # Spark LENGTH both count codepoints, and the trainer
+            # sorts the words itself, so the result is bit-identical
+            # (tests/test_tok_family.py)
+            rows = [
+                r for r in words_rows if len(r["word"]) <= max_word_len
+            ]
+        else:
+            rows = (
+                word_frequencies(docs, text_col)
+                .where(F.length("word") <= max_word_len)
+                .limit(max_vocab_words + 1)
+                .collect()
+            )
         if len(rows) > max_vocab_words:
             raise ValueError(
                 f"word table exceeds max_vocab_words={max_vocab_words}; "
@@ -197,6 +209,9 @@ def train_unigram(
             words, vocab, em_iters, max_piece_len, viterbi_counts
         )
     else:
+        wf = word_frequencies(docs, text_col).where(
+            F.length("word") <= max_word_len
+        )
         final = _train_distributed(
             wf, seed_size, max_piece_len, em_iters
         )

@@ -146,6 +146,7 @@ def train_wordpiece(
     mode: str = "driver",
     max_vocab_words: int = 2_000_000,
     checkpoint_every: int = 8,
+    words_rows: list | None = None,
 ) -> list[tuple[int, str, str, str, int, int, int]]:
     """Learn ``n_merges`` WordPiece merges; returns
     ``[(rank, left, right, merged, pair_count, left_count,
@@ -155,20 +156,31 @@ def train_wordpiece(
     mode="driver": one corpus aggregation, then the loop runs on the
     collected word table (refused above ``max_vocab_words``).
     mode="distributed": the word table never leaves the cluster; each
-    round collects exactly one (argmax) row."""
-    words = word_frequencies(docs, text_col, min_freq)
+    round collects exactly one (argmax) row.
+
+    ``words_rows`` (r15): a pre-collected word table (the bpe.train_bpe
+    contract — rows of ``word_frequencies(docs, text_col,
+    min_freq).collect()``) shared across trainers by
+    queries._tok_family; bit-identical merges (the trainer is
+    order-independent: integer counts, full (-score, left, right)
+    tie-break) — pinned in tests/test_tok_family.py."""
     if mode == "driver":
-        guard = words.limit(max_vocab_words + 1).count()
-        if guard > max_vocab_words:
+        if words_rows is not None:
+            rows = list(words_rows)
+        else:
+            rows = word_frequencies(docs, text_col, min_freq).limit(
+                max_vocab_words + 1
+            ).collect()
+        if len(rows) > max_vocab_words:
             raise ValueError(
                 f"word table exceeds max_vocab_words={max_vocab_words}; "
                 "use mode='distributed'"
             )
-        rows = words.collect()
         vocab = {
             tuple(_initial_pieces(r["word"])): int(r["freq"]) for r in rows
         }
         return _train_driver(vocab, n_merges)
+    words = word_frequencies(docs, text_col, min_freq)
     if mode != "distributed":
         raise ValueError(f"mode must be driver|distributed, got {mode!r}")
 
@@ -272,11 +284,25 @@ def wordpiece_vocab(
     merges: list[tuple],
     text_col: str = "text",
     min_freq: int = 1,
+    words_rows: list | None = None,
 ) -> set[str]:
     """The apply vocabulary: the initial alphabet (first chars raw,
     later chars ##-prefixed — one bounded distinct-char aggregation)
     plus every merged piece.  Matches the classic trainer's emitted
-    vocab (alphabet ∪ merges)."""
+    vocab (alphabet ∪ merges).
+
+    ``words_rows`` (r15): a pre-collected word table (the train_bpe
+    contract) — the alphabet then derives driver-side via
+    ``_initial_pieces`` (the same char split the driver-mode trainer
+    uses, whose parity with the in-plan split is pinned by the
+    driver-vs-distributed trainer tests), skipping the extra corpus
+    aggregation."""
+    if words_rows is not None:
+        vocab = set()
+        for r in words_rows:
+            vocab.update(_initial_pieces(r["word"]))
+        vocab.update(m[3] for m in merges)
+        return vocab
     chars = F.split(F.col("word"), "")
     alpha_rows = (
         word_frequencies(docs, text_col, min_freq)

@@ -846,6 +846,14 @@ FAMILY_CONSUMERS: dict[str, tuple[str, ...]] = {
         "ann_ivfpq_topk",
         "ann_ivfpq_refined_topk",
     ),
+    "tok": (
+        "bpe_train_docs",
+        "bpe_tokenize_docs",
+        "wordpiece_train_docs",
+        "wordpiece_tokenize_docs",
+        "unigram_tokenizer_docs",
+        "unigram_tokenize_docs",
+    ),
 }
 
 
@@ -992,6 +1000,46 @@ def _ann_family(spark: SparkSession, sf_dir: str) -> dict:
     return models
 
 
+_TOK_CACHE: dict = {}
+
+
+def _tok_family(spark: SparkSession, sf_dir: str) -> dict:
+    """Shared tokenizer-trainer artifacts (r15, the ANN-family pattern
+    at model granularity — guide §1.2 don't-recompute): ONE
+    word-frequency corpus aggregation collected once feeds all three
+    driver-mode trainers (BPE 16 merges, WordPiece 16 merges + apply
+    vocab, unigram-LM 40 pieces), whose outputs serve the six tokenizer
+    registry entries. Previously each *_tokenize_docs entry re-ran the
+    IDENTICAL training its *_train_docs sibling ran, and every one of
+    the six lines re-ran the same word-frequency aggregation (~12
+    corpus aggregations + 6 trainings per bench run for 4 distinct
+    artifacts). Each trainer is deterministic and order-independent
+    (integer counts, full tie-breaks), so shared models are
+    bit-identical to per-entry ones — pinned in
+    tests/test_tok_family.py. Cached values are driver-side
+    lists/sets, not DataFrames (the _ANN_CACHE shape)."""
+    from .operators.bpe import train_bpe, word_frequencies
+    from .operators.unigram import train_unigram
+    from .operators.wordpiece import train_wordpiece, wordpiece_vocab
+
+    key = (_session_key(spark), sf_dir)
+    hit = _TOK_CACHE.get(key)
+    if hit is not None:
+        return hit
+    docs = load_tables(spark, sf_dir)["documents"]
+    words = word_frequencies(docs).collect()
+    models = {
+        "bpe": train_bpe(docs, 16, mode="driver", words_rows=words),
+        "wp": train_wordpiece(docs, 16, mode="driver", words_rows=words),
+        "uni": train_unigram(docs, mode="driver", words_rows=words),
+    }
+    models["wp_vocab"] = wordpiece_vocab(
+        docs, models["wp"], words_rows=words
+    )
+    _TOK_CACHE[key] = models
+    return models
+
+
 def build_family(family: str, spark: SparkSession, sf_dir: str) -> None:
     """Materialize one family's shared artifacts (idempotent)."""
     if family == "dedup":
@@ -1013,6 +1061,8 @@ def build_family(family: str, spark: SparkSession, sf_dir: str) -> None:
         _quality_family(spark, sf_dir).count()
     elif family == "ann":
         _ann_family(spark, sf_dir)
+    elif family == "tok":
+        _tok_family(spark, sf_dir)
     else:
         raise KeyError(f"unknown family {family!r}")
 
@@ -1024,6 +1074,10 @@ def release_family(family: str) -> None:
     if family == "ann":
         # driver-side model lists, no Spark storage to release
         _ANN_CACHE.clear()
+        return
+    if family == "tok":
+        # driver-side merge lists / vocab sets, no Spark storage
+        _TOK_CACHE.clear()
         return
     caches: tuple[dict, ...] = {
         "dedup": (_DEDUP_FAMILY_CACHE,),
@@ -8549,11 +8603,10 @@ def bpe_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds as an unrolled CTE chain (wrapped-symbol string replace ==
     the greedy single-pass merge) and the merge list is EXACT-checked;
     driver-vs-distributed parity and the canonical-example merge order
-    stay pinned in tests/test_bpe.py."""
-    from .operators.bpe import train_bpe
-
-    t = load_tables(spark, sf_dir)
-    merges = train_bpe(t["documents"], 16, mode="driver")
+    stay pinned in tests/test_bpe.py.  r15: reads the shared tok
+    family (one word-table collect + one training serves this entry
+    and bpe_tokenize_docs — bit-identical merges, test_tok_family)."""
+    merges = _tok_family(spark, sf_dir)["bpe"]
     return spark.createDataFrame(
         [(r, a, b, a + b, n) for r, a, b, n in merges],
         "rank int, left string, right string, merged string, pair_count long",
@@ -8571,11 +8624,11 @@ def bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge components always have strictly lower creation rank), so
     total_tokens / tokens_per_word are EXACT-checked; the in-query
     lossless gate additionally pins the apply path."""
-    from .operators.bpe import EOW, apply_bpe, train_bpe
+    from .operators.bpe import EOW, apply_bpe
 
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
-    merges = train_bpe(docs, 16, mode="driver")
+    merges = _tok_family(spark, sf_dir)["bpe"]
     toks = apply_bpe(docs, merges)
     joined = toks.join(docs.select("doc_id", "text"), "doc_id")
     expected = F.concat_ws(
@@ -8617,10 +8670,7 @@ def unigram_tokenizer_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (F.round) from the certified integer counts. Driver-vs-distributed
     parity is pinned in tests/test_unigram.py. Training collects at
     construction → EAGER."""
-    from .operators.unigram import train_unigram
-
-    t = load_tables(spark, sf_dir)
-    vocab = train_unigram(t["documents"], mode="driver")
+    vocab = _tok_family(spark, sf_dir)["uni"]
     total = float(sum(c for _, c, _ in vocab))
     df = spark.createDataFrame(
         [(p, c) for p, c, _ in vocab], "piece string, count long"
@@ -8642,11 +8692,11 @@ def unigram_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Viterbi with the single-char OOV floor, fallback-averse two-phase
     preference), so total_pieces / pieces_per_word are EXACT-checked
     while the lossless gate pins the engine's actual apply output."""
-    from .operators.unigram import apply_unigram, train_unigram
+    from .operators.unigram import apply_unigram
 
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
-    vocab = train_unigram(docs, mode="driver")
+    vocab = _tok_family(spark, sf_dir)["uni"]
     toks = apply_unigram(docs, vocab)
     joined = toks.join(docs.select("doc_id", "text"), "doc_id")
     stripped = F.regexp_replace(F.lower("text"), r"\s+", "")
@@ -8686,10 +8736,7 @@ def wordpiece_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     winning pair.  Driver-vs-distributed parity is pinned in
     tests/test_wordpiece.py.  Training collects at construction →
     EAGER."""
-    from .operators.wordpiece import train_wordpiece
-
-    t = load_tables(spark, sf_dir)
-    merges = train_wordpiece(t["documents"], 16, mode="driver")
+    merges = _tok_family(spark, sf_dir)["wp"]
     return spark.createDataFrame(
         merges,
         "rank int, left string, right string, merged string, "
@@ -8709,16 +8756,11 @@ def wordpiece_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     whitespace-stripped lowercased text with zero [UNK] words, so
     n_lossless must equal n_docs on the training corpus (the full
     alphabet is in-vocab by construction)."""
-    from .operators.wordpiece import (
-        apply_wordpiece,
-        train_wordpiece,
-        wordpiece_vocab,
-    )
+    from .operators.wordpiece import apply_wordpiece
 
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
-    merges = train_wordpiece(docs, 16, mode="driver")
-    vocab = wordpiece_vocab(docs, merges)
+    vocab = _tok_family(spark, sf_dir)["wp_vocab"]
     toks = apply_wordpiece(docs, vocab)
     joined = toks.join(docs.select("doc_id", "text"), "doc_id")
     stripped = F.regexp_replace(F.lower("text"), r"\s+", "")

@@ -197,6 +197,7 @@ def test_family_consumer_ledger():
         "copurchase": ("_copurchase_family(",),
         "quality": ("_quality_family(",),
         "ann": ("_ann_family(",),
+        "tok": ("_tok_family(",),
     }
     for fam, consumers in q.FAMILY_CONSUMERS.items():
         for c in consumers:
