@@ -5936,8 +5936,22 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "w"
             )
         )
-    ).localCheckpoint()
-    pr = pagerank(edges, "src", "dst", "w", damping=0.85, iterations=10)
+    )
+    from .operators.dedup import register_ckpt
+
+    # ledger-registered (ADVICE r14 #2): previously stranded to the
+    # async ContextCleaner; bench releases it when the line completes
+    edges = register_ckpt(edges.localCheckpoint())
+    # checkpoint_interval=5 (r15): with verts/trans checkpointed, a
+    # wider interval only deepens an executed-once lazy chain — each
+    # iteration references the previous rank exactly once — while
+    # cutting the eager per-iteration checkpoint jobs from 9 to 1
+    # (alternating A/B at sf0.1: interval 1 = 6.9-13.2 s, interval 5 =
+    # 5.4-6.1 s). Materialization points move, arithmetic is unchanged
+    # (tests/test_pagerank.py pins ckpt-vs-lazy equality at 1e-12;
+    # oracle re-verified EXACT at sf0.001/0.01/0.1).
+    pr = pagerank(edges, "src", "dst", "w", damping=0.85, iterations=10,
+                  checkpoint_interval=5)
     return pr.select(
         F.col("vertex").alias("nationkey"), F.round("rank", 6).alias("rank")
     )

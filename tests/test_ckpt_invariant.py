@@ -24,6 +24,13 @@ def test_non_eager_queries_register_no_ckpt_entries(spark):
     from spark_skew_join_spark import queries as q
     from spark_skew_join_spark.operators import dedup as dd
 
+    # bench builds every family in its own timed line BEFORE the
+    # consumer lines run, so family-build ckpt registrations are never
+    # attributed to (or released by) a consumer line — mirror that
+    # order here, otherwise the first consumer constructed triggers
+    # the family build and inherits its ckpt entries
+    for fam in q.FAMILY_CONSUMERS:
+        q.build_family(fam, spark, SF_DIR)
     bad = []
     for name, fn in q.QUERIES.items():
         if name in q.EAGER_QUERIES:
@@ -34,6 +41,8 @@ def test_non_eager_queries_register_no_ckpt_entries(spark):
         if dd.ckpt_entries_since(ck):
             bad.append(name)
         dd.release_entries(*dd.entries_since(snap))
+    for fam in q.FAMILY_CONSUMERS:
+        q.release_family(fam)
     q.clear_dedup_cache()
     assert not bad, (
         "non-EAGER queries registered ckpt session-cache entries — "

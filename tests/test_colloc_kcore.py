@@ -99,6 +99,7 @@ def test_kcore_matches_reference_peel(spark):
         kcore(df, k=0)
 
 
+@pytest.mark.slow
 def test_kcore_cadence_and_early_stop_identical(spark):
     """checkpoint_every > 1 and early_stop change materialization and
     round count, never the result: peeling is idempotent after

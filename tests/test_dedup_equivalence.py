@@ -43,6 +43,7 @@ def _pairs(df, *cols):
 
 # ---------------------------------------------------------------- recall pins
 
+@pytest.mark.slow
 def test_embedding_lsh_full_recall_vs_brute(spark):
     """Brute-force cosine pairs == LSH pairs on the fixtures (same threshold
     as the registered queries). Both share EMB_NEAR_DUP_SQL as oracle; this
@@ -93,6 +94,7 @@ def test_identical_docs_stay_linear_and_cluster(spark):
     assert comp.select("cluster_rep").distinct().count() == 1
 
 
+@pytest.mark.slow
 def test_bucket_cap_preserves_clustering(spark):
     """Property: whatever the cap does to the pair LIST, the cluster
     assignment must be invariant — star pairs keep every over-cap bucket
@@ -120,6 +122,7 @@ def test_bucket_cap_preserves_clustering(spark):
     assert reps(max_bucket_size=5) == reps(max_bucket_size=None)
 
 
+@pytest.mark.slow
 def test_near_constant_embeddings_stay_linear(spark):
     """800 near-identical vectors, cap=50: every band bucket degenerates to
     one code; the cap diverts them to the 799-pair star."""
@@ -247,6 +250,7 @@ def test_skew_aware_shingle_join_balances_partitions(spark, hot_shingle_docs):
 
 # ------------------------------------------------------- containment family
 
+@pytest.mark.slow
 def test_containment_scale_path_matches_exact(spark):
     """containment_for_pairs on an all-candidate list reproduces the exact
     all-pairs ngram_containment_pairs output — the equivalence that lets the

@@ -180,6 +180,7 @@ def test_stratified_sample(spark):
     assert 50 < by["en"] < 180 and 380 < by["fr"] < 620
 
 
+@pytest.mark.slow
 def test_dfapi_extension_methods(spark):
     from spark_skew_join_spark.dfapi import (
         register_dataframe_api,

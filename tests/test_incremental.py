@@ -1,6 +1,7 @@
 """Incremental dedup (operators/incremental.py): store classification,
 state-update closure, and the fuzzy new-vs-history increment."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from spark_skew_join_spark.operators.incremental import (
@@ -68,6 +69,7 @@ def test_minhash_increment_never_pairs_history_with_itself(spark):
     assert incremental_minhash_dups(new, hist, threshold=0.5).count() == 0
 
 
+@pytest.mark.slow
 def test_persisted_band_table_is_reusable(spark):
     docs = spark.createDataFrame(
         [(0, "some historical document text body"),
@@ -86,6 +88,7 @@ def test_persisted_band_table_is_reusable(spark):
     assert key(live) == key(stored) != set()
 
 
+@pytest.mark.slow
 def test_hot_history_bucket_capped(spark):
     """A degenerate historical bucket (many identical docs) is dropped
     from banding when over the cap, bounding the fan-out."""
@@ -113,6 +116,7 @@ _TEXTS = [f"text body {i}" for i in range(8)]
     hist=st.lists(st.sampled_from(_TEXTS), min_size=0, max_size=12),
     new=st.lists(st.sampled_from(_TEXTS), min_size=1, max_size=12),
 )
+@pytest.mark.slow
 def test_exact_increment_matches_python_reference(spark, hist, new):
     hist_rows = [(i, t) for i, t in enumerate(hist)]
     new_rows = [(100 + i, t) for i, t in enumerate(new)]
@@ -169,6 +173,7 @@ def test_compact_fingerprint_store_round_trip_and_idempotent(spark):
     assert again.where("is_new").count() == 0
 
 
+@pytest.mark.slow
 def test_compact_band_table_matches_full_rebuild(spark):
     """Fuzzy epoch merge: compact_band_table(hist, new) must equal the
     band table rebuilt from the union (banding is deterministic), and

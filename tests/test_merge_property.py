@@ -14,6 +14,7 @@ from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from spark_skew_join_spark.operators.merge import merge_upsert, snapshot_diff
+import pytest
 
 _SETTINGS = dict(
     max_examples=5,
@@ -45,6 +46,7 @@ def _tables(spark, seed):
 
 @given(seed=st.integers(0, 9))
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_merge_idempotent_and_conserves_keys(spark, seed):
     target, source = _tables(spark, seed)
     once = merge_upsert(target, source, ["k"])

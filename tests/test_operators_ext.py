@@ -181,6 +181,7 @@ def test_jaccard_finds_near_dups_not_distinct(spark):
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
 
 
+@pytest.mark.slow
 def test_minhash_agrees_with_exact_jaccard(spark):
     base = "one two three four five six seven eight nine ten eleven twelve"
     docs = spark.createDataFrame(
@@ -221,6 +222,7 @@ def test_jaccard_for_pairs_matches_full_table(spark):
     assert scoped == {k: v for k, v in full.items() if k in {(1, 2), (1, 4), (2, 3)}}
 
 
+@pytest.mark.slow
 def test_embedding_lsh_matches_bruteforce(spark):
     import random
 

@@ -18,6 +18,7 @@ from spark_skew_join_spark.plans.explain import (
     scan_schemas,
 )
 from spark_skew_join_spark.sources.tables import load_tables
+import pytest
 
 SF = "/root/testdata/sf0.001"
 
@@ -92,6 +93,7 @@ def test_embedding_lsh_plan_has_no_cartesian(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
 
+@pytest.mark.slow
 def test_no_benched_query_has_cartesian_product(spark):
     """VERDICT r2 #2 done-criterion: after demoting the all-pairs oracle
     baselines to BENCH_EXCLUDE, no TIMED query's physical plan may contain a

@@ -11,6 +11,7 @@ from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from spark_skew_join_spark import SkewJoinConf, skew_join
+import pytest
 
 _SETTINGS = dict(
     max_examples=6,
@@ -26,6 +27,7 @@ _SETTINGS = dict(
     seed=st.integers(0, 3),
 )
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_random_distributions_equivalence(spark, dist, how, seed):
     rng = random.Random(seed)
     n, n_keys = 3000, 40

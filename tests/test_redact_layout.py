@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 import random
 
 from pyspark.sql import functions as F
@@ -167,6 +168,7 @@ def test_hilbert_fixed_matches_reference(spark):
         assert d == _xy2d_ref(256, x, y), (x, y)
 
 
+@pytest.mark.slow
 def test_hilbert_locality_at_least_zorder(spark):
     """The whole point of the curve: per-bucket spans on both columns no
     worse than Morton's at the same bit budget (grid-adjacent steps, no

@@ -40,6 +40,7 @@ def test_semi_anti(spark, zipf_left, uniform_right, how):
     assert_df_equal(actual, expected)
 
 
+@pytest.mark.slow
 def test_cross_skew_both_sides(spark, zipf_left, zipf_right):
     # bound the blowup: restrict right to keys > 3 (hot keys 1..3 excluded
     # on one side keeps output manageable while still exercising CrossSkew)

@@ -425,6 +425,7 @@ def test_merge_upsert_rejects_duplicate_source_keys(spark):
     assert merge_upsert(t, s, ["k"], on_duplicate="keep_all").count() == 3
 
 
+@pytest.mark.slow
 def test_unordered_funnel_converges_to_batch_under_shuffled_delivery(
     spark, tmp_path
 ):
