@@ -94,6 +94,7 @@ def adaptive_join(
     how: str = "inner",
     conf: SkewJoinConf | None = None,
     broadcast_rows: int = BROADCAST_ROWS,
+    plan: dict | None = None,
 ) -> DataFrame:
     """Execute the planned strategy.  Output ≡ ``left.join(right, on,
     how)`` with skew_join's USING-style column order on every branch
@@ -103,7 +104,13 @@ def adaptive_join(
     outer), a ``broadcast`` decision executes as the plain shuffle
     join — the decision row still reports what the probe found."""
     conf = conf or SkewJoinConf()
-    plan = plan_equi_join(left, right, on, conf, broadcast_rows)
+    # ``plan`` (r15): callers that already ran plan_equi_join (to report
+    # the decision inputs, as adaptive_join_strategies does) pass it in
+    # instead of paying the two probe actions a second time (guide
+    # §1.2); the dict must be a plan_equi_join result for the same
+    # (left, right, on, conf).
+    if plan is None:
+        plan = plan_equi_join(left, right, on, conf, broadcast_rows)
     pairs = _normalize(on)
     if plan["strategy"] == "skew":
         return skew_join(left, right, on, how, conf)

@@ -354,6 +354,8 @@ def ivfpq_topk(
     max_queries: int = 65536,
     centroids: list | None = None,
     codebooks: list | None = None,
+    assigned: DataFrame | None = None,
+    codes_df: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: the production ANN layout (Jégou et al. §VI; what FAISS
     IndexIVFPQ runs) — an inverted-file restriction picks n_probe of
@@ -376,7 +378,7 @@ def ivfpq_topk(
     n_centroids the ADC ranking equals pq_topk's exactly (pinned in
     tests).
     """
-    from .similarity import _centroid_sims, _cos, _fit_centroids
+    from .similarity import _cos, _fit_centroids
 
     if not 1 <= n_probe <= n_centroids:
         raise ValueError("need 1 <= n_probe <= n_centroids")
@@ -393,14 +395,24 @@ def ivfpq_topk(
     cents = [np.asarray(b, dtype=np.float64) for b in books]
     sub = cents[0].shape[1]
 
-    # corpus: PQ codes + centroid assignment (both codegen-side inputs)
-    c_sims = F.array(*_centroid_sims(vec_col, centroids))
-    assign = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        (F.array_position(c_sims, F.array_max(c_sims)) - 1)
-        .cast("int").alias("centroid_id"),
+    # corpus: PQ codes + centroid assignment (both codegen-side inputs).
+    # ``assigned``/``codes_df`` (r15): pass already-materialized
+    # assign_centroids / encode_pq relations (both deterministic given
+    # the shared models) to skip recomputing them per caller — the
+    # queries-layer ann family materializes each ONCE for its six
+    # consumers.
+    if assigned is None:
+        from .similarity import assign_centroids
+
+        assigned = assign_centroids(corpus, centroids, id_col, vec_col)
+    assign = assigned.select(
+        F.col(id_col).alias("neighbor_id"), "centroid_id"
     )
-    codes = encode_pq(corpus, books, id_col, vec_col).select(
+    codes_src = (
+        codes_df if codes_df is not None
+        else encode_pq(corpus, books, id_col, vec_col)
+    )
+    codes = codes_src.select(
         F.col(id_col).alias("neighbor_id"), "codes"
     ).join(assign, "neighbor_id")
 

@@ -301,6 +301,29 @@ def _centroid_sims(vec_col, centroids):
     return sims
 
 
+def assign_centroids(
+    corpus: DataFrame,
+    centroids: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, centroid_id): nearest-centroid (argmax cosine, ties to
+    the lowest index via array_position) inverted-list assignment — the
+    exact corpus-side expression ivf_topk/ivfpq_topk build inline,
+    factored out so the queries-layer ann family can materialize it
+    ONCE for the four IVF/IVF-PQ registry entries (r15; same expression
+    tree over the same rows, so sharing is bit-identical). At 100 TB
+    this relation IS the persistable IVF list layout."""
+    c_sims = F.array(*_centroid_sims(vec_col, centroids))
+    return corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        (F.array_position(c_sims, F.array_max(c_sims)) - 1)
+        .cast("int")
+        .alias("centroid_id"),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -313,6 +336,7 @@ def ivf_topk(
     kmeans_iters: int = 5,
     dim: int | None = 64,
     centroids: list | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: probe the n_probe nearest inverted lists.
 
@@ -334,12 +358,17 @@ def ivf_topk(
         centroids = _fit_centroids(
             corpus, id_col, vec_col, n_centroids, sample_size, kmeans_iters
         )
-    c_sims = F.array(*_centroid_sims(vec_col, centroids))
-    # corpus side: argmax centroid = position of the max similarity
-    c = corpus.select(
+    # corpus side: argmax centroid = position of the max similarity.
+    # ``assigned`` (r15): pass an already-materialized
+    # assign_centroids(corpus, centroids) relation to skip recomputing
+    # the n_centroids interpreted HOF dot products per corpus row here
+    # (deterministic, so sharing one materialization changes nothing).
+    if assigned is None:
+        assigned = assign_centroids(corpus, centroids, id_col, vec_col)
+    c = assigned.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        (F.array_position(c_sims, F.array_max(c_sims)) - 1).cast("int").alias("centroid_id"),
+        F.col("centroid_id"),
     )
     # query side: top-n_probe centroids via sort of (sim, idx) structs
     q_structs = F.array(

@@ -969,6 +969,24 @@ def _quality_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored
 
 
+def _par_actions(*thunks):
+    """Run independent Spark driver actions concurrently and return
+    their results in CALL order (guide §2.6 — actions are only
+    sequential because driver code calls them sequentially; concurrent
+    jobs back-fill each other's stage tails, on local[32] exactly like
+    on a cluster). Each thunk's result is deterministic on its own, and
+    results are consumed in submission order, so downstream values are
+    independent of completion order. Exceptions propagate from the
+    failing thunk."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futures]
+
+
 _ANN_CACHE: dict = {}
 
 
@@ -982,19 +1000,49 @@ def _ann_family(spark: SparkSession, sf_dir: str) -> dict:
     training at construction. Training is deterministic (hash-ordered
     sample, fixed iterations), so shared models are bit-identical to
     per-entry ones and every downstream row is unchanged. The cached
-    values are two driver-side float lists (~16x64 + 16x32x4 floats),
-    not DataFrames; release_family just drops the dict."""
-    from .operators.pq import train_pq
-    from .operators.similarity import _fit_centroids
+    values are two driver-side float lists (~16x64 + 16x32x4 floats)
+    plus, since r15, two SHARED DERIVED CORPUS RELATIONS (guide §1.2
+    don't-recompute, the r14 family pattern one artifact level deeper):
+
+    * ``assign`` — the IVF argmax-cosine list assignment (16
+      interpreted HOF dot products per corpus row: the expensive
+      corpus-side expression all four IVF/IVF-PQ entries rebuilt per
+      call, a ~170 KB plan subtree re-analyzed per action), and
+    * ``codes`` — the PQ code table (one Arrow encode pass previously
+      re-run by all four PQ/IVF-PQ entries).
+
+    Both are eager localCheckpoints (constant-size LogicalRDD plans for
+    every consumer) registered in the session-cache ledger; the bench's
+    ann_family_build line pays their materialization and
+    release_family/release_entries drop the blocks after the last
+    consumer. Deterministic given the shared models, so every
+    downstream row is unchanged (pinned in tests/test_ann_family.py).
+    The two model trainings run as one Spark action chain each and are
+    independent, so the family overlaps them (guide §2.6)."""
+    from .operators.dedup import _session_cache
+    from .operators.pq import encode_pq, train_pq
+    from .operators.similarity import _fit_centroids, assign_centroids
 
     key = (_session_key(spark), sf_dir)
     hit = _ANN_CACHE.get(key)
     if hit is not None:
         return hit
     e = load_tables(spark, sf_dir)["embeddings"]
+
+    def _ivf_chain():
+        cents = _fit_centroids(e, "vec_id", "embedding", 16, 2048, 5)
+        return cents, _session_cache(assign_centroids(e, cents), mode="ckpt")
+
+    def _pq_chain():
+        books = train_pq(e, m=16, ks=32)
+        return books, _session_cache(encode_pq(e, books), mode="ckpt")
+
+    (cents, assign), (books, codes) = _par_actions(_ivf_chain, _pq_chain)
     models = {
-        "centroids": _fit_centroids(e, "vec_id", "embedding", 16, 2048, 5),
-        "books": train_pq(e, m=16, ks=32),
+        "centroids": cents,
+        "books": books,
+        "assign": assign,
+        "codes": codes,
     }
     _ANN_CACHE[key] = models
     return models
@@ -1072,7 +1120,16 @@ def release_family(family: str) -> None:
     band/spill entries its build registered are scoped separately via
     operators.dedup.cache_snapshot/release_entries)."""
     if family == "ann":
-        # driver-side model lists, no Spark storage to release
+        # model lists are driver-side, but the derived assign/codes
+        # relations (r15) hold checkpoint blocks — release them (the
+        # bench's ledger-scoped release also covers them; this keeps
+        # non-bench callers leak-free and stays idempotent)
+        from .operators.dedup import _release_df
+
+        for models in _ANN_CACHE.values():
+            for v in models.values():
+                if isinstance(v, DataFrame):
+                    _release_df(v)
         _ANN_CACHE.clear()
         return
     if family == "tok":
@@ -3872,9 +3929,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
+    fam = _ann_family(spark, sf_dir)
     return ivf_topk(
         e, e.where(F.col("vec_id") < 5), k=10, n_centroids=16, n_probe=8,
-        centroids=_ann_family(spark, sf_dir)["centroids"],
+        centroids=fam["centroids"], assigned=fam["assign"],
     )
 
 
@@ -3887,14 +3945,13 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     are never read after encoding.  Recall vs brute force pinned in
     tests/test_pq.py; the near-orthogonal fixture is PQ's worst case
     (no cluster structure for the sub-quantizers to exploit)."""
-    from .operators.pq import encode_pq, pq_topk
+    from .operators.pq import pq_topk
 
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
-    books = _ann_family(spark, sf_dir)["books"]
-    codes = encode_pq(e, books)
+    fam = _ann_family(spark, sf_dir)
     return pq_topk(
-        codes, e.where(F.col("vec_id") < 5), books, k=10,
+        fam["codes"], e.where(F.col("vec_id") < 5), fam["books"], k=10,
         refine_with=e, refine_factor=8,
     )
 
@@ -3908,15 +3965,14 @@ def ann_pq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACTLY — the production setting (refine_factor ~4-8) runs the same
     code on a shortlist.  Eager (train/encode collect at construction)
     → EAGER_QUERIES."""
-    from .operators.pq import encode_pq, pq_topk
+    from .operators.pq import pq_topk
 
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
     n = e.count()
-    books = _ann_family(spark, sf_dir)["books"]
-    codes = encode_pq(e, books)
+    fam = _ann_family(spark, sf_dir)
     return pq_topk(
-        codes, e.where(F.col("vec_id") < 5), books, k=10,
+        fam["codes"], e.where(F.col("vec_id") < 5), fam["books"], k=10,
         refine_with=e, refine_factor=-(-n // 10),
     )
 
@@ -3936,9 +3992,10 @@ def ann_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
+    fam = _ann_family(spark, sf_dir)
     return ivf_topk(
         e, e.where(F.col("vec_id") < 5), k=10, n_centroids=16, n_probe=16,
-        centroids=_ann_family(spark, sf_dir)["centroids"],
+        centroids=fam["centroids"], assigned=fam["assign"],
     )
 
 
@@ -3984,6 +4041,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=16, n_probe=8, m=16, ks=32,
         refine_with=e, refine_factor=4,
         centroids=models["centroids"], codebooks=models["books"],
+        assigned=models["assign"], codes_df=models["codes"],
     )
 
 
@@ -4048,6 +4106,7 @@ def ann_ivfpq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=16, n_probe=16, m=16, ks=32,
         refine_with=e, refine_factor=-(-n // 10),
         centroids=models["centroids"], codebooks=models["books"],
+        assigned=models["assign"], codes_df=models["codes"],
     )
 
 
@@ -6154,30 +6213,33 @@ def hll_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact comparators in ONE action: a multi-distinct aggregate per
     # table unioned into a single 3-row job (VERDICT r4 #8 — the old
     # form ran one full countDistinct job per probe)
-    exact_rows = (
-        t["orders"]
-        .agg(F.countDistinct("o_custkey").alias("n"))
-        .select(F.lit("orders.o_custkey").alias("key"), "n")
-        .unionByName(
-            t["lineitem"]
-            .agg(
-                F.countDistinct("l_partkey").alias("np"),
-                F.countDistinct("l_suppkey").alias("ns"),
+    def _exact():
+        return (
+            t["orders"]
+            .agg(F.countDistinct("o_custkey").alias("n"))
+            .select(F.lit("orders.o_custkey").alias("key"), "n")
+            .unionByName(
+                t["lineitem"]
+                .agg(
+                    F.countDistinct("l_partkey").alias("np"),
+                    F.countDistinct("l_suppkey").alias("ns"),
+                )
+                .select(
+                    F.explode(
+                        F.map_from_arrays(
+                            F.array(
+                                F.lit("lineitem.l_partkey"),
+                                F.lit("lineitem.l_suppkey"),
+                            ),
+                            F.array("np", "ns"),
+                        )
+                    ).alias("key", "n")
+                )
             )
-            .select(
-                F.explode(
-                    F.map_from_arrays(
-                        F.array(
-                            F.lit("lineitem.l_partkey"),
-                            F.lit("lineitem.l_suppkey"),
-                        ),
-                        F.array("np", "ns"),
-                    )
-                ).alias("key", "n")
-            )
+            .collect()
         )
-        .collect()
-    )
+
+    exact_rows = _exact()
     exact_by_key = {r["key"]: int(r["n"]) for r in exact_rows}
     rows = []
     for name, df, cols in probes:
@@ -7372,30 +7434,38 @@ def bloom_membership_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     orders, customer = t["orders"], t["customer"]
-    halves = [
-        bloom_from_dataframe(
-            orders.where(F.pmod("o_orderkey", F.lit(2)) == i), ["o_custkey"],
-            hash_fn="md5",
-        )
-        for i in (0, 1)
-    ]
-    merged = halves[0].merge(halves[1])
-    oneshot = bloom_from_dataframe(orders, ["o_custkey"], hash_fn="md5")
+    # the three sketch builds and three exact counts are independent
+    # actions over independent scans — overlap them (guide §2.6; each
+    # filter's bits depend only on its own partition's hashed keys, so
+    # completion order cannot change a single bit)
+    truth = customer.join(orders, customer.c_custkey == orders.o_custkey,
+                          "left_semi")
+    half0, half1, oneshot, n_customers, n_true, n_keys = _par_actions(
+        *[
+            (lambda i=i: bloom_from_dataframe(
+                orders.where(F.pmod("o_orderkey", F.lit(2)) == i),
+                ["o_custkey"], hash_fn="md5",
+            ))
+            for i in (0, 1)
+        ],
+        lambda: bloom_from_dataframe(orders, ["o_custkey"], hash_fn="md5"),
+        customer.count,
+        truth.count,
+        orders.select("o_custkey").distinct().count,
+    )
+    merged = half0.merge(half1)
     union_exact = bool((merged.bits == oneshot.bits).all())
     assert union_exact, "bloom merge diverged from one-shot build"
 
-    n_customers = customer.count()
-    truth = customer.join(orders, customer.c_custkey == orders.o_custkey,
-                          "left_semi")
-    n_true = truth.count()
     claimed = bloom_prefilter(customer, merged, ["c_custkey"], keep="member",
                               hash_fn="md5")
-    n_claimed = claimed.count()
-    n_false_neg = truth.join(
-        claimed.select("c_custkey"), on="c_custkey", how="left_anti"
-    ).count()
+    n_claimed, n_false_neg = _par_actions(
+        claimed.count,
+        truth.join(
+            claimed.select("c_custkey"), on="c_custkey", how="left_anti"
+        ).count,
+    )
     assert n_false_neg == 0, f"bloom false negatives: {n_false_neg}"
-    n_keys = orders.select("o_custkey").distinct().count()
     bound = merged.fp_bound(n_keys)
     fp_rate = (
         (n_claimed - n_true) / (n_customers - n_true)
@@ -8320,10 +8390,22 @@ def adaptive_join_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("shuffle_orders", li, orders, [("l_orderkey", "o_orderkey")]),
         ("skew_hot_key", hot_li, orders, [("k", "o_orderkey")]),
     ]
+    # the three cases' probe pairs (capped right count + left hot-key
+    # aggregate) are independent driver actions — run them concurrently
+    # (guide §2.6) and feed each result into BOTH the report row and
+    # adaptive_join, which previously re-ran the identical probes
+    # (guide §1.2: 12 probe actions -> 6, overlapped to ~2 walls)
+    plans = _par_actions(*[
+        (lambda l=left, r=right, o=on: plan_equi_join(
+            l, r, o, conf, broadcast_rows=1000
+        ))
+        for name, left, right, on in cases
+    ])
     out = None
-    for name, left, right, on in cases:
-        plan = plan_equi_join(left, right, on, conf, broadcast_rows=1000)
-        joined = adaptive_join(left, right, on, "inner", conf, broadcast_rows=1000)
+    for (name, left, right, on), plan in zip(cases, plans):
+        joined = adaptive_join(
+            left, right, on, "inner", conf, broadcast_rows=1000, plan=plan
+        )
         row = joined.agg(F.count(F.lit(1)).alias("join_rows")).select(
             F.lit(name).alias("case_name"),
             F.lit(plan["strategy"]).alias("strategy"),
