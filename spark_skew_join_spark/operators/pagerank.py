@@ -185,14 +185,27 @@ def triangle_count(
         .otherwise(F.struct(F.col("v").alias("a"), F.col("u").alias("b")))
         .alias("s")
     ).select("s.a", "s.b")
-    w1 = fwd.select(F.col("a"), F.col("b").alias("x"))
-    w2 = fwd.select(F.col("a"), F.col("b").alias("y"))
-    wedges = w1.join(w2, "a").where(F.col("x") < F.col("y"))
-    # wedge endpoints are id-ordered, so the closing edge {x, y} is
-    # exactly one canonical row of e — each triangle counts once, at
-    # its lowest-rank apex
-    tris = wedges.join(
-        e, (F.col("x") == F.col("u")) & (F.col("y") == F.col("v"))
+    # adjacency-intersection form of compact-forward (r15): per
+    # oriented edge u→v, the closing vertices are exactly the common
+    # out-neighbors |N⁺(u) ∩ N⁺(v)| — each triangle {a,b,c} with rank
+    # a < b < c is counted once, at its lowest-rank EDGE (a,b), since
+    # c ∈ N⁺(a) ∩ N⁺(b) while b ∉ N⁺(c) (no double count). Same count
+    # as materializing the oriented wedge rows and equi-joining the
+    # closing edge, but the O(Σ C(outdeg,2)) wedge table (35M rows on
+    # the sf0.1 co-purchase graph vs 1.2M edges) never shuffles: the
+    # intersection folds per edge row in codegen against two |V|-sized
+    # adjacency relations. Orientation still bounds every out-list at
+    # O(√E), so array payloads stay small on skewed graphs.
+    adj = fwd.groupBy("a").agg(F.collect_list("b").alias("nbrs"))
+    tris_per_edge = (
+        fwd.join(adj.select(F.col("a"), F.col("nbrs").alias("__na")), "a")
+        .join(
+            adj.select(F.col("a").alias("b"), F.col("nbrs").alias("__nb")),
+            "b",
+        )
+        .select(
+            F.size(F.array_intersect("__na", "__nb")).alias("__t")
+        )
     )
     stats = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
@@ -201,7 +214,11 @@ def triangle_count(
         ).alias("n_wedges"),
     )
     ecount = e.agg(F.count(F.lit(1)).alias("n_edges"))
-    tcount = tris.agg(F.count(F.lit(1)).alias("n_triangles"))
+    tcount = tris_per_edge.agg(
+        F.coalesce(F.sum("__t"), F.lit(0))
+        .cast("long")
+        .alias("n_triangles")
+    )
     return (
         stats.crossJoin(ecount)
         .crossJoin(tcount)

@@ -42,20 +42,34 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     columns; exact distincts (Spark plans the multi-distinct with one
     expand, still a single pass over the data)."""
     cols = list(cols) if cols is not None else [f.name for f in df.schema.fields]
-    aggs = []
+    # TWO single-row aggregations instead of one (r15): the multi-
+    # distinct rewrite plans count_distinct through an Expand whose
+    # per-distinct-key grouping stage carries EVERY sibling aggregate's
+    # partial buffer — and the DECIMAL(30,8) mean sums and string
+    # min/max buffers are not UnsafeRow-mutable, which knocks the WHOLE
+    # chain (Expand → group-by-distinct-cols → partial → final) off
+    # HashAggregate onto SortAggregate with two full Sorts of the
+    # 6x-expanded input. Keeping the distinct aggregation to
+    # long-buffer aggs (counts, null sums, distincts) restores the
+    # hash path; the immutable-buffer aggs fold in a separate keyless
+    # pass (no grouping key → no sort), and the two 1-row results
+    # cross-join. Same expressions over the same rows — values are
+    # bit-identical.
+    dist_aggs = []
+    other_aggs = []
     kinds: dict[str, bool] = {}
     for c in cols:
         dt = df.schema[c].dataType
         numeric = isinstance(dt, _NUMERIC)
         kinds[c] = numeric
         col = F.col(c)
-        aggs += [
+        dist_aggs += [
             F.count(F.lit(1)).alias(f"{c}__n"),
             F.sum(col.isNull().cast("long")).alias(f"{c}__null"),
             F.count_distinct(col).alias(f"{c}__dist"),
         ]
         if numeric:
-            aggs += [
+            other_aggs += [
                 F.min(col).cast("double").alias(f"{c}__min"),
                 F.max(col).cast("double").alias(f"{c}__max"),
                 F.round(
@@ -65,11 +79,11 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
                 ).alias(f"{c}__mean"),
             ]
         else:
-            aggs += [
+            other_aggs += [
                 F.min(col.cast("string")).alias(f"{c}__smin"),
                 F.max(col.cast("string")).alias(f"{c}__smax"),
             ]
-    wide = df.agg(*aggs)
+    wide = df.agg(*dist_aggs).crossJoin(df.agg(*other_aggs))
     parts = []
     for c in cols:
         dt = df.schema[c].dataType.simpleString()
