@@ -107,9 +107,20 @@ def _simhash_bands(
         codes = bits.reshape(len(x), n_bands, band_bits) @ w
         return pd.Series([c.astype("int32") for c in codes])
 
-    return df.select(
-        F.col(id_out), band_codes(F.col(vec_col)).alias("__cs")
-    ).select(id_out, F.posexplode("__cs").alias("band", "code"))
+    # posexplode_OUTER + null-filter on the generate OUTPUT is
+    # row-identical to plain posexplode (codes arrays are never
+    # null/empty here, and if one were, outer+filter drops exactly the
+    # rows non-outer drops) — but the non-outer form makes Catalyst add
+    # an implicit ``size(__cs) > 0`` pre-filter on the generator input,
+    # which RE-EVALUATES the Arrow projection a second time per row
+    # (two back-to-back ArrowEvalPython nodes in the executed plan).
+    return (
+        df.select(
+            F.col(id_out), band_codes(F.col(vec_col)).alias("__cs")
+        )
+        .select(id_out, F.posexplode_outer("__cs").alias("band", "code"))
+        .where(F.col("band").isNotNull())
+    )
 
 
 def lsh_topk(
